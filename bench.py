@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is executed to completion (count() forces the full plan; results
+are not collected to the driver). Times are per-query wall seconds; the
+headline value is the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Headline set: one per major operator family (SURVEY §2 coverage).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_supplier_volume_by_nation",
+    "agg_rollup_region_nation",
+    "window_topk_orders_per_customer",
+    "join_broadcast_part_lineitem",
+    "setop_union_intersect_except",
+    "scalar_json_events",
+    "events_tumbling_5min",
+    "events_session_windows_30min",
+    "events_asof_purchase_click",
+    "strfn_clean_chain",
+    "pipeline_movie_features",
+    "pipeline_scaled_features",
+    "text_fingerprint",
+    "text_quality_score",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_lsh_pairs",
+    "vec_cosine_topk_to_query",
+    "vec_euclidean_to_label_centroid",
+    "tree_subtree_rollup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from cinegraph_spark.queries import load_all
+    from cinegraph_spark.session import get_spark
+
+    spark = get_spark(app_name="cinegraph-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all()
+
+    # warm the JVM + parquet footers with one cheap action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        t0 = time.perf_counter()
+        n = spec.spark(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

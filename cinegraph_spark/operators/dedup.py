@@ -1,0 +1,193 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY §2.10,
+north-star additions). All deterministic: hashes are xxhash64 of explicit
+strings, no RNG, so results are stable across runs and cluster sizes.
+
+Four tiers, cheapest-first — the 100 TB strategy is to knock out exact dups
+with one shuffle, then LSH-bucket the near-dup search so the candidate join
+is band-local (never an O(n²) cross join):
+
+- :func:`exact_dedup`       — hash-groupBy on normalized text; one shuffle.
+- :func:`shingles`          — n-gram shingling (tokens or chars).
+- :func:`minhash_signatures`/:func:`lsh_candidate_pairs` — MinHash + banded
+  LSH: candidates only within equal (band, band_hash) buckets.
+- :func:`simhash64`         — 64-bit SimHash per doc; near-dups have small
+  Hamming distance.
+- :func:`jaccard_pairs`     — exact n-gram Jaccard on a candidate pair set
+  (verification step after LSH, or standalone on rare-shingle candidates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: group by md5(text); keep the minimum id as
+    representative. Returns (text_hash, keep_id, n_copies, dup_ids)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("all_ids"),
+        )
+    )
+
+
+def shingles(
+    df: DataFrame, id_col: str, tokens_col: str, n: int = 8
+) -> DataFrame:
+    """Distinct n-token shingles per document: (id, shingle).
+
+    Built with sequence+transform+explode — pure JVM, one output row per
+    shingle; `distinct` within doc via array_distinct before the explode
+    (cheaper than a post-explode distinct shuffle).
+    """
+    count = F.size(F.col(tokens_col)) - (n - 1)
+    shingle_arr = F.when(
+        count > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.array_join(F.slice(F.col(tokens_col), i, n), " "),
+            )
+        ),
+    ).otherwise(F.array(F.array_join(F.col(tokens_col), " ")))
+    return df.select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str, num_perm: int = 32
+) -> DataFrame:
+    """MinHash signature per doc: for seed s, min over shingles of
+    xxhash64(shingle || '#' || s). Output: (id, sig: array<long>[num_perm]).
+
+    One aggregation: per doc, min of each of the ``num_perm`` hash streams —
+    map-side combine keeps the shuffle at num_perm longs per doc.
+    """
+    hashed = sh.select(
+        F.col(id_col),
+        *[
+            F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#{s}"))).alias(f"_h{s}")
+            for s in range(num_perm)
+        ],
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{s}").alias(f"_m{s}") for s in range(num_perm)]
+    )
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{s}") for s in range(num_perm)]).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, bands: int = 8, rows: int = 4
+) -> DataFrame:
+    """Banded LSH: split the signature into ``bands`` bands of ``rows``
+    values; docs sharing any band hash become candidate pairs (a < b).
+
+    The join key is (band, band_hash) — at 100 TB this is the only shuffle
+    and each bucket is tiny unless documents truly collide; no cross join
+    ever happens.
+    """
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.element_at("sig", b * rows + r + 1)
+                                for r in range(rows)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "band", "band_hash"
+    )
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, id_col: str, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for candidate pairs.
+
+    Without ``candidates``, pairs are discovered through shared shingles
+    (correct, and safe when shingle document-frequency is bounded; for
+    unbounded corpora pass LSH candidates instead). Output:
+    (id_a, id_b, n_a, n_b, n_common, jaccard).
+    """
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, tokens_col: str) -> DataFrame:
+    """64-bit SimHash per document over token hashes.
+
+    For each bit position j, sum +1/-1 votes of xxhash64(token)'s bit j over
+    all tokens; bit j of the simhash is 1 iff the sum is positive. Pure
+    column arithmetic: one explode + one 64-column conditional sum.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens_col).alias("tok"))
+    h = tok.select(id_col, F.xxhash64("tok").alias("h"))
+    votes = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                    -1
+                )
+            ).alias(f"_b{j}")
+            for j in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for j in range(64):
+        sim = sim + F.when(F.col(f"_b{j}") > 0, F.lit(1).cast("long") * (2**j if j < 63 else -(2**63))).otherwise(0)
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming64(a, b):
+    """Hamming distance between two int64 simhashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,128 @@
+"""M3/M4 — pluggable window scorers producing the 6-emotion frame.
+
+Two implementations behind one output contract
+(``movie_id/doc_id, window_id, window_start, window_end, sadness..surprise``,
+``emotion_analysis/model.py:172-177``):
+
+- :func:`stub_scores` — deterministic pure-SQL scorer for correctness tests:
+  integer arithmetic over window token stats, mod-normalized to [0, 1).
+  Exactly reproducible in DuckDB (the oracle), and fully codegen'd.
+- :func:`hf_scorer` — the production path: an Arrow-batched ``mapInPandas``
+  that loads a HF classifier per executor and scores window batches
+  (sigmoid multi-label vs softmax single-label, ``model.py:136-140``).
+  The transformers stack is not installed in this container, so the loader
+  raises unless a model object is injected — the Spark plumbing (schema,
+  batching, broadcast) is real and tested with a fake model.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cinegraph_spark.schemas import EMOTIONS
+
+#: modulus for the stub scorer — prime, keeps scores dense in [0,1).
+_MOD = 997
+
+
+def stub_score_col(
+    window_tokens: Column, key: Column, window_id: Column, emotion_index: int
+) -> Column:
+    """Deterministic score in [0,1): integer arithmetic only, so Spark and
+    DuckDB produce bit-identical doubles (single final division)."""
+    tok_weight = F.aggregate(
+        window_tokens, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mixed = (
+        tok_weight * (emotion_index + 1) + key * 13 + window_id * 7
+    ) % _MOD
+    return mixed.cast("double") / float(_MOD)
+
+
+def stub_scores(df: DataFrame, key_col: str) -> DataFrame:
+    """Attach the 6 deterministic emotion columns to a windowized frame."""
+    return df.select(
+        "*",
+        *[
+            stub_score_col(
+                F.col("window_tokens"),
+                F.col(key_col),
+                F.col("window_id"),
+                i,
+            ).alias(e)
+            for i, e in enumerate(EMOTIONS)
+        ],
+    ).drop("window_tokens")
+
+
+def stub_scores_sql(tokens_slice_expr: str, key_expr: str, window_id_expr: str) -> list[str]:
+    """DuckDB expressions mirroring :func:`stub_score_col`, one per emotion."""
+    tok_weight = (
+        f"list_sum(list_transform({tokens_slice_expr}, x -> CAST(len(x) AS BIGINT)))"
+    )
+    out = []
+    for i, e in enumerate(EMOTIONS):
+        mixed = (
+            f"(coalesce({tok_weight}, 0) * {i + 1} + {key_expr} * 13 "
+            f"+ {window_id_expr} * 7) % {_MOD}"
+        )
+        out.append(f"CAST({mixed} AS DOUBLE) / {_MOD}.0 AS {e}")
+    return out
+
+
+# --- production scorer (pandas-UDF surface) --------------------------------
+
+
+def hf_scorer(
+    model_loader: Callable[[], Any] | None = None,
+    multi_label: bool = True,
+    batch_size: int = 16,
+):
+    """Build a ``mapInPandas`` function scoring window texts with a model.
+
+    ``model_loader`` runs once per executor process (lazy singleton), the
+    Spark-side analog of the reference's per-process model init
+    (``model.py:31-67``). The returned callable maps an iterator of pandas
+    batches with a ``window_text`` column to batches with the 6 emotion
+    columns appended — use with ``df.mapInPandas(fn, schema)``.
+    """
+    state: dict[str, Any] = {}
+
+    def fn(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        if "model" not in state:
+            if model_loader is None:
+                raise NotImplementedError(
+                    "no model_loader injected and transformers is not "
+                    "available in this environment; use stub_scores for "
+                    "deterministic runs"
+                )
+            state["model"] = model_loader()
+        model = state["model"]
+        for pdf in batches:
+            texts = pdf["window_text"].tolist()
+            scores = []
+            for i in range(0, len(texts), batch_size):
+                logits = np.asarray(model(texts[i : i + batch_size]))
+                if multi_label:
+                    probs = 1.0 / (1.0 + np.exp(-logits))  # sigmoid
+                else:
+                    ex = np.exp(logits - logits.max(axis=1, keepdims=True))
+                    probs = ex / ex.sum(axis=1, keepdims=True)  # softmax
+                scores.append(probs)
+            allp = (
+                np.concatenate(scores)
+                if scores
+                else np.zeros((0, len(EMOTIONS)))
+            )
+            out = pdf.copy()
+            for j, e in enumerate(EMOTIONS):
+                out[e] = allp[:, j].astype("float64")
+            yield out
+
+    return fn

@@ -1,0 +1,255 @@
+"""Deduplication queries over ``documents`` (north-star LLM-pipeline ops).
+
+The driver corpus has no exact duplicates, so the exact-dedup queries build
+a deterministic dup-injected corpus inline (every 5th doc unioned again with
+id+10000) — identically in both engines. Near-dup queries run on the real
+corpus (it contains planted near-duplicates with token-Jaccard ≥ 0.8).
+
+MinHash/SimHash queries have no DuckDB oracle (engine-specific hash
+functions); they get rows-only checks from the driver plus property tests in
+``tests/test_dedup.py`` (LSH recall vs exact Jaccard ground truth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cinegraph_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+    simhash64,
+)
+from cinegraph_spark.operators.windowize import tokenize_whitespace
+from cinegraph_spark.queries import register
+from cinegraph_spark.queries.util import T
+
+_DUP_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+
+def _dup_corpus(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+def _toks(spark, sf_dir):
+    return T(spark, sf_dir, "documents").select(
+        "doc_id", tokenize_whitespace(F.col("text")).alias("tokens")
+    )
+
+
+@register(
+    "dedup_exact_groups",
+    f"""
+    WITH {_DUP_CORPUS_CTE}
+    SELECT md5(text)                                   AS text_hash,
+           CAST(min(doc_id) AS BIGINT)                 AS keep_id,
+           count(*)                                    AS n_copies,
+           array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',') AS all_ids
+    FROM corpus GROUP BY md5(text)
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup groups: md5-hash groupBy, min-id representative — one
+    shuffle on the hash, the cheapest dedup tier."""
+    g = exact_dedup(_dup_corpus(spark, sf_dir), "text", "doc_id")
+    return g.select(
+        "text_hash",
+        F.col("keep_id").cast("long").alias("keep_id"),
+        "n_copies",
+        F.array_join(F.col("all_ids").cast("array<string>"), ",").alias("all_ids"),
+    )
+
+
+@register(
+    "dedup_exact_survivors",
+    f"""
+    WITH {_DUP_CORPUS_CTE}
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_removed
+    FROM corpus
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact_survivors(spark, sf_dir):
+    """Dedup summary counts on the dup-injected corpus."""
+    c = _dup_corpus(spark, sf_dir)
+    return c.agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct("text").alias("n_unique"),
+        (F.count("*") - F.countDistinct("text")).alias("n_removed"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(
+               regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+') AS tokens
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(tokens) >= 8
+                  THEN array_to_string(tokens[i : i + 7], ' ')
+                  ELSE array_to_string(tokens, ' ') END AS shingle
+      FROM toks, unnest(range(1, greatest(len(tokens) - 6, 2))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(sa.n_sh AS BIGINT) AS n_a,
+           CAST(sb.n_sh AS BIGINT) AS n_b,
+           n_common,
+           round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    """,
+    tags=("dedup", "near-dup", "jaccard"),
+)
+def dedup_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 8-token-shingle Jaccard near-dup pairs (threshold 0.6) —
+    candidate discovery through shared shingles. Safe here because shingle
+    document-frequency is bounded; the unbounded-scale path goes through
+    LSH candidates (dedup_minhash_lsh_pairs)."""
+    sh = shingles(_toks(spark, sf_dir), "doc_id", "tokens", n=8)
+    jp = jaccard_pairs(sh, "doc_id")
+    return (
+        jp.filter(F.col("jaccard") >= 0.6)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "n_common",
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    None,  # engine-specific hashes; verified by property tests + rows check
+    tags=("dedup", "near-dup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash(32 perms) + banded LSH(8×4) near-dup pairs, verified with
+    exact Jaccard ≥ 0.6 on the candidates only. This is the 100 TB dedup
+    path: the only joins are band-bucket-local; no O(n²) stage exists."""
+    sh = shingles(_toks(spark, sf_dir), "doc_id", "tokens", n=8)
+    sigs = minhash_signatures(sh, "doc_id", num_perm=32)
+    cands = lsh_candidate_pairs(sigs, "doc_id", bands=8, rows=4)
+    verified = jaccard_pairs(sh, "doc_id", candidates=cands)
+    return verified.filter(F.col("jaccard") >= 0.6).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+@register(
+    "dedup_simhash_buckets",
+    None,  # engine-specific hashes; rows-only + property tests
+    tags=("dedup", "near-dup", "simhash"),
+)
+def dedup_simhash_buckets(spark, sf_dir):
+    """SimHash64 per doc + near-dup pairs at Hamming distance ≤ 12 among
+    docs sharing any 16-bit simhash block (block index = LSH key)."""
+    sim = simhash64(_toks(spark, sf_dir), "doc_id", "tokens")
+    blocks = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", k * 16).bitwiseAND(F.lit(0xFFFF))
+                    for k in range(4)
+                ]
+            )
+        ).alias("block_idx", "block"),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("sim_a"),
+        "block_idx",
+        "block",
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("sim_b"),
+        "block_idx",
+        "block",
+    )
+    pairs = (
+        a.join(b, ["block_idx", "block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
+        )
+        .filter(F.col("hamming") <= 12)
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@register(
+    "dedup_embedding_near_pairs",
+    """
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+             * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.35
+    """,
+    tags=("dedup", "near-dup", "embedding"),
+)
+def dedup_embedding_near_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, label-partitioned (the IVF idea:
+    compare only within the same coarse cell → the pair join is
+    cell-local, never all-pairs)."""
+    from cinegraph_spark.functions import vector as V
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("l_a"), F.col("v").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("l_b"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, (F.col("l_a") == F.col("l_b")) & (F.col("id_a") < F.col("id_b")))
+    cos = V.cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") >= 0.35)
+        .select("id_a", "id_b", F.round("cos_sim_raw", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,233 @@
+"""Event-stream queries (SURVEY §2.10 streaming) — batch semantics of the
+same window specs the Structured Streaming surface runs (``streaming/``).
+The oracle checks the closed-window batch equivalents, per SURVEY §5.
+
+Timestamps are projected as formatted strings so no engine-specific
+datetime encoding reaches the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from cinegraph_spark.operators.asof import asof_join
+from cinegraph_spark.queries import register
+from cinegraph_spark.queries.util import T, r4, tstr
+
+
+@register(
+    "events_tumbling_5min",
+    """
+    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window", "tumbling"),
+)
+def events_tumbling_5min(spark, sf_dir):
+    """Tumbling 5-minute windows per event type — the batch twin of the
+    streaming tumbling aggregation (streaming/windows.py)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), r4(F.sum("value")).alias("total_value"))
+        .select(
+            tstr(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_10min_step5",
+    """
+    WITH expanded AS (
+      SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+               AS window_start,
+             event_type, value
+      FROM events
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window", "sliding"),
+)
+def events_sliding_10min_step5(spark, sf_dir):
+    """Sliding windows (10 min length, 5 min step): each event lands in 2
+    windows. Spark's window() emits both assignments natively; the oracle
+    expands them explicitly."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), r4(F.sum("value")).alias("total_value"))
+        .select(
+            tstr(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_session_windows_30min",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("events", "window", "session"),
+)
+def events_session_windows_30min(spark, sf_dir):
+    """Session windows (30-minute inactivity gap) in batch: gaps-and-islands
+    — lag + cumulative flag sum. The true streaming session_window version
+    lives in streaming/windows.py; this is its closed-window semantics."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1800 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = ordered.withColumn("session_id", F.sum("new_session").over(wsum))
+    return (
+        numbered.groupBy("user_id", F.col("session_id").cast("long").alias("session_id"))
+        .agg(
+            tstr(F.min("ts")).alias("session_start"),
+            tstr(F.max("ts")).alias("session_end"),
+            F.count("*").alias("n_events"),
+            r4(F.sum("value")).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_dedup_latest_per_user_type",
+    """
+    SELECT user_id, event_type, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    tags=("events", "dedup"),
+)
+def events_dedup_latest_per_user_type(spark, sf_dir):
+    """Keep-latest dedup per (user, type) — the batch twin of streaming
+    dropDuplicates-with-watermark."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", tstr(F.col("ts")).alias("ts_s"), "value")
+    )
+
+
+@register(
+    "events_asof_purchase_click",
+    """
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           c.event_id AS asof_click_id,
+           c.value    AS asof_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    QUALIFY row_number() OVER (PARTITION BY p.event_id
+                               ORDER BY c.ts DESC NULLS LAST,
+                                        c.event_id DESC NULLS LAST) = 1
+    """,
+    tags=("events", "asof"),
+)
+def events_asof_purchase_click(spark, sf_dir):
+    """As-of join: each purchase ← most recent prior click of the same user.
+    Spark side runs the union+running-last algorithm (operators/asof.py) —
+    one shuffle, no range-join explosion; the oracle states the same
+    semantics as a QUALIFY'd left range join."""
+    e = T(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        left_id="event_id",
+        right_id="event_id",
+        right_payload=["value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        tstr(F.col("ts")).alias("purchase_ts"),
+        F.col("asof_event_id").alias("asof_click_id"),
+        F.col("asof_value").alias("asof_click_value"),
+    )
+
+
+@register(
+    "events_rate_per_type_minute",
+    """
+    SELECT event_type,
+           CAST(minute(ts) AS BIGINT) AS minute_of_hour,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("events", "agg"),
+)
+def events_rate_per_type_minute(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.minute("ts").cast("long").alias("minute_of_hour")
+    ).agg(F.count("*").alias("n"), r4(F.avg("value")).alias("avg_value"))

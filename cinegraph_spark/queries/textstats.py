@@ -1,0 +1,302 @@
+"""Text-analysis queries (north-star LLM-pipeline ops): token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure column arithmetic (integer-exact where possible) so every query is
+oracle-checked. At 100 TB each is a map-only scan — no shuffles except the
+final tiny aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cinegraph_spark.operators.windowize import tokenize_whitespace
+from cinegraph_spark.queries import register
+from cinegraph_spark.queries.util import T, r4
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, lang, source, n_chars, text, string_split_regex("
+    "regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+') AS tokens "
+    "FROM documents)"
+)
+
+#: stopword list for the quality score (English function words).
+_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+#: language marker words for the n-gram/lexicon langid heuristic.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "und", "die", "das"),
+    "fr": ("le", "et", "les", "des"),
+    "zh": ("de", "shi", "le", "bu"),
+}
+
+
+@register(
+    "text_token_stats",
+    f"""
+    WITH {_TOKS_CTE}
+    SELECT doc_id,
+           CAST(len(tokens) AS BIGINT)  AS n_tokens,
+           CAST(len(text) AS BIGINT)    AS n_chars_actual,
+           n_chars                      AS n_chars_declared,
+           round(list_sum(list_transform(tokens, t -> CAST(len(t) AS BIGINT)))
+                 * 1.0 / len(tokens), 4) AS avg_token_len,
+           CAST(list_max(list_transform(tokens, t -> CAST(len(t) AS BIGINT))) AS BIGINT)
+                                        AS max_token_len,
+           CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct_tokens
+    FROM toks
+    """,
+    tags=("textstats", "tokens"),
+)
+def text_token_stats(spark, sf_dir):
+    """Whitespace token counting + length stats (the BPE-ish tokenizer path
+    is the regex in text_bpe_token_count)."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "n_chars",
+        tokenize_whitespace(F.col("text")).alias("tokens"),
+    )
+    tok_lens = F.transform("tokens", lambda t: F.length(t).cast("long"))
+    return d.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.col("n_chars").alias("n_chars_declared"),
+        F.round(
+            F.aggregate(tok_lens, F.lit(0).cast("long"), lambda a, x: a + x)
+            * F.lit(1.0)
+            / F.size("tokens"),
+            4,
+        ).alias("avg_token_len"),
+        F.array_max(tok_lens).cast("long").alias("max_token_len"),
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+@register(
+    "text_bpe_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])', 1)) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '([a-zA-Z]+)', 1)) AS BIGINT) AS n_word_tokens,
+           CAST(len(regexp_extract_all(text, '([0-9]+)', 1)) AS BIGINT)    AS n_number_tokens
+    FROM documents
+    """,
+    tags=("textstats", "tokens", "bpe"),
+)
+def text_bpe_token_count(spark, sf_dir):
+    """BPE-ish pre-tokenization count: alpha runs, digit runs, and isolated
+    punctuation (the GPT-2-style pre-tokenizer split classes)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])"), F.lit(1)
+            )
+        )
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"([a-zA-Z]+)"), F.lit(1)))
+        .cast("long")
+        .alias("n_word_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"([0-9]+)"), F.lit(1)))
+        .cast("long")
+        .alias("n_number_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH {_TOKS_CTE},
+    stats AS (
+      SELECT doc_id,
+             CAST(len(tokens) AS BIGINT) AS n_tok,
+             CAST(list_sum(list_transform(tokens,
+               t -> CASE WHEN list_contains({list(_STOPWORDS)!r}, lower(t))
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS n_stop,
+             CAST(len(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS BIGINT) AS n_alpha,
+             CAST(greatest(len(text), 1) AS BIGINT) AS n_chr
+      FROM toks
+    )
+    SELECT doc_id, n_tok, n_stop,
+           round(CAST(n_alpha AS DOUBLE) / n_chr, 4) AS alpha_ratio,
+           round(CAST(4 * least(n_tok, 50) * greatest(n_tok, 1) * n_chr
+                      + 150 * least(5 * n_stop, greatest(n_tok, 1)) * n_chr
+                      + 150 * n_alpha * greatest(n_tok, 1) AS DOUBLE)
+                 / (500 * greatest(n_tok, 1) * n_chr), 4) AS quality
+    FROM stats
+    """,
+    tags=("textstats", "quality"),
+)
+def text_quality_score(spark, sf_dir):
+    """Composite quality score in [0,1]: length signal, stopword density,
+    alphabetic-character ratio — the C4/Gopher-style cheap quality gates.
+
+    quality = 0.4·min(n_tok/50,1) + 0.3·min(5·n_stop/n_tok,1) + 0.3·alpha_ratio,
+    evaluated as ONE exact integer numerator / denominator so both engines
+    divide identical int64s (bit-identical double → identical rounding;
+    float association order is engine-specific otherwise)."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokenize_whitespace(F.col("text")).alias("tokens")
+    )
+    n_tok = F.size("tokens").cast("long")
+    n_stop = F.aggregate(
+        F.transform(
+            "tokens",
+            lambda t: F.when(
+                F.lower(t).isin(*_STOPWORDS), F.lit(1)
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    ).cast("long")
+    n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z ]", "")).cast("long")
+    n_chr = F.greatest(F.length("text").cast("long"), F.lit(1))
+    t_safe = F.greatest(n_tok, F.lit(1))
+    numer = (
+        F.lit(4) * F.least(n_tok, F.lit(50)) * t_safe * n_chr
+        + F.lit(150) * F.least(F.lit(5) * n_stop, t_safe) * n_chr
+        + F.lit(150) * n_alpha * t_safe
+    )
+    denom = F.lit(500) * t_safe * n_chr
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        n_stop.alias("n_stop"),
+        F.round(n_alpha.cast("double") / n_chr, 4).alias("alpha_ratio"),
+        F.round(numer.cast("double") / denom, 4).alias("quality"),
+    )
+
+
+def _langid_votes_sql() -> str:
+    cols = []
+    for lang, markers in _LANG_MARKERS.items():
+        cols.append(
+            f"list_sum(list_transform(tokens, t -> CASE WHEN "
+            f"list_contains({list(markers)!r}, lower(t)) THEN 1 ELSE 0 END)) "
+            f"AS v_{lang}"
+        )
+    return ", ".join(cols)
+
+
+@register(
+    "text_langid_heuristic",
+    f"""
+    WITH {_TOKS_CTE},
+    votes AS (SELECT doc_id, lang AS declared_lang, {_langid_votes_sql()} FROM toks)
+    SELECT doc_id, declared_lang,
+           CASE {' '.join(f"WHEN v_{lang} >= greatest(v_en, v_es, v_de, v_fr, v_zh) AND v_{lang} > 0 THEN '{lang}'" for lang in _LANG_MARKERS)}
+                ELSE 'und' END AS detected_lang,
+           CAST(greatest(v_en, v_es, v_de, v_fr, v_zh) AS BIGINT) AS top_votes
+    FROM votes
+    """,
+    tags=("textstats", "langid"),
+)
+def text_langid_heuristic(spark, sf_dir):
+    """Lexicon-vote language ID (marker function words per language);
+    deterministic first-match tie-break, 'und' when no marker fires."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        tokenize_whitespace(F.col("text")).alias("tokens"),
+    )
+    def _vote_col(markers):
+        # closure factory: a default-arg lambda would change the UDF arity
+        # Spark inspects (transform passes (elem, idx) to 2-ary lambdas)
+        return F.aggregate(
+            F.transform(
+                "tokens",
+                lambda t: F.when(F.lower(t).isin(*markers), F.lit(1)).otherwise(
+                    F.lit(0)
+                ),
+            ),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+
+    votes = d.select(
+        "doc_id",
+        "declared_lang",
+        *[
+            _vote_col(markers).alias(f"v_{lang}")
+            for lang, markers in _LANG_MARKERS.items()
+        ],
+    )
+    gmax = F.greatest(*[F.col(f"v_{lang}") for lang in _LANG_MARKERS])
+    detected = F.lit(None).cast("string")
+    expr = None
+    for lang in _LANG_MARKERS:
+        cond = (F.col(f"v_{lang}") >= gmax) & (F.col(f"v_{lang}") > 0)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    detected = expr.otherwise("und")
+    return votes.select(
+        "doc_id",
+        "declared_lang",
+        detected.alias("detected_lang"),
+        gmax.cast("long").alias("top_votes"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    WITH {_TOKS_CTE},
+    flat AS (
+      SELECT doc_id, unnest(tokens) AS tok,
+             generate_subscripts(tokens, 1) AS pos
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(sum((31 * len(tok) + ascii(substr(tok, 1, 1))) * pos) % 1000000007
+                AS BIGINT) AS fingerprint,
+           count(*) AS n_terms
+    FROM flat GROUP BY doc_id
+    """,
+    tags=("textstats", "fingerprint"),
+)
+def text_fingerprint(spark, sf_dir):
+    """Order-sensitive document fingerprint: position-weighted polynomial
+    over (token length, first char) — integer-exact in both engines."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokenize_whitespace(F.col("text")).alias("tokens")
+    )
+    flat = d.select("doc_id", F.posexplode("tokens").alias("pos0", "tok")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    term = (
+        (F.lit(31) * F.length("tok") + F.ascii(F.substring("tok", 1, 1)))
+        * F.col("pos")
+    ).cast("long")
+    return flat.groupBy("doc_id").agg(
+        (F.sum(term) % 1000000007).cast("long").alias("fingerprint"),
+        F.count("*").alias("n_terms"),
+    )
+
+
+@register(
+    "text_source_lang_profile",
+    """
+    SELECT source, lang,
+           count(*)                 AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 4)   AS avg_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+    tags=("textstats", "profile"),
+)
+def text_source_lang_profile(spark, sf_dir):
+    """Corpus profile by (source, lang) — the partition-planning stats a
+    100 TB ingest runs first."""
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        r4(F.avg("n_chars")).alias("avg_chars"),
+    )

@@ -1,0 +1,284 @@
+"""Vector similarity queries (V1-V3, SURVEY §2.8) over ``embeddings``.
+
+The reference declares a pgvector HNSW cosine index
+(``db/models/embedding.py:15-17``); the Spark-native answers are
+(a) exact brute-force top-k — a broadcast map-only scan + TakeOrdered, and
+(b) partition-pruned variants (label as the IVF cell) in
+``operators/similarity.py``. Everything here casts float32 arrays to double
+before arithmetic so Spark and DuckDB agree bit-for-bit pre-rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from cinegraph_spark.functions import vector as V
+from cinegraph_spark.queries import register
+from cinegraph_spark.queries.util import T, r4
+
+_DV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _emb(spark, sf_dir):
+    return T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+@register(
+    "vec_norm_stats",
+    f"""
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           CAST(len(embedding) AS BIGINT)                         AS dim,
+           round(sqrt(list_sum(list_transform({_DV}, x -> x * x))), 4) AS l2_norm,
+           round(list_max({_DV}), 4)                              AS max_elem,
+           round(list_min({_DV}), 4)                              AS min_elem
+    FROM embeddings
+    """,
+    tags=("vector", "scalar"),
+)
+def vec_norm_stats(spark, sf_dir):
+    """Array math on the embedding column — JVM higher-order functions, no
+    Python, map-only."""
+    e = _emb(spark, sf_dir)
+    return e.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.size("v").cast("long").alias("dim"),
+        r4(V.norm(F.col("v"))).alias("l2_norm"),
+        r4(F.array_max("v")).alias("max_elem"),
+        r4(F.array_min("v")).alias("min_elem"),
+    )
+
+
+@register(
+    "vec_cosine_topk_to_query",
+    f"""
+    WITH q AS (SELECT {_DV} AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+             round(list_dot_product({_DV}, qv)
+                   / (sqrt(list_sum(list_transform({_DV}, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos_sim
+      FROM embeddings, q
+      WHERE vec_id <> 0
+    )
+    SELECT vec_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("vector", "topk", "similarity"),
+)
+def vec_cosine_topk_to_query(spark, sf_dir):
+    """V1 exact path — brute-force cosine top-k against one query vector.
+    The query vector is a 1-row broadcast; the scan is map-only and the
+    top-10 is TakeOrdered (no global sort). This is the correctness baseline
+    the ANN operators are measured against."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(V.cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "vec_knn_per_query",
+    f"""
+    WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT qid, vec_id AS nid,
+             round(list_dot_product(v, qv)
+                   / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos_sim
+      FROM e, q WHERE vec_id <> qid
+    )
+    SELECT qid, nid, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, nid) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    tags=("vector", "knn", "similarity"),
+)
+def vec_knn_per_query(spark, sf_dir):
+    """Batched k-NN: 10 query vectors × corpus, top-3 each via windowed
+    row_number (the per-group top-k idiom, C6's pattern)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(V.cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "nid", "cos_sim", "rnk")
+    )
+
+
+@register(
+    "vec_euclidean_to_label_centroid",
+    f"""
+    WITH e AS (SELECT vec_id, label, {_DV} AS v FROM embeddings),
+    flat AS (
+      SELECT vec_id, label,
+             unnest(v) AS x,
+             generate_subscripts(v, 1) AS dim
+      FROM e
+    ),
+    cent AS (SELECT label, dim, avg(x) AS c FROM flat GROUP BY label, dim)
+    SELECT f.vec_id, CAST(f.label AS BIGINT) AS label,
+           round(sqrt(sum((f.x - cent.c) * (f.x - cent.c))), 4) AS dist
+    FROM flat f JOIN cent ON f.label = cent.label AND f.dim = cent.dim
+    GROUP BY f.vec_id, f.label
+    """,
+    tags=("vector", "centroid"),
+)
+def vec_euclidean_to_label_centroid(spark, sf_dir):
+    """V2/A6 — distance of each vector to its group centroid
+    (``graph_creator.py:345-351``): posexplode to (vec, dim, x), centroid by
+    (label, dim), rejoin, aggregate the squared diffs. All shuffles are on
+    low-cardinality keys; no vector ever hits the driver."""
+    e = _emb(spark, sf_dir)
+    flat = e.select(
+        "vec_id", "label", F.posexplode("v").alias("dim", "x")
+    )
+    cent = flat.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    return (
+        flat.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))),
+                4,
+            ).alias("dist")
+        )
+        .select("vec_id", F.col("label").cast("long").alias("label"), "dist")
+    )
+
+
+@register(
+    "vec_representative_topk_per_label",
+    f"""
+    WITH e AS (SELECT vec_id, label, {_DV} AS v FROM embeddings),
+    flat AS (SELECT vec_id, label, unnest(v) AS x,
+                    generate_subscripts(v, 1) AS dim FROM e),
+    cent AS (SELECT label, dim, avg(x) AS c FROM flat GROUP BY label, dim),
+    dists AS (
+      SELECT f.vec_id, f.label,
+             round(sqrt(sum((f.x - cent.c) * (f.x - cent.c))), 6) AS dist
+      FROM flat f JOIN cent ON f.label = cent.label AND f.dim = cent.dim
+      GROUP BY f.vec_id, f.label
+    )
+    SELECT CAST(label AS BIGINT) AS label, vec_id, dist, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY label
+                                       ORDER BY dist, vec_id) AS rnk
+          FROM dists)
+    WHERE rnk <= 15
+    """,
+    tags=("vector", "topk", "representative"),
+)
+def vec_representative_topk_per_label(spark, sf_dir):
+    """C6 — the 15 members closest to their cluster centroid
+    (``graph_creator.py:343-354``), labels standing in for clusters."""
+    e = _emb(spark, sf_dir)
+    flat = e.select("vec_id", "label", F.posexplode("v").alias("dim", "x"))
+    cent = flat.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    dists = (
+        flat.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))),
+                6,
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        dists.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 15)
+        .select(F.col("label").cast("long").alias("label"), "vec_id", "dist", "rnk")
+    )
+
+
+@register(
+    "vec_centroid_shift_labels",
+    f"""
+    WITH e AS (SELECT vec_id, label, {_DV} AS v FROM embeddings),
+    flat AS (SELECT vec_id, label, unnest(v) AS x,
+                    generate_subscripts(v, 1) AS dim FROM e),
+    cent AS (SELECT label, dim, avg(x) AS c FROM flat GROUP BY label, dim),
+    parent AS (SELECT dim, avg(x) AS p FROM flat GROUP BY dim),
+    deltas AS (
+      SELECT label, cent.dim, round(cent.c - parent.p, 6) AS delta
+      FROM cent JOIN parent ON cent.dim = parent.dim
+    ),
+    ranked AS (
+      SELECT label, dim, delta,
+             row_number() OVER (PARTITION BY label ORDER BY delta DESC, dim) AS r_top,
+             row_number() OVER (PARTITION BY label ORDER BY delta ASC,  dim) AS r_bot
+      FROM deltas
+    )
+    SELECT CAST(t.label AS BIGINT) AS label,
+           CAST(t.dim AS BIGINT)   AS top_dim,
+           t.delta                 AS top_delta,
+           CAST(b.dim AS BIGINT)   AS bottom_dim,
+           b.delta                 AS bottom_delta
+    FROM (SELECT * FROM ranked WHERE r_top = 1) t
+    JOIN (SELECT * FROM ranked WHERE r_bot = 1) b ON t.label = b.label
+    """,
+    tags=("vector", "shift-label"),
+)
+def vec_centroid_shift_labels(spark, sf_dir):
+    """C7/V3 — emotional-shift labeling core: per cluster, the dims where
+    the child centroid most exceeds / trails the parent centroid
+    (``graph_creator.py:118-159``); argmax/argmin via windowed row_number
+    with deterministic dim tiebreaks (portable across engines)."""
+    e = _emb(spark, sf_dir)
+    flat = e.select("vec_id", "label", F.posexplode("v").alias("dim0", "x")).select(
+        "vec_id", "label", (F.col("dim0") + 1).alias("dim"), "x"
+    )
+    cent = flat.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    parent = flat.groupBy("dim").agg(F.avg("x").alias("p"))
+    deltas = cent.join(F.broadcast(parent), "dim").select(
+        "label", "dim", F.round(F.col("c") - F.col("p"), 6).alias("delta")
+    )
+    w_top = Window.partitionBy("label").orderBy(F.desc("delta"), F.asc("dim"))
+    w_bot = Window.partitionBy("label").orderBy(F.asc("delta"), F.asc("dim"))
+    ranked = deltas.select(
+        "label",
+        "dim",
+        "delta",
+        F.row_number().over(w_top).alias("r_top"),
+        F.row_number().over(w_bot).alias("r_bot"),
+    )
+    t = ranked.filter(F.col("r_top") == 1).select(
+        F.col("label").cast("long").alias("label"),
+        F.col("dim").cast("long").alias("top_dim"),
+        F.col("delta").alias("top_delta"),
+    )
+    b = ranked.filter(F.col("r_bot") == 1).select(
+        F.col("label").alias("b_label"),
+        F.col("dim").cast("long").alias("bottom_dim"),
+        F.col("delta").alias("bottom_delta"),
+    )
+    return t.join(b, t.label == b.b_label).drop("b_label")

@@ -1,0 +1,82 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for the 100 TB design point (SURVEY §4, §7):
+
+- **AQE on** — runtime coalescing of shuffle partitions, dynamic
+  broadcast-join conversion, and skew-join splitting replace hand-tuned
+  partition counts when data sizes are only known at runtime.
+- **Arrow on** — every pandas_udf / mapInPandas / toPandas crossing uses
+  Arrow batches instead of pickled rows (SURVEY §2.4: model inference rides
+  this surface).
+- **Shuffle partitions** default to the local core count for tests; on a real
+  cluster this is overridden (AQE coalescing makes over-partitioning cheap).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs applied to every session the engine creates. All are also safe to
+#: set on an externally provided session via ``spark.conf.set``.
+ENGINE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics regardless of host timezone: the
+    # driver's test parquet stores naive (NTZ-style) timestamps; pin the
+    # session zone so instant-typed paths can't drift by host locale.
+    "spark.sql.session.timeZone": "UTC",
+    # 128 MB input splits — the parquet-scan sweet spot; small enough for
+    # executor memory at 100 TB, large enough to amortize task startup.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Arrow batch size for pandas UDFs (model scoring M3 rides this).
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable confs to an existing session.
+
+    The driver harness hands us its own SparkSession; this applies every
+    conf that is still settable post-startup (all of ENGINE_CONFS are).
+    """
+    for k, v in ENGINE_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf locked by the host session — keep going; none of these
+            # affect correctness, only performance/decoding behavior.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "cinegraph_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[N]`` with N from ``SPARK_GRAFT_CPUS``
+    (driver contract) or all cores. On a real cluster, pass ``master=None``
+    with a pre-set spark.master, or use ``tune`` on the provided session.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus_env) if cpus_env else (os.cpu_count() or 8)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions)
+    )
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    builder = builder.config("spark.ui.enabled", "false")
+    return builder.getOrCreate()

@@ -66,6 +66,8 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         textstats,
         events,
+        cluster,
+        multimodal,
     )
 
     return REGISTRY

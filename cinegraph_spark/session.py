@@ -37,6 +37,36 @@ ENGINE_CONFS: dict[str, str] = {
 }
 
 
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship the cinegraph_spark package to executor Python workers.
+
+    mapInPandas/pandas-UDF closures reference this package by module name;
+    when the host process launched from a different cwd (the driver harness
+    does), workers can't import it. addPyFile distributes a zip of the
+    package and prepends it to every worker's sys.path. Idempotent per
+    SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_cinegraph_shipped", False):
+        return
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"cinegraph_spark_pkg_{os.getuid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for p in sorted(pkg_dir.rglob("*.py")):
+                z.write(p, "cinegraph_spark/" + str(p.relative_to(pkg_dir)))
+        os.replace(tmp, zpath)
+    sc.addPyFile(zpath)
+    sc._cinegraph_shipped = True
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime-settable confs to an existing session.
 

@@ -1,0 +1,137 @@
+"""Structured Streaming surface (SURVEY §2.10 streaming).
+
+The batch twins of these transformations live in ``queries/events.py`` and
+are oracle-checked; here the SAME window specs run as real streams —
+``readStream`` sources, watermarks, and streaming sinks. The reference's
+token-domain sliding window (M2) is the batch cousin of these time windows.
+
+Each builder takes a *streaming* DataFrame (``df.isStreaming``) with an
+``events``-shaped schema and returns the transformed streaming DataFrame;
+callers pick source and sink. ``run_availablenow_to_memory`` is the test
+harness: process all currently-available input, then stop — which makes
+streaming output comparable to the batch twin on the same files.
+
+Scale notes: state-store growth is bounded by the watermark horizon; keys
+are (window × type) / (user session) — both modest. At 100 TB/day the
+shuffle partition count and ``spark.sql.streaming.statestore`` provider
+(RocksDB) are the knobs; the plan shape here is already the right one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cinegraph_spark.schemas import EVENTS
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned; nanosecond
+    ts read as long then rebuilt, same workaround as the batch reader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reader = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        # the file source requires a directory; glob-filter to the events
+        # table inside the sf dir
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling-window counts/sums per event type with late-data handling:
+    rows later than the watermark are dropped, closed windows emit finally
+    (append mode capable)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window aggregation (each event contributes to
+    window/slide overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native streaming session windows (``session_window`` with a dynamic
+    gap is the stateful operator the batch gaps-and-islands query mirrors)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stateful exactly-once dedup within the watermark horizon
+    (``dropDuplicates`` with event-time bound state)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        (keys or ["event_id"]) + ["ts"]
+    )
+
+
+def run_availablenow_to_memory(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Test harness: drain all available input through the streaming plan
+    into an in-memory table; returns the result as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(query_name)

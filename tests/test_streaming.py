@@ -1,0 +1,145 @@
+"""Structured Streaming surface tests: each streaming transformation is
+drained with trigger(availableNow) into memory and compared against its
+batch twin on the same input (SURVEY §5.1/§2.10 streaming semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cinegraph_spark.queries.util import T
+from cinegraph_spark.streaming.windows import (
+    read_events_stream,
+    run_availablenow_to_memory,
+    session_windows,
+    sliding_counts,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return read_events_stream(spark, sf_dir)
+
+
+def _batch_events(spark, sf_dir):
+    return T(spark, sf_dir, "events")
+
+
+def test_stream_is_streaming(events_stream):
+    assert events_stream.isStreaming
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_stream):
+    got = run_availablenow_to_memory(
+        spark, tumbling_counts(events_stream), "t_tumbling"
+    )
+    batch = (
+        _batch_events(spark, sf_dir)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    g = {(r.window_start, r.event_type): (r.n_events, round(r.total_value, 6)) for r in got.collect()}
+    b = {(r.window_start, r.event_type): (r.n_events, round(r.total_value, 6)) for r in batch.collect()}
+    assert g == b
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, events_stream):
+    got = run_availablenow_to_memory(
+        spark, sliding_counts(events_stream), "t_sliding"
+    )
+    batch = (
+        _batch_events(spark, sf_dir)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    g = {(r.window_start, r.event_type): r.n_events for r in got.collect()}
+    b = {(r.window_start, r.event_type): r.n_events for r in batch.collect()}
+    assert g == b
+
+
+def test_session_stream_matches_batch_islands(spark, sf_dir, events_stream):
+    """session_window(streaming) must agree with the gaps-and-islands batch
+    computation (the oracle-checked query) on session count per user and
+    total events."""
+    got = run_availablenow_to_memory(
+        spark, session_windows(events_stream), "t_session"
+    )
+    from cinegraph_spark.queries import load_all
+
+    batch = load_all()["events_session_windows_30min"].spark(spark, sf_dir)
+    g = (
+        got.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_ev"))
+        .collect()
+    )
+    b = (
+        batch.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_ev"))
+        .collect()
+    )
+    assert {(r.user_id): (r.n_sessions, r.n_ev) for r in g} == {
+        (r.user_id): (r.n_sessions, r.n_ev) for r in b
+    }
+
+
+def test_streaming_dedup_drops_nothing_on_unique_ids(spark, sf_dir, events_stream):
+    got = run_availablenow_to_memory(
+        spark,
+        streaming_dedup(events_stream),
+        "t_dedup",
+        output_mode="append",
+    )
+    assert got.count() == _batch_events(spark, sf_dir).count()
+
+
+def test_watermark_late_row_dropped(spark, tmp_path):
+    """Watermark semantics: a row older than (max_ts - watermark) arriving
+    in a later micro-batch is dropped from the aggregation."""
+    import os
+
+    d = str(tmp_path / "stream_in")
+    os.makedirs(d)
+    on_time = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")],
+        "event_id long, ts_s string",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), F.lit(1.0).alias("value"), F.lit("x").alias("event_type"))
+    on_time.coalesce(1).write.parquet(d + "/batch1")
+    late = spark.createDataFrame(
+        [(3, "2024-01-01 09:00:00")], "event_id long, ts_s string"
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), F.lit(1.0).alias("value"), F.lit("x").alias("event_type"))
+    late.coalesce(1).write.parquet(d + "/batch2")
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.ws.hour: r.n for r in spark.table("t_late").collect()}
+    # the 10:00 window closed (watermark passed) containing only event 1;
+    # whether event 3's 09:00 window appears depends on arrival order vs
+    # watermark advance — the invariant is the 10:00 window has exactly 1.
+    assert rows.get(10) == 1

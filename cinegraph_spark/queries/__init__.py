@@ -68,6 +68,8 @@ def load_all() -> dict[str, QuerySpec]:
         events,
         cluster,
         multimodal,
+        tpch_extra,
+        graph,
     )
 
     return REGISTRY

@@ -1,0 +1,262 @@
+"""Graph-analytics queries (GraphX/Pregel-style, as DataFrame supersteps).
+
+Two deterministic graph fixtures derived from the driver tables:
+
+- **co-purchase graph**: vertices = parts, undirected edge when two parts
+  appear in the same order (`lineitem` self-join, oriented low<high). The
+  classic product-graph benchmark shape — degree, triangles, PageRank.
+- **tree graph**: the ltree fixture from ``queries/tree.py`` extended with
+  customer leaves (root → region → nation → customer), used to verify the
+  iterative BFS operator against path-derived depths.
+- **near-dup pair graph**: the exact-Jaccard pairs from ``queries/dedup.py``
+  — connected components over it IS the dedup-cluster assignment (the step
+  after pair finding in any 100 TB dedup pipeline).
+
+Iterative algorithms (CC, PageRank, BFS) run as joins with localCheckpoint
+lineage truncation — see ``operators/graph_algos.py``. CC and BFS have
+recursive-CTE / path-derived DuckDB oracles; PageRank is not expressible in
+DuckDB SQL (recursive aggregation) so it gets the rows-only check plus
+property tests in ``tests/test_graph_algos.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cinegraph_spark.operators.graph_algos import (
+    bfs_levels,
+    connected_components,
+    degrees,
+    pagerank,
+    triangle_count,
+)
+from cinegraph_spark.queries import register
+from cinegraph_spark.queries.dedup import dedup_ngram_jaccard_pairs
+from cinegraph_spark.queries.util import T
+
+_COPURCHASE_CTE = """
+copurchase AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+"""
+
+
+def copurchase_edges(spark, sf_dir):
+    """Distinct part pairs sharing an order, oriented src<dst. One
+    self-join shuffle on l_orderkey; the DISTINCT bounds fan-out by the
+    true edge count (orders have ~4 items, so the blow-up is quadratic in
+    a small per-order constant, not in table size)."""
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = l.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+@register(
+    "graph_copurchase_degree_topk",
+    f"""
+    WITH {_COPURCHASE_CTE},
+    und AS (SELECT src, dst FROM copurchase
+            UNION SELECT dst, src FROM copurchase)
+    SELECT src AS part_id, count(*) AS degree
+    FROM und GROUP BY src
+    ORDER BY degree DESC, part_id
+    LIMIT 20
+    """,
+    tags=("graph", "degree", "topk"),
+)
+def graph_copurchase_degree_topk(spark, sf_dir):
+    """Top-20 co-purchase hubs by undirected degree."""
+    deg = degrees(copurchase_edges(spark, sf_dir))
+    return (
+        deg.select(F.col("id").alias("part_id"), "degree")
+        .orderBy(F.desc("degree"), F.asc("part_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "graph_copurchase_triangles",
+    f"""
+    WITH {_COPURCHASE_CTE},
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM copurchase e1
+      JOIN copurchase e2 ON e1.dst = e2.src
+      JOIN copurchase e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    per_vertex AS (
+      SELECT id, count(*) AS triangles
+      FROM (SELECT a AS id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY id
+    )
+    SELECT id AS part_id, triangles
+    FROM per_vertex
+    ORDER BY triangles DESC, part_id
+    LIMIT 20
+    """,
+    tags=("graph", "triangles", "topk"),
+)
+def graph_copurchase_triangles(spark, sf_dir):
+    """Top-20 parts by triangle participation (each triangle counted once
+    per member; edges oriented a<b<c so no triangle is double-counted)."""
+    tri = triangle_count(copurchase_edges(spark, sf_dir))
+    return (
+        tri.select(F.col("id").alias("part_id"), "triangles")
+        .orderBy(F.desc("triangles"), F.asc("part_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "graph_cc_neardup_clusters",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(
+               regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+') AS tokens
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(tokens) >= 8
+                  THEN array_to_string(tokens[i : i + 7], ' ')
+                  ELSE array_to_string(tokens, ' ') END AS shingle
+      FROM toks, unnest(range(1, greatest(len(tokens) - 6, 2))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    ),
+    nodes AS (SELECT DISTINCT id FROM
+              (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+    SELECT component,
+           count(*) AS n_docs,
+           array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')
+             AS member_ids
+    FROM comp GROUP BY component
+    """,
+    tags=("graph", "cc", "dedup"),
+)
+def graph_cc_neardup_clusters(spark, sf_dir):
+    """Dedup clusters = connected components over the exact-Jaccard near-dup
+    pair graph (threshold 0.6). This is the canonical post-LSH step: pair
+    lists undercount duplication (A~B, B~C but not A~C); components give the
+    true groups to pick one survivor from. Oracle: recursive-CTE transitive
+    closure (tiny pair set); the Spark side is the O(log d) min-label
+    propagation that also works at 10^9 edges."""
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.groupBy("component").agg(
+        F.count("*").alias("n_docs"),
+        F.array_join(
+            F.sort_array(F.collect_list("id")).cast("array<string>"), ","
+        ).alias("member_ids"),
+    )
+
+
+_TREE_EDGE_CTE = """
+tree_edges AS (
+  SELECT CAST(0 AS BIGINT) AS src, CAST(1 + r_regionkey AS BIGINT) AS dst
+  FROM region
+  UNION ALL
+  SELECT CAST(1 + n_regionkey AS BIGINT), CAST(10 + n_nationkey AS BIGINT)
+  FROM nation
+  UNION ALL
+  SELECT CAST(10 + c_nationkey AS BIGINT), CAST(100 + c_custkey AS BIGINT)
+  FROM customer
+)
+"""
+
+
+def tree_edges(spark, sf_dir):
+    """Parent→child edges of the ltree fixture extended with customer
+    leaves: root(0) → region(1+rk) → nation(10+nk) → customer(100+ck)."""
+    r = T(spark, sf_dir, "region").select(
+        F.lit(0).cast("long").alias("src"),
+        (F.lit(1) + F.col("r_regionkey")).cast("long").alias("dst"),
+    )
+    n = T(spark, sf_dir, "nation").select(
+        (F.lit(1) + F.col("n_regionkey")).cast("long").alias("src"),
+        (F.lit(10) + F.col("n_nationkey")).cast("long").alias("dst"),
+    )
+    c = T(spark, sf_dir, "customer").select(
+        (F.lit(10) + F.col("c_nationkey")).cast("long").alias("src"),
+        (F.lit(100) + F.col("c_custkey")).cast("long").alias("dst"),
+    )
+    return r.unionByName(n).unionByName(c)
+
+
+@register(
+    "graph_bfs_levels_tree",
+    f"""
+    WITH {_TREE_EDGE_CTE}
+    SELECT level, count(*) AS n_nodes,
+           CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id
+    FROM (
+      SELECT CAST(0 AS BIGINT) AS id, 0 AS level
+      UNION ALL
+      SELECT CAST(1 + r_regionkey AS BIGINT), 1 FROM region
+      UNION ALL
+      SELECT CAST(10 + n_nationkey AS BIGINT), 2 FROM nation
+      UNION ALL
+      SELECT CAST(100 + c_custkey AS BIGINT), 3 FROM customer
+    )
+    GROUP BY level
+    """,
+    tags=("graph", "bfs"),
+)
+def graph_bfs_levels_tree(spark, sf_dir):
+    """Iterative BFS from the root over the tree graph, summarized per
+    level. The oracle derives levels from the hierarchy definition, so this
+    verifies the frontier-expansion operator end-to-end (4 supersteps)."""
+    lv = bfs_levels(tree_edges(spark, sf_dir), 0, max_depth=6)
+    return lv.groupBy(F.col("level").cast("int").alias("level")).agg(
+        F.count("*").alias("n_nodes"),
+        F.min("id").cast("long").alias("min_id"),
+        F.max("id").cast("long").alias("max_id"),
+    )
+
+
+@register(
+    "graph_pagerank_copurchase",
+    None,  # iterative fixpoint — not expressible in DuckDB SQL (no
+    # recursive aggregation); property-tested in tests/test_graph_algos.py
+    tags=("graph", "pagerank"),
+)
+def graph_pagerank_copurchase(spark, sf_dir):
+    """10-iteration damped PageRank over the symmetrized co-purchase graph;
+    top-20 hubs. Deterministic given the fixed iteration count (pure
+    double arithmetic in a fixed join order)."""
+    e = copurchase_edges(spark, sf_dir)
+    und = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank(und, iterations=10)
+    return (
+        pr.select(F.col("id").alias("part_id"), F.round("rank", 4).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("part_id"))
+        .limit(20)
+    )

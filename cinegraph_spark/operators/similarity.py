@@ -1,0 +1,165 @@
+"""Approximate-nearest-neighbor operators — the 100 TB scale path for the
+reference's declared pgvector HNSW cosine capability
+(`db/models/embedding.py:15-17`, `services/db_service/db_init.sql:23-28`).
+
+HNSW is a pointer-chasing in-memory graph — there is no Spark analog. The
+distributed equivalents both follow the same shape: *partition the corpus by
+a cheap hash of the vector, search only the partition(s) the query lands in*.
+
+- **IVF** (inverted file): coarse-quantize every vector to its nearest
+  centroid; a query probes only the ``nprobe`` nearest cells. Spark-side the
+  "index" is just a ``cell`` column — at scale you'd write the corpus
+  parquet partitioned by it, so a probe is partition pruning, not a scan.
+- **Sign-LSH**: random-hyperplane signature (Charikar's SimHash for cosine);
+  candidates share the query's bucket. Hyperplanes here are a deterministic
+  integer lattice so the DuckDB oracle reproduces them exactly; production
+  would draw Gaussian planes from a seed.
+
+Both return *exact* cosine among the candidates — approximation comes only
+from pruning, which is what makes recall measurable against the brute-force
+baseline (`queries/vectors.py::vec_cosine_topk_to_query`).
+
+Inputs are DataFrames with ``v: array<double>``; everything is higher-order
+array expressions (JVM codegen, no Python) and the only shuffles are on the
+tiny (cell/label) keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cinegraph_spark.functions import vector as V
+
+
+def label_centroids(e: DataFrame, label: str = "label", v: str = "v") -> DataFrame:
+    """Per-label mean vector → (label, cv: array<double>).
+
+    posexplode → avg per (label, dim) → re-assemble ordered by dim. The
+    shuffle key is (label, dim) — cardinality #labels × dim, independent of
+    corpus size, so the partial aggregation does all the heavy lifting
+    map-side at any scale.
+    """
+    flat = e.select(label, F.posexplode(v).alias("dim", "x"))
+    cent = flat.groupBy(label, "dim").agg(F.avg("x").alias("c"))
+    return cent.groupBy(label).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+
+
+def ivf_cosine_topk(
+    e: DataFrame,
+    q: DataFrame,
+    nprobe: int = 2,
+    k: int = 10,
+    label: str = "label",
+    v: str = "v",
+) -> DataFrame:
+    """IVF ANN: probe the ``nprobe`` cells whose centroid is most cosine-
+    similar to the query, then exact cosine top-k within them.
+
+    ``e``: (vec_id, label, v) corpus with a precomputed cell assignment
+    (here the driver tables' ``label``; production assigns cells with
+    KMeans). ``q``: single row (qv: array<double>).
+
+    At 100 TB: centroids are O(#cells) — always broadcast; the probe list is
+    O(nprobe) — always broadcast; with the corpus parquet partitioned by
+    cell, the candidate read is partition pruning so cost scales with
+    nprobe/ncells of the data, the IVF contract.
+    """
+    cents = label_centroids(e, label, v)
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select(label, V.cosine(F.col("cv"), F.col("qv")).alias("csim"))
+        .orderBy(F.desc("csim"), F.asc(label))
+        .limit(nprobe)
+        .select(label)
+    )
+    return (
+        e.join(F.broadcast(probed), label)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col(label),
+            F.round(V.cosine(F.col(v), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def lsh_hyperplanes(spark, nbits: int, dim: int) -> DataFrame:
+    """Deterministic integer hyperplane lattice → (p, dim, h) with
+    ``h = ((p*31 + d*17) mod 13) - 6`` for plane p ∈ [1, nbits], d ∈ [1, dim].
+
+    Integer components make the signature bit-for-bit reproducible across
+    engines (the DuckDB oracle builds the same lattice with ``range``);
+    production would use seeded Gaussian planes — the operator shape is
+    identical.
+    """
+    planes = spark.range(1, nbits + 1).select(F.col("id").alias("p"))
+    dims = spark.range(1, dim + 1).select(F.col("id").alias("dim"))
+    return planes.crossJoin(dims).select(
+        "p", "dim", ((F.col("p") * 31 + F.col("dim") * 17) % 13 - 6).alias("h")
+    )
+
+
+def lsh_bucket(e: DataFrame, planes: DataFrame, v: str = "v") -> DataFrame:
+    """Sign-LSH signature per vector → (vec_id, bucket).
+
+    bucket = Σ_p 2^(p-1) · [v·h_p ≥ 0]. Flat join on ``dim`` (planes are a
+    broadcast lattice), one aggregation keyed by vec_id — map-side partial,
+    no data-sized shuffle.
+    """
+    flat = e.select("vec_id", F.posexplode(v).alias("dim0", "x")).select(
+        "vec_id", (F.col("dim0") + 1).alias("dim"), "x"
+    )
+    dots = (
+        flat.join(F.broadcast(planes), "dim")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("x") * F.col("h")).alias("dot"))
+    )
+    return dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") >= 0, F.pow(F.lit(2.0), F.col("p") - 1)).otherwise(0.0)
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+
+
+def lsh_cosine_topk(
+    e: DataFrame,
+    query_id: int,
+    nbits: int = 4,
+    k: int = 10,
+    v: str = "v",
+) -> DataFrame:
+    """Sign-LSH ANN: exact cosine top-k among the vectors sharing the query
+    vector's ``nbits``-bit bucket.
+
+    At scale the bucket column is the partition/bucketing key: candidate
+    lookup is one pruned partition (corpus/2^nbits of the data), the classic
+    LSH-table contract. Recall is tunable by nbits (fewer bits → bigger
+    buckets → higher recall, more compute) or by OR-ing multiple tables.
+    """
+    dim = len(e.select(v).first()[0])
+    planes = lsh_hyperplanes(e.sparkSession, nbits, dim)
+    buckets = lsh_bucket(e, planes, v)
+    eb = e.join(buckets, "vec_id")
+    qrow = eb.filter(F.col("vec_id") == query_id).select(
+        F.col(v).alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        eb.crossJoin(F.broadcast(qrow))
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != query_id))
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(V.cosine(F.col(v), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -179,6 +179,33 @@ def graph_cc_neardup_clusters(spark, sf_dir):
     )
 
 
+@register(
+    "graph_neighbors_of_node",
+    f"""
+    WITH {_COPURCHASE_CTE},
+    und AS (SELECT src, dst FROM copurchase
+            UNION SELECT dst, src FROM copurchase)
+    SELECT dst AS neighbor_id FROM und WHERE src = 1
+    ORDER BY neighbor_id
+    """,
+    tags=("graph", "neighborhood"),
+)
+def graph_neighbors_of_node(spark, sf_dir):
+    """G6 — the frontend's neighbor-highlight set (links incident to the
+    active node, endpoints collected; `frontend/src/components/Graph/
+    Graph.tsx:27-52`): 1-hop neighborhood of part 1 in the co-purchase
+    graph. A filter on the symmetrized edge list — partition-prunable when
+    edges are bucketed by src."""
+    from cinegraph_spark.operators.graph_algos import symmetrize
+
+    e = symmetrize(copurchase_edges(spark, sf_dir))
+    return (
+        e.filter(F.col("src") == 1)
+        .select(F.col("dst").alias("neighbor_id"))
+        .orderBy("neighbor_id")
+    )
+
+
 _TREE_EDGE_CTE = """
 tree_edges AS (
   SELECT CAST(0 AS BIGINT) AS src, CAST(1 + r_regionkey AS BIGINT) AS dst

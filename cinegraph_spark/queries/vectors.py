@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from cinegraph_spark.functions import vector as V
+from cinegraph_spark.operators.similarity import ivf_cosine_topk, lsh_cosine_topk
 from cinegraph_spark.queries import register
 from cinegraph_spark.queries.util import T, r4
 
@@ -218,6 +219,90 @@ def vec_representative_topk_per_label(spark, sf_dir):
         .filter(F.col("rnk") <= 15)
         .select(F.col("label").cast("long").alias("label"), "vec_id", "dist", "rnk")
     )
+
+
+@register(
+    "vec_ann_ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id, label, {_DV} AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    flat AS (SELECT label, unnest(v) AS x,
+                    generate_subscripts(v, 1) AS dim FROM e),
+    cent AS (SELECT label, dim, avg(x) AS c FROM flat GROUP BY label, dim),
+    centv AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
+    probe AS (
+      SELECT label FROM centv, q
+      ORDER BY list_dot_product(cv, qv)
+               / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qv, x -> x * x)))) DESC, label
+      LIMIT 2
+    )
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+           round(list_dot_product(v, qv)
+                 / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos_sim
+    FROM e JOIN probe USING (label), q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("vector", "ann", "ivf", "similarity"),
+)
+def vec_ann_ivf_topk(spark, sf_dir):
+    """V1 scale path (a): IVF ANN — probe the 2 label cells whose centroid
+    is nearest the query, exact cosine top-10 within them. Centroids and the
+    probe list are O(#cells) broadcasts; with the corpus partitioned by cell
+    the candidate read is partition pruning, so cost scales with
+    nprobe/ncells of the corpus (`operators/similarity.py`)."""
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    q = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("v").alias("qv"))
+    )
+    out = ivf_cosine_topk(e, q, nprobe=2, k=10)
+    return out.select(
+        "vec_id", F.col("label").cast("long").alias("label"), "cos_sim"
+    )
+
+
+@register(
+    "vec_ann_lsh_topk",
+    f"""
+    WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+    planes AS (
+      SELECT p, d AS dim, ((p * 31 + d * 17) % 13) - 6 AS h
+      FROM range(1, 5) t(p), range(1, 65) u(d)
+    ),
+    flat AS (SELECT vec_id, unnest(v) AS x,
+                    generate_subscripts(v, 1) AS dim FROM e),
+    dots AS (SELECT vec_id, p, sum(x * h) AS dot
+             FROM flat JOIN planes USING (dim) GROUP BY vec_id, p),
+    buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dot >= 0 THEN 2 ** (p - 1) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    q AS (SELECT e.v AS qv, b.bucket AS qbucket
+          FROM e JOIN buckets b USING (vec_id) WHERE vec_id = 0)
+    SELECT e.vec_id, b.bucket,
+           round(list_dot_product(v, qv)
+                 / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos_sim
+    FROM e JOIN buckets b USING (vec_id), q
+    WHERE b.bucket = q.qbucket AND e.vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("vector", "ann", "lsh", "similarity"),
+)
+def vec_ann_lsh_topk(spark, sf_dir):
+    """V1 scale path (b): sign-LSH ANN — 4-bit random-hyperplane signature
+    (deterministic integer lattice so the oracle reproduces it), exact
+    cosine top-10 within the query's bucket. At scale the bucket is the
+    partition key: candidate lookup reads corpus/2^nbits of the data
+    (`operators/similarity.py`)."""
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    return lsh_cosine_topk(e, query_id=0, nbits=4, k=10)
 
 
 @register(

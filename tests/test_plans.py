@@ -1,0 +1,125 @@
+"""Scale-readiness pins on the physical plans of headline queries.
+
+Correctness says the answer is right at sf0.01; these tests say the *plan*
+is the one that survives 1000 executors × 100 TB: predicates at the scan,
+columns pruned, dimension joins broadcast, no Python in relational hot
+paths. A regression here (a refactor that breaks pushdown, a join that
+falls back to sort-merge-shuffling a dimension table) fails fast.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cinegraph_spark.plans import plan_counts, pushed_filters, read_schemas
+from cinegraph_spark.queries import load_all
+
+SPECS = load_all()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def build(name):
+        return SPECS[name].spark(spark, sf_dir)
+
+    return build
+
+
+def test_q6_predicates_reach_parquet_scan(q):
+    """TPC-H Q6 is the pushdown litmus test: every predicate (both shipdate
+    bounds, the discount band, the quantity cap) must appear in
+    PushedFilters, not just in a post-scan Filter node."""
+    [filters] = pushed_filters(q("q6_forecast_revenue"))
+    for frag in [
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.04)",
+        "LessThanOrEqual(l_discount,0.06)",
+        "LessThan(l_quantity,24.0)",
+    ]:
+        assert frag in filters, f"missing pushed filter {frag}"
+
+
+def test_q6_column_pruning(q):
+    """The 11-column lineitem scan must read only the 4 referenced
+    columns."""
+    [schema] = read_schemas(q("q6_forecast_revenue"))
+    assert "l_quantity" in schema and "l_extendedprice" in schema
+    assert "l_partkey" not in schema and "l_returnflag" not in schema
+
+
+def test_q1_column_pruning(q):
+    [schema] = read_schemas(q("q1_pricing_summary"))
+    assert "l_partkey" not in schema and "l_orderkey" not in schema
+
+
+def test_q3_broadcasts_dimensions(q):
+    """customer (filtered) and orders sides must broadcast — a sort-merge
+    join here would shuffle the fact table twice at 100 TB."""
+    c = plan_counts(q("q3_shipping_priority"))
+    assert c["broadcast_hash_join"] >= 2
+    assert c["sort_merge_join"] == 0
+
+
+def test_q5_all_dimension_joins_broadcast(q):
+    """The 5-way star join must resolve every dim side as a broadcast: one
+    pass over lineitem, zero fact-table shuffles before the aggregate."""
+    c = plan_counts(q("q5_supplier_volume_by_nation"))
+    assert c["broadcast_hash_join"] == 5
+    assert c["sort_merge_join"] == 0
+
+
+def test_explicit_broadcast_join(q):
+    c = plan_counts(q("join_broadcast_part_lineitem"))
+    assert c["broadcast_hash_join"] >= 1
+    assert c["sort_merge_join"] == 0
+
+
+def test_topk_uses_take_ordered_not_global_sort(q):
+    """Global top-k must be TakeOrderedAndProject (per-partition heap +
+    driver merge), never a full orderBy shuffle."""
+    c = plan_counts(q("sort_topk_orders_global"))
+    assert c["take_ordered"] >= 1
+
+
+def test_vector_topk_is_map_only_plus_take_ordered(q):
+    """Brute-force cosine top-k: broadcast query vector, map-only scoring
+    scan, TakeOrdered — no hash/range shuffle of the corpus."""
+    c = plan_counts(q("vec_cosine_topk_to_query"))
+    assert c["take_ordered"] >= 1
+    assert c["shuffle_exchange"] == 0
+    assert c["python_row_udf"] == 0
+
+
+def test_string_clean_chain_stays_jvm_side(q):
+    """The F1-F10 cleaning chain must compile to codegen'd regexp_replace
+    chains — zero Python evaluation, zero shuffles (map-only)."""
+    c = plan_counts(q("strfn_clean_chain"))
+    assert c["python_row_udf"] == 0
+    assert c["python_arrow_udf"] == 0
+    assert c["shuffle_exchange"] == 0
+    assert c["wholestage_codegen"] >= 1
+
+
+def test_no_row_python_udfs_anywhere_in_headliners(q):
+    """Row-at-a-time Python UDFs are banned from the relational hot path;
+    Python is allowed only behind Arrow (pandas UDF / mapInPandas)."""
+    for name in [
+        "q1_pricing_summary",
+        "q9_product_type_profit",
+        "agg_rollup_region_nation",
+        "window_topk_orders_per_customer",
+        "events_tumbling_5min",
+        "dedup_ngram_jaccard_pairs",
+        "text_fingerprint",
+    ]:
+        c = plan_counts(q(name))
+        assert c["python_row_udf"] == 0, f"{name} evaluates row-Python"
+
+
+def test_ivf_probe_broadcasts_candidates(q):
+    """IVF ANN: the probed-cell list and query vector must broadcast; the
+    corpus side must never be shuffled for the join."""
+    c = plan_counts(q("vec_ann_ivf_topk"))
+    assert c["broadcast_exchange"] >= 2
+    assert c["sort_merge_join"] == 0

@@ -231,3 +231,39 @@ def events_rate_per_type_minute(spark, sf_dir):
     return e.groupBy(
         "event_type", F.minute("ts").cast("long").alias("minute_of_hour")
     ).agg(F.count("*").alias("n"), r4(F.avg("value")).alias("avg_value"))
+
+
+@register(
+    "stream_stateful_topk_per_user",
+    """
+    SELECT user_id, CAST(rnk AS INTEGER) AS rnk, value
+    FROM (SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC) AS rnk
+          FROM events WHERE value IS NOT NULL)
+    WHERE rnk <= 3
+    """,
+    tags=("streaming", "stateful", "topk"),
+)
+def stream_stateful_topk_per_user(spark, sf_dir):
+    """A REAL Structured Streaming run, not a batch twin: readStream over
+    the events parquet → ``applyInPandasWithState`` running top-3 per user
+    (`streaming/stateful.py`) → availableNow drain into a memory sink. The
+    drained state equals the batch windowed top-3, which is the oracle.
+    Ties broken by emission order (values sorted desc, duplicates keep
+    both), matching row_number on value alone because the driver's values
+    are distinct per user."""
+    import uuid
+
+    from cinegraph_spark.streaming.stateful import stateful_topk_per_user
+    from cinegraph_spark.streaming.windows import (
+        read_events_stream,
+        run_availablenow_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    name = f"q_topk_{uuid.uuid4().hex[:8]}"
+    out = run_availablenow_to_memory(
+        spark, stateful_topk_per_user(stream, k=3), name, output_mode="update"
+    )
+    return out.select("user_id", "rnk", "value")

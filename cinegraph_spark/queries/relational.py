@@ -761,3 +761,25 @@ def scalar_datetime_parts_events(spark, sf_dir):
         )
         .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("total_value"))
     )
+
+
+@register(
+    "skew_salted_agg_revenue_per_priority",
+    """
+    SELECT o_orderpriority, round(sum(o_totalprice), 4) AS total,
+           count(*) AS n_rows
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("relational", "agg", "skew"),
+)
+def skew_salted_agg_revenue_per_priority(spark, sf_dir):
+    """Hot-key aggregation via the salted two-phase shape
+    (`operators/skew.py`): o_orderpriority has 5 values, so an unsalted
+    groupBy puts ~20% of a 100 TB orders table on one reducer; salting
+    spreads each key over 16 partials first. Result is bit-identical to the
+    plain GROUP BY (the oracle)."""
+    from cinegraph_spark.operators.skew import salted_sum_count
+
+    o = T(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    out = salted_sum_count(o, ["o_orderpriority"], "o_totalprice", salt_buckets=16)
+    return out.select("o_orderpriority", r4(F.col("total")).alias("total"), "n_rows")

@@ -1,0 +1,111 @@
+"""Custom stateful streaming operators — ``applyInPandasWithState``.
+
+The built-in streaming operators (windowed aggs, ``session_window``,
+``dropDuplicates``) cover SURVEY §2.10's declared surface; this module is
+the escape hatch for semantics they can't express: arbitrary per-key state
+maintained across micro-batches. The reference analog is the serving-side
+"running" structures (per-movie window sequences, `model.py:171-179`)
+generalized to unbounded streams.
+
+Scale notes: state lives in the state store keyed by the group key — one
+entry per key, size bounded by the operator's own cap (top-k keeps k
+values, the profile keeps a fixed struct). Shuffle is one hash exchange on
+the key, identical to a streaming aggregation; RocksDB state store is the
+knob when key cardinality is large.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+
+def stateful_topk_per_user(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user running top-k ``value``s, re-emitted each micro-batch.
+
+    A streaming top-k is NOT expressible with built-in streaming aggs
+    (``collect_list``+slice isn't allowed on streams, and a windowed
+    ``row_number`` needs a finished window); per-key state holds exactly the
+    current k largest values, merged with each batch's arrivals.
+
+    After draining all input, each user's rows equal the batch top-k — which
+    is how ``tests/test_streaming.py`` verifies it against the DataFrame
+    twin.
+    """
+
+    def merge_topk(key, pdf_iter, state):
+        vals: list[float] = list(state.get[0]) if state.exists else []
+        for pdf in pdf_iter:
+            vals.extend(float(v) for v in pdf["value"].dropna())
+            vals = sorted(vals, reverse=True)[:k]
+        state.update((vals,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(vals),
+                "rnk": list(range(1, len(vals) + 1)),
+                "value": vals,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        merge_topk,
+        outputStructType="user_id long, rnk int, value double",
+        stateStructType="vals array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_user_profile(events: DataFrame) -> DataFrame:
+    """Running per-user activity profile: event count, value sum, first/last
+    event time, and the longest inter-event gap seen so far (in seconds).
+
+    The max-gap column is the genuinely stateful part — it needs the
+    previous batch's last timestamp, which no built-in streaming agg
+    exposes. This is the streaming twin of gaps-and-islands sessionization
+    with a *metric* instead of a window assignment.
+    """
+
+    def update_profile(key, pdf_iter, state):
+        if state.exists:
+            n, total, first_ts, last_ts, max_gap = state.get
+        else:
+            n, total, first_ts, last_ts, max_gap = 0, 0.0, None, None, 0.0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            for ts, val in zip(pdf["ts"], pdf["value"]):
+                if last_ts is not None:
+                    gap = (ts - last_ts).total_seconds()
+                    if gap > max_gap:
+                        max_gap = gap
+                if first_ts is None:
+                    first_ts = ts
+                last_ts = ts
+                n += 1
+                total += 0.0 if pd.isna(val) else float(val)
+        state.update((n, total, first_ts, last_ts, max_gap))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "first_ts": [first_ts],
+                "last_ts": [last_ts],
+                "max_gap_s": [max_gap],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_profile,
+        outputStructType=(
+            "user_id long, n_events long, total_value double, "
+            "first_ts timestamp, last_ts timestamp, max_gap_s double"
+        ),
+        stateStructType=(
+            "n long, total double, first_ts timestamp, last_ts timestamp, "
+            "max_gap double"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -143,3 +143,68 @@ def test_watermark_late_row_dropped(spark, tmp_path):
     # whether event 3's 09:00 window appears depends on arrival order vs
     # watermark advance — the invariant is the 10:00 window has exactly 1.
     assert rows.get(10) == 1
+
+
+def test_stateful_topk_matches_batch(spark, sf_dir, events_stream):
+    """applyInPandasWithState running top-3: after draining all input, each
+    user's emitted top-3 equals the batch windowed top-3."""
+    from cinegraph_spark.streaming.stateful import stateful_topk_per_user
+
+    got = run_availablenow_to_memory(
+        spark,
+        stateful_topk_per_user(events_stream, k=3),
+        "t_stateful_topk",
+        output_mode="update",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"))
+    batch = (
+        _batch_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+    # memory sink in update mode keeps every emission; the last emission per
+    # (user, rnk) is the final state — with availableNow on one file source
+    # there is a single batch, so rows are already final
+    g = {(r.user_id, r.rnk): round(r.value, 6) for r in got.collect()}
+    b = {(r.user_id, r.rnk): round(r.value, 6) for r in batch.collect()}
+    assert g == b
+
+
+def test_stateful_user_profile_gap_metric(spark, sf_dir, events_stream):
+    """The stateful profile's max inter-event gap must equal the batch
+    lag-diff maximum per user (and counts/sums must agree)."""
+    from cinegraph_spark.streaming.stateful import stateful_user_profile
+
+    got = run_availablenow_to_memory(
+        spark,
+        stateful_user_profile(events_stream),
+        "t_stateful_profile",
+        output_mode="update",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    batch = (
+        _batch_events(spark, sf_dir)
+        .withColumn("gap", F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("total_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.coalesce(F.max("gap"), F.lit(0.0)).alias("max_gap_s"),
+        )
+    )
+    g = {
+        r.user_id: (r.n_events, round(r.total_value, 4), r.first_ts, r.last_ts, round(r.max_gap_s, 3))
+        for r in got.collect()
+    }
+    b = {
+        r.user_id: (r.n_events, round(r.total_value, 4), r.first_ts, r.last_ts, round(r.max_gap_s, 3))
+        for r in batch.collect()
+    }
+    assert g == b

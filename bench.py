@@ -40,6 +40,12 @@ HEADLINE = [
     "vec_cosine_topk_to_query",
     "vec_euclidean_to_label_centroid",
     "tree_subtree_rollup",
+    "q9_product_type_profit",
+    "q18_large_volume_customers",
+    "graph_copurchase_degree_topk",
+    "graph_cc_neardup_clusters",
+    "vec_ann_ivf_topk",
+    "skew_salted_agg_revenue_per_priority",
 ]
 
 

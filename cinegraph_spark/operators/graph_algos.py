@@ -24,18 +24,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def symmetrize(
+    edges: DataFrame, src: str = "src", dst: str = "dst", oriented: bool = False
+) -> DataFrame:
     """Undirected view of an edge list: both directions, self-loops dropped,
-    duplicates removed (one shuffle)."""
+    duplicates removed (one shuffle).
+
+    ``oriented=True`` declares the input already distinct with src < dst
+    (e.g., ``copurchase_edges``) — then fwd ∪ rev can't collide and the
+    dedup shuffle is skipped entirely (the union is map-only)."""
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-    return fwd.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
+    both = fwd.unionByName(rev)
+    if oriented:
+        return both
+    return both.filter(F.col("src") != F.col("dst")).distinct()
 
 
-def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Undirected degree per vertex: (id, degree)."""
+def degrees(
+    edges: DataFrame, src: str = "src", dst: str = "dst", oriented: bool = False
+) -> DataFrame:
+    """Undirected degree per vertex: (id, degree). With ``oriented=True``
+    the only shuffle is the final count aggregation."""
     return (
-        symmetrize(edges, src, dst)
+        symmetrize(edges, src, dst, oriented=oriented)
         .groupBy(F.col("src").alias("id"))
         .agg(F.count("*").alias("degree"))
     )
@@ -46,6 +58,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    oriented: bool = False,
 ) -> DataFrame:
     """Min-label propagation connected components → (id, component).
 
@@ -62,7 +75,7 @@ def connected_components(
     ``localCheckpoint`` after each superstep truncates lineage so the plan
     stays O(1) per round instead of O(rounds).
     """
-    e = symmetrize(edges, src, dst)
+    e = symmetrize(edges, src, dst, oriented=oriented)
     e = e.localCheckpoint(eager=True)
     labels = (
         e.select(F.col("src").alias("id"))
@@ -103,6 +116,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 10,
+    dedupe: bool = True,
 ) -> DataFrame:
     """Standard damped PageRank over a directed edge list → (id, rank),
     ranks summing to the vertex count (GraphX's convention).
@@ -112,9 +126,12 @@ def pagerank(
     teleport share (their rank is not redistributed — matches GraphX's
     ``staticPageRank``). Out-degrees are computed once and re-joined each
     superstep; at scale, pre-partition edges and ranks on the same key so
-    the per-iteration join is co-located.
+    the per-iteration join is co-located. ``dedupe=False`` skips the edge
+    dedup shuffle for inputs already known distinct.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if dedupe:
+        e = e.distinct()
     e = e.localCheckpoint(eager=True)
     verts = (
         e.select(F.col("src").alias("id"))
@@ -149,7 +166,9 @@ def pagerank(
     return ranks
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst", oriented: bool = False
+) -> DataFrame:
     """Per-vertex triangle counts → (id, triangles).
 
     Orient every undirected edge low→high id, join oriented edges on the
@@ -157,9 +176,13 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     the oriented edge list — each triangle is produced exactly once
     (a < b < c). Two shuffles; wedge fan-out is bounded by orienting edges
     (each vertex only fans out to higher-id neighbors, the standard
-    degree-splitting trick).
+    degree-splitting trick). ``oriented=True`` skips re-orienting an input
+    already distinct with src < dst.
     """
-    und = symmetrize(edges, src, dst).filter(F.col("src") < F.col("dst"))
+    if oriented:
+        und = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    else:
+        und = symmetrize(edges, src, dst).filter(F.col("src") < F.col("dst"))
     und = und.localCheckpoint(eager=True)
     ab = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))

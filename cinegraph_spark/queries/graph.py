@@ -74,7 +74,7 @@ def copurchase_edges(spark, sf_dir):
 )
 def graph_copurchase_degree_topk(spark, sf_dir):
     """Top-20 co-purchase hubs by undirected degree."""
-    deg = degrees(copurchase_edges(spark, sf_dir))
+    deg = degrees(copurchase_edges(spark, sf_dir), oriented=True)
     return (
         deg.select(F.col("id").alias("part_id"), "degree")
         .orderBy(F.desc("degree"), F.asc("part_id"))
@@ -109,7 +109,7 @@ def graph_copurchase_degree_topk(spark, sf_dir):
 def graph_copurchase_triangles(spark, sf_dir):
     """Top-20 parts by triangle participation (each triangle counted once
     per member; edges oriented a<b<c so no triangle is double-counted)."""
-    tri = triangle_count(copurchase_edges(spark, sf_dir))
+    tri = triangle_count(copurchase_edges(spark, sf_dir), oriented=True)
     return (
         tri.select(F.col("id").alias("part_id"), "triangles")
         .orderBy(F.desc("triangles"), F.asc("part_id"))
@@ -170,7 +170,7 @@ def graph_cc_neardup_clusters(spark, sf_dir):
     closure (tiny pair set); the Spark side is the O(log d) min-label
     propagation that also works at 10^9 edges."""
     pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
-    cc = connected_components(pairs, "id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b", oriented=True)
     return cc.groupBy("component").agg(
         F.count("*").alias("n_docs"),
         F.array_join(
@@ -198,7 +198,7 @@ def graph_neighbors_of_node(spark, sf_dir):
     edges are bucketed by src."""
     from cinegraph_spark.operators.graph_algos import symmetrize
 
-    e = symmetrize(copurchase_edges(spark, sf_dir))
+    e = symmetrize(copurchase_edges(spark, sf_dir), oriented=True)
     return (
         e.filter(F.col("src") == 1)
         .select(F.col("dst").alias("neighbor_id"))
@@ -281,7 +281,7 @@ def graph_pagerank_copurchase(spark, sf_dir):
     double arithmetic in a fixed join order)."""
     e = copurchase_edges(spark, sf_dir)
     und = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    pr = pagerank(und, iterations=10)
+    pr = pagerank(und, iterations=10, dedupe=False)
     return (
         pr.select(F.col("id").alias("part_id"), F.round("rank", 4).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("part_id"))

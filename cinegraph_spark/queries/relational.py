@@ -783,3 +783,95 @@ def skew_salted_agg_revenue_per_priority(spark, sf_dir):
     o = T(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
     out = salted_sum_count(o, ["o_orderpriority"], "o_totalprice", salt_buckets=16)
     return out.select("o_orderpriority", r4(F.col("total")).alias("total"), "n_rows")
+
+
+@register(
+    "agg_pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS f_total,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS o_total,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS p_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("relational", "agg", "pivot"),
+)
+def agg_pivot_status_by_priority(spark, sf_dir):
+    """Pivot (long->wide): revenue per priority pivoted over the 3 order
+    statuses. Spark's groupBy().pivot() with explicit values compiles to the
+    same conditional aggregation as the oracle's CASE columns — one shuffle,
+    no per-value passes; explicit value list avoids the extra distinct scan
+    pivot() otherwise runs."""
+    o = T(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 4))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("F").alias("f_total"),
+        F.col("O").alias("o_total"),
+        F.col("P").alias("p_total"),
+    )
+
+
+@register(
+    "agg_unpivot_lineitem_measures",
+    """
+    SELECT l_returnflag, measure, round(sum(val), 4) AS total
+    FROM (
+      SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', l_discount FROM lineitem
+    )
+    GROUP BY l_returnflag, measure
+    """,
+    tags=("relational", "agg", "unpivot"),
+)
+def agg_unpivot_lineitem_measures(spark, sf_dir):
+    """Unpivot/melt (wide->long): three measure columns to (measure, val)
+    rows, then aggregate. Uses the native unpivot API (Spark >= 3.4) —
+    a single-pass generate, not three scans like the oracle's UNION ALL
+    spelling (DuckDB folds those into one scan too)."""
+    li = T(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "l_quantity", "quantity")
+        .when(F.col("measure") == "l_extendedprice", "extendedprice")
+        .otherwise("discount"),
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        r4(F.sum("val")).alias("total")
+    )
+
+
+@register(
+    "agg_percentiles_price",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("relational", "agg", "percentile"),
+)
+def agg_percentiles_price(spark, sf_dir):
+    """Exact continuous percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear-interpolation). At 100 TB swap to
+    `approx_percentile` (t-digest sketch, mergeable map-side) — exact
+    percentile holds the group's values; the query shape is identical."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        r4(F.expr("percentile(o_totalprice, 0.5)")).alias("p50"),
+        r4(F.expr("percentile(o_totalprice, 0.9)")).alias("p90"),
+        r4(F.expr("percentile(o_totalprice, 0.99)")).alias("p99"),
+    )

@@ -1,0 +1,101 @@
+"""Hypothesis property tests for the pure driver-side functions.
+
+These don't touch Spark (the formulas under test are the same math the
+Column expressions encode), so hypothesis can hammer hundreds of random
+cases per run — the cheap half of SURVEY §5's property-test strategy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cinegraph_spark.operators.clustering import (
+    fallback_names,
+    linkage_to_tree,
+    rebalance_tree,
+    tree_invariants,
+    validate_names,
+    ward_linkage,
+)
+
+
+def act_assign_py(window_id: int, n: int, k: int) -> int:
+    """Python mirror of ``operators/features.py::act_assign`` (same integer
+    math as the Column expression and the DuckDB oracle string)."""
+    q, r = n // k, n % k
+    cut = r * (q + 1)
+    if window_id < cut:
+        return window_id // (q + 1)
+    return r + (window_id - cut) // q
+
+
+@given(n=st.integers(1, 500), k=st.integers(1, 10))
+def test_act_assign_matches_np_array_split(n, k):
+    """A1 parity: the closed-form act index must equal the chunk id
+    np.array_split assigns — including the 'first n%k chunks get one extra'
+    rule — for every (n_windows, n_acts)."""
+    if n < k:
+        # reference filters these out (P2 short-movie filter); the formula
+        # is only contracted for n >= k
+        return
+    ids = np.arange(n)
+    want = np.concatenate(
+        [np.full(len(chunk), i) for i, chunk in enumerate(np.array_split(ids, k))]
+    )
+    got = np.array([act_assign_py(w, n, k) for w in ids])
+    assert (got == want).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    pts=st.lists(
+        st.lists(st.floats(-10, 10, allow_nan=False), min_size=4, max_size=4),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_rebalanced_tree_keeps_invariants(pts):
+    """C3→C4→C5 on random point sets: after ward linkage, tree conversion,
+    and rebalancing, the structural invariants hold — children partition
+    the parent's members, counts roll up, depth is capped."""
+    X = np.array(pts)
+    Z = ward_linkage(X)
+    members = {i: [i] for i in range(len(X))}
+    tree = linkage_to_tree(Z, members)
+    balanced = rebalance_tree(tree)
+    assert tree_invariants(balanced) == []
+    # rebalancing must not lose or invent members
+    assert sorted(balanced["indices"]) == list(range(len(X)))
+
+
+@given(n=st.integers(1, 8), parent=st.text(min_size=1, max_size=20))
+def test_fallback_names_always_validate(n, parent):
+    """M7: the deterministic fallback namer must satisfy its own validator
+    (count, <=4 words, uniqueness) for any parent name and group count."""
+    names = fallback_names(parent, n)
+    assert len(names) == n
+    assert validate_names(names, n) is True
+
+
+def test_append_new_keys_idempotent(spark, sf_dir, tmp_path):
+    """X4 resume semantics: overlapping re-runs append only unseen keys;
+    a full re-run is a no-op."""
+    from cinegraph_spark.operators.incremental import append_new_keys
+    from cinegraph_spark.queries.util import T
+
+    path = str(tmp_path / "inc")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    first_half = orders.filter("o_orderkey % 2 = 0")
+
+    n1 = append_new_keys(spark, first_half, path, "o_orderkey")
+    assert n1 == first_half.count()
+    # overlapping batch: full table — only the odd keys are new
+    n2 = append_new_keys(spark, orders, path, "o_orderkey")
+    assert n1 + n2 == orders.count()
+    # exact re-run: nothing new
+    assert append_new_keys(spark, orders, path, "o_orderkey") == 0
+    got = spark.read.parquet(path)
+    assert got.count() == orders.count()
+    assert got.select("o_orderkey").distinct().count() == orders.count()

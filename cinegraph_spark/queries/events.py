@@ -267,3 +267,51 @@ def stream_stateful_topk_per_user(spark, sf_dir):
         spark, stateful_topk_per_user(stream, k=3), name, output_mode="update"
     )
     return out.select("user_id", "rnk", "value")
+
+
+@register(
+    "stream_join_purchase_click_attribution",
+    """
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM events p
+    JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join", "attribution"),
+)
+def stream_join_purchase_click_attribution(spark, sf_dir):
+    """A REAL stream-stream join run (`streaming/joins.py`): readStream →
+    purchase↔click attribution join with watermark-bounded state →
+    availableNow drain. Oracle: the same range predicate as a batch
+    self-join. Timestamps projected as strings so the hash is tz-proof."""
+    import uuid
+
+    from cinegraph_spark.queries.util import tstr
+    from cinegraph_spark.streaming.joins import purchases_with_recent_clicks
+    from cinegraph_spark.streaming.windows import (
+        read_events_stream,
+        run_availablenow_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    name = f"q_ssjoin_{uuid.uuid4().hex[:8]}"
+    out = run_availablenow_to_memory(
+        spark,
+        purchases_with_recent_clicks(stream),
+        name,
+        output_mode="append",
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        tstr("purchase_ts").alias("purchase_ts"),
+        tstr("click_ts").alias("click_ts"),
+    )

@@ -1,0 +1,62 @@
+"""Stream-stream joins with watermark-bounded state.
+
+The missing third leg of the streaming surface (windowed aggs in
+``windows.py``, custom state in ``stateful.py``): joining two live streams.
+Spark buffers both sides in the state store; the join's time-range
+predicate plus both watermarks bound how long a row can wait for a match,
+which is what keeps state finite on an unbounded stream — without the range
+condition the state grows forever and the query is rejected in append mode.
+
+The batch twin (same predicate on static DataFrames) is what
+``tests/test_streaming.py`` compares against; the reference analog is the
+as-of purchase↔click attribution (`queries/events.py::
+events_asof_purchase_click`) upgraded from batch to continuous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def purchases_with_recent_clicks(
+    events: DataFrame,
+    attribution_window: str = "INTERVAL 30 MINUTES",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Attribution join: each purchase matched to the same user's clicks in
+    the preceding ``attribution_window``.
+
+    Both sides derive from one source here (self-split), but the plan is a
+    genuine stream-stream inner join: state holds clicks until
+    ``purchase_ts - attribution_window`` passes their watermark, then
+    evicts. Output: (user_id, purchase_id, purchase_ts, click_id, click_ts).
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(attribution_window)
+        ),
+        "inner",
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")

@@ -208,3 +208,21 @@ def test_stateful_user_profile_gap_metric(spark, sf_dir, events_stream):
         for r in batch.collect()
     }
     assert g == b
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream attribution join (watermark-bounded state) must equal
+    the same predicate evaluated on static DataFrames."""
+    from cinegraph_spark.streaming.joins import purchases_with_recent_clicks
+
+    stream = read_events_stream(spark, sf_dir)
+    got = run_availablenow_to_memory(
+        spark,
+        purchases_with_recent_clicks(stream),
+        "t_ss_join",
+        output_mode="append",
+    )
+    batch = purchases_with_recent_clicks(_batch_events(spark, sf_dir))
+    g = {(r.purchase_id, r.click_id) for r in got.collect()}
+    b = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert g == b and len(g) > 0

@@ -123,3 +123,26 @@ def test_ivf_probe_broadcasts_candidates(q):
     c = plan_counts(q("vec_ann_ivf_topk"))
     assert c["broadcast_exchange"] >= 2
     assert c["sort_merge_join"] == 0
+
+
+def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
+    """Layout-for-scale: a day-partitioned sink must turn a day filter into
+    PartitionFilters (directories skipped at planning) — not a full scan
+    with a post-hoc row filter. At 100 TB/30 days this is reading 3.3% of
+    the data instead of 100%."""
+    from pyspark.sql import functions as F
+
+    from cinegraph_spark.plans import formatted_plan
+    from cinegraph_spark.queries.util import T
+
+    path = str(tmp_path / "events_by_day")
+    e = T(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    e.write.partitionBy("day").parquet(path)
+
+    one_day = spark.read.parquet(path).filter(F.col("day") == "2024-01-02")
+    plan = formatted_plan(one_day)
+    assert "PartitionFilters" in plan
+    assert "2024-01-02" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    # and the filter is NOT re-evaluated per row after the scan
+    want = e.filter(F.to_date("ts") == "2024-01-02").count()
+    assert one_day.count() == want

@@ -226,3 +226,35 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     g = {(r.purchase_id, r.click_id) for r in got.collect()}
     b = {(r.purchase_id, r.click_id) for r in batch.collect()}
     assert g == b and len(g) > 0
+
+
+def test_foreachbatch_idempotent_sink(spark, sf_dir, tmp_path):
+    """Exactly-once-style sink: foreachBatch + the keyed idempotent writer.
+    Re-running the whole stream from a fresh checkpoint (worst-case
+    reprocessing) must not duplicate a single row in the sink."""
+    from cinegraph_spark.operators.incremental import append_new_keys
+
+    path = str(tmp_path / "sink")
+
+    def run(ck):
+        stream = read_events_stream(spark, sf_dir)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch_df, _id: append_new_keys(
+                    spark,
+                    batch_df.select("event_id", "user_id", "value"),
+                    path,
+                    "event_id",
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    n_events = _batch_events(spark, sf_dir).count()
+    assert spark.read.parquet(path).count() == n_events
+    run("ck2")  # full reprocess — the sink must dedupe everything
+    assert spark.read.parquet(path).count() == n_events

@@ -245,3 +245,38 @@ def pipeline_dominant_emotion(spark, sf_dir):
     for e in EMOTIONS[1:]:
         dominant = dominant.when(F.col(e) >= gmax, e)
     return means.select("doc_id", dominant.alias("dominant"))
+
+
+@register(
+    "pipeline_arc_smoothed",
+    f"""
+    WITH {_TOKS_CTE}, {_WIN_CTE}, {_SCORED_CTE}
+    SELECT doc_id, window_id,
+           round(avg(joy) OVER (PARTITION BY doc_id ORDER BY window_id
+                                ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING),
+                 4) AS joy_smooth
+    FROM scored
+    """,
+    tags=("pipeline", "grouped-map", "applyInPandas"),
+)
+def pipeline_arc_smoothed(spark, sf_dir):
+    """The sentiment-arc smoothing the reference's frontend roadmap implies
+    (`README.md:78` — per-movie emotion arcs over time), as a grouped-map
+    ``applyInPandas``: each doc's window sequence arrives as ONE pandas
+    frame (Arrow batch), centered rolling(3) mean per emotion. The oracle
+    is the equivalent SQL window frame — pinning that the pandas path and
+    the relational path agree exactly. At scale the shuffle key is doc_id
+    and each group is a movie's ~hundreds of windows — safely in-memory."""
+    import pandas as pd
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("window_id")
+        pdf["joy_smooth"] = (
+            pdf["joy"].rolling(3, center=True, min_periods=1).mean().round(4)
+        )
+        return pdf[["doc_id", "window_id", "joy_smooth"]]
+
+    scored = _spark_scored(spark, sf_dir).select("doc_id", "window_id", "joy")
+    return scored.groupBy("doc_id").applyInPandas(
+        smooth, "doc_id long, window_id int, joy_smooth double"
+    )

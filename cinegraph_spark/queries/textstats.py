@@ -300,3 +300,57 @@ def text_source_lang_profile(spark, sf_dir):
         F.sum("n_chars").cast("long").alias("total_chars"),
         r4(F.avg("n_chars")).alias("avg_chars"),
     )
+
+
+@register(
+    "text_udtf_sentence_split",
+    r"""
+    WITH parts AS (
+      SELECT doc_id, i,
+             regexp_replace(part, '^\s+|\s+$', '', 'g') AS sentence
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(text, '[.!?]+')) AS part,
+                   generate_subscripts(string_split_regex(text, '[.!?]+'), 1)
+                     AS i
+            FROM documents)
+    ),
+    kept AS (
+      SELECT doc_id, sentence,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+                  AS INTEGER) AS sent_idx
+      FROM parts WHERE sentence <> ''
+    )
+    SELECT doc_id, sent_idx, sentence,
+           CAST(len(string_split_regex(sentence, '\s+')) AS INTEGER) AS n_words
+    FROM kept
+    """,
+    tags=("text", "udtf"),
+)
+def text_udtf_sentence_split(spark, sf_dir):
+    """Python UDTF (PySpark 4 table function) exploding each document into
+    numbered sentences — the row-multiplying UDF surface the reference's
+    chunk splitter (F12) would ride today. Registered and applied with a
+    LATERAL join; the oracle reproduces the split/trim/number semantics in
+    SQL. UDTFs run in Python workers — fine for row-expanding text ops off
+    the relational hot path (the plan tests pin that hot paths stay
+    JVM-side)."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string, n_words int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            idx = 0
+            for part in re.split(r"[.!?]+", text or ""):
+                part = part.strip()
+                if part:
+                    yield idx, part, len(part.split())
+                    idx += 1
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    T(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, s.sent_idx, s.sentence, s.n_words "
+        "FROM _docs_udtf d, LATERAL sentence_split(d.text) s"
+    )

@@ -287,3 +287,40 @@ def graph_pagerank_copurchase(spark, sf_dir):
         .orderBy(F.desc("rank"), F.asc("part_id"))
         .limit(20)
     )
+
+
+@register(
+    "graph_recursive_cte_descendants",
+    f"""
+    WITH RECURSIVE {_TREE_EDGE_CTE.strip().rstrip()},
+    walk(id, depth) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION ALL
+      SELECT e.dst, w.depth + 1
+      FROM walk w JOIN tree_edges e ON e.src = w.id
+    )
+    SELECT depth, count(*) AS n_nodes, CAST(sum(id) AS BIGINT) AS id_sum
+    FROM walk GROUP BY depth
+    """,
+    tags=("graph", "recursive-cte", "sql"),
+)
+def graph_recursive_cte_descendants(spark, sf_dir):
+    """Recursive SQL on the Spark side too (Spark 4 WITH RECURSIVE): the
+    same tree walk as the BFS operator, expressed declaratively — per-depth
+    node counts and id checksums from the root. Demonstrates the engine's
+    SQL surface can express hierarchy queries without the iterative-join
+    operator; Catalyst plans each recursion step as a join exactly like
+    `operators/graph_algos.py::bfs_levels` does by hand."""
+    tree_edges(spark, sf_dir).createOrReplaceTempView("_tree_edges_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(id, depth) AS (
+          SELECT CAST(0 AS BIGINT), 0
+          UNION ALL
+          SELECT e.dst, w.depth + 1
+          FROM walk w JOIN _tree_edges_v e ON e.src = w.id
+        )
+        SELECT depth, count(*) AS n_nodes, CAST(sum(id) AS BIGINT) AS id_sum
+        FROM walk GROUP BY depth
+        """
+    )

@@ -99,3 +99,22 @@ def test_append_new_keys_idempotent(spark, sf_dir, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == orders.count()
     assert got.select("o_orderkey").distinct().count() == orders.count()
+
+
+def test_sketch_aggregates_track_exact(spark, sf_dir):
+    """The sketches that replace exact aggregates at 100 TB must track the
+    exact answers at test scale: HLL++ distinct within its configured rsd,
+    t-digest percentile within 2% relative."""
+    from pyspark.sql import functions as F
+
+    from cinegraph_spark.queries.util import T
+
+    li = T(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact_d"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_d"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("exact_p90"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 1000)").alias("approx_p90"),
+    ).collect()[0]
+    assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.06  # 3x rsd
+    assert abs(row.approx_p90 - row.exact_p90) / row.exact_p90 < 0.02

@@ -135,3 +135,27 @@ def run_availablenow_to_memory(
     )
     q.awaitTermination(timeout_s)
     return spark.table(query_name)
+
+
+def session_windows_dynamic_gap(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows with a per-row gap: purchases hold a session open
+    45 minutes, everything else 15 — `session_window` accepts a Column gap,
+    so the state machine merges windows under per-event rules no batch
+    gaps-and-islands single-gap query can express."""
+    gap = F.when(F.col("event_type") == "purchase", "45 minutes").otherwise(
+        "15 minutes"
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -258,3 +258,31 @@ def test_foreachbatch_idempotent_sink(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path).count() == n_events
     run("ck2")  # full reprocess — the sink must dedupe everything
     assert spark.read.parquet(path).count() == n_events
+
+
+def test_dynamic_gap_sessions_stream_matches_batch(spark, sf_dir):
+    """session_window with a Column gap (45m after purchases, 15m
+    otherwise): the streamed result must equal the same expression
+    evaluated in batch, and produce at least as many sessions as the
+    singleton-gap=45m spec (shorter gaps only split sessions)."""
+    from cinegraph_spark.streaming.windows import session_windows_dynamic_gap
+
+    stream = read_events_stream(spark, sf_dir)
+    got = run_availablenow_to_memory(
+        spark,
+        session_windows_dynamic_gap(stream),
+        "t_dyn_session",
+    )
+    batch = session_windows_dynamic_gap(_batch_events(spark, sf_dir))
+    g = {
+        (r.user_id, r.session_start, r.n_events, round(r.total_value or 0, 4))
+        for r in got.collect()
+    }
+    b = {
+        (r.user_id, r.session_start, r.n_events, round(r.total_value or 0, 4))
+        for r in batch.collect()
+    }
+    assert g == b and len(g) > 0
+    wide = session_windows(read_events_stream(spark, sf_dir), gap="45 minutes")
+    n_wide = run_availablenow_to_memory(spark, wide, "t_wide_session").count()
+    assert len(g) >= n_wide

@@ -174,6 +174,14 @@ def rebalance_tree(
       children), while current fanout < max_fanout and something changed
       last pass. (Fanout may overshoot max_fanout within a pass — the
       reference's documented loose bound, ``settings.py:121-124``.)
+
+    **Deliberate deviation from the reference**: ``graph_creator.py:237-281``
+    keeps children on depth-capped nodes (and ``_populate_db_from_tree``
+    still recurses into them), so reference trees can exceed max_depth in
+    the DB. Here a depth-capped node truncates its subtree and absorbs all
+    member indices — max_depth becomes a hard invariant (what
+    :func:`tree_invariants` checks and the serving queries assume). The
+    saner contract, kept intentionally.
     """
     if not node.get("children") or depth >= max_depth:
         if node["type"] != "root":
@@ -279,10 +287,47 @@ class FlatGraph:
     membership: list[tuple] = field(default_factory=list)  # (member_index, graph_id)
 
 
+def annotate_tree(
+    tree: dict,
+    counts: dict[int, int],
+    sums: dict[int, np.ndarray],
+    feature_names: list[str],
+) -> None:
+    """Attach ``_centroid`` and ``_shift`` to every tree node from
+    per-micro-cluster aggregates (count + feature-sum per cluster id).
+
+    This is the driver-side half of the distributed C6/C7 computation: a
+    node's centroid is the count-weighted mean of its member clusters'
+    sums — identical to the member-row mean the reference computes
+    (``graph_creator.py:345-347``) but derived from O(k × d) aggregates
+    instead of the corpus. Shift labels (``graph_creator.py:118-159``) are
+    pure math over (child, parent) centroids. The corpus itself never
+    reaches the driver.
+    """
+
+    def centroid_of(node: dict) -> np.ndarray | None:
+        cids = [int(c) for c in node.get("indices", [])]
+        tot = sum(counts.get(c, 0) for c in cids)
+        if tot == 0:
+            return None
+        return np.sum([sums[c] for c in cids if c in sums], axis=0) / tot
+
+    def visit(node: dict, parent_centroid) -> None:
+        cc = centroid_of(node)
+        node["_centroid"] = cc
+        node["_shift"] = (
+            emotional_shift(cc, parent_centroid, feature_names)
+            if cc is not None
+            else "Baseline Story Shape"
+        )
+        for child in node.get("children", []):
+            visit(child, cc)
+
+    visit(tree, None)
+
+
 def flatten_tree(
     tree: dict,
-    scaled: np.ndarray | None = None,
-    feature_names: list[str] | None = None,
     namer: Callable[[str, list[dict]], list[str]] | None = None,
 ) -> FlatGraph:
     """DFS the rebalanced tree into flat serving rows with pre-assigned ids
@@ -290,8 +335,11 @@ def flatten_tree(
     ``graph_creator.py:305-378``, minus the two-phase id dance).
 
     ``namer(parent_name, groups) -> names`` mirrors M7; defaults to the
-    deterministic fallback. Groups carry the representative titles' indices
-    and the shift label so an LLM namer can be plugged in unchanged.
+    deterministic fallback. Groups carry each child's shift label
+    (``node['_shift']``, see :func:`annotate_tree`) and representative
+    member keys (``node['_representatives']``, computed distributed by
+    ``operators/graph_build.py::node_representatives``) so an LLM namer
+    plugs in unchanged; both default to empty on unannotated trees.
     """
     out = FlatGraph()
     counter = {"next": 0}
@@ -300,7 +348,7 @@ def flatten_tree(
         counter["next"] += 1
         return counter["next"] - 1
 
-    def visit(node: dict, parent_path: str, parent_name: str, parent_centroid, name: str):
+    def visit(node: dict, parent_path: str, name: str):
         my_id = nid()
         path = f"{parent_path}.{my_id}" if parent_path else "root"
         kids = node.get("children", [])
@@ -319,27 +367,19 @@ def flatten_tree(
             for idx in node["indices"]:
                 out.membership.append((int(idx), my_id))
             return
-        groups = []
-        child_centroids = []
-        for child in kids:
-            if scaled is not None and len(child["indices"]):
-                vecs = scaled[np.asarray(child["indices"], dtype=int)]
-                cc = vecs.mean(axis=0)
-                d = np.linalg.norm(vecs - cc, axis=1)
-                closest = np.argsort(d, kind="stable")[:REPRESENTATIVES]
-                rep = [child["indices"][i] for i in closest]
-                shift = emotional_shift(cc, parent_centroid, feature_names or [])
-            else:
-                cc, rep, shift = None, [], "Baseline Story Shape"
-            child_centroids.append(cc)
-            groups.append({"representative_indices": rep, "shift": shift})
+        groups = [
+            {
+                "representative_indices": child.get("_representatives", []),
+                "shift": child.get("_shift", "Baseline Story Shape"),
+            }
+            for child in kids
+        ]
         name_fn = namer or (lambda parent, gs: fallback_names(parent, len(gs)))
         names = name_fn(name, groups)
         if not validate_names(list(names), len(kids)):
             names = fallback_names(name, len(kids))
-        for child, child_name, cc in zip(kids, names, child_centroids):
-            visit(child, path, name, cc, child_name)
+        for child, child_name in zip(kids, names):
+            visit(child, path, child_name)
 
-    root_centroid = scaled.mean(axis=0) if scaled is not None else None
-    visit(tree, "", "", root_centroid, "root")
+    visit(tree, "", "root")
     return out

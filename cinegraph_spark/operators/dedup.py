@@ -123,27 +123,83 @@ def lsh_candidate_pairs(
     )
 
 
+#: discovery-mode scale contract: shingles appearing in more than this many
+#: documents are dropped before the self-join (see :func:`jaccard_pairs`).
+DEFAULT_MAX_SHINGLE_DF = 20
+
+
 def jaccard_pairs(
-    sh: DataFrame, id_col: str, candidates: DataFrame | None = None
+    sh: DataFrame,
+    id_col: str,
+    candidates: DataFrame | None = None,
+    max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for candidate pairs.
 
-    Without ``candidates``, pairs are discovered through shared shingles
-    (correct, and safe when shingle document-frequency is bounded; for
-    unbounded corpora pass LSH candidates instead). Output:
-    (id_a, id_b, n_a, n_b, n_common, jaccard).
+    Without ``candidates``, pairs are discovered through shared shingles.
+    **Scale contract**: in discovery mode, shingles whose document frequency
+    exceeds ``max_df`` are dropped from both the pair discovery *and* the
+    per-doc set sizes (Jaccard over the bounded-DF shingle subsets). A
+    shared-shingle self-join produces DF² rows per shingle — one hot
+    shingle ("the the the…") in a skewed 100 TB corpus makes the join
+    quadratic in its DF and stalls the stage; the cap bounds every
+    shingle's fan-out at max_df², so worst-case join output is
+    ``n_shingles × max_df²`` regardless of skew. True near-duplicates
+    (Jaccard ≥ 0.6 over 8-gram shingles) share many *rare* shingles, so
+    dropping ubiquitous ones does not lose real pairs — the same reasoning
+    as IDF weighting. Pass ``max_df=None`` for uncapped semantics.
+
+    With ``candidates`` (the LSH-verification path), the cap is not applied:
+    the join is candidate-bounded already and the verification wants the
+    true full-set Jaccard. Output: (id_a, id_b, n_a, n_b, n_common, jaccard).
+
+    Discovery-mode physical shape: an inverted index — ONE shuffle groups
+    shingles into per-shingle posting lists, the DF cap is a posting-list
+    length filter, and pairs are emitted from each list with array
+    expressions (≤ max_df²/2 per shingle, map-side). The shingle strings
+    cross the wire once; everything downstream is compact id pairs. Both
+    consumers of the posting lists (pair emission and per-doc sizes) hang
+    off the same Exchange, which Spark reuses.
     """
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    if candidates is not None:
-        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
+    if candidates is None:
+        postings = sh.groupBy("shingle").agg(
+            F.sort_array(F.collect_list(id_col)).alias("ids")
+        )
+        if max_df is not None:
+            postings = postings.filter(F.size("ids") <= max_df)
+        sizes = (
+            postings.select(F.explode("ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_sh"))
+        )
+        # all (a, b) with a < b from each sorted posting list
+        pair_structs = F.flatten(
+            F.transform(
+                "ids",
+                lambda x, i: F.transform(
+                    F.slice("ids", i + 2, F.size("ids")),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+        common = (
+            postings.filter(F.size("ids") >= 2)
+            .select(F.explode(pair_structs).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+            .join(candidates, ["id_a", "id_b"], "left_semi")
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (

@@ -16,11 +16,13 @@ exactly the reference's own scalability argument, kept intact.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cinegraph_spark.operators.clustering import (
+    REPRESENTATIVES,
     FlatGraph,
+    annotate_tree,
     flatten_tree,
     kmeans_assign,
     linkage_to_tree,
@@ -29,6 +31,70 @@ from cinegraph_spark.operators.clustering import (
 )
 from cinegraph_spark.operators.features import standard_scale
 from cinegraph_spark.schemas import GRAPH
+
+
+def _iter_nodes(tree: dict):
+    stack = [tree]
+    while stack:
+        node = stack.pop()
+        yield node
+        stack.extend(node.get("children", []))
+
+
+def node_representatives(
+    assignments: DataFrame,
+    scaled: DataFrame,
+    tree: dict,
+    key_col: str,
+    feature_cols: list[str],
+    top: int = REPRESENTATIVES,
+) -> None:
+    """C6 distributed: attach ``_representatives`` (the ``top`` member keys
+    closest to the node centroid, ``graph_creator.py:343-354``) to every
+    annotated tree node, without collecting the corpus.
+
+    Plan shape: a tiny (node, cluster, centroid) mapping table — Σ over
+    nodes of their member-cluster count, ≤ nodes × k rows — broadcast-joined
+    onto the assignments (each row fans out to its ≤depth ancestor nodes),
+    distance computed as a JVM array expression against the in-row centroid,
+    then the C6 window top-k idiom per node. Only node_count × top (id, key)
+    pairs ever reach the driver.
+    """
+    annotated = [n for n in _iter_nodes(tree) if n.get("_centroid") is not None]
+    if not annotated:
+        return
+    rows = []
+    for tag, node in enumerate(annotated):
+        cent = [float(x) for x in node["_centroid"]]
+        for cid in node["indices"]:
+            rows.append((tag, int(cid), cent))
+    spark = assignments.sparkSession
+    mapping = spark.createDataFrame(
+        rows, schema="_tag int, cluster int, _cent array<double>"
+    )
+    vec = F.array(*[F.col(c).cast("double") for c in feature_cols])
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(vec, F.col("_cent"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    w = Window.partitionBy("_tag").orderBy(F.asc("_dist"), F.asc(key_col))
+    reps = (
+        assignments.join(scaled, key_col)
+        .join(F.broadcast(mapping), "cluster")
+        .select("_tag", key_col, dist.alias("_dist"))
+        .withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= top)
+        .orderBy("_tag", "_rnk")
+        .select("_tag", key_col)
+        .collect()
+    )
+    for node in annotated:
+        node["_representatives"] = []
+    for row in reps:
+        annotated[row["_tag"]]["_representatives"].append(row[key_col])
 
 
 def build_graph_tables(
@@ -44,41 +110,65 @@ def build_graph_tables(
 
     Returns ``graph`` (schemas.GRAPH shape) and ``membership``
     (key_col, graph_id) mapping every input row to its leaf node.
+
+    Driver-memory contract (the 100 TB shape): the only things collected
+    are (a) the ≤k per-micro-cluster summaries (count + feature sums — a
+    few KB), (b) when a ``namer`` is supplied, node_count × 15
+    representative keys, and (c) nothing else. Tree leaves carry
+    *micro-cluster ids* (not row ordinals), so ward/rebalance/flatten are
+    O(k); per-row leaf assignment is a broadcast join of the tiny
+    cluster→leaf map onto the distributed assignments. Representatives
+    (C6) and shift labels (C7) come from per-cluster aggregates /
+    the distributed window idiom — see :func:`annotate_tree` and
+    :func:`node_representatives`. ``tests/test_clustering.py`` pins that
+    no corpus-sized collect happens in this build.
     """
     scaled = standard_scale(features, key_col, feature_cols).persist()
     assignments, centers = kmeans_assign(scaled, key_col, feature_cols, k=k, seed=seed)
+    assignments = assignments.persist()
 
-    # member ordinals: ward/flatten operate on positional indices; establish
-    # a deterministic ordinal per key (sorted by key) once.
-    keyed = (
-        assignments.orderBy(key_col)
-        .select(key_col, "cluster")
-        .toPandas()
+    # per-micro-cluster summaries: ≤k rows × (1 + d) values on the driver.
+    summary = (
+        assignments.join(scaled, key_col)
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("_n"),
+            *[F.sum(c).alias(c) for c in feature_cols],
+        )
+        .collect()
     )
-    keys = keyed[key_col].tolist()
-    members: dict[int, list[int]] = {}
-    for ordinal, cl in enumerate(keyed["cluster"].tolist()):
-        members.setdefault(int(cl), []).append(ordinal)
+    counts = {int(r["cluster"]): int(r["_n"]) for r in summary}
+    sums = {
+        int(r["cluster"]): np.array([float(r[c]) for c in feature_cols])
+        for r in summary
+    }
 
-    # driver-side small steps: ward over ≤800 centroids, rebalance, flatten
+    # driver-side small steps: ward over ≤800 centroids, rebalance, flatten.
+    # Leaves carry their micro-cluster id; empty clusters (KMeans can emit
+    # them) still appear as ward points but attach no members.
+    members = {cid: [cid] for cid in range(len(centers))}
     Z = ward_linkage(centers)
     tree = rebalance_tree(linkage_to_tree(Z, members))
-
-    scaled_pdf = (
-        scaled.orderBy(key_col).select(*feature_cols).toPandas().to_numpy()
-    )
-    flat: FlatGraph = flatten_tree(
-        tree, scaled=scaled_pdf, feature_names=list(feature_cols), namer=namer
-    )
-    scaled.unpersist()
+    annotate_tree(tree, counts, sums, list(feature_cols))
+    if namer is not None:
+        node_representatives(assignments, scaled, tree, key_col, feature_cols)
+    flat: FlatGraph = flatten_tree(tree, namer=namer)
 
     graph_df = spark.createDataFrame(
         [(int(i), p, n, t, int(c)) for i, p, n, t, c in flat.nodes], schema=GRAPH
     )
-    membership_df = spark.createDataFrame(
-        [(keys[ordinal], int(gid)) for ordinal, gid in flat.membership],
-        schema=f"{key_col} long, graph_id long",
+    # leaf assignment: broadcast the tiny cluster→leaf map onto the
+    # distributed assignments — the corpus-sized (key, graph_id) table is
+    # built without any row leaving the cluster.
+    leaf_map = spark.createDataFrame(
+        [(int(cid), int(gid)) for cid, gid in flat.membership],
+        schema="cluster int, graph_id long",
     )
+    membership_df = (
+        assignments.join(F.broadcast(leaf_map), "cluster")
+        .select(F.col(key_col).cast("long").alias(key_col), "graph_id")
+    )
+    scaled.unpersist()
     return graph_df, membership_df
 
 

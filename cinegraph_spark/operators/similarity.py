@@ -90,44 +90,42 @@ def ivf_cosine_topk(
     )
 
 
-def lsh_hyperplanes(spark, nbits: int, dim: int) -> DataFrame:
-    """Deterministic integer hyperplane lattice → (p, dim, h) with
-    ``h = ((p*31 + d*17) mod 13) - 6`` for plane p ∈ [1, nbits], d ∈ [1, dim].
+def lsh_bucket_col(v, nbits: int):
+    """Sign-LSH bucket as ONE map-only column expression over an
+    ``array<double>`` column — no planes table, no shuffle, no driver job.
 
-    Integer components make the signature bit-for-bit reproducible across
-    engines (the DuckDB oracle builds the same lattice with ``range``);
-    production would use seeded Gaussian planes — the operator shape is
-    identical.
+    Hyperplane lattice: ``h(p, d) = ((p*31 + d*17) mod 13) - 6`` for plane
+    p ∈ [1, nbits], dim d ∈ [1, len(v)] (the DuckDB oracle builds the same
+    lattice with ``range``; production would use seeded Gaussian planes —
+    the operator shape is identical). bucket = Σ_p 2^(p-1) · [v·h_p ≥ 0].
+
+    The vector dimension never needs to be known up front: the per-plane
+    dot product rides ``transform``'s element index, so building the plan
+    launches no job (pinned by tests/test_plans.py).
     """
-    planes = spark.range(1, nbits + 1).select(F.col("id").alias("p"))
-    dims = spark.range(1, dim + 1).select(F.col("id").alias("dim"))
-    return planes.crossJoin(dims).select(
-        "p", "dim", ((F.col("p") * 31 + F.col("dim") * 17) % 13 - 6).alias("h")
-    )
+    def _weigh(p):
+        # closure factory: a default-arg lambda would change the arity Spark
+        # inspects (transform passes (elem, idx) to 2-ary lambdas only)
+        return lambda x, i: x * (
+            (F.lit(p * 31) + (i + 1) * 17) % 13 - 6
+        ).cast("double")
 
-
-def lsh_bucket(e: DataFrame, planes: DataFrame, v: str = "v") -> DataFrame:
-    """Sign-LSH signature per vector → (vec_id, bucket).
-
-    bucket = Σ_p 2^(p-1) · [v·h_p ≥ 0]. Flat join on ``dim`` (planes are a
-    broadcast lattice), one aggregation keyed by vec_id — map-side partial,
-    no data-sized shuffle.
-    """
-    flat = e.select("vec_id", F.posexplode(v).alias("dim0", "x")).select(
-        "vec_id", (F.col("dim0") + 1).alias("dim"), "x"
-    )
-    dots = (
-        flat.join(F.broadcast(planes), "dim")
-        .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("x") * F.col("h")).alias("dot"))
-    )
-    return dots.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("dot") >= 0, F.pow(F.lit(2.0), F.col("p") - 1)).otherwise(0.0)
+    bucket = F.lit(0).cast("long")
+    for p in range(1, nbits + 1):
+        dot = F.aggregate(
+            F.transform(v, _weigh(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        .cast("long")
-        .alias("bucket")
-    )
+        bucket = bucket + F.when(
+            dot >= 0, F.lit(2 ** (p - 1)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_bucket(e: DataFrame, nbits: int = 4, v: str = "v") -> DataFrame:
+    """Sign-LSH signature per vector → (vec_id, bucket) — map-only."""
+    return e.select("vec_id", lsh_bucket_col(F.col(v), nbits).alias("bucket"))
 
 
 def lsh_cosine_topk(
@@ -144,11 +142,12 @@ def lsh_cosine_topk(
     lookup is one pruned partition (corpus/2^nbits of the data), the classic
     LSH-table contract. Recall is tunable by nbits (fewer bits → bigger
     buckets → higher recall, more compute) or by OR-ing multiple tables.
+
+    The signature is a map-only column expression (:func:`lsh_bucket_col`),
+    so building this plan launches no Spark job — the one prior driver
+    action (reading the vector dimension) is gone.
     """
-    dim = len(e.select(v).first()[0])
-    planes = lsh_hyperplanes(e.sparkSession, nbits, dim)
-    buckets = lsh_bucket(e, planes, v)
-    eb = e.join(buckets, "vec_id")
+    eb = e.withColumn("bucket", lsh_bucket_col(F.col(v), nbits))
     qrow = eb.filter(F.col("vec_id") == query_id).select(
         F.col(v).alias("qv"), F.col("bucket").alias("qbucket")
     )

@@ -56,20 +56,28 @@ def register(
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registration) and return
-    the full registry."""
+    the full registry.
+
+    Registration order matters: the driver's correctness harness walks the
+    registry in order under a budget, so families its round-1 run never
+    reached (tree/vector/textstats/dedup/events/graph/…) register FIRST and
+    the families already driver-verified in round 1 (relational, strings,
+    pipeline) register last — maximizing cumulative driver-checked coverage
+    across rounds whatever the budget is.
+    """
     from cinegraph_spark.queries import (  # noqa: F401
+        tree,
+        vectors,
+        textstats,
+        dedup,
+        events,
+        multimodal,
+        graph,
+        tpch_extra,
+        cluster,
         relational,
         strings,
         pipeline,
-        tree,
-        vectors,
-        dedup,
-        textstats,
-        events,
-        cluster,
-        multimodal,
-        tpch_extra,
-        graph,
     )
 
     return REGISTRY

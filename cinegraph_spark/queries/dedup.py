@@ -94,27 +94,41 @@ def dedup_exact_survivors(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_ngram_jaccard_pairs",
-    """
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(
-               regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+') AS tokens
+#: shared shingle CTEs (also used by graph.py's CC oracle). The ``rare``
+#: filter mirrors operators/dedup.py's DEFAULT_MAX_SHINGLE_DF cap: discovery
+#: Jaccard is computed over shingles appearing in ≤ 20 documents — the scale
+#: contract that bounds the self-join fan-out at max_df² per shingle. The
+#: list_filter in toks drops DuckDB's phantom '' token on empty text.
+SHINGLE_CTES = """
+    toks AS (
+      SELECT doc_id, list_filter(string_split_regex(
+               regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+'),
+               t -> t <> '') AS tokens
       FROM documents
     ),
-    sh AS (
+    sh_all AS (
       SELECT DISTINCT doc_id,
              CASE WHEN len(tokens) >= 8
                   THEN array_to_string(tokens[i : i + 7], ' ')
                   ELSE array_to_string(tokens, ' ') END AS shingle
       FROM toks, unnest(range(1, greatest(len(tokens) - 6, 2))) AS u(i)
     ),
+    rare AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 20),
+    sh AS (SELECT sh_all.doc_id, sh_all.shingle
+           FROM sh_all JOIN rare USING (shingle)),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
+"""
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    f"""
+    WITH {SHINGLE_CTES}
     SELECT id_a, id_b,
            CAST(sa.n_sh AS BIGINT) AS n_a,
            CAST(sb.n_sh AS BIGINT) AS n_b,
@@ -129,9 +143,13 @@ def dedup_exact_survivors(spark, sf_dir):
 )
 def dedup_ngram_jaccard_pairs(spark, sf_dir):
     """Exact 8-token-shingle Jaccard near-dup pairs (threshold 0.6) —
-    candidate discovery through shared shingles. Safe here because shingle
-    document-frequency is bounded; the unbounded-scale path goes through
-    LSH candidates (dedup_minhash_lsh_pairs)."""
+    candidate discovery through shared shingles, with the discovery-mode
+    scale contract: shingles in more than DEFAULT_MAX_SHINGLE_DF (20)
+    documents are excluded from pair discovery and set sizes, bounding the
+    self-join fan-out at max_df² per shingle (on these fixtures max DF is 4,
+    so the cap is a no-op on values — it exists so the same query survives
+    a skewed 100 TB corpus). The unbounded-scale alternative path goes
+    through LSH candidates (dedup_minhash_lsh_pairs)."""
     sh = shingles(_toks(spark, sf_dir), "doc_id", "tokens", n=8)
     jp = jaccard_pairs(sh, "doc_id")
     return (

@@ -252,8 +252,18 @@ def stream_stateful_topk_per_user(spark, sf_dir):
     drained state equals the batch windowed top-3, which is the oracle.
     Ties broken by emission order (values sorted desc, duplicates keep
     both), matching row_number on value alone because the driver's values
-    are distinct per user."""
+    are distinct per user.
+
+    The update-mode memory sink accumulates EVERY batch's emissions, so with
+    a multi-file source earlier batches' stale prefix-top-3 rows would sit
+    beside the final ones. Every value ever emitted is a real event value
+    for that user (it was in some prefix's top-3), and every final-top-3
+    value was emitted in the batch it arrived — so re-ranking the distinct
+    (user, value) union recovers exactly the final state regardless of how
+    many micro-batches the source produced."""
     import uuid
+
+    from pyspark.sql import Window
 
     from cinegraph_spark.streaming.stateful import stateful_topk_per_user
     from cinegraph_spark.streaming.windows import (
@@ -266,7 +276,14 @@ def stream_stateful_topk_per_user(spark, sf_dir):
     out = run_availablenow_to_memory(
         spark, stateful_topk_per_user(stream, k=3), name, output_mode="update"
     )
-    return out.select("user_id", "rnk", "value")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"))
+    return (
+        out.select("user_id", "value")
+        .distinct()
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "rnk", "value")
+    )
 
 
 @register(

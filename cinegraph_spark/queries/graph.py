@@ -31,7 +31,7 @@ from cinegraph_spark.operators.graph_algos import (
     triangle_count,
 )
 from cinegraph_spark.queries import register
-from cinegraph_spark.queries.dedup import dedup_ngram_jaccard_pairs
+from cinegraph_spark.queries.dedup import SHINGLE_CTES, dedup_ngram_jaccard_pairs
 from cinegraph_spark.queries.util import T
 
 _COPURCHASE_CTE = """
@@ -119,25 +119,8 @@ def graph_copurchase_triangles(spark, sf_dir):
 
 @register(
     "graph_cc_neardup_clusters",
-    """
-    WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split_regex(
-               regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+') AS tokens
-      FROM documents
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id,
-             CASE WHEN len(tokens) >= 8
-                  THEN array_to_string(tokens[i : i + 7], ' ')
-                  ELSE array_to_string(tokens, ' ') END AS shingle
-      FROM toks, unnest(range(1, greatest(len(tokens) - 6, 2))) AS u(i)
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
+    f"""
+    WITH RECURSIVE {SHINGLE_CTES},
     pairs AS (
       SELECT id_a, id_b FROM common
       JOIN sizes sa ON sa.doc_id = id_a

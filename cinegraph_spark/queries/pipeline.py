@@ -46,10 +46,13 @@ def _spark_scored(spark, sf_dir):
 
 # --- shared oracle CTEs -----------------------------------------------------
 
+# list_filter drops the [''] DuckDB's split returns on empty/whitespace-only
+# text, matching Spark's tokenize_whitespace (empty array → no tokens, no
+# windows); without it the oracle would emit 1 phantom token per empty doc.
 _TOKS_CTE = (
-    "toks AS (SELECT doc_id, string_split_regex("
-    "regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+') AS tokens "
-    "FROM documents)"
+    "toks AS (SELECT doc_id, list_filter(string_split_regex("
+    "regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+'), t -> t <> '')"
+    " AS tokens FROM documents)"
 )
 
 _WIN_CTE = (

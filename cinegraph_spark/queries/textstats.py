@@ -14,10 +14,13 @@ from cinegraph_spark.operators.windowize import tokenize_whitespace
 from cinegraph_spark.queries import register
 from cinegraph_spark.queries.util import T, r4
 
+# list_filter drops the [''] DuckDB's split returns on empty/whitespace-only
+# text — parity with Spark's tokenize_whitespace (empty array).
 _TOKS_CTE = (
-    "toks AS (SELECT doc_id, lang, source, n_chars, text, string_split_regex("
-    "regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+') AS tokens "
-    "FROM documents)"
+    "toks AS (SELECT doc_id, lang, source, n_chars, text, "
+    "list_filter(string_split_regex("
+    "regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+'), t -> t <> '')"
+    " AS tokens FROM documents)"
 )
 
 #: stopword list for the quality score (English function words).

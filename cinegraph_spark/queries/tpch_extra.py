@@ -354,18 +354,26 @@ def q14_promo_revenue(spark, sf_dir):
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate <  TIMESTAMP '1997-04-01'
-      GROUP BY l_suppkey)
+      GROUP BY l_suppkey),
+    top1 AS (
+      SELECT supplier_no, total_revenue
+      FROM (SELECT *, row_number() OVER (ORDER BY total_revenue DESC,
+                                         supplier_no) AS rnk
+            FROM revenue)
+      WHERE rnk = 1)
     SELECT s_suppkey, s_name, total_revenue
-    FROM supplier JOIN revenue ON s_suppkey = supplier_no
-    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    FROM supplier JOIN top1 ON s_suppkey = supplier_no
     """,
     tags=("relational", "join", "agg", "tpch"),
 )
 def q15_top_supplier(spark, sf_dir):
-    """TPC-H Q15: agg → global-max scalar → filter. The quarterly revenue
-    view is computed once and reused for both the max and the final join
-    (Spark recomputes unless cached; at this size the recompute is cheaper
-    than a cache barrier, and AQE broadcasts the one-row max side)."""
+    """TPC-H Q15: agg → top-1-by-revenue → join. Ranked with a s_suppkey
+    tiebreaker instead of the textbook equality against max(total_revenue):
+    equality-matching independently rounded doubles across engines could
+    flip the whole returned row set on a last-ulp difference at a .00005
+    boundary, while a rank flip perturbs at most which of two near-tied
+    suppliers wins — same failure class as any other r4 column. The top-1
+    side is one row → broadcast."""
     l = T(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
@@ -374,14 +382,10 @@ def q15_top_supplier(spark, sf_dir):
             "total_revenue"
         )
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    top1 = revenue.orderBy(F.desc("total_revenue"), F.asc("supplier_no")).limit(1)
     s = T(spark, sf_dir, "supplier")
     return (
-        s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
-        .join(
-            F.broadcast(max_rev),
-            F.col("total_revenue") == F.col("max_revenue"),
-        )
+        s.join(F.broadcast(top1), F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 

@@ -181,6 +181,51 @@ def test_kmeans_properties(spark, sf_dir):
 
 
 @pytest.mark.slow
+def test_graph_build_driver_materialization_bounded(spark, sf_dir, monkeypatch):
+    """The C8 build must never materialize corpus-sized data on the driver:
+    the only collects allowed are the ≤k per-cluster summaries and (with a
+    namer) node_count × 15 representative keys; toPandas is banned outright
+    (VERDICT r1 finding #1)."""
+    # patch the concrete class — pyspark 4 instances are
+    # pyspark.sql.classic.dataframe.DataFrame, which overrides collect
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from cinegraph_spark.queries import load_all
+
+    feats = load_all()["pipeline_movie_features"].spark(spark, sf_dir)
+    fcols = [c for c in feats.columns if c != "doc_id"]
+    k = 12
+
+    sizes: list[int] = []
+    orig_collect = DataFrame.collect
+
+    def spy_collect(self):
+        rows = orig_collect(self)
+        sizes.append(len(rows))
+        return rows
+
+    def banned_topandas(self):
+        raise AssertionError("toPandas() called inside build_graph_tables")
+
+    monkeypatch.setattr(DataFrame, "collect", spy_collect)
+    monkeypatch.setattr(DataFrame, "toPandas", banned_topandas)
+    try:
+        graph, membership = build_graph_tables(
+            spark, feats, "doc_id", fcols, k=k, seed=42,
+            namer=lambda parent, groups: fallback_names(parent, len(groups)),
+        )
+    finally:
+        monkeypatch.undo()
+
+    n_nodes = graph.count()
+    assert sizes, "expected the per-cluster summary collect"
+    bound = max(k, n_nodes * 15)
+    assert all(s <= bound for s in sizes), (sizes, bound)
+    # and the result is still a full, valid membership
+    assert membership.count() == feats.count()
+
+
+@pytest.mark.slow
 def test_end_to_end_graph_build(spark, sf_dir):
     from cinegraph_spark.queries import load_all
 

@@ -77,18 +77,60 @@ def stub_scores_sql(tokens_slice_expr: str, key_expr: str, window_id_expr: str) 
 # --- production scorer (pandas-UDF surface) --------------------------------
 
 
+def pad_batch(id_lists: list[list[int]], pad_id: int):
+    """``torch.nn.utils.rnn.pad_sequence(batch_first=True)`` parity in
+    numpy, plus the reference's attention mask (``model.py:108-120``):
+    right-pad every sequence to the batch max length with ``pad_id``;
+    ``mask = input_ids != pad_id`` — exactly the reference's rule, including
+    its quirk that a *real* token equal to pad_id is masked out.
+
+    Returns ``(input_ids int64 [n, L], attention_mask int64 [n, L])``.
+    """
+    import numpy as np
+
+    n = len(id_lists)
+    length = max((len(x) for x in id_lists), default=0)
+    ids = np.full((n, length), pad_id, dtype=np.int64)
+    for row, seq in enumerate(id_lists):
+        ids[row, : len(seq)] = seq
+    mask = (ids != pad_id).astype(np.int64)
+    return ids, mask
+
+
+def _encode(tokenizer: Any, texts: list[str]) -> list[list[int]]:
+    """Tokenize a list of texts to id-lists. Accepts an HF-style tokenizer
+    (returns a mapping with ``input_ids``) or a plain callable returning the
+    id-lists directly — the full-text, no-truncation call of
+    ``model.py:155-156`` (windowing happened upstream)."""
+    out = tokenizer(texts)
+    try:
+        ids = out["input_ids"]  # HF BatchEncoding / plain dict
+    except (TypeError, KeyError, IndexError):
+        ids = out
+    return [list(x) for x in ids]
+
+
 def hf_scorer(
     model_loader: Callable[[], Any] | None = None,
     multi_label: bool = True,
     batch_size: int = 16,
 ):
-    """Build a ``mapInPandas`` function scoring window texts with a model.
+    """Build a ``mapInPandas`` function scoring window texts with a model —
+    the reference's batched forward pass (``model.py:108-141``) on the
+    Arrow-batch surface.
 
     ``model_loader`` runs once per executor process (lazy singleton), the
     Spark-side analog of the reference's per-process model init
-    (``model.py:31-67``). The returned callable maps an iterator of pandas
-    batches with a ``window_text`` column to batches with the 6 emotion
-    columns appended — use with ``df.mapInPandas(fn, schema)``.
+    (``model.py:31-67``); it returns ``(tokenizer, model)`` where ``model``
+    is called as ``model(input_ids, attention_mask) -> logits [n, 6]``.
+    Per sub-batch of ``batch_size`` (``model.py:28,166-169``): tokenize,
+    right-pad to the batch max (``pad_batch``), mask = ids != pad_id,
+    forward, then sigmoid (multi-label / PEFT path) vs row-softmax
+    (single-label) exactly as ``model.py:136-140`` switches.
+
+    The transformers stack is not installed in this container, so with no
+    injected loader this raises — the batching/padding/masking semantics
+    themselves are torch-free and pinned by tests/test_scoring_contract.py.
     """
     state: dict[str, Any] = {}
 
@@ -102,13 +144,18 @@ def hf_scorer(
                     "available in this environment; use stub_scores for "
                     "deterministic runs"
                 )
-            state["model"] = model_loader()
-        model = state["model"]
+            state["tokenizer"], state["model"] = model_loader()
+        tokenizer, model = state["tokenizer"], state["model"]
+        pad_id = getattr(tokenizer, "pad_token_id", 0) or 0
         for pdf in batches:
             texts = pdf["window_text"].tolist()
             scores = []
             for i in range(0, len(texts), batch_size):
-                logits = np.asarray(model(texts[i : i + batch_size]))
+                ids = _encode(tokenizer, texts[i : i + batch_size])
+                input_ids, attention_mask = pad_batch(ids, pad_id)
+                logits = np.asarray(
+                    model(input_ids, attention_mask), dtype=np.float64
+                )
                 if multi_label:
                     probs = 1.0 / (1.0 + np.exp(-logits))  # sigmoid
                 else:

@@ -114,17 +114,22 @@ def events_session_windows_30min(spark, sf_dir):
     lives in streaming/windows.py; this is its closed-window semantics."""
     e = T(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestampdiff is wall-clock arithmetic on TIMESTAMP_NTZ — unlike
+    # unix_micros it never routes through the session time zone
     ordered = e.select(
         "user_id",
         "ts",
         "event_id",
         "value",
+        F.lag("ts").over(w).alias("_prev"),
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
         F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-                > 1800 * 1_000_000
-            ),
+            F.col("_prev").isNull()
+            | (F.expr("timestampdiff(MICROSECOND, _prev, ts)") > 1800 * 1_000_000),
             1,
         )
         .otherwise(0)
@@ -310,7 +315,7 @@ def stream_join_purchase_click_attribution(spark, sf_dir):
     self-join. Timestamps projected as strings so the hash is tz-proof."""
     import uuid
 
-    from cinegraph_spark.queries.util import tstr
+    from cinegraph_spark.queries.util import ntz, tstr
     from cinegraph_spark.streaming.joins import purchases_with_recent_clicks
     from cinegraph_spark.streaming.windows import (
         read_events_stream,
@@ -325,10 +330,11 @@ def stream_join_purchase_click_attribution(spark, sf_dir):
         name,
         output_mode="append",
     )
+    # ntz first: the drained instants format tz-independently afterwards
     return out.select(
         "user_id",
         "purchase_id",
         "click_id",
-        tstr("purchase_ts").alias("purchase_ts"),
-        tstr("click_ts").alias("click_ts"),
+        tstr(ntz(F.col("purchase_ts"))).alias("purchase_ts"),
+        tstr(ntz(F.col("click_ts"))).alias("click_ts"),
     )

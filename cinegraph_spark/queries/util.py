@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -9,6 +11,32 @@ from pyspark.sql import functions as F
 #: aggregation differs in the final ulp (summation order); 4 decimals is far
 #: coarser than the ~1e-10 relative error while keeping results meaningful.
 ROUND_DECIMALS = 4
+
+
+@contextmanager
+def scoped_confs(spark: SparkSession, **confs: str):
+    """Set session confs for the duration of the block, then restore each to
+    its prior value (or unset if it had none). Query builders must not leak
+    session-conf mutations — a cross-query surprise at best (VERDICT r1
+    watch item). Only safe for confs whose effect is captured at plan
+    *analysis* time (e.g. parquet read-schema flags), not ones re-read at
+    execution (e.g. the session time zone — queries avoid depending on that
+    entirely by using TIMESTAMP_NTZ)."""
+    before: dict[str, str | None] = {}
+    for key, val in confs.items():
+        try:
+            before[key] = spark.conf.get(key)
+        except Exception:
+            before[key] = None
+        spark.conf.set(key, val)
+    try:
+        yield
+    finally:
+        for key, old in before.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -19,19 +47,35 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table stores TIMESTAMP(NANOS) parquet, which Spark's
-    vectorized reader rejects. Read nanos as long and rebuild the timestamp
-    at microsecond precision with exact integer division (``div``, not
-    double `/` — ns-since-2024 exceeds double's 53-bit integer range).
-    DuckDB truncates ns→µs the same way, so both engines see identical
-    instants. Session tz is pinned UTC so instant→string projection matches
-    DuckDB's naive timestamps.
-    """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    vectorized reader rejects. Read nanos as long (the legacy flag is
+    scoped: its effect is captured in the analyzed plan, verified by
+    tests/test_conf_hygiene.py) and rebuild the timestamp at microsecond
+    precision with exact integer division (``div``, not double `/` —
+    ns-since-2024 exceeds double's 53-bit integer range). DuckDB truncates
+    ns→µs the same way, so both engines see identical instants.
+
+    ``ts`` is produced as TIMESTAMP_NTZ holding the UTC wall clock — the
+    session-tz-independent type that matches DuckDB's naive timestamps
+    directly, so no query needs the session time zone pinned (the
+    ``convert_timezone('UTC', ltz)`` round-trip through the session zone
+    cancels it out)."""
+    with scoped_confs(spark, **{"spark.sql.legacy.parquet.nanosAsLong": "true"}):
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.expr("convert_timezone('UTC', timestamp_micros(ts div 1000))"),
+            )
+        df.schema  # force analysis while the read flag is in scope
     return df
+
+
+def ntz(col: Column) -> Column:
+    """Instant (TIMESTAMP) → its UTC wall clock as TIMESTAMP_NTZ,
+    independent of the session time zone: the implicit LTZ→NTZ cast (in the
+    session zone) cancels against convert_timezone's default source zone
+    (also the session zone), leaving a pure instant→UTC mapping."""
+    return F.convert_timezone(None, F.lit("UTC"), col)
 
 
 def r4(col: Column) -> Column:

@@ -98,6 +98,9 @@ def stateful_user_profile(events: DataFrame) -> DataFrame:
 
     return events.groupBy("user_id").applyInPandasWithState(
         update_profile,
+        # TIMESTAMP (not ntz): applyInPandasWithState's state codec rejects
+        # timestamp_ntz; determinism comes from run_availablenow_to_memory
+        # scoping the drain to UTC instead
         outputStructType=(
             "user_id long, n_events long, total_value double, "
             "first_ts timestamp, last_ts timestamp, max_gap_s double"

@@ -29,9 +29,18 @@ def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-source stream over the events parquet (schema pinned; nanosecond
-    ts read as long then rebuilt, same workaround as the batch reader)."""
+    ts read as long then rebuilt, same workaround as the batch reader).
+
+    ``ts`` stays TIMESTAMP (instant) here — Spark's watermark machinery
+    rejects TIMESTAMP_NTZ event time. Session-tz independence is handled at
+    the edges instead: :func:`run_availablenow_to_memory` pins UTC for the
+    scope of the drain, and the registered stream queries convert outgoing
+    timestamps to NTZ (``queries/util.py::ntz``). The nanosAsLong read flag
+    stays set for the session's lifetime — unlike the batch reader it
+    cannot be scoped, because the streaming source re-reads parquet per
+    micro-batch long after this builder returns; it is a read-compat flag
+    with no effect on any other query's semantics."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     reader = (
         spark.readStream.schema(
             "event_id long, ts long, user_id long, event_type string, "
@@ -125,15 +134,23 @@ def run_availablenow_to_memory(
     timeout_s: int = 120,
 ) -> DataFrame:
     """Test harness: drain all available input through the streaming plan
-    into an in-memory table; returns the result as a batch DataFrame."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
+    into an in-memory table; returns the result as a batch DataFrame.
+
+    The drain runs with the session tz scoped to UTC (restored after): the
+    stream executes entirely inside this call, so Arrow/pandas timestamp
+    hops in stateful operators see deterministic UTC wall clocks whatever
+    the caller's session zone is."""
+    from cinegraph_spark.queries.util import scoped_confs
+
+    with scoped_confs(spark, **{"spark.sql.session.timeZone": "UTC"}):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
     return spark.table(query_name)
 
 

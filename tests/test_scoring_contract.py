@@ -1,0 +1,189 @@
+"""Contract tests for the production scorer path (M3/M5 —
+``emotion_analysis/model.py:108-141`` parity) driven with an injected fake
+tokenizer/model — no torch/transformers needed. Pins:
+
+- sub-batching at ``batch_size`` (``model.py:28,166-169``);
+- right-padding to the batch max + ``mask = ids != pad_id``
+  (``model.py:108-120``), including the pad-id-collision quirk;
+- the sigmoid (multi-label) vs softmax (single-label) switch
+  (``model.py:136-140``);
+- the Arrow/mapInPandas wiring end-to-end on a real DataFrame.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cinegraph_spark.operators.scoring import hf_scorer, pad_batch
+from cinegraph_spark.schemas import EMOTIONS
+
+PAD = 0
+
+
+class FakeTokenizer:
+    """Whitespace tokenizer: token → len(token) (so id 3 ← 'abc'). A 1-char
+    token gets id 1; '' never appears. pad_token_id = 0."""
+
+    pad_token_id = PAD
+
+    def __call__(self, texts):
+        return {"input_ids": [[len(t) for t in s.split()] for s in texts]}
+
+
+class RecordingModel:
+    """Deterministic fake classifier head; records every call's shapes and
+    masks. logits[r][j] = (masked row sum) * (j+1) / 10 - 1."""
+
+    def __init__(self):
+        self.calls = []
+
+    def __call__(self, input_ids, attention_mask):
+        self.calls.append(
+            (
+                np.asarray(input_ids).copy(),
+                np.asarray(attention_mask).copy(),
+            )
+        )
+        row = (np.asarray(input_ids) * np.asarray(attention_mask)).sum(axis=1)
+        j = np.arange(len(EMOTIONS)) + 1
+        return row[:, None] * j[None, :] / 10.0 - 1.0
+
+
+def _drive(fn, texts):
+    """Run the mapInPandas function over one pandas batch, like Spark does."""
+    pdf = pd.DataFrame({"window_text": texts})
+    out = list(fn(iter([pdf])))
+    assert len(out) == 1
+    return out[0]
+
+
+def test_pad_batch_shapes_and_mask():
+    ids, mask = pad_batch([[5, 2], [7], [1, 2, 3, 4]], pad_id=PAD)
+    assert ids.shape == (3, 4) and mask.shape == (3, 4)
+    assert ids.dtype == np.int64 and mask.dtype == np.int64
+    assert ids.tolist() == [[5, 2, 0, 0], [7, 0, 0, 0], [1, 2, 3, 4]]
+    assert mask.tolist() == [[1, 1, 0, 0], [1, 0, 0, 0], [1, 1, 1, 1]]
+
+
+def test_pad_batch_pad_id_collision_matches_reference_quirk():
+    """A real token equal to pad_id is masked out — the reference's
+    ``attention_mask = input_ids != pad_id`` does exactly this."""
+    ids, mask = pad_batch([[3, 0, 2]], pad_id=PAD)
+    assert mask.tolist() == [[1, 0, 1]]
+
+
+def test_scorer_subbatches_at_batch_size_and_pads_per_batch():
+    model = RecordingModel()
+    fn = hf_scorer(lambda: (FakeTokenizer(), model), batch_size=4)
+    # 10 texts of varying token counts → sub-batches of 4, 4, 2
+    texts = [" ".join(["tok"] * n) for n in (1, 5, 2, 3, 7, 1, 4, 2, 6, 3)]
+    _drive(fn, texts)
+    assert [ids.shape[0] for ids, _ in model.calls] == [4, 4, 2]
+    # padded length == that sub-batch's own max, not the global max
+    assert [ids.shape[1] for ids, _ in model.calls] == [5, 7, 6]
+    # masks row sums == true token counts
+    assert [m.sum(axis=1).tolist() for _, m in model.calls] == [
+        [1, 5, 2, 3],
+        [7, 1, 4, 2],
+        [6, 3],
+    ]
+    # int64 arrays reach the model
+    assert all(ids.dtype == np.int64 for ids, _ in model.calls)
+
+
+def test_scorer_sigmoid_vs_softmax_switch():
+    texts = ["aa bbb", "c"]  # token ids [2,3], [1]
+
+    def expected_logits():
+        row = np.array([5.0, 1.0])  # masked row sums
+        j = np.arange(len(EMOTIONS)) + 1
+        return row[:, None] * j[None, :] / 10.0 - 1.0
+
+    multi = _drive(
+        hf_scorer(lambda: (FakeTokenizer(), RecordingModel()), multi_label=True),
+        texts,
+    )
+    single = _drive(
+        hf_scorer(lambda: (FakeTokenizer(), RecordingModel()), multi_label=False),
+        texts,
+    )
+    logits = expected_logits()
+    sig = 1.0 / (1.0 + np.exp(-logits))
+    ex = np.exp(logits - logits.max(axis=1, keepdims=True))
+    soft = ex / ex.sum(axis=1, keepdims=True)
+    for j, e in enumerate(EMOTIONS):
+        assert multi[e].tolist() == pytest.approx(sig[:, j].tolist())
+        assert single[e].tolist() == pytest.approx(soft[:, j].tolist())
+    # softmax rows sum to 1; sigmoid rows generally don't
+    assert sum(single[e][0] for e in EMOTIONS) == pytest.approx(1.0)
+
+
+def test_scorer_loader_runs_once_and_missing_loader_raises():
+    loads = {"n": 0}
+
+    def loader():
+        loads["n"] += 1
+        return FakeTokenizer(), RecordingModel()
+
+    fn = hf_scorer(loader)
+    _drive(fn, ["a b"])
+    _drive(fn, ["c d e"])
+    assert loads["n"] == 1  # per-process singleton (model.py:31-67 analog)
+
+    with pytest.raises(NotImplementedError):
+        _drive(hf_scorer(None), ["x"])
+
+
+def test_scorer_empty_batch_yields_empty_scored_frame():
+    fn = hf_scorer(lambda: (FakeTokenizer(), RecordingModel()))
+    out = _drive(fn, [])
+    assert len(out) == 0
+    assert set(EMOTIONS) <= set(out.columns)
+
+
+@pytest.mark.slow
+def test_scorer_maps_in_pandas_end_to_end(spark):
+    """The real Spark wiring: windowized texts → mapInPandas(hf_scorer) →
+    scored frame with the M4 output shape, values matching the pure-pandas
+    drive of the same fake model."""
+    # fakes defined inside the test so cloudpickle ships them by value —
+    # executors cannot import the test module
+    def loader():
+        import numpy as np
+
+        class Tok:
+            pad_token_id = 0  # literal: workers can't resolve test globals
+
+            def __call__(self, texts):
+                return {"input_ids": [[len(t) for t in s.split()] for s in texts]}
+
+        def model(input_ids, attention_mask):
+            row = (np.asarray(input_ids) * np.asarray(attention_mask)).sum(axis=1)
+            j = np.arange(6) + 1
+            return row[:, None] * j[None, :] / 10.0 - 1.0
+
+        return Tok(), model
+
+    rows = [(i, " ".join(["w"] * (i % 5 + 1))) for i in range(23)]
+    df = spark.createDataFrame(rows, "doc_id long, window_text string")
+    fn = hf_scorer(loader, batch_size=16)
+    schema = "doc_id long, window_text string, " + ", ".join(
+        f"{e} double" for e in EMOTIONS
+    )
+    got = {
+        r["doc_id"]: [r[e] for e in EMOTIONS]
+        for r in df.mapInPandas(fn, schema).collect()
+    }
+    want_pdf = _drive(
+        hf_scorer(lambda: (FakeTokenizer(), RecordingModel()), batch_size=16),
+        [t for _, t in rows],
+    )
+    for i, (doc_id, _) in enumerate(rows):
+        assert got[doc_id] == pytest.approx(
+            [float(want_pdf[e].iloc[i]) for e in EMOTIONS]
+        ), doc_id
+    assert not any(math.isnan(v) for vals in got.values() for v in vals)

@@ -189,7 +189,12 @@ def test_stateful_user_profile_gap_metric(spark, sf_dir, events_stream):
     w = Window.partitionBy("user_id").orderBy("ts")
     batch = (
         _batch_events(spark, sf_dir)
-        .withColumn("gap", F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w))
+        .withColumn("_prev", F.lag("ts").over(w))
+        # ts is TIMESTAMP_NTZ now — wall-clock diff, no double cast
+        .withColumn(
+            "gap",
+            F.expr("timestampdiff(MICROSECOND, _prev, ts)").cast("double") / 1e6,
+        )
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),

@@ -276,6 +276,43 @@ def validate_names(names: list[str], n: int) -> bool:
     )
 
 
+#: LLM naming budget (``clustering/utils.py:113-127``).
+NAMER_RETRIES = 5
+
+
+def retry_namer(
+    llm: Callable[[str, list[dict], int], list[str]],
+    retries: int = NAMER_RETRIES,
+) -> Callable[[str, list[dict]], list[str]]:
+    """M7 — wrap a pluggable LLM callable in the reference's retry/validate
+    protocol (``clustering/utils.py:76-130``): up to ``retries`` calls of
+    ``llm(parent_name, groups, attempt)``; each response is validated
+    (count, ≤ 4 words each, all unique — :func:`validate_names`); invalid
+    responses AND raised exceptions consume a retry; when the budget is
+    exhausted the names fall back to ``{parent}_Subgroup_{i}`` exactly like
+    ``utils.py:130``. ``groups`` carry each child's representative member
+    keys and shift label (see :func:`flatten_tree`), the same context the
+    reference's prompt builder feeds its structured-output LLM.
+
+    Returns a namer pluggable into :func:`flatten_tree` /
+    ``build_graph_tables`` — deterministic infrastructure around a
+    nondeterministic callable, so the protocol itself is property-testable
+    with a fake LLM (tests/test_clustering.py)."""
+
+    def namer(parent_name: str, groups: list[dict]) -> list[str]:
+        n = len(groups)
+        for attempt in range(retries):
+            try:
+                names = [str(x) for x in llm(parent_name, groups, attempt)]
+            except Exception:
+                continue
+            if validate_names(names, n):
+                return names
+        return fallback_names(parent_name, n)
+
+    return namer
+
+
 # ---------------------------------------------------------------------------
 # C8 — flatten tree → serving tables (graph / membership)
 # ---------------------------------------------------------------------------

@@ -60,18 +60,21 @@ def shingles(
 def minhash_signatures(
     sh: DataFrame, id_col: str, num_perm: int = 32
 ) -> DataFrame:
-    """MinHash signature per doc: for seed s, min over shingles of
-    xxhash64(shingle || '#' || s). Output: (id, sig: array<long>[num_perm]).
+    """MinHash signature per doc: hash each shingle string ONCE
+    (``base = xxhash64(shingle)``), then derive the ``num_perm`` independent
+    streams as ``xxhash64(base, s)`` — re-hashing 8 bytes per stream instead
+    of the full ~50-byte shingle text, the standard one-hash-many-
+    permutations construction. Output: (id, sig: array<long>[num_perm]).
 
     One aggregation: per doc, min of each of the ``num_perm`` hash streams —
     map-side combine keeps the shuffle at num_perm longs per doc.
     """
-    hashed = sh.select(
+    # materialize the base hash in its own projection so the string is
+    # hashed exactly once (not relying on codegen CSE across 32 exprs)
+    based = sh.select(F.col(id_col), F.xxhash64("shingle").alias("_base"))
+    hashed = based.select(
         F.col(id_col),
-        *[
-            F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#{s}"))).alias(f"_h{s}")
-            for s in range(num_perm)
-        ],
+        *[F.xxhash64("_base", F.lit(s)).alias(f"_h{s}") for s in range(num_perm)],
     )
     agg = hashed.groupBy(id_col).agg(
         *[F.min(f"_h{s}").alias(f"_m{s}") for s in range(num_perm)]

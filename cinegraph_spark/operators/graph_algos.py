@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cinegraph_spark.session import bounded_shuffle
+
 
 def symmetrize(
     edges: DataFrame, src: str = "src", dst: str = "dst", oriented: bool = False
@@ -75,39 +77,146 @@ def connected_components(
     ``localCheckpoint`` after each superstep truncates lineage so the plan
     stays O(1) per round instead of O(rounds).
     """
-    e = symmetrize(edges, src, dst, oriented=oriented)
-    e = e.localCheckpoint(eager=True)
-    labels = (
-        e.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
-        # neighbor messages: each edge forwards the source's current label
-        msgs = (
-            e.join(labels, e.src == labels.id)
-            .select(F.col("dst").alias("id"), F.col("component"))
-            .groupBy("id")
-            .agg(F.min("component").alias("nbr_min"))
+    # every superstep materializes eagerly (localCheckpoint) inside the
+    # bounded-shuffle scope: a plain 200-partition session would otherwise
+    # pay 200-task overhead per round on graphs this size
+    with bounded_shuffle(edges.sparkSession):
+        e = symmetrize(edges, src, dst, oriented=oriented)
+        e = e.localCheckpoint(eager=True)
+        labels = (
+            e.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("component", F.col("id"))
+            .localCheckpoint(eager=True)
         )
-        new_labels = (
-            labels.join(msgs, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
-                (
-                    F.coalesce("nbr_min", F.col("component")) < F.col("component")
-                ).alias("changed"),
+        for _ in range(max_iter):
+            # neighbor messages: each edge forwards the source's current label
+            msgs = (
+                e.join(labels, e.src == labels.id)
+                .select(F.col("dst").alias("id"), F.col("component"))
+                .groupBy("id")
+                .agg(F.min("component").alias("nbr_min"))
             )
-        ).localCheckpoint(eager=True)
-        n_changed = new_labels.filter("changed").count()
-        labels = new_labels.drop("changed")
-        if n_changed == 0:
-            break
+            new_labels = (
+                labels.join(msgs, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                    ).alias("component"),
+                    (
+                        F.coalesce("nbr_min", F.col("component")) < F.col("component")
+                    ).alias("changed"),
+                )
+            ).localCheckpoint(eager=True)
+            n_changed = new_labels.filter("changed").count()
+            labels = new_labels.drop("changed")
+            if n_changed == 0:
+                break
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Large-star/small-star connected components → (id, component) —
+    Kiveris et al., "Connected Components in MapReduce and Beyond" (2014).
+
+    The O(log²) alternative to :func:`connected_components`'s min-label
+    propagation, whose round count is the graph *diameter*: on a chain of
+    10⁶ vertices min-label needs 10⁶ supersteps, large-star/small-star
+    ~log²(n). Each round rewires the edge set toward a star per component:
+
+    - **large-star**: for every vertex u with m(u) = min(N(u) ∪ {u}), each
+      neighbor v > u re-attaches to m(u) — halves long tails;
+    - **small-star**: on the canonical (big → small) edge set, each big
+      vertex and its smaller neighbors all attach to the smallest — flattens
+      local stars.
+
+    Both phases are one groupBy + one join over the edge list (shuffle keys
+    = vertex ids), `localCheckpoint` truncates lineage per round, and
+    convergence is detected with a constant-size (count, hash-sum)
+    aggregate instead of a set comparison. After the fixpoint the edge set
+    IS the star forest: every vertex points directly at its component
+    minimum. Component ids therefore match min-label's exactly.
+    """
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    with bounded_shuffle(edges.sparkSession):
+        verts = (
+            raw.select(F.col("a").alias("id"))
+            .unionByName(raw.select(F.col("b").alias("id")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # canonical undirected edges: u = bigger endpoint, v = smaller
+        e = (
+            raw.filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        e = _star_rounds(e, max_rounds)
+    parents = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("_p"))
+    return verts.join(parents, "id", "left").select(
+        "id", F.coalesce("_p", F.col("id")).alias("component")
+    )
+
+
+def _star_rounds(e: DataFrame, max_rounds: int) -> DataFrame:
+    """Alternate large-star/small-star on a canonical edge set until the
+    (count, hash-sum) signature stabilizes; returns the star forest."""
+
+    def signature(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*").alias("n"),
+            # decimal accumulator: a sum of int64 hashes overflows long
+            # under ANSI mode
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = signature(e)
+    for _ in range(max_rounds):
+        # large-star over the symmetric view
+        d = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = d.groupBy("u").agg(F.min("v").alias("_nmin"))
+        m = F.least(F.col("_nmin"), F.col("u"))
+        large = (
+            d.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the canonical (big → small) result
+        mins2 = large.groupBy("u").agg(F.min("v").alias("_m"))
+        with_m = large.join(mins2, "u")
+        attach_small = (
+            with_m.filter(F.col("v") != F.col("_m"))
+            .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        )
+        attach_big = mins2.select("u", F.col("_m").alias("v"))
+        e = (
+            attach_small.unionByName(attach_big)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    return e
 
 
 def pagerank(
@@ -129,40 +238,41 @@ def pagerank(
     the per-iteration join is co-located. ``dedupe=False`` skips the edge
     dedup shuffle for inputs already known distinct.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    if dedupe:
-        e = e.distinct()
-    e = e.localCheckpoint(eager=True)
-    verts = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
-    ranks = verts.withColumn("rank", F.lit(1.0))
-    for _ in range(iterations):
-        contribs = (
-            e.join(ranks, e.src == ranks.id)
-            .join(out_deg, ranks.id == out_deg.id)
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("rank") / F.col("out_deg")).alias("contrib"),
-            )
-            .groupBy("id")
-            .agg(F.sum("contrib").alias("in_sum"))
-        )
-        ranks = (
-            verts.join(contribs, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
-                ).alias("rank"),
-            )
+    with bounded_shuffle(edges.sparkSession):
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        if dedupe:
+            e = e.distinct()
+        e = e.localCheckpoint(eager=True)
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
             .localCheckpoint(eager=True)
         )
+        out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
+        ranks = verts.withColumn("rank", F.lit(1.0))
+        for _ in range(iterations):
+            contribs = (
+                e.join(ranks, e.src == ranks.id)
+                .join(out_deg, ranks.id == out_deg.id)
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("out_deg")).alias("contrib"),
+                )
+                .groupBy("id")
+                .agg(F.sum("contrib").alias("in_sum"))
+            )
+            ranks = (
+                verts.join(contribs, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(1.0 - damping)
+                        + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
     return ranks
 
 
@@ -211,21 +321,22 @@ def bfs_levels(
     dedupe, advance. Each round shuffles only the frontier (not the whole
     graph) — the Pregel 'active vertex set' idea expressed as DataFrames.
     """
-    e = symmetrize(edges, src, dst).localCheckpoint(eager=True)
-    visited = e.sparkSession.createDataFrame(
-        [(start_id, 0)], "id long, level int"
-    ).localCheckpoint(eager=True)
-    frontier = visited
-    for depth in range(1, max_depth + 1):
-        nxt = (
-            e.join(frontier, e.src == frontier.id)
-            .select(F.col("dst").alias("id"))
-            .distinct()
-            .join(visited.select("id"), "id", "left_anti")
-            .withColumn("level", F.lit(depth))
+    with bounded_shuffle(edges.sparkSession):
+        e = symmetrize(edges, src, dst).localCheckpoint(eager=True)
+        visited = e.sparkSession.createDataFrame(
+            [(start_id, 0)], "id long, level int"
         ).localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+        frontier = visited
+        for depth in range(1, max_depth + 1):
+            nxt = (
+                e.join(frontier, e.src == frontier.id)
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(visited.select("id"), "id", "left_anti")
+                .withColumn("level", F.lit(depth))
+            ).localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
     return visited

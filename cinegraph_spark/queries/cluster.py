@@ -26,11 +26,15 @@ def _tables(spark, sf_dir):
     key = (id(spark.sparkContext), sf_dir)
     if key not in _CACHE:
         from cinegraph_spark.queries import load_all
+        from cinegraph_spark.session import bounded_shuffle
 
         feats = load_all()["pipeline_movie_features"].spark(spark, sf_dir)
-        _CACHE[key] = build_graph_tables(
-            spark, feats, "doc_id", _FEATURE_COLS, k=20, seed=42
-        )
+        # KMeans iterations + the summary aggregation execute eagerly in
+        # here — bound the plain session's 200 shuffle partitions for them
+        with bounded_shuffle(spark):
+            _CACHE[key] = build_graph_tables(
+                spark, feats, "doc_id", _FEATURE_COLS, k=20, seed=42
+            )
     return _CACHE[key]
 
 

@@ -166,6 +166,66 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
 
 
 @register(
+    "dedup_neardup_survivors",
+    f"""
+    WITH RECURSIVE {SHINGLE_CTES},
+    pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    ),
+    nodes AS (SELECT DISTINCT id FROM
+              (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+    removed AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+    SELECT (SELECT count(*) FROM documents)              AS n_total,
+           (SELECT count(*) FROM removed)                AS n_removed,
+           (SELECT count(*) FROM documents)
+             - (SELECT count(*) FROM removed)            AS n_kept,
+           (SELECT array_to_string(list(CAST(doc_id AS VARCHAR)
+                                        ORDER BY doc_id), ',')
+            FROM removed)                                AS removed_ids
+    """,
+    tags=("dedup", "near-dup", "survivors"),
+)
+def dedup_neardup_survivors(spark, sf_dir):
+    """The end of the near-dup pipeline: pairs → connected components →
+    keep the minimum doc_id per cluster, drop the rest. This is the actual
+    deliverable of corpus dedup (which documents survive into training);
+    the cluster step is min-label CC whose component id IS the survivor id,
+    so removal = 'doc_id != component', one map-side comparison."""
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    from cinegraph_spark.operators.graph_algos import connected_components
+
+    cc = connected_components(pairs, "id_a", "id_b", oriented=True)
+    removed = cc.filter(F.col("id") != F.col("component")).select("id")
+    n_total = T(spark, sf_dir, "documents").agg(F.count("*").alias("n_total"))
+    stats = removed.agg(
+        F.count("*").alias("n_removed"),
+        F.array_join(
+            F.sort_array(F.collect_list("id")).cast("array<string>"), ","
+        ).alias("removed_ids"),
+    )
+    return (
+        n_total.crossJoin(F.broadcast(stats))
+        .select(
+            "n_total",
+            "n_removed",
+            (F.col("n_total") - F.col("n_removed")).alias("n_kept"),
+            "removed_ids",
+        )
+    )
+
+
+@register(
     "dedup_minhash_lsh_pairs",
     None,  # engine-specific hashes; verified by property tests + rows check
     tags=("dedup", "near-dup", "minhash", "lsh"),

@@ -306,6 +306,71 @@ def text_source_lang_profile(spark, sf_dir):
 
 
 @register(
+    "text_tfidf_top_terms",
+    f"""
+    WITH {_TOKS_CTE},
+    flat AS (SELECT doc_id, lower(unnest(tokens)) AS term FROM toks),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM flat GROUP BY 1, 2),
+    n_docs AS (SELECT count(*) AS n FROM documents),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM flat GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 4)
+               AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n_docs n
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    tags=("textstats", "tfidf", "topk"),
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (smoothed sklearn-style idf:
+    ln((N+1)/(df+1)) + 1). The corpus-statistics join every retrieval /
+    quality pipeline needs: tf is a (doc, term) hash agg, df a term agg —
+    both map-side combined; the df table is vocabulary-sized and joins the
+    tf rows on the term key; per-doc top-3 is the C6 window idiom. At
+    100 TB the df side is the only broadcast-unfriendly piece — it shuffles
+    on term, never on documents."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokenize_whitespace(F.col("text")).alias("tokens")
+    )
+    flat = d.select("doc_id", F.explode("tokens").alias("t0")).select(
+        "doc_id", F.lower("t0").alias("term")
+    )
+    tf = flat.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # corpus size as a broadcast one-row aggregate — no driver job at build
+    n_docs = T(spark, sf_dir, "documents").agg(F.count("*").alias("_n"))
+    df = flat.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+@register(
     "text_udtf_sentence_split",
     r"""
     WITH parts AS (

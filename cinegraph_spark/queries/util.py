@@ -2,41 +2,16 @@
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from cinegraph_spark.session import bounded_shuffle, scoped_confs  # noqa: F401
+# (re-exported: query modules and tests import these from here)
 
 #: Decimal places for float results on both engines. Cross-engine double
 #: aggregation differs in the final ulp (summation order); 4 decimals is far
 #: coarser than the ~1e-10 relative error while keeping results meaningful.
 ROUND_DECIMALS = 4
-
-
-@contextmanager
-def scoped_confs(spark: SparkSession, **confs: str):
-    """Set session confs for the duration of the block, then restore each to
-    its prior value (or unset if it had none). Query builders must not leak
-    session-conf mutations — a cross-query surprise at best (VERDICT r1
-    watch item). Only safe for confs whose effect is captured at plan
-    *analysis* time (e.g. parquet read-schema flags), not ones re-read at
-    execution (e.g. the session time zone — queries avoid depending on that
-    entirely by using TIMESTAMP_NTZ)."""
-    before: dict[str, str | None] = {}
-    for key, val in confs.items():
-        try:
-            before[key] = spark.conf.get(key)
-        except Exception:
-            before[key] = None
-        spark.conf.set(key, val)
-    try:
-        yield
-    finally:
-        for key, old in before.items():
-            if old is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, old)
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -15,8 +15,51 @@ Defaults chosen for the 100 TB design point (SURVEY §4, §7):
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def scoped_confs(spark: SparkSession, **confs: str):
+    """Set session confs for the duration of the block, then restore each to
+    its prior value (or unset if it had none). Query builders must not leak
+    session-conf mutations — a cross-query surprise at best (VERDICT r1
+    watch item). Only safe for confs whose effect lands while the scope is
+    open: plan-analysis-captured flags (parquet read-schema options) or
+    confs read by work that executes eagerly inside the block (iterative
+    supersteps, streaming drains)."""
+    before: dict[str, str | None] = {}
+    for key, val in confs.items():
+        try:
+            before[key] = spark.conf.get(key)
+        except Exception:
+            before[key] = None
+        spark.conf.set(key, val)
+    try:
+        yield
+    finally:
+        for key, old in before.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
+
+def bounded_shuffle(spark: SparkSession, cap: int = 16):
+    """Scope ``spark.sql.shuffle.partitions`` to at most ``cap`` for eager
+    small-data execution (iterative graph supersteps, stateful streaming
+    drains, the cluster-tree build). A plain session defaults to 200;
+    stateful streaming disables AQE so nothing coalesces those 200 state
+    partitions, and a 10-superstep loop pays 200-task overhead per round.
+    The cap applies only within the scope and never raises the setting."""
+    try:
+        current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        current = 200
+    return scoped_confs(
+        spark, **{"spark.sql.shuffle.partitions": str(min(current, cap))}
+    )
 
 #: Confs applied to every session the engine creates. All are also safe to
 #: set on an externally provided session via ``spark.conf.set``.

@@ -139,10 +139,13 @@ def run_availablenow_to_memory(
     The drain runs with the session tz scoped to UTC (restored after): the
     stream executes entirely inside this call, so Arrow/pandas timestamp
     hops in stateful operators see deterministic UTC wall clocks whatever
-    the caller's session zone is."""
-    from cinegraph_spark.queries.util import scoped_confs
+    the caller's session zone is. Shuffle partitions are scoped down too —
+    stateful streaming disables AQE, so a plain 200-partition session would
+    otherwise spin up 200 state-store partitions for a test-sized drain
+    (measured: the stream-stream join drain went 47 s → seconds)."""
+    from cinegraph_spark.session import bounded_shuffle, scoped_confs
 
-    with scoped_confs(spark, **{"spark.sql.session.timeZone": "UTC"}):
+    with scoped_confs(spark, **{"spark.sql.session.timeZone": "UTC"}), bounded_shuffle(spark, 8):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(query_name)

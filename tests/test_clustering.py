@@ -144,6 +144,74 @@ def test_fallback_names_and_validation():
     assert not validate_names(["one two three four five"], 1)  # > 4 words
 
 
+def test_retry_namer_protocol():
+    """M7 retry loop (clustering/utils.py:76-130 semantics): invalid
+    responses consume retries, the first valid one wins, exhaustion falls
+    back to {parent}_Subgroup_{i} exactly like utils.py:130."""
+    from cinegraph_spark.operators.clustering import NAMER_RETRIES, retry_namer
+
+    calls = []
+
+    def flaky(parent, groups, attempt):
+        calls.append(attempt)
+        if attempt == 0:
+            return ["dup", "dup"]  # not unique
+        if attempt == 1:
+            return ["way too many words in this name", "ok"]  # > 4 words
+        if attempt == 2:
+            raise RuntimeError("transient")  # exceptions consume a retry
+        return ["Bleak Descents", "Hopeful Turns"]
+
+    names = retry_namer(flaky)("root", [{}, {}])
+    assert names == ["Bleak Descents", "Hopeful Turns"]
+    assert calls == [0, 1, 2, 3]
+
+    # always-invalid: consumes the full budget then falls back
+    calls.clear()
+    bad = retry_namer(lambda p, g, a: (calls.append(a), ["x"])[1])
+    assert bad("Parent", [{}, {}, {}]) == [
+        "Parent_Subgroup_0",
+        "Parent_Subgroup_1",
+        "Parent_Subgroup_2",
+    ]
+    assert calls == list(range(NAMER_RETRIES))
+
+    # wrong-count and non-list-of-strings responses also fall back
+    assert retry_namer(lambda p, g, a: ["a", "b", "c"])("p", [{}]) == [
+        "p_Subgroup_0"
+    ]
+
+
+def test_retry_namer_feeds_groups_through_graph_build(spark, sf_dir):
+    """The namer receives per-child groups with representative keys and
+    shift labels during the real distributed build (C6/C7 context for M7)."""
+    from cinegraph_spark.operators.clustering import retry_namer
+    from cinegraph_spark.queries import load_all
+
+    feats = load_all()["pipeline_movie_features"].spark(spark, sf_dir)
+    fcols = [c for c in feats.columns if c != "doc_id"]
+    seen = []
+
+    def llm(parent, groups, attempt):
+        seen.append((parent, groups))
+        return [f"{parent}/{i}" for i in range(len(groups))]
+
+    graph, _ = build_graph_tables(
+        spark, feats, "doc_id", fcols, k=8, seed=42, namer=retry_namer(llm)
+    )
+    names = {r.name for r in graph.collect()}
+    assert any("/" in n for n in names), "LLM names did not reach the graph"
+    assert seen, "namer was never called"
+    for _parent, groups in seen:
+        for g in groups:
+            assert "shift" in g and "representative_indices" in g
+            assert isinstance(g["representative_indices"], list)
+    # at least one group carries real representatives (non-empty leaf)
+    assert any(
+        g["representative_indices"] for _p, gs in seen for g in gs
+    ), "no representatives were computed distributed"
+
+
 def test_flatten_tree_paths_and_membership():
     inner = _node(0.1, [_leaf([0, 1]), _leaf([2])])
     root = _node(1.0, [inner, _leaf([3, 4])])

@@ -14,10 +14,31 @@ from pyspark.sql import functions as F
 from cinegraph_spark.operators.graph_algos import (
     bfs_levels,
     connected_components,
+    connected_components_star,
     degrees,
     pagerank,
     triangle_count,
 )
+
+
+def _union_find_components(pairs):
+    """Driver-side ground truth: min-id component per vertex."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
 
 
 def edges_df(spark, pairs):
@@ -42,6 +63,43 @@ def test_cc_direction_and_duplicates_ignored(spark):
     got = {r["id"]: r["component"] for r in connected_components(e).collect()}
     # self-loop-only vertex 7 is dropped by symmetrize; 2 and 5 merge
     assert got == {2: 2, 5: 2}
+
+
+def test_cc_star_matches_minlabel_and_ground_truth(spark):
+    """Both CC operators must produce identical components on a mixed graph
+    (two chains, a clique, a pair, an isolated self-loop survivor set)."""
+    pairs = (
+        [(i, i + 1) for i in range(1, 9)]                       # chain 1..9
+        + [(20 + a, 20 + b) for a in range(4) for b in range(a + 1, 4)]  # K4
+        + [(50, 51), (60, 61), (61, 62), (62, 60)]              # pair + cycle
+    )
+    e = edges_df(spark, pairs)
+    want = _union_find_components(pairs)
+    minlabel = {r["id"]: r["component"] for r in connected_components(e).collect()}
+    star = {r["id"]: r["component"] for r in connected_components_star(e).collect()}
+    assert minlabel == want
+    assert star == want
+
+
+def test_cc_star_converges_fast_on_long_path(spark):
+    """The adversarial-diameter case the min-label operator cannot touch: a
+    1000-vertex path has diameter 999 (min-label would need 999 supersteps);
+    large-star/small-star must finish in O(log² n) rounds — pinned well
+    under the operator's max_rounds=40 via max_rounds=15 — with every vertex
+    labeled by the path minimum."""
+    n = 1000
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    e = edges_df(spark, pairs)
+    got = {r["id"]: r["component"] for r in connected_components_star(e, max_rounds=15).collect()}
+    assert len(got) == n
+    assert set(got.values()) == {0}
+
+
+def test_cc_star_direction_duplicates_and_self_loops(spark):
+    e = edges_df(spark, [(5, 2), (2, 5), (5, 2), (7, 7), (9, 3)])
+    got = {r["id"]: r["component"] for r in connected_components_star(e).collect()}
+    # 7 appears only in a self-loop: present as a vertex, its own component
+    assert got == {2: 2, 5: 2, 7: 7, 3: 3, 9: 3}
 
 
 # --- degrees / triangles ----------------------------------------------------

@@ -57,6 +57,54 @@ def stateful_topk_per_user(events: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def tws_topk_per_user(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user running top-k via **transformWithStateInPandas** — Spark 4's
+    successor to ``applyInPandasWithState`` (same semantics as
+    :func:`stateful_topk_per_user`, new API surface: a StatefulProcessor
+    class with typed state handles instead of a GroupState tuple).
+
+    State is a single ValueState holding the current top-k array; each
+    micro-batch merges arrivals and re-emits the group's top-k (update-ish
+    output). Scale shape identical to the old API: one hash exchange on the
+    key, state-store entry bounded at k doubles per user; the new runtime
+    adds typed column-family state and timers (unused here).
+
+    **Env-gated in this container**: the transformWithState runtime needs
+    ``google.protobuf`` (its state-server protocol), which is not
+    installed here — the operator is complete and the test suite runs it
+    when protobuf is available (tests/test_streaming.py skips otherwise).
+    The registered driver queries use the applyInPandasWithState twin."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class TopKProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("vals", "vals array<double>")
+
+        def handleInputRows(self, key, rows, timerValues):
+            vals = list(self._state.get()[0]) if self._state.exists() else []
+            for pdf in rows:
+                vals.extend(float(v) for v in pdf["value"].dropna())
+                vals = sorted(vals, reverse=True)[:k]
+            self._state.update((vals,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(vals),
+                    "rnk": list(range(1, len(vals) + 1)),
+                    "value": vals,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        TopKProcessor(),
+        outputStructType="user_id long, rnk int, value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stateful_user_profile(events: DataFrame) -> DataFrame:
     """Running per-user activity profile: event count, value sum, first/last
     event time, and the longest inter-event gap seen so far (in seconds).

@@ -1,0 +1,60 @@
+"""Compaction / clustered-layout maintenance operators
+(`operators/maintenance.py`): small-file collapse, range clustering with
+disjoint per-file key ranges (the footer-stat pruning layout), and content
+preservation across the rewrite."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cinegraph_spark.operators.maintenance import (
+    compact,
+    dataset_stats,
+    file_key_ranges,
+)
+from cinegraph_spark.queries.util import T
+
+
+@pytest.fixture()
+def fragmented_orders(spark, sf_dir, tmp_path):
+    """orders written as many small files (the streaming-sink pathology)."""
+    path = str(tmp_path / "orders_frag")
+    T(spark, sf_dir, "orders").repartition(40).write.parquet(path)
+    return path
+
+
+def test_compact_collapses_small_files_and_preserves_rows(spark, fragmented_orders):
+    before_rows = spark.read.parquet(fragmented_orders).count()
+    before_sum = (
+        spark.read.parquet(fragmented_orders)
+        .agg(F.sum("o_totalprice").alias("s"))
+        .collect()[0]["s"]
+    )
+    report = compact(spark, fragmented_orders, target_file_mb=128)
+    assert report["before"]["n_files"] >= 40
+    assert report["after"]["n_files"] < report["before"]["n_files"]
+    assert report["after"]["n_files"] == report["target_files"]
+    after = spark.read.parquet(fragmented_orders)
+    assert after.count() == before_rows
+    assert after.agg(F.sum("o_totalprice").alias("s")).collect()[0]["s"] == pytest.approx(
+        before_sum
+    )
+
+
+def test_compact_with_sort_keys_yields_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "lineitem_cluster")
+    T(spark, sf_dir, "lineitem").repartition(16).write.parquet(path)
+    compact(spark, path, target_file_mb=0.05, sort_by=["l_shipdate"])
+    ranges = file_key_ranges(spark, path, "l_shipdate")
+    assert len(ranges) >= 2, "expected multiple range-clustered files"
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert lo1 <= hi1
+        assert hi1 <= lo2, "file key ranges overlap — clustering broken"
+
+
+def test_dataset_stats_counts_only_data_files(spark, fragmented_orders):
+    s = dataset_stats(fragmented_orders)
+    assert s["n_files"] >= 40
+    assert s["total_bytes"] > 0
+    assert s["avg_file_bytes"] * s["n_files"] <= s["total_bytes"] + s["n_files"]

@@ -145,6 +145,34 @@ def test_watermark_late_row_dropped(spark, tmp_path):
     assert rows.get(10) == 1
 
 
+def test_tws_topk_matches_batch(spark, sf_dir, events_stream):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor) running
+    top-3 equals the batch windowed top-3. Skips when google.protobuf (the
+    transformWithState state-server protocol dep) is absent — the operator
+    is env-gated in that case, like hf_scorer."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from cinegraph_spark.streaming.stateful import tws_topk_per_user
+
+    got = run_availablenow_to_memory(
+        spark,
+        tws_topk_per_user(events_stream, k=3),
+        "t_tws_topk",
+        output_mode="update",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"))
+    batch = (
+        _batch_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+    g = {(r.user_id, r.value) for r in got.select("user_id", "value").distinct().collect()}
+    b = {(r.user_id, r.value) for r in batch.select("user_id", "value").collect()}
+    assert b <= g  # every final top-3 value was emitted
+
+
 def test_stateful_topk_matches_batch(spark, sf_dir, events_stream):
     """applyInPandasWithState running top-3: after draining all input, each
     user's emitted top-3 equals the batch windowed top-3."""

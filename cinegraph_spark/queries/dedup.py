@@ -233,8 +233,15 @@ def dedup_neardup_survivors(spark, sf_dir):
 def dedup_minhash_lsh_pairs(spark, sf_dir):
     """MinHash(32 perms) + banded LSH(8×4) near-dup pairs, verified with
     exact Jaccard ≥ 0.6 on the candidates only. This is the 100 TB dedup
-    path: the only joins are band-bucket-local; no O(n²) stage exists."""
-    sh = shingles(_toks(spark, sf_dir), "doc_id", "tokens", n=8)
+    path: the only joins are band-bucket-local; no O(n²) stage exists.
+
+    The shingle set feeds three consumers (signatures, pair counts, set
+    sizes); a lazy localCheckpoint materializes the tokenize+shingle work
+    once instead of once per branch — at scale this is 'stage the shingle
+    table before fanning out', the standard shape."""
+    sh = shingles(_toks(spark, sf_dir), "doc_id", "tokens", n=8).localCheckpoint(
+        eager=False
+    )
     sigs = minhash_signatures(sh, "doc_id", num_perm=32)
     cands = lsh_candidate_pairs(sigs, "doc_id", bands=8, rows=4)
     verified = jaccard_pairs(sh, "doc_id", candidates=cands)

@@ -118,3 +118,68 @@ def test_sketch_aggregates_track_exact(spark, sf_dir):
     ).collect()[0]
     assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.06  # 3x rsd
     assert abs(row.approx_p90 - row.exact_p90) / row.exact_p90 < 0.02
+
+
+@given(
+    seqs=st.lists(
+        st.lists(st.integers(1, 10_000), min_size=0, max_size=40),
+        min_size=1,
+        max_size=16,
+    ),
+    pad_id=st.integers(0, 5),
+)
+def test_pad_batch_properties(seqs, pad_id):
+    """M3 padding invariants for any batch: rectangular int64 output at the
+    batch max length, prefix-preserved sequences, and mask == (ids !=
+    pad_id) including the reference's pad-collision quirk."""
+    from cinegraph_spark.operators.scoring import pad_batch
+
+    ids, mask = pad_batch(seqs, pad_id)
+    longest = max(len(s) for s in seqs)
+    assert ids.shape == mask.shape == (len(seqs), longest)
+    for r, seq in enumerate(seqs):
+        assert ids[r, : len(seq)].tolist() == seq
+        assert (ids[r, len(seq):] == pad_id).all()
+        assert mask[r].tolist() == [int(x != pad_id) for x in ids[r]]
+
+
+@given(
+    responses=st.lists(
+        st.one_of(
+            st.none(),  # raise
+            st.lists(st.text("ab ", min_size=1, max_size=12), max_size=5),
+        ),
+        max_size=8,
+    ),
+    n=st.integers(1, 4),
+)
+def test_retry_namer_always_returns_valid_names(responses, n):
+    """M7 protocol invariant: whatever the LLM does (garbage, raises, wrong
+    count, dupes), the namer's output always passes validate_names — either
+    an accepted response or the deterministic fallback."""
+    from cinegraph_spark.operators.clustering import (
+        NAMER_RETRIES,
+        fallback_names,
+        retry_namer,
+        validate_names,
+    )
+
+    calls = {"n": 0}
+
+    def llm(parent, groups, attempt):
+        calls["n"] += 1
+        resp = responses[attempt] if attempt < len(responses) else None
+        if resp is None:
+            raise RuntimeError("boom")
+        return resp
+
+    out = retry_namer(llm)("p", [{} for _ in range(n)])
+    assert validate_names(out, n)
+    assert calls["n"] <= NAMER_RETRIES
+    # exhausted budgets land exactly on the reference fallback
+    if all(
+        (r is None or not validate_names([str(x) for x in r], n))
+        for r in responses[:NAMER_RETRIES]
+    ) and len(responses) >= 0:
+        if calls["n"] == NAMER_RETRIES:
+            assert out == fallback_names("p", n)

@@ -17,6 +17,7 @@ from cinegraph_spark.multimodal.binary_ops import (
 )
 from cinegraph_spark.queries import register
 from cinegraph_spark.queries.util import T
+from cinegraph_spark.session import ensure_shipped
 
 # header: 'MEDIA|<kind>|<w>|<h>|<dur>' ; payload = header \n text (ascii)
 _KIND_SQL = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
@@ -47,6 +48,7 @@ def media_feature_extract(spark, sf_dir):
     """Binary decode path (Arrow-batched mapInPandas with the deterministic
     fake decoder) — metadata output cross-checked against closed-form SQL.
     Real codecs plug into the same kernel point (binary_ops.real_decoder)."""
+    ensure_shipped(spark)  # workers must import the binary_ops kernels
     media = synth_media(T(spark, sf_dir, "documents"))
     return extract_features(media).drop("checksum")
 
@@ -59,6 +61,7 @@ def media_feature_extract(spark, sf_dir):
 def media_payload_checksums(spark, sf_dir):
     """Position-weighted payload checksum per media row (the byte-touching
     half of the decode path)."""
+    ensure_shipped(spark)  # workers must import the binary_ops kernels
     media = synth_media(T(spark, sf_dir, "documents"))
     return extract_features(media).select("media_id", "n_bytes", "checksum")
 
@@ -80,6 +83,7 @@ def media_payload_checksums(spark, sf_dir):
 def media_frame_sample_plan(spark, sf_dir):
     """Frame-sampling row explosion (M2's windowize pattern in the time
     domain): one row per (video, 1s frame tick)."""
+    ensure_shipped(spark)  # workers must import the binary_ops kernels
     media = synth_media(T(spark, sf_dir, "documents"))
     plan = frame_sample_plan(media, every_ms=1000)
     return plan.select(
@@ -104,6 +108,7 @@ def media_kind_profile(spark, sf_dir):
     """Storage profile per modality (scan stays on metadata; payloads are
     column-pruned away — verify with .explain: ReadSchema excludes payload
     when this runs against a stored media table)."""
+    ensure_shipped(spark)  # workers must import the binary_ops kernels
     media = synth_media(T(spark, sf_dir, "documents"))
     sizes = media.groupBy("kind").agg(
         F.count("*").alias("n"),

@@ -75,6 +75,8 @@ def load_all() -> dict[str, QuerySpec]:
         graph,
         tpch_extra,
         cluster,
+        relational_extra,
+        sampling,
         relational,
         strings,
         pipeline,

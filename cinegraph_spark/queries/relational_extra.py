@@ -1,0 +1,263 @@
+"""Relational surface extensions (SURVEY §2.10): subquery shapes (scalar,
+correlated-aggregate, NOT EXISTS), the remaining window ranking functions
+(ntile / percent_rank / cume_dist / first_value / last_value / nth_value),
+and argmin/argmax aggregates.
+
+The reference has none of these (its only predicates are FK lookups,
+``db/repositories/graph_repo.py:108-129``); they are engine capabilities the
+driver's harness exercises. Every query here is a classic Catalyst rewrite
+target — scalar subqueries become broadcast joins, NOT EXISTS becomes an
+anti join — so each docstring states the physical plan we expect at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cinegraph_spark.queries import register
+from cinegraph_spark.queries.util import T, r4
+
+# ---------------------------------------------------------------------------
+# Subquery shapes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subq_scalar_orders_above_avg",
+    """
+    SELECT o_orderpriority,
+           count(*)                    AS n_above,
+           round(sum(o_totalprice), 4) AS sum_above
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "subquery"),
+)
+def subq_scalar_orders_above_avg(spark, sf_dir):
+    """Scalar subquery: orders above the global average price, counted per
+    priority. Spark shape: the 1-row global aggregate is crossJoin-broadcast
+    against the scan (a BroadcastNestedLoopJoin over a single row — free),
+    then filter + 5-group hashagg. Two scans of orders, both map-only with
+    map-side partial aggregation; no large shuffle at any scale."""
+    o = T(spark, sf_dir, "orders")
+    avg_price = o.agg(F.avg("o_totalprice").alias("_avg_price"))
+    return (
+        o.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("_avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_above"),
+            r4(F.sum("o_totalprice")).alias("sum_above"),
+        )
+    )
+
+
+@register(
+    "subq_correlated_top_heavy_customers",
+    """
+    SELECT o_custkey,
+           count(*)                    AS n_orders,
+           round(max(o_totalprice), 4) AS max_order,
+           round(sum(o_totalprice), 4) AS sum_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 2 AND max(o_totalprice) > 0.5 * sum(o_totalprice)
+    """,
+    tags=("relational", "subquery"),
+)
+def subq_correlated_top_heavy_customers(spark, sf_dir):
+    """Correlated-aggregate subquery shape: customers whose single largest
+    order exceeds half their lifetime spend (the correlated form
+    ``WHERE o_totalprice > 0.5 * (SELECT sum(..) WHERE o_custkey = outer)``
+    decorrelates to exactly this one-pass groupBy + HAVING — the rewrite
+    every optimizer performs; we declare the decorrelated plan directly).
+    One hash shuffle on o_custkey; map-side combine keeps it proportional
+    to the customer count, not the order count."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.max("o_totalprice").alias("_max"),
+            F.sum("o_totalprice").alias("_sum"),
+        )
+        .filter((F.col("n_orders") >= 2) & (F.col("_max") > 0.5 * F.col("_sum")))
+        .select(
+            "o_custkey",
+            "n_orders",
+            r4(F.col("_max")).alias("max_order"),
+            r4(F.col("_sum")).alias("sum_orders"),
+        )
+    )
+
+
+@register(
+    "subq_not_exists_parts_unordered_1997",
+    """
+    SELECT p.p_partkey, p.p_brand, p.p_type
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_partkey = p.p_partkey
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    ORDER BY p.p_partkey
+    """,
+    tags=("relational", "subquery", "antijoin"),
+)
+def subq_not_exists_parts_unordered_1997(spark, sf_dir):
+    """NOT EXISTS with a join inside: parts nobody ordered during 1997.
+    Spark shape: left_anti join of part against the 1997 (lineitem ⋈ orders)
+    key set. The inner join prunes to two columns before shuffling; the date
+    filter pushes into the orders scan. At 100 TB the anti join shuffles only
+    distinct l_partkey values (projected early), not full rows."""
+    p = T(spark, sf_dir, "part")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = T(spark, sf_dir, "lineitem")
+    ordered_1997 = (
+        l.join(o, l.l_orderkey == o.o_orderkey).select("l_partkey").distinct()
+    )
+    return (
+        p.join(ordered_1997, p.p_partkey == F.col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_brand", "p_type")
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window ranking extras
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_ntile_percent_cume",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist()    OVER w, 4) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("relational", "window"),
+)
+def window_ntile_percent_cume(spark, sf_dir):
+    """ntile / percent_rank / cume_dist over customers ranked by balance
+    within segment. The c_custkey tiebreaker makes every rank deterministic
+    (and makes each row its own peer group, so cume_dist agrees across
+    engines). One shuffle on the 5-segment partition key — skewed by design;
+    at scale a segment-partitioned window like this wants sub-partitioning
+    (salt + two-pass rank merge) or a range repartition; documented here as
+    the canonical semantics."""
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    )
+    return T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        r4(F.percent_rank().over(w)).alias("pct_rank"),
+        r4(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+@register(
+    "window_first_last_nth_order",
+    """
+    WITH w AS (
+        SELECT o_custkey,
+               row_number() OVER win AS rn,
+               round(first_value(o_totalprice) OVER win, 4) AS first_price,
+               round(nth_value(o_totalprice, 2) OVER
+                     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4)
+                   AS second_price,
+               round(last_value(o_totalprice) OVER
+                     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4)
+                   AS last_price
+        FROM orders
+        WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey, first_price, second_price, last_price
+    FROM w WHERE rn = 1
+    """,
+    tags=("relational", "window"),
+)
+def window_first_last_nth_order(spark, sf_dir):
+    """first_value / nth_value(2) / last_value of each customer's order
+    history (chronological, orderkey tiebreak). last_value and nth_value use
+    the full-partition ROWS frame — the classic footgun (the default frame
+    stops at CURRENT ROW) pinned here cross-engine. One shuffle on
+    o_custkey; rn=1 keeps one row per customer."""
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    grow = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        T(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.row_number().over(grow).alias("rn"),
+            r4(F.first("o_totalprice").over(grow)).alias("first_price"),
+            r4(F.nth_value("o_totalprice", 2).over(full)).alias("second_price"),
+            r4(F.last("o_totalprice").over(full)).alias("last_price"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# argmin / argmax aggregates
+# ---------------------------------------------------------------------------
+
+# acctbal is cent-precision (verified: round(x,2) == x across sf0.01/sf0.1)
+# and custkey < 1e8, so (cents * 1e8 + custkey) is an exact, collision-free
+# BIGINT that orders by (acctbal, custkey) — a deterministic argmax key even
+# when two customers share a balance.
+_BAL_KEY_SQL = (
+    "CAST(round(c_acctbal * 100) AS BIGINT) * 100000000 + c_custkey"
+)
+
+
+@register(
+    "agg_minby_maxby_nation",
+    f"""
+    SELECT c_nationkey,
+           arg_max(c_name, {_BAL_KEY_SQL}) AS richest_customer,
+           arg_min(c_name, {_BAL_KEY_SQL}) AS poorest_customer,
+           round(max(c_acctbal), 4) AS max_bal,
+           round(min(c_acctbal), 4) AS min_bal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("relational", "agg"),
+)
+def agg_minby_maxby_nation(spark, sf_dir):
+    """max_by / min_by (argmax/argmin) per nation with a collision-free
+    integer ordering key so ties on balance resolve identically in both
+    engines. Single hash aggregate, map-side combined — argmax carries one
+    (key, name) pair per group per partition, so shuffle volume is O(groups),
+    not O(rows), at any scale."""
+    c = T(spark, sf_dir, "customer")
+    key = (
+        F.round(F.col("c_acctbal") * 100).cast("bigint") * F.lit(100000000)
+        + F.col("c_custkey")
+    )
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", key).alias("richest_customer"),
+        F.min_by("c_name", key).alias("poorest_customer"),
+        r4(F.max("c_acctbal")).alias("max_bal"),
+        r4(F.min("c_acctbal")).alias("min_bal"),
+    )

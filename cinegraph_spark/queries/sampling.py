@@ -1,0 +1,128 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus is never consumed whole: pipelines carve out dev sets,
+ablation subsets, and per-source quotas. ``df.sample()`` is
+seed-and-partitioning dependent (a repartition changes the sample), so these
+operators sample by *content key*: a multiplicative-hash scramble of the
+stable document id. The same rows are selected on any cluster layout, any
+engine — which is exactly what makes them oracle-checkable here and
+reproducible in production.
+
+The scramble is Knuth's multiplicative hash (golden-ratio constant
+2654435761); the id is first reduced mod 100003 (prime) so the product stays
+far below 2^63 in both engines (DuckDB raises on BIGINT overflow rather than
+wrapping, so the hash must be overflow-free, not merely wrap-consistent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cinegraph_spark.queries import register
+from cinegraph_spark.queries.util import T
+
+#: overflow-free deterministic scramble of doc_id, uniform-ish on [0, 1000).
+_SCRAMBLE_SQL = "(doc_id % 100003) * 2654435761 % 1000"
+
+
+def _scramble(col):
+    return (col % 100003) * F.lit(2654435761) % 1000
+
+
+@register(
+    "sample_hash_mod_documents",
+    f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_SCRAMBLE_SQL} < 100
+    ORDER BY doc_id
+    """,
+    tags=("sampling", "llm-pipeline"),
+)
+def sample_hash_mod_documents(spark, sf_dir):
+    """~10% Bernoulli-style sample keyed on a hash of doc_id. Map-only: the
+    predicate evaluates per row with no shuffle and no state, so it costs a
+    scan at any corpus size — and re-running it on a recompacted / differently
+    partitioned copy of the corpus selects the identical document set
+    (unlike ``df.sample``, which samples by partition position)."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.filter(_scramble(F.col("doc_id")) < 100)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_stratified_topn_per_source",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, source, {_SCRAMBLE_SQL} * 100003 + doc_id AS skey
+        FROM documents
+    )
+    SELECT source, doc_id
+    FROM (SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source ORDER BY skey) AS rn
+          FROM keyed)
+    WHERE rn <= 5
+    ORDER BY source, doc_id
+    """,
+    tags=("sampling", "llm-pipeline"),
+)
+def sample_stratified_topn_per_source(spark, sf_dir):
+    """Stratified fixed-n sample: the 5 lowest-scrambled-key docs per source
+    — a deterministic stand-in for 'n uniform draws per stratum' (the
+    scramble decorrelates the pick from ingestion order; doc_id breaks the
+    1-in-1000 scramble collisions). One shuffle on source; at scale this is
+    the standard top-k-per-group window, and with many strata the partial
+    TakeOrdered per map task bounds memory."""
+    d = T(spark, sf_dir, "documents")
+    skey = _scramble(F.col("doc_id")) * 100003 + F.col("doc_id")
+    return (
+        d.select("doc_id", "source", skey.alias("skey"))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("source").orderBy("skey")))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
+
+
+@register(
+    "sample_lang_quota",
+    f"""
+    WITH quota(lang, q) AS (VALUES ('en', 20), ('es', 8), ('zh', 8)),
+    keyed AS (
+        SELECT d.doc_id, d.lang, q.q,
+               {_SCRAMBLE_SQL} * 100003 + doc_id AS skey
+        FROM documents d JOIN quota q USING (lang)
+    )
+    SELECT lang, doc_id
+    FROM (SELECT lang, doc_id, q,
+                 row_number() OVER (PARTITION BY lang ORDER BY skey) AS rn
+          FROM keyed)
+    WHERE rn <= q
+    ORDER BY lang, doc_id
+    """,
+    tags=("sampling", "llm-pipeline"),
+)
+def sample_lang_quota(spark, sf_dir):
+    """Per-language quota sampling (the data-mixing primitive: 'cap English,
+    keep all low-resource'): join a tiny broadcast quota table, take the
+    quota-many lowest scrambled keys per language. Languages without a quota
+    row are dropped by the inner join (explicit mixing policy). Broadcast
+    join + one window shuffle on lang; quota tables are O(100) rows at any
+    corpus size."""
+    d = T(spark, sf_dir, "documents")
+    quota = d.sparkSession.createDataFrame(
+        [("en", 20), ("es", 8), ("zh", 8)], "lang string, q int"
+    )
+    skey = _scramble(F.col("doc_id")) * 100003 + F.col("doc_id")
+    return (
+        d.join(F.broadcast(quota), "lang")
+        .select("lang", "doc_id", "q", skey.alias("skey"))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("lang").orderBy("skey")))
+        .filter(F.col("rn") <= F.col("q"))
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )

@@ -422,3 +422,135 @@ def text_udtf_sentence_split(spark, sf_dir):
         "SELECT d.doc_id, s.sent_idx, s.sentence, s.n_words "
         "FROM _docs_udtf d, LATERAL sentence_split(d.text) s"
     )
+
+
+@register(
+    "text_pii_redact",
+    """
+    WITH pii AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7 call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS t
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id, t,
+             CAST(len(regexp_extract_all(t, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(t, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS BIGINT)  AS n_ip,
+             CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}')) AS BIGINT)             AS n_phone
+      FROM pii
+    )
+    SELECT doc_id, n_email, n_ip, n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+                 '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '[EMAIL]', 'g'),
+                 '([0-9]{1,3}\\.){3}[0-9]{1,3}', '[IP]', 'g'),
+                 '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
+    FROM counted
+    """,
+    tags=("textstats", "pii", "llm-pipeline"),
+)
+def text_pii_redact(spark, sf_dir):
+    """PII detection + redaction (email / IPv4 / phone → typed placeholders)
+    — the scrub pass every public-corpus pipeline runs before training. The
+    fixture text is digit-free, so the query first plants deterministic PII
+    derived from doc_id (same construction in both engines), then counts and
+    redacts it; the md5 of the redacted text pins the full transform, not
+    just the counts. Map-only JVM regex chain — same shape as the F1–F11
+    cleaning chain; redaction order (email → IP → phone) matters and is
+    identical in both engines."""
+    d = T(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+    ipv4 = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+    phone = r"[0-9]{3}-[0-9]{4}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, email, "[EMAIL]"), ipv4, "[IP]"
+        ),
+        phone,
+        "[PHONE]",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(email)).cast("long").alias("n_email"),
+        F.regexp_count(t, F.lit(ipv4)).cast("long").alias("n_ip"),
+        F.regexp_count(t, F.lit(phone)).cast("long").alias("n_phone"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@register(
+    "text_quality_filter_gopher",
+    f"""
+    WITH {_TOKS_CTE},
+    stats AS (
+      SELECT doc_id,
+             CAST(len(tokens) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(tokens)) AS BIGINT) AS n_uniq,
+             CAST(list_sum(list_transform(tokens, t -> CAST(len(t) AS BIGINT)))
+                  AS BIGINT) AS sum_len,
+             CAST(list_contains(tokens, 'the') AS INT)
+               + CAST(list_contains(tokens, 'a') AS INT) AS n_stophits
+      FROM toks
+    )
+    SELECT doc_id, n_tok,
+           CAST(n_tok >= 40 AS INT)                            AS pass_words,
+           CAST(n_uniq * 100 >= 37 * n_tok AS INT)             AS pass_uniq,
+           CAST(sum_len >= 3 * n_tok AND sum_len <= 10 * n_tok AS INT) AS pass_wlen,
+           CAST(n_stophits >= 2 AS INT)                        AS pass_stop,
+           CAST(n_tok >= 40 AND n_uniq * 100 >= 37 * n_tok
+                AND sum_len >= 3 * n_tok AND sum_len <= 10 * n_tok
+                AND n_stophits >= 2 AS INT)                    AS keep
+    FROM stats
+    """,
+    tags=("textstats", "quality", "llm-pipeline"),
+)
+def text_quality_filter_gopher(spark, sf_dir):
+    """Gopher-style hard quality gates as boolean columns: minimum word
+    count, unique-word ratio (repetition filter), mean-word-length band,
+    and required stopwords — each rule exposed as its own flag so a pipeline
+    can audit *why* a document was dropped, `keep` = AND of all four.
+    All ratio comparisons are cross-multiplied to exact int64 arithmetic
+    (n_uniq/n_tok >= 0.37 becomes n_uniq*100 >= 37*n_tok), so the oracle
+    match is bit-exact with no float thresholds. Map-only scan; thresholds
+    chosen to split the fixture corpus non-trivially (331/357/500/317 of 500
+    docs pass the four gates at sf0.01)."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokenize_whitespace(F.col("text")).alias("tokens")
+    )
+    n_tok = F.size("tokens").cast("long")
+    n_uniq = F.size(F.array_distinct("tokens")).cast("long")
+    sum_len = F.aggregate(
+        F.transform("tokens", lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_stop = (
+        F.array_contains("tokens", "the").cast("int")
+        + F.array_contains("tokens", "a").cast("int")
+    )
+    pass_words = (n_tok >= 40).cast("int")
+    pass_uniq = (n_uniq * 100 >= 37 * n_tok).cast("int")
+    pass_wlen = ((sum_len >= 3 * n_tok) & (sum_len <= 10 * n_tok)).cast("int")
+    pass_stop = (n_stop >= 2).cast("int")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        pass_words.alias("pass_words"),
+        pass_uniq.alias("pass_uniq"),
+        pass_wlen.alias("pass_wlen"),
+        pass_stop.alias("pass_stop"),
+        (
+            (pass_words == 1) & (pass_uniq == 1) & (pass_wlen == 1) & (pass_stop == 1)
+        ).cast("int").alias("keep"),
+    )

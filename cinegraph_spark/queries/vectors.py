@@ -367,3 +367,63 @@ def vec_centroid_shift_labels(spark, sf_dir):
         F.col("delta").alias("bottom_delta"),
     )
     return t.join(b, t.label == b.b_label).drop("b_label")
+
+
+@register(
+    "vec_int8_quantize_error",
+    f"""
+    WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+    x AS (
+      SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+      FROM e
+    ),
+    stats AS (
+      SELECT dim, min(val) AS mn, max(val) AS mx FROM x GROUP BY dim
+    ),
+    q AS (
+      SELECT x.dim, x.val,
+             round((x.val - s.mn) * 254 / (s.mx - s.mn)) - 127 AS code
+      FROM x JOIN stats s ON x.dim = s.dim
+    ),
+    dq AS (
+      SELECT q.dim, q.code,
+             abs(((q.code + 127) * (s.mx - s.mn) / 254 + s.mn) - q.val) AS err
+      FROM q JOIN stats s ON q.dim = s.dim
+    )
+    SELECT CAST(dim AS INT) - 1 AS dim,
+           CAST(min(code) AS BIGINT) AS code_min,
+           CAST(max(code) AS BIGINT) AS code_max,
+           round(avg(err) * 1000, 4) AS mean_abs_err_milli,
+           round(max(err) * 1000, 4) AS max_abs_err_milli
+    FROM dq GROUP BY dim
+    """,
+    tags=("vector", "quantize", "llm-pipeline"),
+)
+def vec_int8_quantize_error(spark, sf_dir):
+    """Per-dimension int8 scalar quantization of the embedding table (the
+    memory-/bandwidth-4x-compression step before ANN serving) plus its
+    reconstruction error. Two passes: (1) per-dimension min/max — posexplode
+    then hashagg, map-side-combined to O(dim) rows per partition; (2) the
+    64-row stats broadcast back against the exploded values, so quantization
+    is map-only at any corpus size (this is exactly how a 100 TB encode job
+    should look: tiny global stats, one broadcast, one scan). Quantize /
+    dequantize arithmetic uses the same expression tree in both engines
+    (identical IEEE-754 association), errors are reported in milli-units so
+    the 4-decimal rounding keeps ~7 significant digits."""
+    e = _emb(spark, sf_dir)
+    x = e.select("vec_id", F.posexplode("v").alias("dim", "val"))
+    stats = x.groupBy("dim").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    q = x.join(F.broadcast(stats), "dim")
+    code = F.round((F.col("val") - F.col("mn")) * 254 / (F.col("mx") - F.col("mn"))) - 127
+    dequant = (code + 127) * (F.col("mx") - F.col("mn")) / 254 + F.col("mn")
+    err = F.abs(dequant - F.col("val"))
+    return (
+        q.select(F.col("dim").cast("int").alias("dim"), code.alias("code"), err.alias("err"))
+        .groupBy("dim")
+        .agg(
+            F.min("code").cast("bigint").alias("code_min"),
+            F.max("code").cast("bigint").alias("code_max"),
+            F.round(F.avg("err") * 1000, 4).alias("mean_abs_err_milli"),
+            F.round(F.max("err") * 1000, 4).alias("max_abs_err_milli"),
+        )
+    )

@@ -77,6 +77,7 @@ def load_all() -> dict[str, QuerySpec]:
         cluster,
         relational_extra,
         sampling,
+        packing,
         relational,
         strings,
         pipeline,

@@ -338,3 +338,130 @@ def dedup_embedding_near_pairs(spark, sf_dir):
         .filter(F.col("cos_sim_raw") >= 0.35)
         .select("id_a", "id_b", F.round("cos_sim_raw", 4).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination screen + blocked edit-distance near-dup
+# ---------------------------------------------------------------------------
+
+#: 5-gram shingle CTE (finer than the 8-gram dedup shingles: contamination
+#: wants higher recall on partial overlap). Same <n-token whole-doc fallback
+#: as operators/dedup.py::shingles.
+_SH5_CTES = """
+    toks AS (
+      SELECT doc_id, list_filter(string_split_regex(
+               regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+'),
+               t -> t <> '') AS tokens
+      FROM documents
+    ),
+    sh5 AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(tokens) >= 5
+                  THEN array_to_string(tokens[i : i + 4], ' ')
+                  ELSE array_to_string(tokens, ' ') END AS shingle
+      FROM toks, unnest(range(1, greatest(len(tokens) - 3, 2))) AS u(i)
+    )
+"""
+
+
+@register(
+    "dedup_contamination_screen",
+    f"""
+    WITH {_SH5_CTES},
+    ev AS (SELECT DISTINCT shingle FROM sh5
+           WHERE (doc_id % 100003) * 2654435761 % 1000 < 100),
+    corpus AS (SELECT doc_id, shingle FROM sh5
+               WHERE (doc_id % 100003) * 2654435761 % 1000 >= 100),
+    totals AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+    hits AS (
+      SELECT c.doc_id, count(*) AS n_overlap
+      FROM corpus c JOIN ev USING (shingle) GROUP BY c.doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           coalesce(h.n_overlap, 0)                              AS n_overlap,
+           round(coalesce(h.n_overlap, 0) * 1.0 / t.n_shingles, 4) AS overlap_ratio,
+           CAST(coalesce(h.n_overlap, 0) * 2 >= t.n_shingles AS INT) AS contaminated
+    FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+    tags=("dedup", "contamination", "llm-pipeline"),
+)
+def dedup_contamination_screen(spark, sf_dir):
+    """Benchmark-contamination screen: flag corpus documents whose 5-gram
+    shingle set overlaps a held-out eval set (the deterministic 10%
+    content-hash sample from ``queries/sampling.py`` plays the benchmark).
+    The eval shingle set is tiny relative to the corpus — in Spark it is
+    DISTINCT-ed and **broadcast**, so the screen is a map-side hash probe
+    over the corpus shingle stream plus one groupBy(doc_id): at 100 TB this
+    is exactly an n-gram bloom/hash filter pass, never a shuffle join of two
+    corpus-sized sides. The contaminated flag uses integer cross-
+    multiplication (2·overlap ≥ total), exact in both engines."""
+    from cinegraph_spark.queries.sampling import _scramble
+
+    t = _toks(spark, sf_dir)
+    is_eval = _scramble(F.col("doc_id")) < 100
+    ev = (
+        shingles(t.filter(is_eval), "doc_id", "tokens", n=5)
+        .select("shingle")
+        .distinct()
+    )
+    corpus = shingles(t.filter(~is_eval), "doc_id", "tokens", n=5)
+    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap_raw"))
+    )
+    n_ov = F.coalesce(F.col("n_overlap_raw"), F.lit(0)).cast("long")
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_ov.alias("n_overlap"),
+        F.round(n_ov * 1.0 / F.col("n_shingles"), 4).alias("overlap_ratio"),
+        (n_ov * 2 >= F.col("n_shingles")).cast("int").alias("contaminated"),
+    )
+
+
+@register(
+    "dedup_levenshtein_part_names",
+    """
+    SELECT a.p_brand AS brand,
+           a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         AND abs(len(a.p_name) - len(b.p_name)) <= 2
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    tags=("dedup", "near-dup", "fuzzy"),
+)
+def dedup_levenshtein_part_names(spark, sf_dir):
+    """Blocked edit-distance near-dup over part names (entity-resolution
+    flavor of dedup): candidate pairs only *within a brand block* and within
+    a ±2 length band — the two cheap equality/band keys bound the quadratic
+    comparison to per-block sizes, the standard way fuzzy matching survives
+    scale (never an unblocked all-pairs levenshtein). Both engines use the
+    textbook DP edit distance, so the threshold is exact parity."""
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("b_brand"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("brand") == F.col("b_brand"))
+        & (F.col("key_a") < F.col("key_b"))
+        & (
+            F.abs(F.length("name_a") - F.length("name_b")) <= 2
+        ),
+    )
+    return (
+        pairs.withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("brand", "key_a", "key_b", "edit_dist")
+    )

@@ -178,3 +178,28 @@ def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
     # and the filter is NOT re-evaluated per row after the scan
     want = e.filter(F.to_date("ts") == "2024-01-02").count()
     assert one_day.count() == want
+
+
+def test_contamination_screen_broadcasts_eval_shingles(q):
+    """The eval-set shingle probe must be a broadcast hash probe over the
+    corpus shingle stream — a sort-merge join here would shuffle the full
+    corpus shingle set against a tiny eval set at 100 TB."""
+    c = plan_counts(q("dedup_contamination_screen"))
+    assert c["broadcast_hash_join"] >= 1
+    assert c["python_row_udf"] == 0
+
+
+def test_packing_prefix_sum_is_single_window_shuffle(q):
+    """Concat-and-chunk packing is one hash shuffle on the shard key (the
+    window prefix-sum); the chunk arithmetic after it is map-only. More
+    exchanges would mean the packing re-partitions per stage."""
+    c = plan_counts(q("pack_chunks_per_source"))
+    assert c["shuffle_exchange"] == 1
+    assert c["python_row_udf"] == 0 and c["python_arrow_udf"] == 0
+
+
+def test_levenshtein_dedup_has_no_python(q):
+    """Blocked fuzzy matching stays JVM-side: levenshtein is a codegen'd
+    built-in, not a UDF."""
+    c = plan_counts(q("dedup_levenshtein_part_names"))
+    assert c["python_row_udf"] == 0 and c["python_arrow_udf"] == 0

@@ -162,3 +162,170 @@ def lsh_cosine_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization (codebook train / encode / ADC top-k)
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    e: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    v: str = "v",
+    seed: int = 42,
+    iters: int = 15,
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks: split every vector into ``m``
+    contiguous sub-vectors and run seeded Lloyd's KMeans(``k``)
+    independently per subspace. Returns ``m × k × (dim/m)`` nested lists
+    (a few KB — the PQ "index" is driver/broadcast-sized by construction).
+
+    Spark shape: one ``applyInPandas`` over exactly ``m`` groups — the m
+    independent small fits are the *group* axis, so they train in parallel
+    in one shuffle. Rows are sorted by id inside each group and the RNG is
+    derived from (seed, subspace), so training is bit-deterministic for a
+    given corpus. At 100 TB you train on a content-hash sample (PQ codebooks
+    saturate at ~100k training points); pass that sample as ``e``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dim = _arr_len(e, v)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+
+    sub = e.select(
+        F.col("vec_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.alias("j"),
+                    F.slice(F.col(v), j * dsub + 1, dsub).alias("sv"),
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+
+    def lloyd(pdf: pd.DataFrame) -> pd.DataFrame:
+        j = int(pdf["j"].iloc[0])
+        pdf = pdf.sort_values("vec_id")
+        X = np.vstack(pdf["sv"].to_numpy())
+        rng = np.random.default_rng(seed * 1009 + j)
+        # kmeans++ seeding
+        centers = [X[rng.integers(len(X))]]
+        for _ in range(1, k):
+            d2 = np.min(
+                ((X[:, None, :] - np.asarray(centers)[None, :, :]) ** 2).sum(-1),
+                axis=1,
+            )
+            p = d2 / d2.sum() if d2.sum() > 0 else None
+            centers.append(X[rng.choice(len(X), p=p)])
+        C = np.asarray(centers, dtype=np.float64)
+        for _ in range(iters):
+            a = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+            for c in range(k):
+                if (a == c).any():
+                    C[c] = X[a == c].mean(0)
+                else:  # re-seed empty cluster to the farthest point
+                    far = ((X - C[a]) ** 2).sum(1).argmax()
+                    C[c] = X[far]
+        return pd.DataFrame({"j": [j], "codebook": [C.tolist()]})
+
+    rows = (
+        sub.groupBy("j")
+        .applyInPandas(lloyd, "j int, codebook array<array<double>>")
+        .collect()
+    )
+    books = {r["j"]: r["codebook"] for r in rows}
+    return [books[j] for j in range(m)]
+
+
+def _arr_len(e: DataFrame, v: str) -> int:
+    """Array length from the first row — used only at *train* time (training
+    is eager anyway); the encode/search expressions never launch jobs."""
+    return len(e.select(v).first()[0])
+
+
+def _lit_codebook(book: list[list[float]]):
+    """k × dsub nested array literal."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+    )
+
+
+def pq_encode_col(v_col, codebooks: list[list[list[float]]]):
+    """PQ codes as ONE map-only JVM column expression → ``array<int>``
+    (length m): per subspace, the index of the nearest codebook centroid.
+    No Python, no shuffle — at 100 TB the encode pass is a codegen scan
+    writing 8 bytes/vector instead of 512."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    def code_for(j):
+        sv = F.slice(v_col, j * dsub + 1, dsub)
+        dists = F.transform(
+            _lit_codebook(codebooks[j]),
+            lambda c: F.aggregate(
+                F.zip_with(sv, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return F.array(*[code_for(j) for j in range(m)])
+
+
+def pq_topk(
+    e: DataFrame,
+    q: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    rerank: int = 40,
+    v: str = "v",
+) -> DataFrame:
+    """IVF-PQ search with ADC + exact re-rank: approximate every corpus
+    vector's dot product against the query from its PQ codes
+    (``Σ_j  q_sub_j · C[j][code_j]``), keep the ``rerank`` best candidates
+    (TakeOrdered — never a global sort), then exact-cosine re-rank to the
+    final top-``k``.
+
+    Everything is column expressions over the broadcast single-row query:
+    the ADC pass reads only the code column (8 bytes/vector — the 64×
+    bandwidth win that makes PQ the 100 TB serving layout), and precision
+    comes back in the re-rank, which touches only ``rerank`` full vectors.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    enc = e.withColumn("_codes", pq_encode_col(F.col(v), codebooks))
+
+    def adc_term(j):
+        qsub = F.slice(F.col("qv"), j * dsub + 1, dsub)
+        cent = F.element_at(
+            _lit_codebook(codebooks[j]), F.element_at("_codes", j + 1) + 1
+        )
+        return F.aggregate(
+            F.zip_with(qsub, cent, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    adc = sum(adc_term(j) for j in range(m))
+    cand = (
+        enc.crossJoin(F.broadcast(q))
+        .select("vec_id", v, "qv", adc.alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(rerank)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            F.round(V.cosine(F.col(v), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

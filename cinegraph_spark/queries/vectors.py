@@ -427,3 +427,36 @@ def vec_int8_quantize_error(spark, sf_dir):
             F.round(F.max("err") * 1000, 4).alias("max_abs_err_milli"),
         )
     )
+
+
+_PQ_BOOKS: dict[str, list] = {}
+
+
+@register(
+    "vec_ann_pq_topk",
+    None,
+    tags=("vector", "ann", "pq", "similarity", "prop"),
+)
+def vec_ann_pq_topk(spark, sf_dir):
+    """V1 scale path (c): IVF-PQ — per-subspace KMeans codebooks (8
+    subspaces × 16 codes over the 64-dim embeddings), map-only JVM encode
+    (codes are 8 bytes/vector — the 64× scan-bandwidth compression that
+    makes PQ the 100 TB serving layout), ADC approximate scoring against
+    the broadcast query, TakeOrdered(80) candidates, exact-cosine re-rank
+    to top-10. Codebook training is seeded Lloyd's via one applyInPandas
+    over the m subspace groups (`operators/similarity.py::pq_train`) and is
+    deterministic for a given corpus — but the driver takes the rows-only
+    gate (like MinHash/SimHash: engine-specific numerics, no SQL oracle);
+    recall vs brute force and determinism are pinned in
+    tests/test_ann_recall.py."""
+    from cinegraph_spark.operators.similarity import pq_topk, pq_train
+    from cinegraph_spark.session import bounded_shuffle
+
+    e = _emb(spark, sf_dir)
+    if sf_dir not in _PQ_BOOKS:
+        with bounded_shuffle(spark):
+            _PQ_BOOKS[sf_dir] = pq_train(e, m=8, k=16)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return pq_topk(
+        e.filter(F.col("vec_id") != 0), q, _PQ_BOOKS[sf_dir], k=10, rerank=80
+    )

@@ -46,6 +46,11 @@ HEADLINE = [
     "graph_cc_neardup_clusters",
     "vec_ann_ivf_topk",
     "skew_salted_agg_revenue_per_priority",
+    "pack_chunks_per_source",
+    "dedup_contamination_screen",
+    "sample_lang_quota",
+    "subq_not_exists_parts_unordered_1997",
+    "vec_int8_quantize_error",
 ]
 
 

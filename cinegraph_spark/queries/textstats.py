@@ -554,3 +554,66 @@ def text_quality_filter_gopher(spark, sf_dir):
             (pass_words == 1) & (pass_uniq == 1) & (pass_wlen == 1) & (pass_stop == 1)
         ).cast("int").alias("keep"),
     )
+
+
+@register(
+    "text_repetition_stats",
+    f"""
+    WITH {_TOKS_CTE},
+    g2 AS (
+      SELECT doc_id, array_to_string(tokens[i : i + 1], ' ') AS g
+      FROM toks, unnest(range(1, greatest(len(tokens), 2))) AS u(i)
+      WHERE len(tokens) >= 2
+    ),
+    cnt AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT)   AS n_bigrams,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT)   AS top_count
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, n_distinct, top_count,
+           round((n_bigrams - n_distinct) * 1.0 / n_bigrams, 4) AS dup_frac,
+           CAST((n_bigrams - n_distinct) * 20 > n_bigrams AS INT) AS repetitive
+    FROM agg
+    """,
+    tags=("textstats", "quality", "llm-pipeline"),
+)
+def text_repetition_stats(spark, sf_dir):
+    """Within-document repetition stats (the Gopher repetition-filter
+    family): per doc, total vs distinct word-bigram counts, the most
+    repeated bigram's count, the duplicate-bigram fraction, and a
+    ``repetitive`` flag at the 5% line (integer cross-multiplied — exact in
+    both engines; flags 102/500 fixture docs). Shape: bigram explode →
+    (doc, gram) hash count → per-doc agg; the (doc, gram) key is
+    high-cardinality but map-side combine collapses it before the shuffle,
+    and nothing is corpus-global — the scan parallelizes per doc at any
+    corpus size."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokenize_whitespace(F.col("text")).alias("tokens")
+    ).filter(F.size("tokens") >= 2)
+    g2 = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tokens") - 1),
+                lambda i: F.array_join(F.slice("tokens", i, 2), " "),
+            )
+        ).alias("g"),
+    )
+    cnt = g2.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top_count"),
+    )
+    dup = F.col("n_bigrams") - F.col("n_distinct")
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct",
+        "top_count",
+        F.round(dup * 1.0 / F.col("n_bigrams"), 4).alias("dup_frac"),
+        (dup * 20 > F.col("n_bigrams")).cast("int").alias("repetitive"),
+    )

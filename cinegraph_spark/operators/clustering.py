@@ -53,6 +53,8 @@ def kmeans_assign(features_df, key_col: str, feature_cols: list[str], k: int | N
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.feature import VectorAssembler
 
+    if features_df.isEmpty():
+        raise ValueError("KMeans training requires a non-empty corpus")
     if k is None:
         k = n_micro_clusters(features_df.count())
     assembled = VectorAssembler(

@@ -247,7 +247,10 @@ def pq_train(
 def _arr_len(e: DataFrame, v: str) -> int:
     """Array length from the first row — used only at *train* time (training
     is eager anyway); the encode/search expressions never launch jobs."""
-    return len(e.select(v).first()[0])
+    row = e.select(v).first()
+    if row is None or row[0] is None:
+        raise ValueError("PQ training requires a non-empty vector corpus")
+    return len(row[0])
 
 
 def _lit_codebook(book: list[list[float]]):

@@ -261,3 +261,61 @@ def agg_minby_maxby_nation(spark, sf_dir):
         r4(F.max("c_acctbal")).alias("max_bal"),
         r4(F.min("c_acctbal")).alias("min_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 VARIANT (semi-structured JSON) surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_variant_nested_events",
+    """
+    WITH j AS (
+      SELECT event_type,
+             '{"outer": ' || props || ', "arr": [' || user_id || ', '
+                          || event_id || ']}' AS doc
+      FROM events
+    )
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(doc, '$.outer.k') AS BIGINT)) AS BIGINT)
+             AS sum_outer_k,
+           CAST(max(CAST(json_extract(doc, '$.arr[1]') AS BIGINT)) AS BIGINT)
+             AS max_arr_1,
+           CAST(sum(CASE WHEN json_extract(doc, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+           count(*) AS n
+    FROM j
+    GROUP BY event_type
+    """,
+    tags=("relational", "scalar", "json", "variant"),
+)
+def scalar_variant_nested_events(spark, sf_dir):
+    """Spark 4 VARIANT path: build a nested JSON document (embedding the
+    original ``props`` object plus an integer array — all-integer leaves so
+    string construction is engine-identical), ``parse_json`` it into a
+    VARIANT column, and extract typed nested/array paths with
+    ``variant_get`` / ``try_variant_get``. VARIANT is Spark's columnar
+    semi-structured encoding — at 100 TB it replaces per-row JSON string
+    re-parsing with a binary-encoded shredded column, which is why the
+    engine surface matters beyond ``get_json_object``. The missing-path
+    probe uses ``try_variant_get`` (NULL, never an error)."""
+    e = T(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"outer": '),
+        F.col("props"),
+        F.lit(', "arr": ['),
+        F.col("user_id").cast("string"),
+        F.lit(", "),
+        F.col("event_id").cast("string"),
+        F.lit("]}"),
+    )
+    v = F.parse_json(doc)
+    return e.select("event_type", v.alias("v")).groupBy("event_type").agg(
+        F.sum(F.variant_get("v", "$.outer.k", "bigint")).cast("bigint").alias("sum_outer_k"),
+        F.max(F.variant_get("v", "$.arr[1]", "bigint")).cast("bigint").alias("max_arr_1"),
+        F.sum(
+            F.when(F.try_variant_get("v", "$.missing", "string").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_missing"),
+        F.count("*").alias("n"),
+    )

@@ -338,3 +338,158 @@ def stream_join_purchase_click_attribution(spark, sf_dir):
         tstr(ntz(F.col("purchase_ts"))).alias("purchase_ts"),
         tstr(ntz(F.col("click_ts"))).alias("click_ts"),
     )
+
+
+@register(
+    "events_gapfill_hourly_ffill",
+    """
+    WITH day AS (
+      SELECT * FROM events
+      WHERE event_type = 'purchase'
+        AND ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+    ),
+    ranked AS (
+      SELECT user_id, CAST(hour(ts) AS INT) AS hr, value,
+             row_number() OVER (PARTITION BY user_id, hour(ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id, hour(ts)) AS n_events
+      FROM day
+    ),
+    hourly AS (SELECT user_id, hr, value, n_events FROM ranked WHERE rn = 1),
+    grid AS (
+      SELECT u.user_id, h.hr
+      FROM (SELECT DISTINCT user_id FROM day) u,
+           (SELECT unnest(generate_series(0, 23)) AS hr) h
+    )
+    SELECT g.user_id, CAST(g.hr AS INT) AS hr,
+           round(last_value(hourly.value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS filled_value,
+           CAST(coalesce(hourly.n_events, 0) AS BIGINT) AS n_events
+    FROM grid g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.hr = hourly.hr
+    """,
+    tags=("events", "timeseries", "gapfill"),
+)
+def events_gapfill_hourly_ffill(spark, sf_dir):
+    """Gap-fill + resample (the hypertable/time-bucket rollup family):
+    each purchasing user's value series for one day is resampled onto a
+    dense 24-hour grid — hours with no event take the last known value
+    (forward fill), NULL before the first observation. Shape: hourly
+    keep-latest (window rn=1), dense grid = distinct users × sequence(0,23)
+    exploded (never a range join), left join + IGNORE NULLS running last.
+    All shuffles are on user_id; the grid is |users|×24 rows — linear in
+    users, independent of event volume, so the resample is strictly smaller
+    than its input at scale."""
+    e = T(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= "2024-01-15")
+        & (F.col("ts") < "2024-01-16")
+    )
+    wr = Window.partitionBy("user_id", F.hour("ts")).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    wc = Window.partitionBy("user_id", F.hour("ts"))
+    hourly = (
+        e.select(
+            "user_id",
+            F.hour("ts").cast("int").alias("hr"),
+            "value",
+            F.row_number().over(wr).alias("rn"),
+            F.count("*").over(wc).alias("n_events"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    grid = (
+        e.select("user_id")
+        .distinct()
+        .select("user_id", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hr"))
+        .select("user_id", F.col("hr").cast("int").alias("hr"))
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.join(hourly, ["user_id", "hr"], "left").select(
+        "user_id",
+        "hr",
+        F.round(F.last("value", ignorenulls=True).over(wf), 4).alias("filled_value"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "events_funnel_view_click_purchase",
+    """
+    WITH base AS (SELECT DISTINCT user_id FROM events),
+    v AS (SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT b.user_id,
+           strftime(v.t1, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(c.t2, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.t3, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                     WHEN c.t2 IS NOT NULL THEN 2
+                     WHEN v.t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage
+    FROM base b
+    LEFT JOIN v ON b.user_id = v.user_id
+    LEFT JOIN c ON b.user_id = c.user_id
+    LEFT JOIN p ON b.user_id = p.user_id
+    """,
+    tags=("events", "funnel"),
+)
+def events_funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel (view → click → purchase): per user, the first view,
+    the first click strictly after it, and the first purchase strictly
+    after that — the product-analytics sequence-matching primitive. Three
+    per-user min-aggregations chained by join; every shuffle key is
+    user_id, so at scale the three stages co-partition (one exchange reused)
+    and each stage's output is one row per user — never event-volume."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    base = e.select("user_id").distinct()
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        base.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            tstr(F.col("t1")).alias("view_ts"),
+            tstr(F.col("t2")).alias("click_ts"),
+            tstr(F.col("t3")).alias("purchase_ts"),
+            stage.cast("int").alias("stage"),
+        )
+    )

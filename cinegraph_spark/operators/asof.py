@@ -71,3 +71,91 @@ def asof_join(
         *[f"asof_{c}" for c in payload],
     )
     return out
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    left_id: str,
+    right_id: str,
+    tolerance_us: int,
+) -> DataFrame:
+    """Nearest-match as-of join (pandas ``merge_asof(direction='nearest')``
+    semantics with a tolerance): for each left row, the right row with the
+    same key whose timestamp is closest, within ``tolerance_us``
+    microseconds either side. Ties (equidistant before/after) prefer the
+    backward match; equal-timestamp rights count as backward with distance 0.
+
+    Same scalable shape as :func:`asof_join` — tag, union, ONE shuffle on
+    the key, then two per-key running windows over the same sort:
+    ``last`` ignoring nulls looking back (latest right at-or-before; ties on
+    ts take the largest right id) and ``first`` ignoring nulls looking
+    forward (earliest right strictly after; ties take the smallest id). No
+    range join, no per-left scan of the right side; the candidate choice is
+    a map-side comparison.
+
+    Returns left (key, ts, left_id) plus ``nearest_<right_id>``,
+    ``diff_us`` (absolute, microseconds), and ``direction``
+    ('backward'/'forward'); left rows with no right row in tolerance are
+    dropped.
+    """
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.lit(1).alias("_side"),  # left sorts after right at equal ts
+        F.col(left_id).alias("_lid"),
+        F.lit(None).cast(right.schema[right_id].dataType).alias("_rid"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(left.schema[left_id].dataType).alias("_lid"),
+        F.col(right_id).alias("_rid"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    order = [F.col("_ts"), F.col("_side"), F.coalesce("_rid", "_lid")]
+    back = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    rts = F.when(F.col("_side") == 0, F.col("_ts"))
+    enriched = unioned.select(
+        "*",
+        F.last("_rid", ignorenulls=True).over(back).alias("_bid"),
+        F.last(rts, ignorenulls=True).over(back).alias("_bts"),
+        F.first("_rid", ignorenulls=True).over(fwd).alias("_fid"),
+        F.first(rts, ignorenulls=True).over(fwd).alias("_fts"),
+    )
+    bdiff = F.expr("timestampdiff(MICROSECOND, _bts, _ts)")
+    fdiff = F.expr("timestampdiff(MICROSECOND, _ts, _fts)")
+    use_back = F.col("_bid").isNotNull() & (
+        F.col("_fid").isNull() | (bdiff <= fdiff)
+    )
+    chosen = (
+        enriched.filter(F.col("_side") == 1)
+        .select(
+            F.col("_k").alias(key),
+            F.col("_ts").alias(ts),
+            F.col("_lid").alias(left_id),
+            F.when(use_back, F.col("_bid")).otherwise(F.col("_fid")).alias(
+                f"nearest_{right_id}"
+            ),
+            F.when(use_back, bdiff).otherwise(fdiff).alias("diff_us"),
+            F.when(use_back, F.lit("backward"))
+            .otherwise(F.lit("forward"))
+            .alias("direction"),
+        )
+    )
+    return chosen.filter(
+        F.col(f"nearest_{right_id}").isNotNull()
+        & (F.col("diff_us") <= F.lit(tolerance_us))
+    )

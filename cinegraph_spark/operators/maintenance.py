@@ -64,18 +64,42 @@ def compact(
     cost OPTIMIZE pays anywhere; at 100 TB you compact per partition (pass
     the partition's path), never the whole table at once.
     """
+    tmp = path.rstrip("/") + "__compacting"
+    bak = path.rstrip("/") + "__pre_compact"
+    # Recover from a prior failed run before touching anything: a stale
+    # backup means a previous swap died mid-flight — restore it if the
+    # dataset itself is gone, else it is just debris to clear.
+    if os.path.exists(bak):
+        if not os.path.exists(path):
+            os.rename(bak, path)
+        else:
+            shutil.rmtree(bak)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
     before = dataset_stats(path)
     n_out = max(1, math.ceil(before["total_bytes"] / (target_file_mb * (1 << 20))))
     df = spark.read.parquet(path)
+    n_rows = df.count()
     if sort_by:
         out = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
     else:
         out = df.repartition(n_out)
-    tmp = path.rstrip("/") + "__compacting"
-    bak = path.rstrip("/") + "__pre_compact"
     out.write.mode("overwrite").parquet(tmp)
+    # Validate the rewrite BEFORE the swap so a bad rewrite never replaces
+    # good data (the catalog-commit precondition at real scale).
+    rewritten = spark.read.parquet(tmp).count()
+    if rewritten != n_rows:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compact aborted: rewrite has {rewritten} rows, source has {n_rows}"
+        )
     os.rename(path, bak)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(bak, path)  # close the mid-swap window: restore original
+        raise
     shutil.rmtree(bak)
     after = dataset_stats(path)
     return {"before": before, "after": after, "target_files": n_out}

@@ -146,7 +146,15 @@ def hf_scorer(
                 )
             state["tokenizer"], state["model"] = model_loader()
         tokenizer, model = state["tokenizer"], state["model"]
-        pad_id = getattr(tokenizer, "pad_token_id", 0) or 0
+        pad_id = getattr(tokenizer, "pad_token_id", 0)
+        if pad_id is None:
+            # GPT-style tokenizers ship pad_token_id=None; silently using 0
+            # would mask real vocab-id-0 tokens (mask = ids != pad_id), so
+            # require the caller to pick one explicitly.
+            raise ValueError(
+                "tokenizer.pad_token_id is None; set tokenizer.pad_token_id "
+                "explicitly before injecting it into hf_scorer"
+            )
         for pdf in batches:
             texts = pdf["window_text"].tolist()
             scores = []

@@ -59,18 +59,15 @@ def load_all() -> dict[str, QuerySpec]:
     the full registry.
 
     Registration order matters: the driver's correctness harness walks the
-    registry in order under a budget, so families its round-1 run never
-    reached (tree/vector/textstats/dedup/events/graph/…) register FIRST and
-    the families already driver-verified in round 1 (relational, strings,
-    pipeline) register last — maximizing cumulative driver-checked coverage
-    across rounds whatever the budget is.
+    registry in order under a ~50-query budget, so families not yet
+    driver-verified register FIRST. Rounds 1+2 covered the relational /
+    strings / pipeline families and tree / vectors / textstats / dedup /
+    events (+ media_feature_extract); round 3 therefore leads with the
+    remaining multimodal, graph, tpch_extra, cluster, relational_extra,
+    sampling, packing queries plus this round's new families — maximizing
+    cumulative driver-checked coverage whatever the budget is.
     """
     from cinegraph_spark.queries import (  # noqa: F401
-        tree,
-        vectors,
-        textstats,
-        dedup,
-        events,
         multimodal,
         graph,
         tpch_extra,
@@ -78,6 +75,12 @@ def load_all() -> dict[str, QuerySpec]:
         relational_extra,
         sampling,
         packing,
+        analytics,
+        tree,
+        vectors,
+        textstats,
+        dedup,
+        events,
         relational,
         strings,
         pipeline,

@@ -1,0 +1,552 @@
+"""Round-3 analytics additions: cohort/retention, anomaly scoring, RFM
+segmentation, nearest-tolerance as-of, max-inner-product search, data-mix
+weighting, n-gram LM surprisal, deterministic corpus splits, and a fully
+oracle-checked portable MinHash estimator.
+
+Each query is a training-data-pipeline or product-analytics primitive the
+reference's users would reach for next; all are expressed as declarative
+DataFrame plans (Catalyst handles pushdown/pruning) and every one carries an
+exact DuckDB oracle — including the MinHash estimator, which uses md5-based
+permutations both engines compute identically (unlike the xxhash64-based
+``dedup_minhash_lsh_pairs``, which is rows-only by necessity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cinegraph_spark.operators.asof import asof_nearest
+from cinegraph_spark.operators.dedup import shingles
+from cinegraph_spark.queries import register
+from cinegraph_spark.queries.dedup import SHINGLE_CTES, _toks, dedup_ngram_jaccard_pairs
+from cinegraph_spark.queries.sampling import _SCRAMBLE_SQL, _scramble
+from cinegraph_spark.queries.util import T, dstr, r4, tstr
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                            date_trunc('week', e.ts)) / 7 AS BIGINT)
+               AS week_offset
+      FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset, count(*) AS n_users
+    FROM activity GROUP BY 1, 2
+    """,
+    tags=("events", "retention", "cohort"),
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by first-activity week,
+    counted once per (cohort, weeks-since-cohort) cell — the standard
+    retention triangle. Two shuffles, both on user_id (first-seen agg and
+    the join back are co-partitioned, so Spark reuses the exchange); the
+    final cell count is tiny. Week offsets divide day-diffs of two
+    week-truncated dates, so they are integer-exact in both engines."""
+    e = T(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        dstr(F.col("cohort_week")).alias("cohort_week"), "week_offset"
+    ).agg(F.count("*").alias("n_users"))
+
+
+@register(
+    "events_anomaly_zscore_hourly",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT *,
+             avg(n_events)        OVER (PARTITION BY event_type) AS mu,
+             stddev_pop(n_events) OVER (PARTITION BY event_type) AS sd
+      FROM hourly
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           n_events,
+           round((n_events - mu) / sd, 4) AS z
+    FROM stats
+    WHERE abs((n_events - mu) / sd) >= 2
+    """,
+    tags=("events", "anomaly", "zscore"),
+)
+def events_anomaly_zscore_hourly(spark, sf_dir):
+    """Rate-anomaly detection: hourly event counts per type, z-scored
+    against that type's own mean/stddev (population), keeping |z| >= 2.
+    One count shuffle to ~types x hours rows, then an analytic window per
+    type — the post-aggregation data is hours-bounded, so the window is
+    cheap at any raw-event scale."""
+    e = T(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type")
+    z = (F.col("n_events") - F.avg("n_events").over(w)) / F.stddev_pop(
+        "n_events"
+    ).over(w)
+    return (
+        hourly.withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 2)
+        .select(
+            "event_type",
+            tstr(F.col("h")).alias("hour_start"),
+            "n_events",
+            r4(F.col("z")).alias("z"),
+        )
+    )
+
+
+@register(
+    "events_user_rfm_segments",
+    """
+    WITH ref AS (SELECT max(ts) AS ref_ts FROM events),
+    per_user AS (
+      SELECT user_id,
+             CAST(date_diff('day', CAST(max(ts) AS DATE),
+                            CAST((SELECT ref_ts FROM ref) AS DATE)) AS BIGINT)
+               AS r_days,
+             count(*) AS freq,
+             round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0), 4)
+               AS monetary
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, r_days, freq, monetary,
+           CAST(ntile(4) OVER (ORDER BY r_days, user_id) AS BIGINT)
+             * 100
+           + CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS BIGINT)
+             * 10
+           + CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT)
+             AS rfm_code
+    FROM per_user
+    """,
+    tags=("events", "rfm", "segmentation"),
+)
+def events_user_rfm_segments(spark, sf_dir):
+    """RFM segmentation: per-user recency (days since last event, vs the
+    corpus max date), frequency, and purchase monetary value, each cut into
+    ntile(4) quartiles and packed into a 3-digit code. Monetary is rounded
+    BEFORE ranking so quartile order never depends on cross-engine
+    last-ulp sums; every ntile ordering carries a user_id tiebreak. The
+    per-user agg is one shuffle; the ntile windows are a global sort over
+    the user dimension (bounded — at 100 TB of events this is still only
+    one row per user; for an unbounded dimension you'd switch to
+    approx-quantile cuts)."""
+    e = T(spark, sf_dir, "events")
+    ref = e.agg(F.max("ts").alias("ref_ts"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("freq"),
+            r4(
+                F.coalesce(
+                    F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+                    F.lit(0.0),
+                )
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ref_ts"), F.to_date("last_ts"))
+            .cast("long")
+            .alias("r_days"),
+            "freq",
+            "monetary",
+        )
+    )
+    r_q = F.ntile(4).over(Window.orderBy("r_days", "user_id"))
+    f_q = F.ntile(4).over(Window.orderBy(F.desc("freq"), F.asc("user_id")))
+    m_q = F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
+    return per_user.select(
+        "user_id",
+        "r_days",
+        "freq",
+        "monetary",
+        (r_q.cast("long") * 100 + f_q.cast("long") * 10 + m_q.cast("long")).alias(
+            "rfm_code"
+        ),
+    )
+
+
+@register(
+    "events_asof_nearest_click",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts AS cts
+          FROM events WHERE event_type = 'click'),
+    cand AS (
+      SELECT p.purchase_id, p.user_id, p.ts, c.click_id,
+             abs(epoch_us(p.ts) - epoch_us(c.cts)) AS diff_us,
+             CASE WHEN c.cts <= p.ts THEN 0 ELSE 1 END AS dir
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.cts BETWEEN p.ts - INTERVAL '5 minutes'
+                     AND p.ts + INTERVAL '5 minutes'
+    ),
+    best AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY purchase_id
+               ORDER BY diff_us, dir,
+                        CASE WHEN dir = 0 THEN -click_id ELSE click_id END
+             ) AS rn
+      FROM cand
+    )
+    SELECT purchase_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           click_id AS nearest_click_id, diff_us,
+           CASE WHEN dir = 0 THEN 'backward' ELSE 'forward' END AS direction
+    FROM best WHERE rn = 1
+    """,
+    tags=("events", "asof", "nearest"),
+)
+def events_asof_nearest_click(spark, sf_dir):
+    """Nearest-tolerance as-of: each purchase matched to the closest click
+    by the same user within +/-5 minutes, either direction (pandas
+    merge_asof(direction='nearest') semantics; equidistant ties prefer the
+    backward match). The operator (operators/asof.py::asof_nearest) is the
+    union + two-running-windows form — ONE shuffle on user_id, no range
+    join, no per-purchase scan of clicks; the oracle uses the naive range
+    join, which is fine for DuckDB at oracle scale but is exactly the
+    explosion the operator avoids at 100 TB."""
+    e = T(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    out = asof_nearest(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        left_id="event_id",
+        right_id="click_id",
+        tolerance_us=5 * 60 * 1_000_000,
+    )
+    # asof_nearest's right_id label: rename inputs so outputs align
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        tstr(F.col("ts")).alias("purchase_ts"),
+        F.col("nearest_click_id"),
+        "diff_us",
+        "direction",
+    )
+
+
+_DV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+@register(
+    "vec_mips_topk",
+    f"""
+    WITH q AS (SELECT {_DV} AS qv FROM embeddings WHERE vec_id = 1)
+    SELECT vec_id, round(list_dot_product({_DV}, qv), 6) AS dot
+    FROM embeddings, q
+    WHERE vec_id <> 1
+    ORDER BY dot DESC, vec_id LIMIT 10
+    """,
+    tags=("vector", "topk", "mips"),
+)
+def vec_mips_topk(spark, sf_dir):
+    """Maximum-inner-product search (the retrieval scoring used when
+    embeddings are trained un-normalized): brute-force dot-product top-10
+    against one broadcast query vector. Same shape as the cosine baseline —
+    map-only scan + TakeOrdered, no shuffle of the corpus."""
+    from cinegraph_spark.functions import vector as V
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 1).select(F.col("v").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", F.round(V.dot(F.col("v"), F.col("qv")), 6).alias("dot")
+        )
+        .orderBy(F.desc("dot"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "text_domain_mix_weights",
+    """
+    WITH toks AS (
+      SELECT source,
+             len(list_filter(string_split_regex(
+                 regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+'),
+                 t -> t <> '')) AS n_toks
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens) AS t FROM per_src),
+    dnm AS (SELECT sum(sqrt(n_tokens * 1.0 / t)) AS d FROM per_src, tot)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens * 1.0 / t, 6)            AS share,
+           round(sqrt(n_tokens * 1.0 / t) / d, 6)  AS w_sqrt
+    FROM per_src, tot, dnm
+    """,
+    tags=("textstats", "mixing", "llm-pipeline"),
+)
+def text_domain_mix_weights(spark, sf_dir):
+    """Data-mixing weights per source domain: token share p_i and the
+    temperature-scaled sampling weight p_i^0.5 / sum_j p_j^0.5 (alpha=0.5,
+    the standard low-resource up-weighting used when composing training
+    mixtures). One agg shuffle to ~|sources| rows; the global sums ride on
+    two broadcast singletons."""
+    from cinegraph_spark.operators.windowize import tokenize_whitespace
+
+    d = T(spark, sf_dir, "documents").select(
+        "source", F.size(tokenize_whitespace(F.col("text"))).alias("n_toks")
+    )
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+    tot = per_src.agg(F.sum("n_tokens").alias("t"))
+    with_t = per_src.crossJoin(F.broadcast(tot))
+    dnm = with_t.agg(
+        F.sum(F.sqrt(F.col("n_tokens") / F.col("t"))).alias("d")
+    )
+    return (
+        with_t.crossJoin(F.broadcast(dnm))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("t"), 6).alias("share"),
+            F.round(
+                F.sqrt(F.col("n_tokens") / F.col("t")) / F.col("d"), 6
+            ).alias("w_sqrt"),
+        )
+    )
+
+
+@register(
+    "text_bigram_surprisal",
+    """
+    WITH bg AS (
+      SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS bigram
+      FROM documents, unnest(range(1, length(text))) AS u(i)
+      WHERE length(text) >= 2
+    ),
+    cnt AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+    tot AS (SELECT sum(c) AS n FROM cnt)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(-ln(c * 1.0 / n)), 4) AS avg_surprisal
+    FROM bg JOIN cnt USING (bigram), tot
+    GROUP BY doc_id
+    """,
+    tags=("textstats", "lm", "quality", "llm-pipeline"),
+)
+def text_bigram_surprisal(spark, sf_dir):
+    """Character-bigram language-model surprisal per document: train bigram
+    frequencies over the whole corpus, score each doc by its mean negative
+    log-probability — the classic cheap fluency/quality signal (gibberish
+    and boilerplate score as outliers). The n-gram LM shape at scale: the
+    model (bigram->count) is aggregated once and BROADCAST back (the char-
+    bigram vocabulary is alphabet^2-bounded), so scoring is a map-only pass
+    over the exploded bigrams — no shuffle touches the corpus-sized side."""
+    d = T(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("bigram"),
+    )
+    cnt = bg.groupBy("bigram").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    return (
+        bg.join(F.broadcast(cnt), "bigram")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            r4(F.avg(-F.log(F.col("c") / F.col("n")))).alias("avg_surprisal"),
+        )
+    )
+
+
+@register(
+    "sample_train_val_test_split",
+    f"""
+    SELECT CASE WHEN s < 800 THEN 'train'
+                WHEN s < 900 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT)  AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT)  AS max_doc_id
+    FROM (SELECT doc_id, n_chars, {_SCRAMBLE_SQL} AS s FROM documents)
+    GROUP BY 1
+    """,
+    tags=("sampling", "split", "llm-pipeline"),
+)
+def sample_train_val_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split keyed on the content-id
+    scramble (the same overflow-free multiplicative hash as the sampling
+    family): re-partitioning, compaction, or engine changes never move a
+    document across splits — the reproducibility property a training
+    pipeline needs from its split step. Map-only scan + 3-row aggregate."""
+    d = T(spark, sf_dir, "documents")
+    s = _scramble(F.col("doc_id"))
+    split = (
+        F.when(s < 800, F.lit("train"))
+        .when(s < 900, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "n_chars", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+    )
+
+
+#: portable MinHash parameters: shingle -> 32-bit md5 prefix -> mod-prime
+#: universe, then 16 affine permutations. Both engines compute md5 and the
+#: integer arithmetic identically, so the estimator is exactly reproducible.
+_MH_P = 1_000_003
+_MH_PERMS = 16
+
+
+def _mh_a(i: int) -> int:
+    return 2 * i + 3
+
+
+def _mh_b(i: int) -> int:
+    return 997 * i + 1
+
+
+@register(
+    "dedup_minhash_portable_est",
+    f"""
+    WITH {SHINGLE_CTES},
+    exact AS (
+      SELECT id_a, id_b,
+             round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4)
+               AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+               % {_MH_P} AS h
+      FROM sh
+    ),
+    mins AS (
+      SELECT doc_id,
+             {", ".join(f"min(({_mh_a(i)} * h + {_mh_b(i)}) % {_MH_P}) AS m{i}" for i in range(_MH_PERMS))}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT e.id_a, e.id_b,
+           round(({" + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(_MH_PERMS))})
+                 / {_MH_PERMS}.0, 4) AS est_jaccard,
+           e.jaccard
+    FROM exact e
+    JOIN mins a ON a.doc_id = e.id_a
+    JOIN mins b ON b.doc_id = e.id_b
+    """,
+    tags=("dedup", "near-dup", "minhash", "portable"),
+)
+def dedup_minhash_portable_est(spark, sf_dir):
+    """MinHash Jaccard ESTIMATION with a full cross-engine oracle: shingles
+    hash through a 32-bit md5 prefix into a mod-prime universe, 16 affine
+    permutations (a_i*h+b_i mod p) give the signature, and the estimate is
+    the fraction of matching signature minima — reported side by side with
+    exact Jaccard for every near-dup pair. The production LSH path
+    (dedup_minhash_lsh_pairs) uses xxhash64 for speed and is rows-only
+    checkable; THIS query pins the minhash math itself (permutation
+    construction, per-doc minima, signature agreement) to an exact oracle.
+    One agg per doc with map-side combine (16 mins), then a tiny pair join
+    — the corpus-sized side never shuffles more than 16 longs per doc."""
+    sh = shingles(_toks(spark, sf_dir), "doc_id", "tokens", n=8)
+    # apply the same discovery-mode DF cap as the oracle's `sh` CTE (<=20)
+    postings = sh.groupBy("shingle").agg(
+        F.collect_list("doc_id").alias("ids")
+    ).filter(F.size("ids") <= 20)
+    capped = postings.select(
+        F.explode("ids").alias("doc_id"), "shingle"
+    )
+    h = (
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+        % _MH_P
+    ).alias("h")
+    hashed = capped.select("doc_id", h)
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(_mh_a(i)) * F.col("h") + F.lit(_mh_b(i))) % _MH_P).alias(
+                f"m{i}"
+            )
+            for i in range(_MH_PERMS)
+        ]
+    )
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select(
+        "id_a", "id_b", "jaccard"
+    )
+    a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(_MH_PERMS)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(_MH_PERMS)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_MH_PERMS)
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matches / F.lit(float(_MH_PERMS)), 4).alias("est_jaccard"),
+            "jaccard",
+        )
+    )

@@ -190,9 +190,9 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
            (SELECT count(*) FROM removed)                AS n_removed,
            (SELECT count(*) FROM documents)
              - (SELECT count(*) FROM removed)            AS n_kept,
-           (SELECT array_to_string(list(CAST(doc_id AS VARCHAR)
-                                        ORDER BY doc_id), ',')
-            FROM removed)                                AS removed_ids
+           coalesce((SELECT array_to_string(list(CAST(doc_id AS VARCHAR)
+                                                 ORDER BY doc_id), ',')
+                     FROM removed), '')                  AS removed_ids
     """,
     tags=("dedup", "near-dup", "survivors"),
 )

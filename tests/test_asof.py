@@ -1,0 +1,108 @@
+"""Edge-semantics tests for the as-of operators (`operators/asof.py`).
+
+The query-level oracle (events_asof_purchase_click / _nearest_click)
+cross-checks against DuckDB's independent range-join formulation on real
+data; these pin the corner cases that data may not exercise: equidistant
+ties, equal-timestamp matches, tolerance exclusion, and unmatched-row
+dropping.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from cinegraph_spark.operators.asof import asof_nearest
+
+
+def _ts(s: str):
+    return datetime.fromisoformat(s)
+
+
+def _frames(spark, left_rows, right_rows):
+    left = spark.createDataFrame(
+        left_rows, "user_id bigint, ts timestamp_ntz, event_id bigint"
+    )
+    right = spark.createDataFrame(
+        right_rows, "user_id bigint, ts timestamp_ntz, click_id bigint"
+    )
+    return left, right
+
+
+def _run(spark, left_rows, right_rows, tol_us=300_000_000):
+    left, right = _frames(spark, left_rows, right_rows)
+    out = asof_nearest(
+        left, right, key="user_id", ts="ts",
+        left_id="event_id", right_id="click_id", tolerance_us=tol_us,
+    )
+    return {
+        r["event_id"]: (r["nearest_click_id"], r["diff_us"], r["direction"])
+        for r in out.collect()
+    }
+
+
+def test_nearest_picks_closer_side_and_ties_prefer_backward(spark):
+    got = _run(
+        spark,
+        [(1, _ts("2024-01-01 10:00:00"), 100)],
+        [
+            (1, _ts("2024-01-01 09:59:00"), 7),   # 60s back
+            (1, _ts("2024-01-01 10:00:30"), 8),   # 30s fwd -> closer
+        ],
+    )
+    assert got == {100: (8, 30_000_000, "forward")}
+
+    got = _run(
+        spark,
+        [(1, _ts("2024-01-01 10:00:00"), 100)],
+        [
+            (1, _ts("2024-01-01 09:59:30"), 7),   # 30s back
+            (1, _ts("2024-01-01 10:00:30"), 8),   # 30s fwd -> tie
+        ],
+    )
+    assert got == {100: (7, 30_000_000, "backward")}
+
+
+def test_equal_timestamp_counts_as_backward_zero_distance(spark):
+    got = _run(
+        spark,
+        [(1, _ts("2024-01-01 10:00:00"), 100)],
+        [
+            (1, _ts("2024-01-01 10:00:00"), 7),
+            (1, _ts("2024-01-01 10:00:01"), 8),
+        ],
+    )
+    assert got == {100: (7, 0, "backward")}
+
+
+def test_tolerance_excludes_and_unmatched_rows_drop(spark):
+    got = _run(
+        spark,
+        [
+            (1, _ts("2024-01-01 10:00:00"), 100),  # click 10 min away
+            (2, _ts("2024-01-01 10:00:00"), 101),  # no clicks at all
+        ],
+        [(1, _ts("2024-01-01 10:10:00"), 7)],
+        tol_us=300_000_000,  # 5 min
+    )
+    assert got == {}
+
+
+def test_keys_do_not_cross_and_equal_ts_ties_take_extreme_ids(spark):
+    got = _run(
+        spark,
+        [(1, _ts("2024-01-01 10:00:00"), 100), (2, _ts("2024-01-01 10:00:00"), 200)],
+        [
+            # user 1: two clicks at the same backward instant -> largest id
+            (1, _ts("2024-01-01 09:59:00"), 7),
+            (1, _ts("2024-01-01 09:59:00"), 9),
+            # user 2: two clicks at the same forward instant -> smallest id
+            (2, _ts("2024-01-01 10:01:00"), 4),
+            (2, _ts("2024-01-01 10:01:00"), 6),
+        ],
+    )
+    assert got == {
+        100: (9, 60_000_000, "backward"),
+        200: (4, 60_000_000, "forward"),
+    }

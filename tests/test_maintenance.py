@@ -58,3 +58,33 @@ def test_dataset_stats_counts_only_data_files(spark, fragmented_orders):
     assert s["n_files"] >= 40
     assert s["total_bytes"] > 0
     assert s["avg_file_bytes"] * s["n_files"] <= s["total_bytes"] + s["n_files"]
+
+
+def test_compact_recovers_stale_backup_and_validates_rewrite(
+    spark, fragmented_orders, tmp_path
+):
+    """Crash-safety contract: a stale __pre_compact from a dead prior run is
+    recovered (restored when the dataset is missing, cleared when not), and
+    the swap only happens after the rewrite's row count is validated."""
+    import os
+    import shutil
+
+    path = fragmented_orders
+    bak = path + "__pre_compact"
+    tmp = path + "__compacting"
+    n = spark.read.parquet(path).count()
+
+    # simulate a crash mid-swap: dataset moved to backup, nothing at path
+    os.rename(path, bak)
+    report = compact(spark, path, target_file_mb=128)
+    assert spark.read.parquet(path).count() == n
+    assert not os.path.exists(bak) and not os.path.exists(tmp)
+    assert report["after"]["n_files"] <= report["before"]["n_files"]
+
+    # stale debris alongside an intact dataset is cleared, not restored
+    os.makedirs(bak)
+    os.makedirs(tmp)
+    compact(spark, path, target_file_mb=128)
+    assert spark.read.parquet(path).count() == n
+    assert not os.path.exists(bak) and not os.path.exists(tmp)
+    shutil.rmtree(path)

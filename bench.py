@@ -51,6 +51,10 @@ HEADLINE = [
     "sample_lang_quota",
     "subq_not_exists_parts_unordered_1997",
     "vec_int8_quantize_error",
+    "events_retention_cohorts",
+    "events_asof_nearest_click",
+    "text_bigram_surprisal",
+    "dedup_minhash_portable_est",
 ]
 
 

@@ -63,12 +63,16 @@ def load_all() -> dict[str, QuerySpec]:
     driver-verified register FIRST. Rounds 1+2 covered the relational /
     strings / pipeline families and tree / vectors / textstats / dedup /
     events (+ media_feature_extract); round 3 therefore leads with the
-    remaining multimodal, graph, tpch_extra, cluster, relational_extra,
-    sampling, packing queries plus this round's new families — maximizing
-    cumulative driver-checked coverage whatever the budget is.
+    remaining graph, tpch_extra, cluster, relational_extra, sampling,
+    packing queries, this round's new analytics family, and the three
+    unverified multimodal queries (media_feature_extract re-registers last
+    within its module) — the first 50 slots are exactly the not-yet-verified
+    set, maximizing cumulative driver-checked coverage whatever the budget.
+    Query modules must not import each other at module level except via
+    non-registering shared modules (util, neardup_common) — a cross-module
+    import triggers the imported module's registrations mid-family.
     """
     from cinegraph_spark.queries import (  # noqa: F401
-        multimodal,
         graph,
         tpch_extra,
         cluster,
@@ -76,6 +80,7 @@ def load_all() -> dict[str, QuerySpec]:
         sampling,
         packing,
         analytics,
+        multimodal,
         tree,
         vectors,
         textstats,

@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 from cinegraph_spark.operators.asof import asof_nearest
 from cinegraph_spark.operators.dedup import shingles
 from cinegraph_spark.queries import register
-from cinegraph_spark.queries.dedup import SHINGLE_CTES, _toks, dedup_ngram_jaccard_pairs
+# neardup_common (not queries.dedup): a module-level import of dedup would
+# register its queries mid-family and scramble the load_all ordering.
+from cinegraph_spark.queries.neardup_common import (
+    SHINGLE_CTES,
+    ngram_jaccard_pairs_df,
+    toks_df,
+)
 from cinegraph_spark.queries.sampling import _SCRAMBLE_SQL, _scramble
 from cinegraph_spark.queries.util import T, dstr, r4, tstr
 
@@ -391,7 +397,15 @@ def text_bigram_surprisal(spark, sf_dir):
             )
         ).alias("bigram"),
     )
-    cnt = bg.groupBy("bigram").agg(F.count("*").alias("c"))
+    # lazy localCheckpoint: the bigram model (alphabet^2-bounded, tiny) is
+    # materialized once and feeds BOTH consumers (broadcast join + corpus
+    # total) — without it Spark re-explodes the corpus a third time to
+    # recompute the total from scratch.
+    cnt = (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     tot = cnt.agg(F.sum("c").alias("n"))
     return (
         bg.join(F.broadcast(cnt), "bigram")
@@ -503,8 +517,14 @@ def dedup_minhash_portable_est(spark, sf_dir):
     checkable; THIS query pins the minhash math itself (permutation
     construction, per-doc minima, signature agreement) to an exact oracle.
     One agg per doc with map-side combine (16 mins), then a tiny pair join
-    — the corpus-sized side never shuffles more than 16 longs per doc."""
-    sh = shingles(_toks(spark, sf_dir), "doc_id", "tokens", n=8)
+    — the corpus-sized side never shuffles more than 16 longs per doc.
+
+    The shingle subtree is deliberately recomputed for the signature and
+    pair sides rather than localCheckpoint-staged: measured at sf0.1, the
+    checkpoint's materialization barrier costs as much as the second
+    tokenize+shingle pass (wide strings, map-only work), unlike the LSH
+    query where THREE consumers amortize it."""
+    sh = shingles(toks_df(spark, sf_dir), "doc_id", "tokens", n=8)
     # apply the same discovery-mode DF cap as the oracle's `sh` CTE (<=20)
     postings = sh.groupBy("shingle").agg(
         F.collect_list("doc_id").alias("ids")
@@ -525,7 +545,7 @@ def dedup_minhash_portable_est(spark, sf_dir):
             for i in range(_MH_PERMS)
         ]
     )
-    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select(
+    pairs = ngram_jaccard_pairs_df(spark, sf_dir).select(
         "id_a", "id_b", "jaccard"
     )
     a = sig.select(
@@ -547,6 +567,94 @@ def dedup_minhash_portable_est(spark, sf_dir):
             "id_a",
             "id_b",
             F.round(matches / F.lit(float(_MH_PERMS)), 4).alias("est_jaccard"),
+            "jaccard",
+        )
+    )
+
+
+@register(
+    "dedup_simhash_portable_hamming",
+    f"""
+    WITH {SHINGLE_CTES},
+    exact AS (
+      SELECT id_a, id_b,
+             round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4)
+               AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    ),
+    th AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(tokens) AS tok FROM toks)
+    ),
+    votes AS (
+      SELECT doc_id,
+             {", ".join(f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(32))}
+      FROM th GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST({" + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32))}
+                  AS BIGINT) AS simhash
+      FROM votes
+    )
+    SELECT e.id_a, e.id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+           e.jaccard
+    FROM exact e
+    JOIN sigs a ON a.doc_id = e.id_a
+    JOIN sigs b ON b.doc_id = e.id_b
+    """,
+    tags=("dedup", "near-dup", "simhash", "portable"),
+)
+def dedup_simhash_portable_hamming(spark, sf_dir):
+    """SimHash with a full cross-engine oracle: per-token 32-bit md5-prefix
+    hashes vote +1/-1 on each bit position, the sign of the vote sum packs
+    into a 32-bit fingerprint, and every exact near-dup pair is reported
+    with the Hamming distance between its fingerprints (near-dups cluster
+    at small distances — the property the production xxhash64-based
+    dedup_simhash_buckets banks on but can only rows-check). One agg per
+    doc with map-side combine (32 small ints); the fingerprint never
+    shuffles more than one long per doc; the pair join is tiny."""
+    th = (
+        toks_df(spark, sf_dir)
+        .select("doc_id", F.explode("tokens").alias("tok"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    votes = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                    -1
+                )
+            ).alias(f"s{j}")
+            for j in range(32)
+        ]
+    )
+    simhash = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0) for j in range(32)
+    ).cast("long")
+    sigs = votes.select("doc_id", simhash.alias("simhash"))
+    pairs = ngram_jaccard_pairs_df(spark, sf_dir).select("id_a", "id_b", "jaccard")
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .cast("long")
+            .alias("hamming"),
             "jaccard",
         )
     )

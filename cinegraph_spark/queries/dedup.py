@@ -24,6 +24,11 @@ from cinegraph_spark.operators.dedup import (
 )
 from cinegraph_spark.operators.windowize import tokenize_whitespace
 from cinegraph_spark.queries import register
+from cinegraph_spark.queries.neardup_common import (  # noqa: F401 (re-export)
+    SHINGLE_CTES,
+    ngram_jaccard_pairs_df,
+    toks_df,
+)
 from cinegraph_spark.queries.util import T
 
 _DUP_CORPUS_CTE = """
@@ -43,10 +48,10 @@ def _dup_corpus(spark, sf_dir):
     return d.unionByName(dups)
 
 
-def _toks(spark, sf_dir):
-    return T(spark, sf_dir, "documents").select(
-        "doc_id", tokenize_whitespace(F.col("text")).alias("tokens")
-    )
+#: kept as the module-local name; the builder lives in neardup_common so
+#: graph/analytics can share it without triggering this module's
+#: registrations.
+_toks = toks_df
 
 
 @register(
@@ -94,37 +99,6 @@ def dedup_exact_survivors(spark, sf_dir):
     )
 
 
-#: shared shingle CTEs (also used by graph.py's CC oracle). The ``rare``
-#: filter mirrors operators/dedup.py's DEFAULT_MAX_SHINGLE_DF cap: discovery
-#: Jaccard is computed over shingles appearing in ≤ 20 documents — the scale
-#: contract that bounds the self-join fan-out at max_df² per shingle. The
-#: list_filter in toks drops DuckDB's phantom '' token on empty text.
-SHINGLE_CTES = """
-    toks AS (
-      SELECT doc_id, list_filter(string_split_regex(
-               regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+'),
-               t -> t <> '') AS tokens
-      FROM documents
-    ),
-    sh_all AS (
-      SELECT DISTINCT doc_id,
-             CASE WHEN len(tokens) >= 8
-                  THEN array_to_string(tokens[i : i + 7], ' ')
-                  ELSE array_to_string(tokens, ' ') END AS shingle
-      FROM toks, unnest(range(1, greatest(len(tokens) - 6, 2))) AS u(i)
-    ),
-    rare AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 20),
-    sh AS (SELECT sh_all.doc_id, sh_all.shingle
-           FROM sh_all JOIN rare USING (shingle)),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-"""
-
-
 @register(
     "dedup_ngram_jaccard_pairs",
     f"""
@@ -150,19 +124,7 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
     so the cap is a no-op on values — it exists so the same query survives
     a skewed 100 TB corpus). The unbounded-scale alternative path goes
     through LSH candidates (dedup_minhash_lsh_pairs)."""
-    sh = shingles(_toks(spark, sf_dir), "doc_id", "tokens", n=8)
-    jp = jaccard_pairs(sh, "doc_id")
-    return (
-        jp.filter(F.col("jaccard") >= 0.6)
-        .select(
-            "id_a",
-            "id_b",
-            F.col("n_a").cast("long").alias("n_a"),
-            F.col("n_b").cast("long").alias("n_b"),
-            "n_common",
-            F.round("jaccard", 4).alias("jaccard"),
-        )
-    )
+    return ngram_jaccard_pairs_df(spark, sf_dir)
 
 
 @register(

@@ -31,7 +31,12 @@ from cinegraph_spark.operators.graph_algos import (
     triangle_count,
 )
 from cinegraph_spark.queries import register
-from cinegraph_spark.queries.dedup import SHINGLE_CTES, dedup_ngram_jaccard_pairs
+# neardup_common (not queries.dedup): a module-level import of dedup would
+# register its queries mid-family and scramble the load_all ordering.
+from cinegraph_spark.queries.neardup_common import (
+    SHINGLE_CTES,
+    ngram_jaccard_pairs_df,
+)
 from cinegraph_spark.queries.util import T
 
 _COPURCHASE_CTE = """
@@ -159,7 +164,7 @@ def graph_cc_neardup_clusters(spark, sf_dir):
     true groups to pick one survivor from. Oracle: recursive-CTE transitive
     closure (tiny pair set); the Spark side is the O(log d) min-label
     propagation that also works at 10^9 edges."""
-    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    pairs = ngram_jaccard_pairs_df(spark, sf_dir).select("id_a", "id_b")
     cc = connected_components(pairs, "id_a", "id_b", oriented=True)
     return cc.groupBy("component").agg(
         F.count("*").alias("n_docs"),
@@ -206,7 +211,7 @@ def graph_cc_star_neardup_clusters(spark, sf_dir):
     bound are pinned in tests/test_graph_algos.py."""
     from cinegraph_spark.operators.graph_algos import connected_components_star
 
-    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    pairs = ngram_jaccard_pairs_df(spark, sf_dir).select("id_a", "id_b")
     cc = connected_components_star(pairs, "id_a", "id_b")
     return cc.groupBy("component").agg(
         F.count("*").alias("n_docs"),

@@ -31,29 +31,6 @@ _HEADER_SQL = (
 
 
 @register(
-    "media_feature_extract",
-    f"""
-    SELECT doc_id AS media_id,
-           {_KIND_SQL} AS kind,
-           CAST(len({_HEADER_SQL}) + 1 + strlen(text) AS BIGINT) AS n_bytes,
-           'MEDIA' AS header,
-           CAST({_W_SQL} AS INT)   AS width,
-           CAST({_H_SQL} AS INT)   AS height,
-           CAST({_DUR_SQL} AS INT) AS duration_ms
-    FROM documents
-    """,
-    tags=("multimodal", "mapinpandas"),
-)
-def media_feature_extract(spark, sf_dir):
-    """Binary decode path (Arrow-batched mapInPandas with the deterministic
-    fake decoder) — metadata output cross-checked against closed-form SQL.
-    Real codecs plug into the same kernel point (binary_ops.real_decoder)."""
-    ensure_shipped(spark)  # workers must import the binary_ops kernels
-    media = synth_media(T(spark, sf_dir, "documents"))
-    return extract_features(media).drop("checksum")
-
-
-@register(
     "media_payload_checksums",
     None,  # byte-level arithmetic; rows-only + unit-tested
     tags=("multimodal", "mapinpandas"),
@@ -120,3 +97,29 @@ def media_kind_profile(spark, sf_dir):
         .agg(F.max("width").cast("long").alias("max_width"))
     )
     return sizes.join(widths, "kind")
+
+
+# NOTE: registered last within this module on purpose — it was already
+# driver-verified in round 2, so the not-yet-verified media queries above
+# claim the earlier registry slots (see queries/__init__.py::load_all).
+@register(
+    "media_feature_extract",
+    f"""
+    SELECT doc_id AS media_id,
+           {_KIND_SQL} AS kind,
+           CAST(len({_HEADER_SQL}) + 1 + strlen(text) AS BIGINT) AS n_bytes,
+           'MEDIA' AS header,
+           CAST({_W_SQL} AS INT)   AS width,
+           CAST({_H_SQL} AS INT)   AS height,
+           CAST({_DUR_SQL} AS INT) AS duration_ms
+    FROM documents
+    """,
+    tags=("multimodal", "mapinpandas"),
+)
+def media_feature_extract(spark, sf_dir):
+    """Binary decode path (Arrow-batched mapInPandas with the deterministic
+    fake decoder) — metadata output cross-checked against closed-form SQL.
+    Real codecs plug into the same kernel point (binary_ops.real_decoder)."""
+    ensure_shipped(spark)  # workers must import the binary_ops kernels
+    media = synth_media(T(spark, sf_dir, "documents"))
+    return extract_features(media).drop("checksum")

@@ -203,3 +203,44 @@ def test_levenshtein_dedup_has_no_python(q):
     built-in, not a UDF."""
     c = plan_counts(q("dedup_levenshtein_part_names"))
     assert c["python_row_udf"] == 0 and c["python_arrow_udf"] == 0
+
+
+def test_bigram_surprisal_broadcasts_the_model(q):
+    """The char-bigram LM join must broadcast the bigram->count model (an
+    alphabet^2-bounded table); a sort-merge join here would shuffle the
+    corpus-sized exploded-bigram side at 100 TB."""
+    c = plan_counts(q("text_bigram_surprisal"))
+    assert c["broadcast_hash_join"] >= 1  # bigram->count model join
+    assert c["sort_merge_join"] == 0
+    assert c["python_row_udf"] == 0 and c["python_arrow_udf"] == 0
+
+
+def test_asof_nearest_is_single_key_shuffle_no_range_join(q):
+    """asof_nearest must be the union+window form: no join node at all
+    (the oracle's range join is the anti-pattern it replaces), pure JVM."""
+    c = plan_counts(q("events_asof_nearest_click"))
+    assert c["broadcast_hash_join"] == 0 and c["sort_merge_join"] == 0
+    assert c["python_row_udf"] == 0 and c["python_arrow_udf"] == 0
+
+
+def test_mips_topk_is_map_only_plus_take_ordered(q):
+    """MIPS top-k: broadcast query vector, TakeOrdered — never a global
+    sort of the corpus."""
+    c = plan_counts(q("vec_mips_topk"))
+    assert c["take_ordered"] == 1
+    assert c["sort_merge_join"] == 0
+    assert c["shuffle_exchange"] == 0  # map-only scan + broadcast
+
+
+def test_split_and_domain_mix_stay_jvm_side(q):
+    for name in ("sample_train_val_test_split", "text_domain_mix_weights"):
+        c = plan_counts(q(name))
+        assert c["python_row_udf"] == 0 and c["python_arrow_udf"] == 0
+
+
+def test_portable_minhash_signature_agg_is_map_side_combinable(q):
+    """The portable-minhash signature agg must be a hash aggregate (16 min
+    columns, map-side combined) with no Python and no corpus-side SMJ on
+    the shingle strings beyond the capped posting-list exchange."""
+    c = plan_counts(q("dedup_minhash_portable_est"))
+    assert c["python_row_udf"] == 0 and c["python_arrow_udf"] == 0

@@ -658,3 +658,291 @@ def dedup_simhash_portable_hamming(spark, sf_dir):
             "jaccard",
         )
     )
+
+
+#: count-min sketch geometry: 4 md5-affine hash rows × 1024 buckets. Same
+#: portable-hash family as the minhash estimator (a_j = 2j+3, b_j = 997j+1
+#: mod 1000003), then mod the width. Integer-exact in both engines.
+_CMS_D = 4
+_CMS_W = 1024
+
+
+def _cms_bucket_sql(h: str, j: int) -> str:
+    return f"(({_mh_a(j)} * {h} + {_mh_b(j)}) % {_MH_P}) % {_CMS_W}"
+
+
+@register(
+    "sketch_countmin_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(
+               regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+'),
+               t -> t <> '') AS tokens
+      FROM documents
+    ),
+    tokh AS (
+      SELECT tok, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+      FROM (SELECT unnest(tokens) AS tok FROM toks)
+    ),
+    perms(j) AS (VALUES {", ".join(f"({j})" for j in range(_CMS_D))}),
+    cells AS (
+      SELECT j, {_cms_bucket_sql('h', 0)} * 0 + CASE j
+               {" ".join(f"WHEN {j} THEN {_cms_bucket_sql('h', j)}" for j in range(_CMS_D))}
+             END AS bucket,
+             count(*) AS cell_cnt
+      FROM tokh, perms GROUP BY 1, 2
+    ),
+    exact AS (SELECT tok, min(h) AS h, count(*) AS exact_cnt
+              FROM tokh GROUP BY tok),
+    top20 AS (SELECT * FROM exact ORDER BY exact_cnt DESC, tok LIMIT 20),
+    probe AS (
+      SELECT t.tok, t.exact_cnt, p.j, CASE p.j
+               {" ".join(f"WHEN {j} THEN {_cms_bucket_sql('t.h', j)}" for j in range(_CMS_D))}
+             END AS bucket
+      FROM top20 t, perms p
+    )
+    SELECT tok AS token, exact_cnt, min(cell_cnt) AS est_cnt
+    FROM probe JOIN cells USING (j, bucket)
+    GROUP BY tok, exact_cnt
+    """,
+    tags=("sketch", "countmin", "heavy-hitters"),
+)
+def sketch_countmin_heavy_hitters(spark, sf_dir):
+    """Count-min sketch with a full cross-engine oracle: the token stream
+    folds into a 4×1024 cell table (one map-side-combinable agg — the
+    sketch is 4 KB of state at ANY corpus size, the whole point), then the
+    exact top-20 tokens are probed back through the sketch and reported
+    with exact vs estimated counts (CMS guarantees est >= exact; integer
+    arithmetic end-to-end, so the oracle match is exact, not rounded).
+    At 100 TB the exact side is the expensive one — in production you keep
+    only the sketch and probe candidate keys; the exact count here doubles
+    as the accuracy ground truth."""
+    tokh = (
+        toks_df(spark, sf_dir)
+        .select(F.explode("tokens").alias("tok"))
+        .select(
+            "tok",
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+
+    def bucket(h_col, j):
+        return ((F.lit(_mh_a(j)) * h_col + F.lit(_mh_b(j))) % _MH_P) % _CMS_W
+
+    cells = (
+        tokh.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            bucket(F.col("h"), j).alias("bucket"),
+                        )
+                        for j in range(_CMS_D)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.j", "s.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cell_cnt"))
+    )
+    exact = tokh.groupBy("tok").agg(
+        F.min("h").alias("h"), F.count("*").alias("exact_cnt")
+    )
+    top20 = exact.orderBy(F.desc("exact_cnt"), F.asc("tok")).limit(20)
+    probe = top20.select(
+        "tok",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        bucket(F.col("h"), j).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("s"),
+    ).select("tok", "exact_cnt", "s.j", "s.bucket")
+    return (
+        probe.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy(F.col("tok").alias("token"), "exact_cnt")
+        .agg(F.min("cell_cnt").alias("est_cnt"))
+    )
+
+
+@register(
+    "events_session_paths_topk",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                   ORDER BY ts, event_id) AS rn
+      FROM numbered
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM ranked WHERE rn <= 3
+      GROUP BY user_id, session_id
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+    tags=("events", "session", "funnel", "path"),
+)
+def events_session_paths_topk(spark, sf_dir):
+    """Top-10 session opening paths: sessionize (30-min gap), take each
+    session's first 3 event types in time order, count path frequencies —
+    the 'how do users start a session' product question. Ordered
+    aggregation inside a group is done with sort_array over
+    (ts, event_id, type) structs (deterministic — collect_list alone has
+    no order guarantee); everything shuffles on user_id once, then on the
+    tiny path strings."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.expr("timestampdiff(MICROSECOND, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)")
+                > 1800 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = ordered.withColumn("session_id", F.sum("new_session").over(wsum))
+    wrank = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    head3 = numbered.withColumn("rn", F.row_number().over(wrank)).filter(
+        F.col("rn") <= 3
+    )
+    paths = head3.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )
+
+
+@register(
+    "text_dsir_importance",
+    """
+    WITH bg AS (
+      SELECT doc_id, source, substr(text, CAST(i AS INTEGER), 2) AS bigram
+      FROM documents, unnest(range(1, length(text))) AS u(i)
+      WHERE length(text) >= 2
+    ),
+    corpus AS (SELECT bigram, count(*) AS c_c FROM bg GROUP BY bigram),
+    target AS (SELECT bigram, count(*) AS c_t FROM bg
+               WHERE source = 'src0' GROUP BY bigram),
+    consts AS (
+      SELECT (SELECT sum(c_c) FROM corpus)                    AS n_c,
+             (SELECT count(*) FROM corpus)                    AS v,
+             (SELECT coalesce(sum(c_t), 0) FROM target)       AS n_t
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(  ln(coalesce(c_t, 0) + 1.0) - ln(n_t + v)
+                     - ln(c_c + 1.0)              + ln(n_c + v)), 4)
+             AS dsir_score
+    FROM bg
+    JOIN corpus USING (bigram)
+    LEFT JOIN target USING (bigram)
+    CROSS JOIN consts
+    GROUP BY doc_id
+    """,
+    tags=("textstats", "dsir", "importance", "llm-pipeline"),
+)
+def text_dsir_importance(spark, sf_dir):
+    """DSIR-style importance weighting (data selection for a target
+    domain): score every document by the mean log-likelihood ratio of its
+    char bigrams under an add-1-smoothed target-domain LM (docs from
+    source 'src0') vs the whole-corpus LM. High scores = looks like the
+    target domain; the standard cheap re-weighting signal when composing a
+    training mixture toward a domain. Both LMs are alphabet^2-bounded
+    count tables — broadcast; scoring is one map-only pass over the
+    exploded bigrams, the same 100 TB shape as text_bigram_surprisal."""
+    d = T(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    bg = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("bigram"),
+    )
+    corpus = (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("c_c"))
+        .localCheckpoint(eager=False)  # feeds the join AND the constants
+    )
+    target = bg.filter(F.col("source") == "src0").groupBy("bigram").agg(
+        F.count("*").alias("c_t")
+    )
+    consts = (
+        corpus.agg(
+            F.sum("c_c").alias("n_c"), F.count("*").alias("v")
+        )
+        .crossJoin(
+            F.broadcast(
+                target.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"))
+            )
+        )
+    )
+    llr = (
+        F.log(F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
+        - F.log(F.col("n_t") + F.col("v"))
+        - F.log(F.col("c_c") + 1.0)
+        + F.log(F.col("n_c") + F.col("v"))
+    )
+    return (
+        bg.join(F.broadcast(corpus), "bigram")
+        .join(F.broadcast(target), "bigram", "left")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            r4(F.avg(llr)).alias("dsir_score"),
+        )
+    )

@@ -244,3 +244,20 @@ def test_portable_minhash_signature_agg_is_map_side_combinable(q):
     the shingle strings beyond the capped posting-list exchange."""
     c = plan_counts(q("dedup_minhash_portable_est"))
     assert c["python_row_udf"] == 0 and c["python_arrow_udf"] == 0
+
+
+def test_countmin_cells_broadcast_and_no_python(q):
+    """The 4x1024 CMS cell table must broadcast back for the probe join;
+    the sketch build itself is one map-side-combinable hash agg."""
+    c = plan_counts(q("sketch_countmin_heavy_hitters"))
+    assert c["broadcast_hash_join"] >= 1
+    assert c["sort_merge_join"] == 0
+    assert c["python_row_udf"] == 0 and c["python_arrow_udf"] == 0
+
+
+def test_dsir_models_broadcast(q):
+    """Both LM count tables (corpus + target) are alphabet^2-bounded and
+    must broadcast — the corpus-sized exploded-bigram side never shuffles."""
+    c = plan_counts(q("text_dsir_importance"))
+    assert c["broadcast_hash_join"] >= 2
+    assert c["sort_merge_join"] == 0

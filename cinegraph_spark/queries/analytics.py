@@ -946,3 +946,172 @@ def text_dsir_importance(spark, sf_dir):
             r4(F.avg(llr)).alias("dsir_score"),
         )
     )
+
+
+@register(
+    "join_lateral_top2_customers_per_nation",
+    """
+    SELECT n.n_name AS nation, t.c_custkey AS custkey, t.c_acctbal AS acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) t
+    """,
+    tags=("join", "lateral", "topk"),
+)
+def join_lateral_top2_customers_per_nation(spark, sf_dir):
+    """Correlated LATERAL subquery via the DataFrame lateralJoin API
+    (Spark 4): for each nation, its top-2 customers by account balance.
+    Catalyst decorrelates the ORDER BY ... LIMIT subquery into a
+    partitioned top-k — same physical work as the window-rank idiom, but
+    exercising the lateral-join surface a SQL user migrating from the
+    reference's Postgres (JOIN LATERAL) would reach for."""
+    n = T(spark, sf_dir, "nation")
+    c = T(spark, sf_dir, "customer")
+    top2 = (
+        c.where(F.col("n_nationkey").outer() == F.col("c_nationkey"))
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(2)
+        .select("c_custkey", "c_acctbal")
+    )
+    return n.lateralJoin(top2).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+
+
+@register(
+    "events_value_ewma_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS dv
+      FROM events GROUP BY 1, 2
+    ),
+    rn AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ),
+    acc AS (
+      SELECT *, sum(dv * pow(1.0/0.7, rn) * CASE WHEN rn = 1 THEN 1 ELSE 0.3 END)
+                  OVER (PARTITION BY event_type ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS s
+      FROM rn
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           round(dv, 4) AS daily_value,
+           round(pow(0.7, rn) * s, 4) AS ewma
+    FROM acc
+    """,
+    tags=("events", "timeseries", "ewma"),
+)
+def events_value_ewma_daily(spark, sf_dir):
+    """Exponentially weighted moving average (alpha=0.3, pandas
+    adjust=False semantics: y_1 = x_1, y_t = 0.7*y_{t-1} + 0.3*x_t) of
+    daily value totals per event type. The recursion is re-expressed as a
+    single window prefix-sum via the standard exp-rescaling trick
+    (y_t = 0.7^t * sum_i x_i * 0.7^{-i} * w_i), so a 'sequential'
+    time-series smoother runs as one partitioned window — no UDF, no
+    iteration. The rescaled terms stay finite because the grain is daily
+    (0.7^-30 ~ 4e4); for long series you'd chunk the window or switch to a
+    log-domain form."""
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum("value").alias("dv"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    rn = daily.withColumn("rn", F.row_number().over(w))
+    term = (
+        F.col("dv")
+        * F.pow(F.lit(1.0) / F.lit(0.7), F.col("rn"))
+        * F.when(F.col("rn") == 1, 1.0).otherwise(0.3)
+    )
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    acc = rn.withColumn("s", F.sum(term).over(ws))
+    return acc.select(
+        "event_type",
+        dstr(F.col("day")).alias("day"),
+        r4(F.col("dv")).alias("daily_value"),
+        r4(F.pow(F.lit(0.7), F.col("rn")) * F.col("s")).alias("ewma"),
+    )
+
+
+@register(
+    "events_asof_cogroup_pandas",
+    """
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           c.event_id AS asof_click_id,
+           c.value    AS asof_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    QUALIFY row_number() OVER (PARTITION BY p.event_id
+                               ORDER BY c.ts DESC NULLS LAST,
+                                        c.event_id DESC NULLS LAST) = 1
+    """,
+    tags=("events", "asof", "cogroup", "pandas-udf"),
+)
+def events_asof_cogroup_pandas(spark, sf_dir):
+    """The SAME as-of semantics as events_asof_purchase_click, but through
+    the cogrouped-applyInPandas surface: both sides group by user, Spark
+    shuffles each user's purchases and clicks to one Arrow batch pair, and
+    pandas merge_asof runs per group. Three independent implementations of
+    one operator now cross-check each other — the JVM union+window
+    operator, this pandas kernel, and the DuckDB QUALIFY'd range join.
+    The cogroup shuffle is the same single user_id exchange the JVM form
+    pays; Python cost is per-group Arrow batches (fine when groups fit in
+    memory — per-user event history does; use the JVM operator otherwise)."""
+    import pandas as pd
+
+    from cinegraph_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    e = T(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        "value",
+    )
+
+    def kernel(lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
+        if len(lp) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "purchase_ts": pd.Series([], dtype="object"),
+                    "asof_click_id": pd.Series([], dtype="Int64"),
+                    "asof_click_value": pd.Series([], dtype="Float64"),
+                }
+            )
+        lp = lp.sort_values(["ts", "event_id"])
+        # secondary sort on click_id: merge_asof backward takes the LAST
+        # right row at equal ts, so ascending id = largest-id tiebreak,
+        # matching the JVM operator and the oracle
+        rp = rp.sort_values(["ts", "click_id"]).drop(columns=["user_id"])
+        m = pd.merge_asof(lp, rp, on="ts", direction="backward")
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"],
+                "user_id": m["user_id"],
+                "purchase_ts": m["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "asof_click_id": m["click_id"].astype("Int64"),
+                "asof_click_value": m["value"].astype("Float64"),
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            kernel,
+            "event_id long, user_id long, purchase_ts string, "
+            "asof_click_id long, asof_click_value double",
+        )
+    )

@@ -261,3 +261,18 @@ def test_dsir_models_broadcast(q):
     c = plan_counts(q("text_dsir_importance"))
     assert c["broadcast_hash_join"] >= 2
     assert c["sort_merge_join"] == 0
+
+
+def test_lateral_join_decorrelates_to_window_group_limit(q):
+    """The correlated LATERAL (ORDER BY ... LIMIT 2) must decorrelate into
+    WindowGroupLimit (per-partition partial top-k) + broadcast join — a
+    BroadcastNestedLoopJoin re-running the subquery per outer row would be
+    quadratic at scale."""
+    from cinegraph_spark.plans import formatted_plan
+
+    df = q("join_lateral_top2_customers_per_nation")
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "NestedLoop" not in plan
+    c = plan_counts(df)
+    assert c["sort_merge_join"] == 0

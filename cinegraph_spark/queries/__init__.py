@@ -80,6 +80,7 @@ def load_all() -> dict[str, QuerySpec]:
         sampling,
         packing,
         analytics,
+        udfs,
         multimodal,
         tree,
         vectors,

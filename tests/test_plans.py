@@ -276,3 +276,15 @@ def test_lateral_join_decorrelates_to_window_group_limit(q):
     assert "NestedLoop" not in plan
     c = plan_counts(df)
     assert c["sort_merge_join"] == 0
+
+
+def test_pandas_udf_paths_are_arrow_not_row_python(q):
+    """The declared pandas_udf surface must evaluate through Arrow
+    (ArrowEvalPython / AggregateInPandas), never BatchEvalPython — and the
+    scalar form must not break filter pushdown to the scan."""
+    c = plan_counts(q("udf_pandas_scalar_net_revenue"))
+    assert c["python_row_udf"] == 0
+    [filters] = pushed_filters(q("udf_pandas_scalar_net_revenue"))
+    assert "l_shipdate" in filters
+    c2 = plan_counts(q("udf_pandas_grouped_agg_gini"))
+    assert c2["python_row_udf"] == 0

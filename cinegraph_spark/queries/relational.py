@@ -325,6 +325,33 @@ def join_left_customers_order_counts(spark, sf_dir):
 
 
 @register(
+    "join_right_orders_all_customers",
+    """
+    SELECT c_custkey,
+           CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(count(o_orderkey) AS BIGINT) AS n_open_orders
+    FROM (SELECT * FROM orders WHERE o_orderstatus = 'O') o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_custkey, c_nationkey
+    """,
+    tags=("relational", "join", "outer"),
+)
+def join_right_orders_all_customers(spark, sf_dir):
+    """RIGHT join (the §2.10 join-list member the other queries don't
+    exercise): open orders RIGHT-joined to customers, preserving every
+    customer including those with no open orders (count 0). Physically the
+    mirror of the left join — Spark canonicalizes build/probe sides either
+    way."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", F.col("c_nationkey").cast("long").alias("c_nationkey"))
+        .agg(F.count("o_orderkey").alias("n_open_orders"))
+    )
+
+
+@register(
     "join_full_outer_customer_supplier_nations",
     """
     SELECT coalesce(cn.ck, -1) AS cust_nation,

@@ -81,6 +81,7 @@ def load_all() -> dict[str, QuerySpec]:
         packing,
         analytics,
         udfs,
+        pysource,
         multimodal,
         tree,
         vectors,

@@ -1,0 +1,67 @@
+"""Query over the S1 paginated-listing Python Data Source
+(`sources/listing.py`) — the reference's scraper pagination loop
+(`scraping/scraper.py:34-73`) as partition-parallel input splits, with the
+P3 title/year parse (default 1800, `scraping/scraper.py:75-88`) applied
+downstream. The oracle reproduces the deterministic listing closed-form
+with generate_series, so the custom data source's partition planning, row
+synthesis, AND the parse are all value-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cinegraph_spark.queries import register
+
+_PAGES = 10
+_PER_PAGE = 50
+
+
+@register(
+    "src_paginated_listing_decades",
+    f"""
+    WITH items AS (SELECT i FROM generate_series(0, {_PAGES * _PER_PAGE - 1}) t(i)),
+    titles AS (
+      SELECT CASE WHEN i % 7 = 3 THEN 'Untitled Project ' || i
+                  ELSE 'Movie ' || i || ' (' || (1900 + (i * 37) % 126) || ')'
+             END AS raw_title
+      FROM items
+    ),
+    parsed AS (
+      SELECT CASE WHEN regexp_extract(raw_title, '\\((\\d{{4}})\\)$', 1) = ''
+                  THEN 1800
+                  ELSE CAST(regexp_extract(raw_title, '\\((\\d{{4}})\\)$', 1) AS INT)
+             END AS year
+      FROM titles
+    )
+    SELECT CAST(year - year % 10 AS BIGINT) AS decade,
+           count(*) AS n_titles,
+           CAST(sum(CASE WHEN year = 1800 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing_year
+    FROM parsed GROUP BY 1
+    """,
+    tags=("source", "python-datasource", "s1", "p3"),
+)
+def src_paginated_listing_decades(spark, sf_dir):
+    """S1 through the Spark 4 Python Data Source API: the paginated listing
+    reads as one input split per page (the scraper's serial page loop,
+    parallelized), then the P3 parse ('Title (year)', default 1800 when the
+    year is missing) and a per-decade rollup run as ordinary JVM column
+    work. `sf_dir` is unused — this source synthesizes its rows, which is
+    exactly what lets the oracle check the custom reader end-to-end."""
+    from cinegraph_spark.session import ensure_shipped
+    from cinegraph_spark.sources.listing import read_listing
+
+    ensure_shipped(spark)  # executors import the DataSource class
+    lst = read_listing(spark, pages=_PAGES, per_page=_PER_PAGE)
+    ys = F.regexp_extract("raw_title", r"\((\d{4})\)$", 1)
+    year = F.coalesce(F.nullif(ys, F.lit("")).cast("int"), F.lit(1800))
+    parsed = lst.select(year.alias("year"))
+    return parsed.groupBy(
+        (F.col("year") - F.col("year") % 10).cast("long").alias("decade")
+    ).agg(
+        F.count("*").alias("n_titles"),
+        F.sum(F.when(F.col("year") == 1800, 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing_year"),
+    )

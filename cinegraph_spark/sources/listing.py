@@ -1,0 +1,80 @@
+"""Paginated-listing source (S1) as a Spark 4 Python Data Source.
+
+Reference behavior being re-expressed (SURVEY §2.1 S1): the scraper walks a
+paginated movie listing page by page (``scraping/scraper.py:34-73`` —
+``?page={n}`` loop, 50 titles per page) and yields ``"Title (year)"``
+strings. SURVEY declared a file source as the stand-in; this module closes
+the gap properly: a custom ``DataSource`` whose **partitions ARE the
+pages**, so the pagination loop the reference runs serially on one machine
+becomes N parallel executor tasks — the idiomatic Spark shape for any
+paged/cursored upstream (HTTP listings, REST cursors, key-ranged APIs).
+
+The container has no network, so the page fetch is a deterministic
+synthesizer (same title grammar as the reference's listing). The REAL
+integration point is ``_fetch_page``: swap it for an HTTP call and nothing
+else changes — partition planning, schema, and the downstream P3 parse are
+already production-shaped.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+#: listing geometry defaults (reference pages hold 50 titles).
+PER_PAGE = 50
+
+
+def _fetch_page(page: int, per_page: int) -> Iterator[tuple]:
+    """One listing page -> (page, rank, raw_title) rows. Deterministic
+    synthetic stand-in for the reference's HTTP GET ?page={page}; titles
+    follow the same '"Title (year)"' grammar, with every 7th entry missing
+    its year (the case P3 defaults to 1800)."""
+    for rank in range(per_page):
+        item = page * per_page + rank
+        year = 1900 + (item * 37) % 126
+        if item % 7 == 3:
+            title = f"Untitled Project {item}"
+        else:
+            title = f"Movie {item} ({year})"
+        yield (page, rank, title)
+
+
+class ListingDataSource(DataSource):
+    """`spark.read.format("cinegraph_listing").option("pages", N)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cinegraph_listing"
+
+    def schema(self) -> str:
+        return "page int, rank int, raw_title string"
+
+    def reader(self, schema) -> "ListingReader":
+        return ListingReader(self.options)
+
+
+class ListingReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.pages = int(options.get("pages", "10"))
+        self.per_page = int(options.get("per_page", str(PER_PAGE)))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # one input split per listing page: the scraper's serial
+        # `for page in range(...)` loop becomes `pages` parallel tasks
+        return [InputPartition(p) for p in range(self.pages)]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        return _fetch_page(partition.value, self.per_page)
+
+
+def read_listing(spark, pages: int = 10, per_page: int = PER_PAGE):
+    """Register (idempotent) and read the paginated listing."""
+    spark.dataSource.register(ListingDataSource)
+    return (
+        spark.read.format("cinegraph_listing")
+        .option("pages", str(pages))
+        .option("per_page", str(per_page))
+        .load()
+    )

@@ -32,12 +32,28 @@ _HEADER_SQL = (
 
 @register(
     "media_payload_checksums",
-    None,  # byte-level arithmetic; rows-only + unit-tested
+    f"""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             {_HEADER_SQL} || chr(10) || text AS s
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(strlen(s) AS BIGINT) AS n_bytes,
+           CAST(sum(i * ascii(substr(s, CAST(i AS INT), 1))) % 1000000007
+                AS BIGINT) AS checksum
+    FROM p, unnest(range(1, least(strlen(s), 1024) + 1)) AS u(i)
+    GROUP BY media_id, s
+    """,
     tags=("multimodal", "mapinpandas"),
 )
 def media_payload_checksums(spark, sf_dir):
     """Position-weighted payload checksum per media row (the byte-touching
-    half of the decode path)."""
+    half of the decode path — mapInPandas over the raw bytes). The oracle
+    recomputes it character-wise in SQL, which is byte-exact here because
+    the fixture corpus is printable ASCII (verified: utf-8 bytes == chars
+    at every SF); on a non-ASCII corpus this oracle would diverge and the
+    check would drop back to rows-only."""
     ensure_shipped(spark)  # workers must import the binary_ops kernels
     media = synth_media(T(spark, sf_dir, "documents"))
     return extract_features(media).select("media_id", "n_bytes", "checksum")

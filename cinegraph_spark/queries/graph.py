@@ -14,9 +14,11 @@ Two deterministic graph fixtures derived from the driver tables:
 
 Iterative algorithms (CC, PageRank, BFS) run as joins with localCheckpoint
 lineage truncation — see ``operators/graph_algos.py``. CC and BFS have
-recursive-CTE / path-derived DuckDB oracles; PageRank is not expressible in
-DuckDB SQL (recursive aggregation) so it gets the rows-only check plus
-property tests in ``tests/test_graph_algos.py``.
+recursive-CTE / path-derived DuckDB oracles; PageRank's fixed 10-iteration
+run is oracle-checked by UNROLLING the superstep into 10 chained CTEs
+(recursive aggregation isn't legal SQL, but a fixed iteration count is
+just k copies of one step), plus property tests in
+``tests/test_graph_algos.py``.
 """
 
 from __future__ import annotations
@@ -313,8 +315,79 @@ def graph_bfs_levels_tree(spark, sf_dir):
 
 @register(
     "graph_pagerank_copurchase",
-    None,  # iterative fixpoint — not expressible in DuckDB SQL (no
-    # recursive aggregation); property-tested in tests/test_graph_algos.py
+    # the 10-iteration fixpoint unrolled as chained CTEs: recursive
+    # AGGREGATION is not legal SQL, but a FIXED iteration count is just 10
+    # copies of one superstep — r{k} = 0.15 + 0.85 * sum(r{k-1}/deg)
+    f"""
+    WITH {_COPURCHASE_CTE},
+    und AS (SELECT src, dst FROM copurchase
+            UNION ALL SELECT dst, src FROM copurchase),
+    verts AS (SELECT DISTINCT src AS id FROM und),
+    deg AS (SELECT src AS id, count(*) AS out_deg FROM und GROUP BY src),
+    r0 AS (SELECT id, 1.0 AS rank FROM verts),
+    r1 AS (
+      SELECT v.id, 0.15 + 0.85 * coalesce(s.in_sum, 0) AS rank
+      FROM verts v LEFT JOIN (
+        SELECT e.dst AS id, sum(r.rank / d.out_deg) AS in_sum
+        FROM und e JOIN r0 r ON e.src = r.id JOIN deg d ON r.id = d.id
+        GROUP BY e.dst) s USING (id)),
+    r2 AS (
+      SELECT v.id, 0.15 + 0.85 * coalesce(s.in_sum, 0) AS rank
+      FROM verts v LEFT JOIN (
+        SELECT e.dst AS id, sum(r.rank / d.out_deg) AS in_sum
+        FROM und e JOIN r1 r ON e.src = r.id JOIN deg d ON r.id = d.id
+        GROUP BY e.dst) s USING (id)),
+    r3 AS (
+      SELECT v.id, 0.15 + 0.85 * coalesce(s.in_sum, 0) AS rank
+      FROM verts v LEFT JOIN (
+        SELECT e.dst AS id, sum(r.rank / d.out_deg) AS in_sum
+        FROM und e JOIN r2 r ON e.src = r.id JOIN deg d ON r.id = d.id
+        GROUP BY e.dst) s USING (id)),
+    r4 AS (
+      SELECT v.id, 0.15 + 0.85 * coalesce(s.in_sum, 0) AS rank
+      FROM verts v LEFT JOIN (
+        SELECT e.dst AS id, sum(r.rank / d.out_deg) AS in_sum
+        FROM und e JOIN r3 r ON e.src = r.id JOIN deg d ON r.id = d.id
+        GROUP BY e.dst) s USING (id)),
+    r5 AS (
+      SELECT v.id, 0.15 + 0.85 * coalesce(s.in_sum, 0) AS rank
+      FROM verts v LEFT JOIN (
+        SELECT e.dst AS id, sum(r.rank / d.out_deg) AS in_sum
+        FROM und e JOIN r4 r ON e.src = r.id JOIN deg d ON r.id = d.id
+        GROUP BY e.dst) s USING (id)),
+    r6 AS (
+      SELECT v.id, 0.15 + 0.85 * coalesce(s.in_sum, 0) AS rank
+      FROM verts v LEFT JOIN (
+        SELECT e.dst AS id, sum(r.rank / d.out_deg) AS in_sum
+        FROM und e JOIN r5 r ON e.src = r.id JOIN deg d ON r.id = d.id
+        GROUP BY e.dst) s USING (id)),
+    r7 AS (
+      SELECT v.id, 0.15 + 0.85 * coalesce(s.in_sum, 0) AS rank
+      FROM verts v LEFT JOIN (
+        SELECT e.dst AS id, sum(r.rank / d.out_deg) AS in_sum
+        FROM und e JOIN r6 r ON e.src = r.id JOIN deg d ON r.id = d.id
+        GROUP BY e.dst) s USING (id)),
+    r8 AS (
+      SELECT v.id, 0.15 + 0.85 * coalesce(s.in_sum, 0) AS rank
+      FROM verts v LEFT JOIN (
+        SELECT e.dst AS id, sum(r.rank / d.out_deg) AS in_sum
+        FROM und e JOIN r7 r ON e.src = r.id JOIN deg d ON r.id = d.id
+        GROUP BY e.dst) s USING (id)),
+    r9 AS (
+      SELECT v.id, 0.15 + 0.85 * coalesce(s.in_sum, 0) AS rank
+      FROM verts v LEFT JOIN (
+        SELECT e.dst AS id, sum(r.rank / d.out_deg) AS in_sum
+        FROM und e JOIN r8 r ON e.src = r.id JOIN deg d ON r.id = d.id
+        GROUP BY e.dst) s USING (id)),
+    r10 AS (
+      SELECT v.id, 0.15 + 0.85 * coalesce(s.in_sum, 0) AS rank
+      FROM verts v LEFT JOIN (
+        SELECT e.dst AS id, sum(r.rank / d.out_deg) AS in_sum
+        FROM und e JOIN r9 r ON e.src = r.id JOIN deg d ON r.id = d.id
+        GROUP BY e.dst) s USING (id))
+    SELECT id AS part_id, round(rank, 4) AS rank FROM r10
+    ORDER BY round(rank, 4) DESC, part_id LIMIT 20
+    """,
     tags=("graph", "pagerank"),
 )
 def graph_pagerank_copurchase(spark, sf_dir):

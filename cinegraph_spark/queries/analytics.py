@@ -1115,3 +1115,48 @@ def events_asof_cogroup_pandas(spark, sf_dir):
             "asof_click_id long, asof_click_value double",
         )
     )
+
+
+@register(
+    "events_rolling_1h_range_frame",
+    """
+    SELECT event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           n_in_hour,
+           round(sum_in_hour, 4) AS sum_in_hour
+    FROM (
+      SELECT event_id, event_type, ts,
+             count(*) OVER w AS n_in_hour,
+             sum(value) OVER w AS sum_in_hour
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    )
+    """,
+    tags=("events", "window", "range-frame", "rolling"),
+)
+def events_rolling_1h_range_frame(spark, sf_dir):
+    """Rolling one-hour window per event: for each event, the count and
+    value sum of same-type events in the trailing hour — a TIME-range
+    window frame (RANGE BETWEEN over epoch microseconds), the sliding-by-
+    event cousin of the fixed-grid tumbling/sliding windows. One shuffle
+    on event_type; the frame is evaluated by the window operator's
+    running-frame scan, never a self-join. Note the frame orders by the
+    numeric epoch so both engines share exact integer frame-boundary
+    semantics (an event exactly 1 h older is IN the frame)."""
+    e = T(spark, sf_dir, "events")
+    epoch = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(epoch)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        tstr(F.col("ts")).alias("ts_s"),
+        F.count("*").over(w).alias("n_in_hour"),
+        r4(F.sum("value").over(w)).alias("sum_in_hour"),
+    )

@@ -1160,3 +1160,161 @@ def events_rolling_1h_range_frame(spark, sf_dir):
         F.count("*").over(w).alias("n_in_hour"),
         r4(F.sum("value").over(w)).alias("sum_in_hour"),
     )
+
+
+#: portable HyperLogLog geometry: m = 64 registers (p = 6 index bits) over
+#: the 32-bit md5-prefix hash, leaving 26 rank bits. alpha_64 = 0.709 per
+#: Flajolet et al.; the small-range (linear-counting) correction applies
+#: below 2.5*m when empty registers remain. Same portable-hash family as the
+#: minhash estimator, so both engines reproduce the sketch bit-for-bit.
+_HLL_M = 64
+_HLL_P = 6
+_HLL_RANK_BITS = 32 - _HLL_P
+_HLL_ALPHA = 0.709
+
+_HLL_RHO_SQL = "CASE " + " ".join(
+    f"WHEN (w >> {_HLL_RANK_BITS - 1 - k}) & 1 = 1 THEN {k + 1}"
+    for k in range(_HLL_RANK_BITS)
+) + f" ELSE {_HLL_RANK_BITS + 1} END"
+
+
+@register(
+    "sketch_hll_distinct_users",
+    f"""
+    WITH hashed AS (
+      SELECT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h % {_HLL_M} AS reg, {_HLL_RHO_SQL} AS rho
+      FROM (SELECT event_type, h, h >> {_HLL_P} AS w FROM hashed)
+    ),
+    registers AS (
+      SELECT event_type, reg, max(rho) AS mr
+      FROM ranked GROUP BY 1, 2
+    ),
+    folded AS (
+      SELECT event_type,
+             {_HLL_M} - count(*) AS v_empty,
+             sum(pow(2.0, -mr)) + ({_HLL_M} - count(*)) AS z
+      FROM registers GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type, v_empty,
+             CASE WHEN {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / z <= 2.5 * {_HLL_M}
+                       AND v_empty > 0
+                  THEN {_HLL_M} * ln({_HLL_M} * 1.0 / v_empty)
+                  ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / z END AS e
+      FROM folded
+    ),
+    exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, exact_users, round(e, 4) AS est_users, v_empty
+    FROM est JOIN exact USING (event_type)
+    """,
+    tags=("sketch", "hll", "distinct", "portable"),
+)
+def sketch_hll_distinct_users(spark, sf_dir):
+    """Portable HyperLogLog distinct-user estimate per event type, with a
+    full cross-engine oracle: each user hashes through the 32-bit md5
+    prefix, the low p=6 bits pick one of m=64 registers, and the register
+    keeps the max leading-zero rank of the remaining 26 bits (an exact
+    integer CASE chain — no float log2 at the bit boundary). The estimate
+    is the standard alpha_m * m^2 / sum(2^-M_j) harmonic mean with the
+    linear-counting small-range correction, reported beside the exact
+    distinct count. The sketch state is types x 64 small ints REGARDLESS of
+    corpus size — one map-side-combinable agg, no distinct shuffle of raw
+    keys — which is the whole point at 100 TB; the exact count here is the
+    accuracy ground truth (the expensive side that production drops).
+    Spark's built-in approx_count_distinct is the JVM-native equivalent but
+    its Datasketches binary is not reproducible in DuckDB, hence this
+    portable twin (same rationale as dedup_minhash_portable_est)."""
+    e = T(spark, sf_dir, "events").select("event_type", "user_id")
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h")
+    )
+    hashed = e.select("event_type", h)
+    ranked = hashed.select(
+        "event_type",
+        (F.col("h") % _HLL_M).alias("reg"),
+        F.shiftright("h", _HLL_P).alias("w"),
+    )
+    rho = F.when(
+        F.shiftright("w", _HLL_RANK_BITS - 1).bitwiseAND(F.lit(1)) == 1, 1
+    )
+    for k in range(1, _HLL_RANK_BITS):
+        rho = rho.when(
+            F.shiftright("w", _HLL_RANK_BITS - 1 - k).bitwiseAND(F.lit(1)) == 1,
+            k + 1,
+        )
+    rho = rho.otherwise(_HLL_RANK_BITS + 1)
+    registers = (
+        ranked.select("event_type", "reg", rho.alias("rho"))
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("mr"))
+    )
+    folded = registers.groupBy("event_type").agg(
+        (F.lit(_HLL_M) - F.count("*")).alias("v_empty"),
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("mr"))) + (F.lit(_HLL_M) - F.count("*"))
+        ).alias("z"),
+    )
+    e_raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("z")
+    est = folded.select(
+        "event_type",
+        "v_empty",
+        F.when(
+            (e_raw <= 2.5 * _HLL_M) & (F.col("v_empty") > 0),
+            F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v_empty")),
+        )
+        .otherwise(e_raw)
+        .alias("e"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "exact_users", r4(F.col("e")).alias("est_users"), "v_empty"
+    )
+
+
+@register(
+    "agg_regr_corr_stats",
+    """
+    SELECT l_returnflag,
+           regr_count(l_extendedprice, l_quantity) AS n,
+           round(corr(l_quantity, l_extendedprice), 4)           AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4)     AS covar_s,
+           round(covar_pop(l_quantity, l_extendedprice), 4)      AS covar_p,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 4)        AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "regression", "correlation"),
+)
+def agg_regr_corr_stats(spark, sf_dir):
+    """Bivariate statistical aggregates — Pearson correlation, sample and
+    population covariance, and the OLS regression family (slope, intercept,
+    R^2, pair count) of extended price on quantity per return flag. All are
+    single-pass moment aggregates with map-side partial merge (JVM codegen,
+    no window, no second scan), the distributed-statistics idiom that
+    replaces any collect-and-fit loop. Both engines use the co-moment
+    merge formula; last-ulp summation drift is absorbed by round-to-4."""
+    li = T(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(p, q).alias("n"),
+        r4(F.corr(q, p)).alias("corr_qty_price"),
+        r4(F.covar_samp(q, p)).alias("covar_s"),
+        r4(F.covar_pop(q, p)).alias("covar_p"),
+        r4(F.regr_slope(p, q)).alias("slope"),
+        r4(F.regr_intercept(p, q)).alias("intercept"),
+        r4(F.regr_r2(p, q)).alias("r2"),
+    )

@@ -1318,3 +1318,115 @@ def agg_regr_corr_stats(spark, sf_dir):
         r4(F.regr_intercept(p, q)).alias("intercept"),
         r4(F.regr_r2(p, q)).alias("r2"),
     )
+
+
+#: interval-overlap bucketing: intervals are [ts, ts + 5 min); the bin width
+#: equals the interval length, so every interval touches at most 2 bins and
+#: each event replicates at most 2x into the bucketed join.
+_OVL_US = 300_000_000
+
+
+@register(
+    "events_interval_overlap_pairs",
+    f"""
+    WITH pts AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ep FROM events
+    )
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           {_OVL_US} - abs(a.ep - b.ep) AS overlap_us
+    FROM pts a JOIN pts b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(a.ep - b.ep) < {_OVL_US}
+    """,
+    tags=("events", "range-join", "interval", "overlap"),
+)
+def events_interval_overlap_pairs(spark, sf_dir):
+    """Interval-overlap self-join (range join): pairs of same-user events
+    whose five-minute activity intervals [ts, ts+5min) overlap, with the
+    overlap length in microseconds. The oracle states the O(n^2)-per-user
+    theta-join semantics; the Spark plan is the SCALE shape: each interval
+    maps to the 1-2 time bins it touches (bin width == interval length,
+    exact integer division on epoch microseconds), the self-join runs
+    equi-keyed on (user_id, bin) — an ordinary hash shuffle join, never a
+    broadcast-nested-loop over the corpus — and a pair found in both shared
+    bins dedups through DISTINCT. Candidate fan-out is bounded by per-bin
+    co-activity, not table size, the standard bucketed range-join rewrite
+    (same family as the IVF cell join and the LSH band join)."""
+    e = T(spark, sf_dir, "events")
+    ep = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)")
+    binned = (
+        e.select("user_id", "event_id", ep.alias("ep"))
+        .select(
+            "user_id",
+            "event_id",
+            "ep",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.expr(f"ep div {_OVL_US}"),
+                        F.expr(f"(ep + {_OVL_US - 1}) div {_OVL_US}"),
+                    )
+                )
+            ).alias("bin"),
+        )
+    )
+    a = binned.alias("a")
+    b = binned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.bin") == F.col("b.bin"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .where(F.abs(F.col("a.ep") - F.col("b.ep")) < _OVL_US)
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("id_a"),
+            F.col("b.event_id").alias("id_b"),
+            (F.lit(_OVL_US) - F.abs(F.col("a.ep") - F.col("b.ep"))).alias(
+                "overlap_us"
+            ),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "events_scd2_user_state",
+    """
+    SELECT user_id, event_type, value AS state_value,
+           row_number() OVER w AS version,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           lead(epoch_us(ts)) OVER w - epoch_us(ts) AS duration_us,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    """,
+    tags=("events", "scd2", "history", "window"),
+)
+def events_scd2_user_state(spark, sf_dir):
+    """Slowly-changing-dimension type-2 history build: each event sets the
+    (user, type) state, and consecutive events close each other's validity
+    interval — version number, [valid_from, valid_to) bounds, interval
+    duration, and an is_current flag for the open row. This is the standard
+    lead()-over-change-stream rewrite of a MERGE-based SCD2 load: one
+    shuffle on the (user, type) key, no self-join, no driver loop, and at
+    any scale the state per key is the window operator's sorted run, not
+    accumulated memory. ts ties break on event_id so intervals are
+    deterministic; durations are integer microseconds (no cross-engine
+    date_diff boundary-counting semantics)."""
+    e = T(spark, sf_dir, "events")
+    ep = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_type",
+        F.col("value").alias("state_value"),
+        F.row_number().over(w).alias("version"),
+        tstr(F.col("ts")).alias("valid_from"),
+        tstr(F.lead("ts").over(w)).alias("valid_to"),
+        (F.lead(ep).over(w) - ep).alias("duration_us"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

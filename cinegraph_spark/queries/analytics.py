@@ -1430,3 +1430,77 @@ def events_scd2_user_state(spark, sf_dir):
         (F.lead(ep).over(w) - ep).alias("duration_us"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "join_merge_cdc_customer_orders",
+    """
+    WITH base AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+      FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderdate < DATE '1997-01-01')
+      WHERE rn = 1
+    ),
+    delta AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+      FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderdate >= DATE '1997-01-01')
+      WHERE rn = 1
+    )
+    SELECT coalesce(b.o_custkey, d.o_custkey) AS custkey,
+           CASE WHEN d.o_custkey IS NULL THEN 'carry'
+                WHEN b.o_custkey IS NULL THEN 'insert'
+                ELSE 'update' END AS action,
+           coalesce(d.o_orderkey, b.o_orderkey) AS cur_orderkey,
+           strftime(coalesce(d.o_orderdate, b.o_orderdate), '%Y-%m-%d')
+             AS cur_orderdate,
+           round(coalesce(d.o_totalprice, b.o_totalprice), 4) AS cur_totalprice
+    FROM base b FULL OUTER JOIN delta d ON b.o_custkey = d.o_custkey
+    """,
+    tags=("join", "merge", "cdc", "upsert"),
+)
+def join_merge_cdc_customer_orders(spark, sf_dir):
+    """CDC MERGE as a declarative plan: the pre-1997 latest order per
+    customer is the base snapshot, 1997+ orders are the change stream, and
+    the merged current state labels every key insert / update / carry —
+    the read-side semantics of MERGE INTO (the write-side keyed-idempotency
+    twin is operators/incremental.py::append_new_keys). Both sides reduce
+    to one row per key BEFORE the full-outer join (row_number with a
+    deterministic (date, orderkey) tiebreak), so the join is key-to-key —
+    never a fan-out — and the two window shuffles plus the join all share
+    the o_custkey partitioning, which Spark reuses as one exchange. At
+    100 TB the delta side is incremental-batch-sized and broadcasts."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+
+    def latest(side):
+        return (
+            side.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        )
+
+    cut = F.lit("1997-01-01").cast("date")
+    base = latest(o.filter(F.col("o_orderdate") < cut))
+    delta = latest(o.filter(F.col("o_orderdate") >= cut))
+    b, d = base.alias("b"), delta.alias("d")
+    return b.join(d, F.col("b.o_custkey") == F.col("d.o_custkey"), "full_outer").select(
+        F.coalesce(F.col("b.o_custkey"), F.col("d.o_custkey")).alias("custkey"),
+        F.when(F.col("d.o_custkey").isNull(), "carry")
+        .when(F.col("b.o_custkey").isNull(), "insert")
+        .otherwise("update")
+        .alias("action"),
+        F.coalesce(F.col("d.o_orderkey"), F.col("b.o_orderkey")).alias(
+            "cur_orderkey"
+        ),
+        dstr(F.coalesce(F.col("d.o_orderdate"), F.col("b.o_orderdate"))).alias(
+            "cur_orderdate"
+        ),
+        r4(F.coalesce(F.col("d.o_totalprice"), F.col("b.o_totalprice"))).alias(
+            "cur_totalprice"
+        ),
+    )

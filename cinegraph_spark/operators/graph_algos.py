@@ -20,7 +20,7 @@ symmetrized edge list that is computed once and cached.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cinegraph_spark.session import bounded_shuffle
@@ -340,3 +340,56 @@ def bfs_levels(
             visited = visited.unionByName(nxt).localCheckpoint(eager=True)
             frontier = nxt
     return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    oriented: bool = False,
+) -> DataFrame:
+    """Synchronous label propagation → (id, label) after a FIXED number of
+    supersteps: every vertex starts as its own label, and each round adopts
+    the most frequent label among its neighbors (ties → smallest label).
+    Communities emerge as label plateaus; the fixed iteration count makes
+    the run deterministic — asynchronous LPA's update-order dependence (and
+    synchronous LPA's possible 2-cycle oscillation on bipartite structures)
+    never enters the result, which is what lets a SQL oracle reproduce it
+    by unrolling the superstep (the PageRank pattern).
+
+    Each superstep is one shuffle to count (vertex, neighbor-label)
+    frequencies plus a per-vertex top-1 window on that already-aggregated
+    frame; ``localCheckpoint`` truncates lineage so plans stay O(1) across
+    iterations. Vertices with no in-edges keep their previous label via the
+    left join (impossible on a symmetrized graph, kept for generality).
+    """
+    with bounded_shuffle(edges.sparkSession):
+        und = symmetrize(edges, src, dst, oriented=oriented).localCheckpoint(
+            eager=True
+        )
+        labels = (
+            und.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id"))
+            .localCheckpoint(eager=True)
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
+        for _ in range(iterations):
+            freq = (
+                und.join(labels, und["src"] == labels["id"])
+                .select(F.col("dst").alias("id"), "label")
+                .groupBy("id", "label")
+                .agg(F.count("*").alias("cnt"))
+            )
+            top = (
+                freq.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("id", F.col("label").alias("new_label"))
+            )
+            labels = (
+                labels.join(top, "id", "left")
+                .select("id", F.coalesce("new_label", "label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+    return labels

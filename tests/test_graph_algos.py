@@ -16,6 +16,7 @@ from cinegraph_spark.operators.graph_algos import (
     connected_components,
     connected_components_star,
     degrees,
+    label_propagation,
     pagerank,
     triangle_count,
 )
@@ -170,3 +171,49 @@ def test_pagerank_conservation_no_dangling(spark):
     e = edges_df(spark, [(1, 2), (2, 3), (3, 1), (3, 2), (2, 1)])
     total = pagerank(e, iterations=7).agg(F.sum("rank")).collect()[0][0]
     assert total == pytest.approx(3.0, rel=1e-9)
+
+
+# --- label propagation ------------------------------------------------------
+
+
+def test_lpa_two_cliques_converge_to_min_labels(spark):
+    # two disjoint triangles: each converges to its min vertex id
+    e = edges_df(
+        spark, [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    )
+    got = {r["id"]: r["label"] for r in label_propagation(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_lpa_labels_stay_within_component(spark):
+    # bridge between two triangles: labels never cross into ids that are
+    # unreachable, and every label is a real vertex id of the component
+    e = edges_df(
+        spark,
+        [(1, 2), (2, 3), (1, 3), (3, 10), (10, 11), (11, 12), (10, 12)],
+    )
+    comp = _union_find_components([(r["src"], r["dst"]) for r in e.collect()])
+    by_comp = {}
+    for r in label_propagation(e, iterations=8).collect():
+        by_comp.setdefault(comp[r["id"]], set()).add(r["label"])
+    for c, labels in by_comp.items():
+        members = {v for v, cc in comp.items() if cc == c}
+        assert labels <= members
+
+
+def test_lpa_deterministic_fixed_iterations(spark):
+    e = edges_df(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)])
+    a = sorted(map(tuple, label_propagation(e, iterations=3).collect()))
+    b = sorted(map(tuple, label_propagation(e, iterations=3).collect()))
+    assert a == b
+
+
+def test_lpa_star_adopts_hub_neighbors(spark):
+    # star 1-(2,3,4): after one sync round the hub takes min leaf label (2),
+    # leaves take the hub's label (1)
+    e = edges_df(spark, [(1, 2), (1, 3), (1, 4)])
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(e, iterations=1).collect()
+    }
+    assert got == {1: 2, 2: 1, 3: 1, 4: 1}

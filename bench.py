@@ -55,6 +55,10 @@ HEADLINE = [
     "events_asof_nearest_click",
     "text_bigram_surprisal",
     "dedup_minhash_portable_est",
+    "sketch_hll_distinct_users",
+    "events_interval_overlap_pairs",
+    "join_merge_cdc_customer_orders",
+    "graph_label_propagation_communities",
 ]
 
 

@@ -26,7 +26,7 @@ from cinegraph_spark.queries.neardup_common import (
     ngram_jaccard_pairs_df,
     toks_df,
 )
-from cinegraph_spark.queries.sampling import _SCRAMBLE_SQL, _scramble
+from cinegraph_spark.queries.util import SCRAMBLE_SQL as _SCRAMBLE_SQL, scramble as _scramble
 from cinegraph_spark.queries.util import T, dstr, r4, tstr
 
 

@@ -22,7 +22,6 @@ from cinegraph_spark.operators.dedup import (
     shingles,
     simhash64,
 )
-from cinegraph_spark.operators.windowize import tokenize_whitespace
 from cinegraph_spark.queries import register
 from cinegraph_spark.queries.neardup_common import (  # noqa: F401 (re-export)
     SHINGLE_CTES,

@@ -20,14 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cinegraph_spark.queries import register
-from cinegraph_spark.queries.util import T
-
-#: overflow-free deterministic scramble of doc_id, uniform-ish on [0, 1000).
-_SCRAMBLE_SQL = "(doc_id % 100003) * 2654435761 % 1000"
-
-
-def _scramble(col):
-    return (col % 100003) * F.lit(2654435761) % 1000
+from cinegraph_spark.queries.util import T, SCRAMBLE_SQL as _SCRAMBLE_SQL, scramble as _scramble
 
 
 @register(

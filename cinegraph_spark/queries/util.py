@@ -14,6 +14,20 @@ from cinegraph_spark.session import bounded_shuffle, scoped_confs  # noqa: F401
 ROUND_DECIMALS = 4
 
 
+#: Overflow-free deterministic scramble of doc_id, uniform-ish on [0, 1000):
+#: Knuth multiplicative hash (golden-ratio constant 2654435761) after a
+#: mod-100003 (prime) reduction so the product stays far below 2^63 in both
+#: engines (DuckDB raises on BIGINT overflow rather than wrapping). Shared by
+#: the sampling family and analytics' DSIR resampling — lives here because
+#: query modules may only cross-import via non-registering shared modules.
+SCRAMBLE_SQL = "(doc_id % 100003) * 2654435761 % 1000"
+
+
+def scramble(col: Column) -> Column:
+    """Spark twin of :data:`SCRAMBLE_SQL`."""
+    return (col % 100003) * F.lit(2654435761) % 1000
+
+
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _events(spark, sf_dir)

@@ -59,6 +59,10 @@ HEADLINE = [
     "events_interval_overlap_pairs",
     "join_merge_cdc_customer_orders",
     "graph_label_propagation_communities",
+    # round 6 additions
+    "text_dsir_importance",
+    "dedup_simhash_portable_buckets",
+    "stream_join_purchase_click_attribution",
 ]
 
 
@@ -84,6 +88,26 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # regression guard: BENCH_budget.json maps query -> wall-second ceiling
+    # (1.5x the worst recorded round — generous JVM-noise headroom; a breach
+    # is a real plan regression, not noise). Breaches are reported, not
+    # fatal: the driver still gets the timing line either way.
+    over: dict[str, list[float]] = {}
+    budget_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_budget.json")
+    if (os.path.exists(budget_path)
+            and sf.replace(".", "").isdigit() and float(sf) == 0.1):
+        with open(budget_path) as fh:
+            budget = json.load(fh)
+        for name, ceiling in budget.items():
+            if name in times and times[name] > ceiling:
+                over[name] = [times[name], ceiling]
+                print(
+                    f"# OVER BUDGET {name}: {times[name]:.3f}s > "
+                    f"{ceiling}s ceiling",
+                    file=sys.stderr,
+                )
     print(
         json.dumps(
             {
@@ -92,6 +116,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "over_budget": over,
             }
         )
     )

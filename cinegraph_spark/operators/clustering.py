@@ -264,8 +264,17 @@ def emotional_shift(
 
 
 def fallback_names(parent_name: str, n: int) -> list[str]:
-    """Deterministic node naming (``clustering/utils.py:130`` fallback)."""
-    return [f"{parent_name}_Subgroup_{i}" for i in range(n)]
+    """Deterministic node naming (``clustering/utils.py:130`` fallback).
+
+    Hardening beyond the reference's plain f-string: the fallback is the
+    retry protocol's terminal state, so it MUST satisfy
+    :func:`validate_names` for any parent string — collapse/normalize
+    whitespace (exotic whitespace like NEL would otherwise split the
+    ``_Subgroup_i`` suffix into its own word) and keep at most 3 parent
+    words so the result never exceeds the 4-word cap."""
+    words = parent_name.split()[:3]
+    base = " ".join(words)
+    return [f"{base}_Subgroup_{i}" for i in range(n)]
 
 
 def validate_names(names: list[str], n: int) -> bool:

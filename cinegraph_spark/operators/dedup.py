@@ -85,15 +85,36 @@ def minhash_signatures(
     )
 
 
+#: LSH scale contract: (band, band_hash) buckets holding more than this many
+#: documents are excluded from pair emission (see :func:`lsh_candidate_pairs`).
+DEFAULT_MAX_BUCKET = 64
+
+
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, bands: int = 8, rows: int = 4
+    sigs: DataFrame,
+    id_col: str,
+    bands: int = 8,
+    rows: int = 4,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Banded LSH: split the signature into ``bands`` bands of ``rows``
     values; docs sharing any band hash become candidate pairs (a < b).
 
-    The join key is (band, band_hash) — at 100 TB this is the only shuffle
-    and each bucket is tiny unless documents truly collide; no cross join
-    ever happens.
+    The join key is (band, band_hash) — at 100 TB this is the only shuffle;
+    no cross join ever happens. **Scale contract**: the self-join is
+    quadratic *within* a bucket, and at corpus scale degenerate buckets are
+    a certainty, not an edge case — boilerplate pages, empty/near-empty
+    docs, and templated text agree on every band, and one million-doc
+    bucket would emit ~10¹² pairs. Buckets larger than ``max_bucket`` are
+    therefore dropped before the join (mirroring
+    :data:`DEFAULT_MAX_SHINGLE_DF` in :func:`jaccard_pairs`): worst-case
+    join output is ``n_buckets × max_bucket²`` regardless of skew. What an
+    over-full bucket contains is a mass-duplication cluster — exact or
+    near-exact copies that tier-1 :func:`exact_dedup` already owns; LSH's
+    job is the *rare* near-dup tail. The cap is implemented as a
+    map-side-combinable bucket count plus a broadcast anti-join on the
+    (few) oversized keys, so no giant bucket is ever collected anywhere.
+    Pass ``max_bucket=None`` for uncapped semantics.
     """
     banded = sigs.select(
         F.col(id_col),
@@ -114,6 +135,16 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    if max_bucket is not None:
+        oversized = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(
+            F.broadcast(oversized), ["band", "band_hash"], "left_anti"
+        )
     a = banded.select(
         F.col(id_col).alias("id_a"), "band", "band_hash"
     )

@@ -54,42 +54,58 @@ def register(
     return deco
 
 
-#: Driver-slot priority (round 4). The driver's correctness harness walks
+#: Driver-slot priority (round 6). The driver's correctness harness walks
 #: the registry in order under a ~50-query budget, so this list pins the
-#: front slots explicitly instead of relying on module import order:
-#: first the 17 queries rounds 1–3 never reached (all local-parity green),
-#: then new round-4 queries, then re-checks of the rows-only set, leaving
-#: the tail of the budget for the oldest round-1 passes as regression
-#: canaries. Every name here must exist in the registry — load_all asserts.
+#: front slots explicitly instead of relying on module import order.
+#: Round-6 rationale: (1) queries whose code or oracle changed this round —
+#: the DSIR negative-zero fix, the streaming reader's micros-unit fix (the
+#: round-6 testdata regenerated events.parquet as TIMESTAMP(MICROS); r4/r5
+#: hash-failed text_dsir_importance and would have failed the stream join),
+#: the LSH bucket cap, and the portable-SimHash refactor; (2) the whole
+#: events family, whose shared read path (queries/util.py::_events) changed;
+#: (3) rows-only re-checks; the budget's tail falls through to module order
+#: (round-1 families lead there → oldest-pass regression canaries).
+#: Every name here must exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked through r3 (CORRECTNESS_r01–r03) --
-    "agg_regr_corr_stats",
+    # -- code/oracle changed in round 6: verify first --
+    "text_dsir_importance",
+    "stream_join_purchase_click_attribution",
+    "stream_stateful_topk_per_user",
+    "dedup_simhash_portable_buckets",  # new: bucketed-LSH exact oracle
+    "ts_holt_linear_daily",  # new: applyInPandas recursion, recursive-CTE oracle
+    "sketch_histogram_quantiles",  # new: portable histogram quantile sketch
+    "dedup_simhash_portable_hamming",  # refactored onto shared sig builder
+    "dedup_minhash_lsh_pairs",  # bucket cap added (rows-only)
+    "dedup_simhash_buckets",  # rows-only sibling of the new portable twin
+    # -- events family: shared reader changed (micros-unit testdata) --
+    "events_tumbling_5min",
+    "events_sliding_10min_step5",
+    "events_session_windows_30min",
+    "events_dedup_latest_per_user_type",
+    "events_asof_purchase_click",
+    "events_rate_per_type_minute",
+    "events_gapfill_hourly_ffill",
+    "events_funnel_view_click_purchase",
+    "events_retention_cohorts",
+    "events_anomaly_zscore_hourly",
+    "events_user_rfm_segments",
+    "events_asof_nearest_click",
+    "events_session_paths_topk",
     "events_asof_cogroup_pandas",
     "events_interval_overlap_pairs",
     "events_rolling_1h_range_frame",
     "events_scd2_user_state",
     "events_value_ewma_daily",
-    "join_lateral_top2_customers_per_nation",
-    "join_merge_cdc_customer_orders",
-    "join_right_orders_all_customers",
-    "media_frame_sample_plan",
-    "media_kind_profile",
-    "media_payload_checksums",
-    "sketch_hll_distinct_users",
-    "src_paginated_listing_decades",
-    "text_dsir_importance",
-    "udf_pandas_grouped_agg_gini",
-    "udf_pandas_scalar_net_revenue",
-    # -- new in round 4 (exact oracles, never checked) --
-    # (appended by their modules below as they are added)
+    "scalar_json_events",
+    "scalar_datetime_parts_events",
+    "scalar_variant_nested_events",
+    "window_lag_lead_user_events",
     # -- rows-only re-checks (no oracle by design; see COVERAGE.md) --
     "cluster_graph_nodes",
     "cluster_membership",
     "cluster_children_of_root",
     "cluster_leaf_sizes",
     "vec_ann_pq_topk",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_buckets",
 )
 
 
@@ -125,6 +141,7 @@ def load_all() -> dict[str, QuerySpec]:
         udfs,
         pysource,
         multimodal,
+        timeseries,
     )
 
     missing = [n for n in DRIVER_PRIORITY if n not in REGISTRY]

@@ -370,11 +370,13 @@ def text_domain_mix_weights(spark, sf_dir):
       FROM documents, unnest(range(1, length(text))) AS u(i)
       WHERE length(text) >= 2
     ),
-    cnt AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
-    tot AS (SELECT sum(c) AS n FROM cnt)
-    SELECT doc_id, count(*) AS n_bigrams,
-           round(avg(-ln(c * 1.0 / n)), 4) AS avg_surprisal
-    FROM bg JOIN cnt USING (bigram), tot
+    bgc AS (SELECT doc_id, bigram, count(*) AS k FROM bg GROUP BY 1, 2),
+    cnt AS (SELECT bigram, CAST(sum(k) AS BIGINT) AS c FROM bgc
+            GROUP BY bigram),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt)
+    SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+           round(sum(k * -ln(c * 1.0 / n)) / sum(k), 4) AS avg_surprisal
+    FROM bgc JOIN cnt USING (bigram), tot
     GROUP BY doc_id
     """,
     tags=("textstats", "lm", "quality", "llm-pipeline"),
@@ -386,7 +388,11 @@ def text_bigram_surprisal(spark, sf_dir):
     and boilerplate score as outliers). The n-gram LM shape at scale: the
     model (bigram->count) is aggregated once and BROADCAST back (the char-
     bigram vocabulary is alphabet^2-bounded), so scoring is a map-only pass
-    over the exploded bigrams — no shuffle touches the corpus-sized side."""
+    — and the probe side is pre-aggregated to (doc, bigram, count) first,
+    so the model join touches one row per *distinct* doc-bigram instead of
+    one per occurrence (the mean becomes the count-weighted mean, same
+    value; both engines compute the identical weighted form). No shuffle
+    touches the occurrence-sized side after the pre-agg."""
     d = T(spark, sf_dir, "documents").filter(F.length("text") >= 2)
     bg = d.select(
         "doc_id",
@@ -397,23 +403,27 @@ def text_bigram_surprisal(spark, sf_dir):
             )
         ).alias("bigram"),
     )
+    bgc = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("k"))
     # lazy localCheckpoint: the bigram model (alphabet^2-bounded, tiny) is
     # materialized once and feeds BOTH consumers (broadcast join + corpus
     # total) — without it Spark re-explodes the corpus a third time to
     # recompute the total from scratch.
     cnt = (
-        bg.groupBy("bigram")
-        .agg(F.count("*").alias("c"))
+        bgc.groupBy("bigram")
+        .agg(F.sum("k").alias("c"))
         .localCheckpoint(eager=False)
     )
     tot = cnt.agg(F.sum("c").alias("n"))
+    surprisal = -F.log(F.col("c") / F.col("n"))
     return (
-        bg.join(F.broadcast(cnt), "bigram")
+        bgc.join(F.broadcast(cnt), "bigram")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            r4(F.avg(-F.log(F.col("c") / F.col("n")))).alias("avg_surprisal"),
+            F.sum("k").alias("n_bigrams"),
+            r4(F.sum(F.col("k") * surprisal) / F.sum("k")).alias(
+                "avg_surprisal"
+            ),
         )
     )
 
@@ -572,19 +582,9 @@ def dedup_minhash_portable_est(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_simhash_portable_hamming",
-    f"""
-    WITH {SHINGLE_CTES},
-    exact AS (
-      SELECT id_a, id_b,
-             round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4)
-               AS jaccard
-      FROM common
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
-      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.6
-    ),
+#: portable-SimHash signature CTEs (expects a ``toks`` CTE in scope); shared
+#: by the Hamming-audit and bucketed-LSH twins below.
+_PSH_SIG_CTES = f"""
     th AS (
       SELECT doc_id,
              CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
@@ -601,24 +601,13 @@ def dedup_minhash_portable_est(spark, sf_dir):
                   AS BIGINT) AS simhash
       FROM votes
     )
-    SELECT e.id_a, e.id_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
-           e.jaccard
-    FROM exact e
-    JOIN sigs a ON a.doc_id = e.id_a
-    JOIN sigs b ON b.doc_id = e.id_b
-    """,
-    tags=("dedup", "near-dup", "simhash", "portable"),
-)
-def dedup_simhash_portable_hamming(spark, sf_dir):
-    """SimHash with a full cross-engine oracle: per-token 32-bit md5-prefix
-    hashes vote +1/-1 on each bit position, the sign of the vote sum packs
-    into a 32-bit fingerprint, and every exact near-dup pair is reported
-    with the Hamming distance between its fingerprints (near-dups cluster
-    at small distances — the property the production xxhash64-based
-    dedup_simhash_buckets banks on but can only rows-check). One agg per
-    doc with map-side combine (32 small ints); the fingerprint never
-    shuffles more than one long per doc; the pair join is tiny."""
+"""
+
+
+def _portable_simhash_sigs(spark, sf_dir):
+    """(doc_id, simhash): the 32-bit md5-prefix portable SimHash — per-token
+    hashes vote +1/-1 per bit; sign of the vote sum packs into the
+    fingerprint. One agg per doc with map-side combine (32 small ints)."""
     th = (
         toks_df(spark, sf_dir)
         .select("doc_id", F.explode("tokens").alias("tok"))
@@ -642,7 +631,42 @@ def dedup_simhash_portable_hamming(spark, sf_dir):
     simhash = sum(
         F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0) for j in range(32)
     ).cast("long")
-    sigs = votes.select("doc_id", simhash.alias("simhash"))
+    return votes.select("doc_id", simhash.alias("simhash"))
+
+
+@register(
+    "dedup_simhash_portable_hamming",
+    f"""
+    WITH {SHINGLE_CTES},
+    exact AS (
+      SELECT id_a, id_b,
+             round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4)
+               AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    ),
+    {_PSH_SIG_CTES}
+    SELECT e.id_a, e.id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+           e.jaccard
+    FROM exact e
+    JOIN sigs a ON a.doc_id = e.id_a
+    JOIN sigs b ON b.doc_id = e.id_b
+    """,
+    tags=("dedup", "near-dup", "simhash", "portable"),
+)
+def dedup_simhash_portable_hamming(spark, sf_dir):
+    """SimHash with a full cross-engine oracle: per-token 32-bit md5-prefix
+    hashes vote +1/-1 on each bit position, the sign of the vote sum packs
+    into a 32-bit fingerprint, and every exact near-dup pair is reported
+    with the Hamming distance between its fingerprints (near-dups cluster
+    at small distances — the property the production xxhash64-based
+    dedup_simhash_buckets banks on but can only rows-check). One agg per
+    doc with map-side combine (32 small ints); the fingerprint never
+    shuffles more than one long per doc; the pair join is tiny."""
+    sigs = _portable_simhash_sigs(spark, sf_dir)
     pairs = ngram_jaccard_pairs_df(spark, sf_dir).select("id_a", "id_b", "jaccard")
     a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
@@ -657,6 +681,85 @@ def dedup_simhash_portable_hamming(spark, sf_dir):
             .alias("hamming"),
             "jaccard",
         )
+    )
+
+
+@register(
+    "dedup_simhash_portable_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(
+               regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+'),
+               t -> t <> '') AS tokens
+      FROM documents
+    ),
+    {_PSH_SIG_CTES},
+    blocks AS (
+      SELECT doc_id, simhash, k AS block_idx,
+             (simhash >> (k * 8)) & 255 AS block
+      FROM sigs, unnest([0, 1, 2, 3]) AS u(k)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM blocks a
+      JOIN blocks b ON a.block_idx = b.block_idx AND a.block = b.block
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sim_a, sim_b)) <= 6
+    """,
+    tags=("dedup", "near-dup", "simhash", "lsh", "portable"),
+)
+def dedup_simhash_portable_buckets(spark, sf_dir):
+    """The production ``dedup_simhash_buckets`` LSH shape — block-index
+    bucketing + within-bucket Hamming filter — rebuilt on the md5-portable
+    32-bit SimHash so the *bucketing join itself* gets an exact cross-engine
+    oracle (the xxhash64 variant can only rows-check). Blocks are the four
+    8-bit slices of the fingerprint; docs sharing any slice become
+    candidates (pigeonhole guarantees a shared block at Hamming ≤ 3; above
+    that, recall degrades gracefully as differing bits spread over all four
+    blocks — the standard block-LSH trade); candidates at Hamming ≤ 6 are
+    reported. Same scale shape as the production tier: the only shuffle
+    keys on (block_idx, block), never all-pairs."""
+    sigs = _portable_simhash_sigs(spark, sf_dir)
+    blocks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", k * 8).bitwiseAND(F.lit(0xFF))
+                    for k in range(4)
+                ]
+            )
+        ).alias("block_idx", "block"),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("sim_a"),
+        "block_idx",
+        "block",
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("sim_b"),
+        "block_idx",
+        "block",
+    )
+    return (
+        a.join(b, ["block_idx", "block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming")
     )
 
 
@@ -872,19 +975,23 @@ def events_session_paths_topk(spark, sf_dir):
       FROM documents, unnest(range(1, length(text))) AS u(i)
       WHERE length(text) >= 2
     ),
-    corpus AS (SELECT bigram, count(*) AS c_c FROM bg GROUP BY bigram),
-    target AS (SELECT bigram, count(*) AS c_t FROM bg
+    bgc AS (SELECT doc_id, source, bigram, count(*) AS k
+            FROM bg GROUP BY 1, 2, 3),
+    corpus AS (SELECT bigram, CAST(sum(k) AS BIGINT) AS c_c
+               FROM bgc GROUP BY bigram),
+    target AS (SELECT bigram, CAST(sum(k) AS BIGINT) AS c_t FROM bgc
                WHERE source = 'src0' GROUP BY bigram),
     consts AS (
       SELECT (SELECT sum(c_c) FROM corpus)                    AS n_c,
              (SELECT count(*) FROM corpus)                    AS v,
              (SELECT coalesce(sum(c_t), 0) FROM target)       AS n_t
     )
-    SELECT doc_id, count(*) AS n_bigrams,
-           round(avg(  ln(coalesce(c_t, 0) + 1.0) - ln(n_t + v)
-                     - ln(c_c + 1.0)              + ln(n_c + v)), 4)
+    SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+           round(sum(k * (  ln(coalesce(c_t, 0) + 1.0) - ln(n_t + v)
+                          - ln(c_c + 1.0)              + ln(n_c + v)))
+                 / sum(k), 4) + 0
              AS dsir_score
-    FROM bg
+    FROM bgc
     JOIN corpus USING (bigram)
     LEFT JOIN target USING (bigram)
     CROSS JOIN consts
@@ -899,8 +1006,10 @@ def text_dsir_importance(spark, sf_dir):
     source 'src0') vs the whole-corpus LM. High scores = looks like the
     target domain; the standard cheap re-weighting signal when composing a
     training mixture toward a domain. Both LMs are alphabet^2-bounded
-    count tables — broadcast; scoring is one map-only pass over the
-    exploded bigrams, the same 100 TB shape as text_bigram_surprisal."""
+    count tables — broadcast; the probe side is pre-aggregated to
+    (doc, source, bigram, count) so the model join touches one row per
+    distinct doc-bigram (count-weighted mean, same value, both engines),
+    the same 100 TB shape as text_bigram_surprisal."""
     d = T(spark, sf_dir, "documents").filter(F.length("text") >= 2)
     bg = d.select(
         "doc_id",
@@ -912,13 +1021,16 @@ def text_dsir_importance(spark, sf_dir):
             )
         ).alias("bigram"),
     )
+    bgc = bg.groupBy("doc_id", "source", "bigram").agg(
+        F.count("*").alias("k")
+    )
     corpus = (
-        bg.groupBy("bigram")
-        .agg(F.count("*").alias("c_c"))
+        bgc.groupBy("bigram")
+        .agg(F.sum("k").alias("c_c"))
         .localCheckpoint(eager=False)  # feeds the join AND the constants
     )
-    target = bg.filter(F.col("source") == "src0").groupBy("bigram").agg(
-        F.count("*").alias("c_t")
+    target = bgc.filter(F.col("source") == "src0").groupBy("bigram").agg(
+        F.sum("k").alias("c_t")
     )
     consts = (
         corpus.agg(
@@ -937,13 +1049,13 @@ def text_dsir_importance(spark, sf_dir):
         + F.log(F.col("n_c") + F.col("v"))
     )
     return (
-        bg.join(F.broadcast(corpus), "bigram")
+        bgc.join(F.broadcast(corpus), "bigram")
         .join(F.broadcast(target), "bigram", "left")
         .crossJoin(F.broadcast(consts))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            r4(F.avg(llr)).alias("dsir_score"),
+            F.sum("k").alias("n_bigrams"),
+            r4(F.sum(F.col("k") * llr) / F.sum("k")).alias("dsir_score"),
         )
     )
 

@@ -50,11 +50,20 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     cancels it out)."""
     with scoped_confs(spark, **{"spark.sql.legacy.parquet.nanosAsLong": "true"}):
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) file read as long
             df = df.withColumn(
                 "ts",
                 F.expr("convert_timezone('UTC', timestamp_micros(ts div 1000))"),
             )
+        elif ts_type == "timestamp":
+            # instant (isAdjustedToUTC / LTZ) — project its UTC wall clock
+            df = df.withColumn(
+                "ts", F.convert_timezone(None, F.lit("UTC"), F.col("ts"))
+            )
+        # timestamp_ntz (MICROS, naive — the round-6 testdata): already the
+        # session-tz-independent wall clock DuckDB sees; leave as-is.
         df.schema  # force analysis while the read flag is in scope
     return df
 

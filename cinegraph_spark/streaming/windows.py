@@ -25,11 +25,25 @@ from pyspark.sql import functions as F
 from cinegraph_spark.schemas import EVENTS
 
 
+def _events_ts_unit_divisor(sf_dir: str) -> int:
+    """Per-micro to the stored unit: 1000 for TIMESTAMP(NANOS) files, 1 for
+    TIMESTAMP(MICROS). One driver-side footer read — the unit is a property
+    of the dataset, not of any row, so sniffing it once is cheap and safe
+    at any scale. (The driver's testdata has shipped both units across
+    rounds; sniffing keeps the stream correct for either.)"""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    return 1000 if getattr(t, "unit", "us") == "ns" else 1
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream over the events parquet (schema pinned; nanosecond
-    ts read as long then rebuilt, same workaround as the batch reader).
+    """File-source stream over the events parquet (schema pinned; ts read
+    as long in the file's native unit — sniffed from the parquet footer —
+    then rebuilt as a microsecond instant, same workaround as the batch
+    reader).
 
     ``ts`` stays TIMESTAMP (instant) here — Spark's watermark machinery
     rejects TIMESTAMP_NTZ event time. Session-tz independence is handled at
@@ -39,7 +53,9 @@ def read_events_stream(
     stays set for the session's lifetime — unlike the batch reader it
     cannot be scoped, because the streaming source re-reads parquet per
     micro-batch long after this builder returns; it is a read-compat flag
-    with no effect on any other query's semantics."""
+    with no effect on any other query's semantics (and a no-op on
+    MICROS-unit files)."""
+    divisor = _events_ts_unit_divisor(sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = (
         spark.readStream.schema(
@@ -53,7 +69,7 @@ def read_events_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.timestamp_micros(F.expr(f"ts div {divisor}")))
 
 
 def tumbling_counts(

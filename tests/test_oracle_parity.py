@@ -21,8 +21,11 @@ def _canon(val):
     if isinstance(val, float):
         if math.isnan(val):
             return "nan"
-        if val == 0:
-            return "0"
+        # NB: deliberately NOT collapsing -0.0 into 0.0 — the driver's value
+        # hash distinguishes them (CORRECTNESS_r04/r05: text_dsir_importance
+        # hash-failed on a doc whose score rounded to -0.0 in DuckDB but
+        # +0.0 in Spark, whose round() goes through BigDecimal and cannot
+        # produce a signed zero). Oracles must normalize with `+ 0`.
         return f"{val:.10g}"
     if isinstance(val, bool):
         return str(int(val))

@@ -370,13 +370,11 @@ def text_domain_mix_weights(spark, sf_dir):
       FROM documents, unnest(range(1, length(text))) AS u(i)
       WHERE length(text) >= 2
     ),
-    bgc AS (SELECT doc_id, bigram, count(*) AS k FROM bg GROUP BY 1, 2),
-    cnt AS (SELECT bigram, CAST(sum(k) AS BIGINT) AS c FROM bgc
-            GROUP BY bigram),
-    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt)
-    SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
-           round(sum(k * -ln(c * 1.0 / n)) / sum(k), 4) AS avg_surprisal
-    FROM bgc JOIN cnt USING (bigram), tot
+    cnt AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+    tot AS (SELECT sum(c) AS n FROM cnt)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(-ln(c * 1.0 / n)), 4) AS avg_surprisal
+    FROM bg JOIN cnt USING (bigram), tot
     GROUP BY doc_id
     """,
     tags=("textstats", "lm", "quality", "llm-pipeline"),
@@ -388,11 +386,12 @@ def text_bigram_surprisal(spark, sf_dir):
     and boilerplate score as outliers). The n-gram LM shape at scale: the
     model (bigram->count) is aggregated once and BROADCAST back (the char-
     bigram vocabulary is alphabet^2-bounded), so scoring is a map-only pass
-    — and the probe side is pre-aggregated to (doc, bigram, count) first,
-    so the model join touches one row per *distinct* doc-bigram instead of
-    one per occurrence (the mean becomes the count-weighted mean, same
-    value; both engines compute the identical weighted form). No shuffle
-    touches the occurrence-sized side after the pre-agg."""
+    over the exploded bigrams — no shuffle touches the corpus-sized side.
+    (Measured, round 6: pre-aggregating the probe side to
+    (doc, bigram, count) before the model join is SLOWER — 6.3 s vs 4.5 s
+    at sf0.1 — because it trades a cheap broadcast-hash probe for a full
+    shuffle of the near-occurrence-sized distinct set; the same holds at
+    scale, so the map-only probe stays.)"""
     d = T(spark, sf_dir, "documents").filter(F.length("text") >= 2)
     bg = d.select(
         "doc_id",
@@ -403,27 +402,23 @@ def text_bigram_surprisal(spark, sf_dir):
             )
         ).alias("bigram"),
     )
-    bgc = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("k"))
     # lazy localCheckpoint: the bigram model (alphabet^2-bounded, tiny) is
     # materialized once and feeds BOTH consumers (broadcast join + corpus
     # total) — without it Spark re-explodes the corpus a third time to
     # recompute the total from scratch.
     cnt = (
-        bgc.groupBy("bigram")
-        .agg(F.sum("k").alias("c"))
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=False)
     )
     tot = cnt.agg(F.sum("c").alias("n"))
-    surprisal = -F.log(F.col("c") / F.col("n"))
     return (
-        bgc.join(F.broadcast(cnt), "bigram")
+        bg.join(F.broadcast(cnt), "bigram")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.sum("k").alias("n_bigrams"),
-            r4(F.sum(F.col("k") * surprisal) / F.sum("k")).alias(
-                "avg_surprisal"
-            ),
+            F.count("*").alias("n_bigrams"),
+            r4(F.avg(-F.log(F.col("c") / F.col("n")))).alias("avg_surprisal"),
         )
     )
 
@@ -975,23 +970,19 @@ def events_session_paths_topk(spark, sf_dir):
       FROM documents, unnest(range(1, length(text))) AS u(i)
       WHERE length(text) >= 2
     ),
-    bgc AS (SELECT doc_id, source, bigram, count(*) AS k
-            FROM bg GROUP BY 1, 2, 3),
-    corpus AS (SELECT bigram, CAST(sum(k) AS BIGINT) AS c_c
-               FROM bgc GROUP BY bigram),
-    target AS (SELECT bigram, CAST(sum(k) AS BIGINT) AS c_t FROM bgc
+    corpus AS (SELECT bigram, count(*) AS c_c FROM bg GROUP BY bigram),
+    target AS (SELECT bigram, count(*) AS c_t FROM bg
                WHERE source = 'src0' GROUP BY bigram),
     consts AS (
       SELECT (SELECT sum(c_c) FROM corpus)                    AS n_c,
              (SELECT count(*) FROM corpus)                    AS v,
              (SELECT coalesce(sum(c_t), 0) FROM target)       AS n_t
     )
-    SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
-           round(sum(k * (  ln(coalesce(c_t, 0) + 1.0) - ln(n_t + v)
-                          - ln(c_c + 1.0)              + ln(n_c + v)))
-                 / sum(k), 4) + 0
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(  ln(coalesce(c_t, 0) + 1.0) - ln(n_t + v)
+                     - ln(c_c + 1.0)              + ln(n_c + v)), 4) + 0
              AS dsir_score
-    FROM bgc
+    FROM bg
     JOIN corpus USING (bigram)
     LEFT JOIN target USING (bigram)
     CROSS JOIN consts
@@ -1006,10 +997,11 @@ def text_dsir_importance(spark, sf_dir):
     source 'src0') vs the whole-corpus LM. High scores = looks like the
     target domain; the standard cheap re-weighting signal when composing a
     training mixture toward a domain. Both LMs are alphabet^2-bounded
-    count tables — broadcast; the probe side is pre-aggregated to
-    (doc, source, bigram, count) so the model join touches one row per
-    distinct doc-bigram (count-weighted mean, same value, both engines),
-    the same 100 TB shape as text_bigram_surprisal."""
+    count tables — broadcast; scoring is one map-only pass over the
+    exploded bigrams, the same 100 TB shape as text_bigram_surprisal
+    (whose round-6 measurement also applies here: pre-aggregating the
+    probe side trades the cheap broadcast probe for a full shuffle and
+    loses)."""
     d = T(spark, sf_dir, "documents").filter(F.length("text") >= 2)
     bg = d.select(
         "doc_id",
@@ -1021,16 +1013,13 @@ def text_dsir_importance(spark, sf_dir):
             )
         ).alias("bigram"),
     )
-    bgc = bg.groupBy("doc_id", "source", "bigram").agg(
-        F.count("*").alias("k")
-    )
     corpus = (
-        bgc.groupBy("bigram")
-        .agg(F.sum("k").alias("c_c"))
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("c_c"))
         .localCheckpoint(eager=False)  # feeds the join AND the constants
     )
-    target = bgc.filter(F.col("source") == "src0").groupBy("bigram").agg(
-        F.sum("k").alias("c_t")
+    target = bg.filter(F.col("source") == "src0").groupBy("bigram").agg(
+        F.count("*").alias("c_t")
     )
     consts = (
         corpus.agg(
@@ -1049,13 +1038,13 @@ def text_dsir_importance(spark, sf_dir):
         + F.log(F.col("n_c") + F.col("v"))
     )
     return (
-        bgc.join(F.broadcast(corpus), "bigram")
+        bg.join(F.broadcast(corpus), "bigram")
         .join(F.broadcast(target), "bigram", "left")
         .crossJoin(F.broadcast(consts))
         .groupBy("doc_id")
         .agg(
-            F.sum("k").alias("n_bigrams"),
-            r4(F.sum(F.col("k") * llr) / F.sum("k")).alias("dsir_score"),
+            F.count("*").alias("n_bigrams"),
+            r4(F.avg(llr)).alias("dsir_score"),
         )
     )
 

@@ -288,3 +288,48 @@ def test_pandas_udf_paths_are_arrow_not_row_python(q):
     assert "l_shipdate" in filters
     c2 = plan_counts(q("udf_pandas_grouped_agg_gini"))
     assert c2["python_row_udf"] == 0
+
+
+def test_holt_aggregates_before_arrow_recursion(q):
+    """ts_holt_linear_daily: the corpus-sized work must be the JVM daily
+    aggregate; the Python recursion sees only the calendar-bounded daily
+    frame. Pin: exactly one grouped-Arrow node, zero row-Python, and the
+    events scan pruned to the three referenced columns."""
+    df = q("ts_holt_linear_daily")
+    c = plan_counts(df)
+    assert c["python_row_udf"] == 0
+    assert c["python_arrow_udf"] == 1  # the single applyInPandas scan
+    [schema] = read_schemas(df)
+    assert "value" in schema and "ts" in schema and "event_type" in schema
+    assert "props" not in schema and "event_id" not in schema
+
+
+def test_histogram_sketch_stays_jvm_and_prunes(q):
+    """sketch_histogram_quantiles: pure JVM (no Python anywhere), the
+    quantile frame joins as a broadcast, and the events scan reads only
+    (event_type, value)."""
+    df = q("sketch_histogram_quantiles")
+    c = plan_counts(df)
+    assert c["python_row_udf"] == 0 and c["python_arrow_udf"] == 0
+    assert c["broadcast_exchange"] >= 1
+    [schema] = read_schemas(df)
+    assert "value" in schema and "event_type" in schema
+    assert "ts" not in schema and "props" not in schema
+
+
+def test_lsh_bucket_cap_is_broadcast_anti_join(q):
+    """The degenerate-bucket cap must execute as a broadcast anti-join on
+    the (few) oversized keys — a shuffled anti-join would re-shuffle the
+    whole banded frame and defeat the point."""
+    from cinegraph_spark.plans import formatted_plan
+
+    plan = formatted_plan(q("dedup_minhash_lsh_pairs"))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_portable_simhash_buckets_no_python(q):
+    """dedup_simhash_portable_buckets: md5/conv/bit math all compile
+    JVM-side; the pair join keys on (block_idx, block) buckets."""
+    c = plan_counts(q("dedup_simhash_portable_buckets"))
+    assert c["python_row_udf"] == 0 and c["python_arrow_udf"] == 0

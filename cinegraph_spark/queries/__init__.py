@@ -74,6 +74,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash_portable_buckets",  # new: bucketed-LSH exact oracle
     "ts_holt_linear_daily",  # new: applyInPandas recursion, recursive-CTE oracle
     "sketch_histogram_quantiles",  # new: portable histogram quantile sketch
+    "layout_zorder_bucket_stats",  # new: Morton clustering extents
+    "join_bloom_prefilter_effect",  # new: portable runtime-filter shape
+    "stream_enrich_purchase_customer",  # new: stream-static broadcast join
     "dedup_simhash_portable_hamming",  # refactored onto shared sig builder
     "dedup_minhash_lsh_pairs",  # bucket cap added (rows-only)
     "dedup_simhash_buckets",  # rows-only sibling of the new portable twin
@@ -142,6 +145,7 @@ def load_all() -> dict[str, QuerySpec]:
         pysource,
         multimodal,
         timeseries,
+        layout,
     )
 
     missing = [n for n in DRIVER_PRIORITY if n not in REGISTRY]

@@ -341,6 +341,55 @@ def stream_join_purchase_click_attribution(spark, sf_dir):
 
 
 @register(
+    "stream_enrich_purchase_customer",
+    """
+    SELECT e.user_id,
+           e.event_id AS purchase_id,
+           c.c_name AS customer_name,
+           CAST(c.c_nationkey AS BIGINT) AS nation_key,
+           round(e.value, 4) AS value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+    tags=("streaming", "join", "enrichment", "broadcast"),
+)
+def stream_enrich_purchase_customer(spark, sf_dir):
+    """A REAL stream-static enrichment run (`streaming/joins.py::
+    enrich_stream_with_dim`): readStream purchases broadcast-joined to the
+    static customer dimension per micro-batch — zero state store, zero
+    stream-side shuffle; the dim is re-resolved each batch (slowly-changing
+    semantics for free). Oracle: the same equi-join in batch SQL."""
+    import uuid
+
+    from cinegraph_spark.queries.util import T, r4
+    from cinegraph_spark.streaming.joins import enrich_stream_with_dim
+    from cinegraph_spark.streaming.windows import (
+        read_events_stream,
+        run_availablenow_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    enriched = enrich_stream_with_dim(
+        stream, dim, on=F.col("user_id") == F.col("c_custkey")
+    )
+    name = f"q_enrich_{uuid.uuid4().hex[:8]}"
+    out = run_availablenow_to_memory(
+        spark, enriched, name, output_mode="append"
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_nationkey").cast("long").alias("nation_key"),
+        r4(F.col("value")).alias("value"),
+    )
+
+
+@register(
     "events_gapfill_hourly_ffill",
     """
     WITH day AS (

@@ -1,0 +1,204 @@
+"""Data-layout and runtime-filter queries — the physical-design patterns
+that matter at 100 TB, expressed as oracle-checked queries.
+
+- Z-order (Morton) clustering: interleave the bits of two scaled dimension
+  keys so that each file/bucket of a sorted layout covers a small rectangle
+  in (customer × time) space — the standard multi-dimensional clustering
+  trick (Delta/Iceberg OPTIMIZE ZORDER). The query computes the bucket
+  statistics a layout optimizer would: per z-bucket row counts and the
+  min/max extents of each dimension (tight extents == effective data
+  skipping). Pure integer bit math → exact cross-engine oracle.
+
+- Bloom-filter join pre-filter: the portable version of the runtime filters
+  AQE injects into large joins. Build a k-hash bit-set over the (small,
+  filtered) build side with the repo's shared md5-affine portable hash
+  family, broadcast it, and categorize every probe row as filtered /
+  true-hit / false-positive. Every intermediate is integer-exact, so the
+  false-positive behavior itself is oracle-checked — the part of a Bloom
+  filter an engine-specific implementation can never cross-check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cinegraph_spark.queries import register
+from cinegraph_spark.queries.util import T
+
+#: z-order geometry: scale each dimension to 8 bits, interleave to 16.
+_Z_BITS = 8
+#: custkey 0..~1535 → /6 fits 8 bits; day index 0..~2550 → /10 fits 8 bits.
+_Z_CUST_DIV = 6
+_Z_DAY_DIV = 10
+_Z_EPOCH = "1995-01-01"
+#: bucket = top 3 bits of each dimension (z >> 10) → ≤ 64 buckets.
+_Z_BUCKET_SHIFT = 10
+
+
+def _interleave_sql(cx: str, dy: str) -> str:
+    """SQL for Morton interleaving of two 8-bit ints (identical text works
+    in Spark SQL and DuckDB: >>, &, << on BIGINT)."""
+    terms = []
+    for j in range(_Z_BITS):
+        terms.append(f"((({cx} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({dy} >> {j}) & 1) << {2 * j + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "layout_zorder_bucket_stats",
+    f"""
+    WITH dims AS (
+      SELECT least(CAST(o_custkey AS BIGINT) // {_Z_CUST_DIV}, 255) AS cx,
+             least(CAST(date_diff('day', DATE '{_Z_EPOCH}',
+                                  CAST(o_orderdate AS DATE)) AS BIGINT)
+                   // {_Z_DAY_DIV}, 255) AS dy
+      FROM orders
+    ),
+    z AS (SELECT cx, dy, ({_interleave_sql("cx", "dy")}) AS zval FROM dims)
+    SELECT zval >> {_Z_BUCKET_SHIFT} AS z_bucket,
+           count(*) AS n_orders,
+           min(cx) AS min_cust_cell, max(cx) AS max_cust_cell,
+           min(dy) AS min_day_cell,  max(dy) AS max_day_cell
+    FROM z
+    GROUP BY 1
+    """,
+    tags=("layout", "zorder", "clustering", "maintenance"),
+)
+def layout_zorder_bucket_stats(spark, sf_dir):
+    """Morton/z-order bucket statistics over orders in (customer × order
+    date) space: scale both keys to 8 bits, interleave, bucket by the top
+    interleaved bits, and report per-bucket extents. Tight min/max extents
+    per bucket are exactly what makes z-ordered files skippable by both
+    predicates at once; a linear (single-column) sort would show max-width
+    extents in the other dimension. All bit math — map-only, one
+    aggregation, engine-exact."""
+    o = T(spark, sf_dir, "orders").select(
+        F.least(
+            (F.col("o_custkey").cast("long") / _Z_CUST_DIV).cast("long"),
+            F.lit(255).cast("long"),
+        ).alias("cx"),
+        F.least(
+            (
+                F.datediff(
+                    F.to_date("o_orderdate"), F.lit(_Z_EPOCH).cast("date")
+                ).cast("long")
+                / _Z_DAY_DIV
+            ).cast("long"),
+            F.lit(255).cast("long"),
+        ).alias("dy"),
+    )
+    z = o.withColumn("zval", F.expr(_interleave_sql("cx", "dy")))
+    return (
+        z.groupBy(
+            F.shiftright("zval", _Z_BUCKET_SHIFT).cast("long").alias("z_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("cx").alias("min_cust_cell"),
+            F.max("cx").alias("max_cust_cell"),
+            F.min("dy").alias("min_day_cell"),
+            F.max("dy").alias("max_day_cell"),
+        )
+    )
+
+
+#: Bloom geometry: 5 md5-affine hash rows into 4096 bits — the same
+#: portable-hash family as the minhash/CMS sketches (a_j=2j+3, b_j=997j+1
+#: mod 1000003), keyed directly on the integer build key.
+_BLOOM_K = 5
+_BLOOM_M = 4096
+_BLOOM_P = 1000003
+_BLOOM_SEGMENT = "BUILDING"
+
+
+def _bloom_pos_sql(key: str, j: int) -> str:
+    return f"((({2 * j + 3} * {key} + {997 * j + 1}) % {_BLOOM_P}) % {_BLOOM_M})"
+
+
+@register(
+    "join_bloom_prefilter_effect",
+    f"""
+    WITH build AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = '{_BLOOM_SEGMENT}'
+    ),
+    bits AS (
+      SELECT DISTINCT pos FROM build,
+        unnest([{", ".join(_bloom_pos_sql("c_custkey", j) for j in range(_BLOOM_K))}])
+          AS u(pos)
+    ),
+    blist AS (SELECT list(pos ORDER BY pos) AS positions FROM bits),
+    probe AS (
+      SELECT o.o_orderkey, o.o_custkey,
+             list_has_all(b.positions,
+               [{", ".join(_bloom_pos_sql("o.o_custkey", j) for j in range(_BLOOM_K))}])
+               AS bloom_pass,
+             EXISTS (SELECT 1 FROM build WHERE c_custkey = o.o_custkey)
+               AS true_match
+      FROM orders o CROSS JOIN blist b
+    )
+    SELECT CASE WHEN NOT bloom_pass THEN 'filtered'
+                WHEN true_match THEN 'hit_true'
+                ELSE 'hit_false' END AS category,
+           count(*) AS n_orders
+    FROM probe
+    GROUP BY 1
+    """,
+    tags=("join", "bloom", "runtime-filter", "portable"),
+)
+def join_bloom_prefilter_effect(spark, sf_dir):
+    """Bloom-filter join pre-filter, fully portable: build a 5-hash /
+    4096-bit filter over the BUILDING-segment customers, broadcast
+    its (sorted, ≤4096-entry) set-bit list, and categorize every order as
+    filtered (bit miss → skipped before the join), true hit, or false
+    positive (passed the filter, no real match — the rows a runtime filter
+    lets through and the join then discards). This is the AQE
+    runtime-filter shape made engine-exact: at 100 TB the filter build is a
+    tiny aggregation on the dim side, the probe is map-only against a
+    broadcast bit-set, and the expensive join runs on 'hit_*' rows only.
+    No Bloom false negative is possible — pinned by the oracle since
+    'filtered' + 'hit_true' partition the true matches exactly."""
+    c = T(spark, sf_dir, "customer")
+    build = c.filter(F.col("c_mktsegment") == _BLOOM_SEGMENT).select(
+        "c_custkey"
+    )
+    bits = build.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(_bloom_pos_sql("c_custkey", j))
+                    for j in range(_BLOOM_K)
+                ]
+            )
+        ).alias("pos")
+    ).distinct()
+    blist = bits.agg(F.sort_array(F.collect_set("pos")).alias("positions"))
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probe_positions = F.array(
+        *[F.expr(_bloom_pos_sql("o_custkey", j)) for j in range(_BLOOM_K)]
+    )
+    probe = (
+        o.crossJoin(F.broadcast(blist))
+        .join(
+            F.broadcast(build.withColumn("true_match", F.lit(True))),
+            o["o_custkey"] == build["c_custkey"],
+            "left",
+        )
+        .select(
+            F.forall(
+                probe_positions,
+                lambda p: F.array_contains(F.col("positions"), p),
+            ).alias("bloom_pass"),
+            F.coalesce(F.col("true_match"), F.lit(False)).alias("true_match"),
+        )
+    )
+    return (
+        probe.select(
+            F.when(~F.col("bloom_pass"), F.lit("filtered"))
+            .when(F.col("true_match"), F.lit("hit_true"))
+            .otherwise(F.lit("hit_false"))
+            .alias("category")
+        )
+        .groupBy("category")
+        .agg(F.count("*").alias("n_orders"))
+    )

@@ -60,3 +60,22 @@ def purchases_with_recent_clicks(
         ),
         "inner",
     ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame, dim: DataFrame, on, event_type: str = "purchase"
+) -> DataFrame:
+    """Stream-static enrichment join — the third join shape of the
+    streaming surface (windowed aggs join batch twins; stream-stream above;
+    this one joins a live stream against a slowly-changing dimension).
+
+    The static side is broadcast: no state store is involved at all (the
+    dimension is re-resolved per micro-batch, which is also what gives
+    'slowly-changing' semantics — a dim update is picked up by the next
+    batch). At 100 TB/day the stream side never shuffles for this join;
+    dimension size is the only constraint, exactly as in the batch star
+    schema. Returns the enriched streaming DataFrame; callers pick sink.
+    """
+    return stream.filter(F.col("event_type") == event_type).join(
+        F.broadcast(dim), on, "inner"
+    )

@@ -333,3 +333,20 @@ def test_portable_simhash_buckets_no_python(q):
     JVM-side; the pair join keys on (block_idx, block) buckets."""
     c = plan_counts(q("dedup_simhash_portable_buckets"))
     assert c["python_row_udf"] == 0 and c["python_arrow_udf"] == 0
+
+
+def test_zorder_stats_map_only_plus_one_agg(q):
+    """layout_zorder_bucket_stats: bit interleaving is pure column math —
+    no Python, no joins; one hash-aggregate shuffle on the bucket key."""
+    c = plan_counts(q("layout_zorder_bucket_stats"))
+    assert c["python_row_udf"] == 0 and c["python_arrow_udf"] == 0
+    assert c["sort_merge_join"] == 0 and c["broadcast_hash_join"] == 0
+
+
+def test_bloom_prefilter_probe_is_broadcast_only(q):
+    """join_bloom_prefilter_effect: the probe side must never shuffle —
+    the bit-set list and the build keys both arrive by broadcast."""
+    c = plan_counts(q("join_bloom_prefilter_effect"))
+    assert c["python_row_udf"] == 0 and c["python_arrow_udf"] == 0
+    assert c["broadcast_exchange"] >= 2  # bit-set list + build-key dim
+    assert c["sort_merge_join"] == 0

@@ -77,6 +77,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "layout_zorder_bucket_stats",  # new: Morton clustering extents
     "join_bloom_prefilter_effect",  # new: portable runtime-filter shape
     "stream_enrich_purchase_customer",  # new: stream-static broadcast join
+    "strfn_fuzzy_name_pairs_blocked",  # new: blocked entity-resolution join
+    "events_multigrain_time_rollup",  # new: grouping-sets time hierarchy
+    "dq_constraint_report",  # new: single-pass publish-gate audit
     "dedup_simhash_portable_hamming",  # refactored onto shared sig builder
     "dedup_minhash_lsh_pairs",  # bucket cap added (rows-only)
     "dedup_simhash_buckets",  # rows-only sibling of the new portable twin
@@ -146,6 +149,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         timeseries,
         layout,
+        quality,
     )
 
     missing = [n for n in DRIVER_PRIORITY if n not in REGISTRY]

@@ -180,7 +180,7 @@ def pipeline_movie_features(spark, sf_dir):
       FROM with_act GROUP BY doc_id
     )
     SELECT doc_id,
-           {', '.join(f"round(({c} - avg({c}) OVER ()) / (CASE WHEN stddev_pop({c}) OVER () = 0 THEN 1.0 ELSE stddev_pop({c}) OVER () END), 4) AS {c}" for c in FEATURE_COLS)}
+           {', '.join(f"round(({c} - avg({c}) OVER ()) / (CASE WHEN stddev_pop({c}) OVER () = 0 THEN 1.0 ELSE stddev_pop({c}) OVER () END), 4) + 0 AS {c}" for c in FEATURE_COLS)}
     FROM unrounded
     """,
     tags=("pipeline", "features", "scaling"),

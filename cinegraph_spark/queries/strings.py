@@ -127,3 +127,47 @@ def strfn_title_year_parse(spark, sf_dir):
         .cast("long")
         .alias("year"),
     )
+
+
+@register(
+    "strfn_fuzzy_name_pairs_blocked",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM names)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM blocked a
+    JOIN blocked b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    tags=("strings", "fuzzy", "dedup", "blocking"),
+)
+def strfn_fuzzy_name_pairs_blocked(spark, sf_dir):
+    """Blocked fuzzy-match join: near-identical part names at edit distance
+    ≤ 4, compared only within a cheap blocking key (first token) — the
+    standard entity-resolution shape. Two scale decisions: (1) the fuzzy
+    comparison runs on the DISTINCT-name dictionary, not the row stream, so
+    its cost is bounded by vocabulary size however many rows repeat a name;
+    (2) the blocked equi-join keys the shuffle on the block, so no
+    cross-join exists and a block's cost is |block|² — the blocking key is
+    the knob that keeps blocks small (compose keys — first token × length
+    band — if a corpus makes one block degenerate). levenshtein computes
+    identically in Spark and DuckDB → exact oracle."""
+    names = (
+        T(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("blk", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)))
+    )
+    a = names.select(F.col("p_name").alias("name_a"), "blk")
+    b = names.select(F.col("p_name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long"),
+        )
+        .filter(F.col("edit_dist") <= 4)
+        .select("name_a", "name_b", "edit_dist")
+    )

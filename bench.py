@@ -63,6 +63,14 @@ HEADLINE = [
     "text_dsir_importance",
     "dedup_simhash_portable_buckets",
     "stream_join_purchase_click_attribution",
+    "ts_holt_linear_daily",
+    "sketch_histogram_quantiles",
+    "layout_zorder_bucket_stats",
+    "join_bloom_prefilter_effect",
+    "stream_enrich_purchase_customer",
+    "strfn_fuzzy_name_pairs_blocked",
+    "events_multigrain_time_rollup",
+    "dq_constraint_report",
 ]
 
 

@@ -172,23 +172,45 @@ def join_bloom_prefilter_effect(spark, sf_dir):
             )
         ).alias("pos")
     ).distinct()
-    blist = bits.agg(F.sort_array(F.collect_set("pos")).alias("positions"))
-    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    probe_positions = F.array(
-        *[F.expr(_bloom_pos_sql("o_custkey", j)) for j in range(_BLOOM_K)]
+    # pack the set bits into 64-bit words (m/64 entries) and broadcast the
+    # word map: each probe is then an O(1) shift-and-mask, not a linear
+    # array_contains scan over up to m positions (measured: the list form
+    # cost 28 s at sf0.1 — 5 probes × ~m/2 comparisons per row; the packed
+    # form is <1 s and is how a real engine stores the filter).
+    words = bits.groupBy(
+        F.expr("CAST(pos DIV 64 AS INT)").alias("widx")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))"
+        ).alias("wbits")
     )
+    bmap = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("widx", "wbits"))).alias(
+            "bloom"
+        )
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bit_tests = [
+        F.expr(
+            f"(shiftright(coalesce(element_at(bloom, "
+            f"CAST(({_bloom_pos_sql('o_custkey', j)}) DIV 64 AS INT)), "
+            f"CAST(0 AS BIGINT)), "
+            f"CAST(({_bloom_pos_sql('o_custkey', j)}) % 64 AS INT)) & 1) = 1"
+        )
+        for j in range(_BLOOM_K)
+    ]
+    bloom_pass = bit_tests[0]
+    for t in bit_tests[1:]:
+        bloom_pass = bloom_pass & t
     probe = (
-        o.crossJoin(F.broadcast(blist))
+        o.crossJoin(F.broadcast(bmap))
         .join(
             F.broadcast(build.withColumn("true_match", F.lit(True))),
             o["o_custkey"] == build["c_custkey"],
             "left",
         )
         .select(
-            F.forall(
-                probe_positions,
-                lambda p: F.array_contains(F.col("positions"), p),
-            ).alias("bloom_pass"),
+            bloom_pass.alias("bloom_pass"),
             F.coalesce(F.col("true_match"), F.lit(False)).alias("true_match"),
         )
     )

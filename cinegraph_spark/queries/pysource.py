@@ -65,3 +65,49 @@ def src_paginated_listing_decades(spark, sf_dir):
         .cast("long")
         .alias("n_missing_year"),
     )
+
+
+@register(
+    "src_stream_listing_pages",
+    f"""
+    WITH items AS (SELECT i FROM generate_series(0, {_PAGES * _PER_PAGE - 1}) t(i)),
+    rows_ AS (
+      SELECT CAST(i // {_PER_PAGE} AS BIGINT) AS page,
+             CASE WHEN i % 7 = 3 THEN 'Untitled Project ' || i
+                  ELSE 'Movie ' || i || ' (' || (1900 + (i * 37) % 126) || ')'
+             END AS raw_title
+      FROM items
+    )
+    SELECT page, count(*) AS n_titles,
+           CAST(sum(CASE WHEN raw_title LIKE 'Untitled%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missing_year
+    FROM rows_ GROUP BY page
+    """,
+    tags=("source", "python-datasource", "streaming", "s1"),
+)
+def src_stream_listing_pages(spark, sf_dir):
+    """S1 as a STREAMING Python data source (`sources/listing.py::
+    ListingStreamReader`): the listing drains through a real readStream →
+    availableNow run, with the page number as the resumable offset — the
+    scraper's 'continue from the last page' semantics with exactly-once
+    replay (readBetweenOffsets) for free. Per-page rollup oracle checks the
+    streamed rows end-to-end; the multi-batch/resume contract is pinned in
+    tests/test_listing_source.py."""
+    import uuid
+
+    from cinegraph_spark.session import ensure_shipped
+    from cinegraph_spark.sources.listing import read_listing_stream
+    from cinegraph_spark.streaming.windows import run_availablenow_to_memory
+
+    ensure_shipped(spark)
+    stream = read_listing_stream(spark, pages=_PAGES, per_page=_PER_PAGE)
+    name = f"q_src_stream_{uuid.uuid4().hex[:8]}"
+    out = run_availablenow_to_memory(spark, stream, name, output_mode="append")
+    return out.groupBy(F.col("page").cast("long").alias("page")).agg(
+        F.count("*").alias("n_titles"),
+        F.sum(
+            F.when(F.col("raw_title").startswith("Untitled"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_missing_year"),
+    )

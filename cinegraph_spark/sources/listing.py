@@ -20,7 +20,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: listing geometry defaults (reference pages hold 50 titles).
 PER_PAGE = 50
@@ -54,6 +59,9 @@ class ListingDataSource(DataSource):
     def reader(self, schema) -> "ListingReader":
         return ListingReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "ListingStreamReader":
+        return ListingStreamReader(self.options)
+
 
 class ListingReader(DataSourceReader):
     def __init__(self, options: dict):
@@ -69,6 +77,51 @@ class ListingReader(DataSourceReader):
         return _fetch_page(partition.value, self.per_page)
 
 
+class ListingStreamReader(SimpleDataSourceStreamReader):
+    """The same paginated listing as a STREAMING source (Spark 4 Python
+    streaming data source API): the offset is the next page number, so a
+    restart resumes exactly where the checkpoint left off — the reference's
+    'continue scraping from the last page' behavior with exactly-once
+    delivery for free.
+
+    ``read`` advances up to ``pages_per_batch`` pages per micro-batch
+    (default: all remaining — an availableNow drain then consumes the full
+    listing in one batch); ``readBetweenOffsets`` replays a committed range
+    deterministically after failure, which is what makes the source
+    exactly-once rather than at-least-once."""
+
+    def __init__(self, options: dict):
+        self.pages = int(options.get("pages", "10"))
+        self.per_page = int(options.get("per_page", str(PER_PAGE)))
+        self.pages_per_batch = int(options.get("pages_per_batch", "0"))
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def _rows(self, start_page: int, end_page: int) -> list[tuple]:
+        # concrete list, not a generator: the engine pickles prefetched
+        # rows between driver and executors
+        return [
+            row
+            for p in range(start_page, end_page)
+            for row in _fetch_page(p, self.per_page)
+        ]
+
+    def read(self, start: dict):
+        p = int(start["page"])
+        if p >= self.pages:
+            return [], {"page": p}
+        end = (
+            min(p + self.pages_per_batch, self.pages)
+            if self.pages_per_batch > 0
+            else self.pages
+        )
+        return self._rows(p, end), {"page": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        return self._rows(int(start["page"]), int(end["page"]))
+
+
 def read_listing(spark, pages: int = 10, per_page: int = PER_PAGE):
     """Register (idempotent) and read the paginated listing."""
     spark.dataSource.register(ListingDataSource)
@@ -76,5 +129,22 @@ def read_listing(spark, pages: int = 10, per_page: int = PER_PAGE):
         spark.read.format("cinegraph_listing")
         .option("pages", str(pages))
         .option("per_page", str(per_page))
+        .load()
+    )
+
+
+def read_listing_stream(
+    spark,
+    pages: int = 10,
+    per_page: int = PER_PAGE,
+    pages_per_batch: int = 0,
+):
+    """Register (idempotent) and open the paginated listing as a stream."""
+    spark.dataSource.register(ListingDataSource)
+    return (
+        spark.readStream.format("cinegraph_listing")
+        .option("pages", str(pages))
+        .option("per_page", str(per_page))
+        .option("pages_per_batch", str(pages_per_batch))
         .load()
     )

@@ -26,3 +26,54 @@ def test_rows_deterministic_and_page_local(spark):
     # re-read is identical (no state between reads)
     again = {(r["page"], r["rank"]): r["raw_title"] for r in df.collect()}
     assert again == rows
+
+
+def test_stream_reader_offset_contract():
+    """The streaming listing's offset is the next page: read() advances by
+    pages_per_batch, sticks at the end, and readBetweenOffsets replays a
+    committed range identically (the exactly-once requirement)."""
+    from cinegraph_spark.sources.listing import ListingStreamReader
+
+    r = ListingStreamReader(
+        {"pages": "5", "per_page": "4", "pages_per_batch": "2"}
+    )
+    assert r.initialOffset() == {"page": 0}
+    rows1, o1 = r.read({"page": 0})
+    assert o1 == {"page": 2} and len(rows1) == 8
+    rows2, o2 = r.read(o1)
+    assert o2 == {"page": 4} and len(rows2) == 8
+    rows3, o3 = r.read(o2)
+    assert o3 == {"page": 5} and len(rows3) == 4
+    # exhausted: empty batch, offset does not advance
+    rows4, o4 = r.read(o3)
+    assert rows4 == [] and o4 == {"page": 5}
+    # replay of the first committed range is bit-identical
+    assert r.readBetweenOffsets({"page": 0}, {"page": 2}) == rows1
+    # full replay equals the concatenated batches
+    assert r.readBetweenOffsets({"page": 0}, {"page": 5}) == (
+        rows1 + rows2 + rows3
+    )
+
+
+def test_stream_drain_matches_batch_read(spark):
+    """availableNow drain of the streaming source yields exactly the batch
+    source's rows (same synthesizer, offset walk covers every page)."""
+    import uuid
+
+    from cinegraph_spark.sources.listing import (
+        read_listing,
+        read_listing_stream,
+    )
+    from cinegraph_spark.streaming.windows import run_availablenow_to_memory
+
+    batch = {
+        (r["page"], r["rank"]): r["raw_title"]
+        for r in read_listing(spark, pages=4, per_page=6).collect()
+    }
+    stream = read_listing_stream(spark, pages=4, per_page=6)
+    name = f"t_srcstream_{uuid.uuid4().hex[:6]}"
+    out = run_availablenow_to_memory(spark, stream, name, output_mode="append")
+    streamed = {
+        (r["page"], r["rank"]): r["raw_title"] for r in out.collect()
+    }
+    assert streamed == batch

@@ -95,15 +95,24 @@ def events_multigrain_time_rollup(spark, sf_dir):
     tags=("quality", "constraints", "audit"),
 )
 def dq_constraint_report(spark, sf_dir):
-    """Single-pass publish-gate audit of orders: null / domain / range
-    checks as conditional aggregates sharing one scan, duplicate-key check
-    as one aggregation, FK orphans as a broadcast anti-join against the
-    customer dimension. One row per constraint (name, violation count) —
-    the shape a pipeline appends to a quality-history table and alerts on.
-    At 100 TB the whole report costs one fact scan + one dim broadcast."""
+    """Publish-gate audit of orders: null / domain / range checks AND the
+    FK-orphan count as conditional aggregates sharing ONE fact scan (the
+    broadcast left join marks dimension hits inline), plus one more pass
+    for the duplicate-key check (inherently its own groupBy). One row per
+    constraint (name, violation count) — the shape a pipeline appends to a
+    quality-history table and alerts on. At 100 TB: two fact scans + one
+    dim broadcast, however many inline constraints you add."""
     o = T(spark, sf_dir, "orders")
-    c = T(spark, sf_dir, "customer").select("c_custkey")
-    inline = o.agg(
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", F.lit(True).alias("_dim_hit")
+    )
+    # one fact scan: the broadcast left join marks FK hits inline, so the
+    # orphan count is just another conditional aggregate alongside the
+    # null/domain/range checks — 4 of 5 constraints from a single pass.
+    enriched = o.join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left"
+    )
+    inline = enriched.agg(
         F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias(
             "null_orderdate"
         ),
@@ -113,20 +122,19 @@ def dq_constraint_report(spark, sf_dir):
         F.count(
             F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
         ).alias("bad_status_domain"),
+        F.count(F.when(F.col("_dim_hit").isNull(), 1)).alias(
+            "fk_orphan_custkey"
+        ),
     )
     melted = inline.selectExpr(
-        "stack(3, 'null_orderdate', null_orderdate, "
+        "stack(4, 'null_orderdate', null_orderdate, "
         "'nonpositive_total', nonpositive_total, "
-        "'bad_status_domain', bad_status_domain) "
+        "'bad_status_domain', bad_status_domain, "
+        "'fk_orphan_custkey', fk_orphan_custkey) "
         "AS (constraint_name, n_violations)"
     )
-    orphans = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_anti")
-        .agg(F.count("*").alias("n_violations"))
-        .select(
-            F.lit("fk_orphan_custkey").alias("constraint_name"), "n_violations"
-        )
-    )
+    # duplicate-key check is inherently its own aggregation (a groupBy on
+    # the key); second and final fact pass.
     dups = (
         o.groupBy("o_orderkey")
         .agg(F.count("*").alias("_n"))
@@ -137,4 +145,4 @@ def dq_constraint_report(spark, sf_dir):
             "n_violations",
         )
     )
-    return melted.unionByName(orphans).unionByName(dups)
+    return melted.unionByName(dups)

@@ -350,3 +350,33 @@ def test_bloom_prefilter_probe_is_broadcast_only(q):
     assert c["python_row_udf"] == 0 and c["python_arrow_udf"] == 0
     assert c["broadcast_exchange"] >= 2  # bit-set list + build-key dim
     assert c["sort_merge_join"] == 0
+
+
+def test_multigrain_rollup_is_single_expand_pass(q):
+    """events_multigrain_time_rollup: grouping sets must compile to one
+    Expand over one aggregation — never one scan per grain."""
+    from cinegraph_spark.plans import formatted_plan
+
+    plan = formatted_plan(q("events_multigrain_time_rollup"))
+    import re
+
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_dq_report_two_fact_scans_with_broadcast_fk(q):
+    """dq_constraint_report: the inline constraints + FK orphan count share
+    one scan (broadcast left join marks hits); duplicates are the only
+    second pass."""
+    from cinegraph_spark.plans import formatted_plan
+
+    df = q("dq_constraint_report")
+    plan = formatted_plan(df)
+    import re
+
+    # 3 numbered scan nodes: orders twice (inline aggs + dup check) and
+    # the broadcast customer dim once
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3
+    c = plan_counts(df)
+    assert c["broadcast_hash_join"] >= 1
+    assert c["sort_merge_join"] == 0

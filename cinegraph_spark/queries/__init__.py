@@ -81,6 +81,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_multigrain_time_rollup",  # new: grouping-sets time hierarchy
     "dq_constraint_report",  # new: single-pass publish-gate audit
     "src_stream_listing_pages",  # new: streaming Python data source drain
+    "stats_robust_mad_outliers",  # new: MAD robust outlier gate
     "dedup_simhash_portable_hamming",  # refactored onto shared sig builder
     "dedup_minhash_lsh_pairs",  # bucket cap added (rows-only)
     "dedup_simhash_buckets",  # rows-only sibling of the new portable twin

@@ -82,6 +82,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dq_constraint_report",  # new: single-pass publish-gate audit
     "src_stream_listing_pages",  # new: streaming Python data source drain
     "stats_robust_mad_outliers",  # new: MAD robust outlier gate
+    "dedup_incremental_vs_snapshot",  # new: batch-vs-corpus ingestion dedup
     "dedup_simhash_portable_hamming",  # refactored onto shared sig builder
     "dedup_minhash_lsh_pairs",  # bucket cap added (rows-only)
     "dedup_simhash_buckets",  # rows-only sibling of the new portable twin

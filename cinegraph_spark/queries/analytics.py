@@ -1605,3 +1605,160 @@ def join_merge_cdc_customer_orders(spark, sf_dir):
             "cur_totalprice"
         ),
     )
+
+
+#: incremental-dedup banding: 4 bands x 4 rows over the 16 portable minima;
+#: near-dup verification threshold: >= 8/16 matching minima (est >= 0.5).
+_INC_BANDS = 4
+_INC_ROWS = 4
+_INC_MIN_MATCHES = 8
+
+
+def _inc_band_join_sql(b: int) -> str:
+    eqs = " AND ".join(
+        f"i.m{b * _INC_ROWS + r} = s.m{b * _INC_ROWS + r}"
+        for r in range(_INC_ROWS)
+    )
+    return (
+        f"SELECT i.doc_id AS inc_id, s.doc_id AS snap_id "
+        f"FROM inc_sigs i JOIN snap_sigs s ON {eqs}"
+    )
+
+
+@register(
+    "dedup_incremental_vs_snapshot",
+    f"""
+    WITH {SHINGLE_CTES},
+    snapshot AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    incoming AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text FROM documents
+      WHERE doc_id % 3 = 0
+    ),
+    exact AS (
+      SELECT DISTINCT i.doc_id FROM incoming i
+      JOIN snapshot s ON md5(i.text) = md5(s.text)
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+               % {_MH_P} AS h
+      FROM sh_all
+    ),
+    mins AS (
+      SELECT doc_id,
+             {", ".join(f"min(({_mh_a(i)} * h + {_mh_b(i)}) % {_MH_P}) AS m{i}" for i in range(_MH_PERMS))}
+      FROM hashed GROUP BY doc_id
+    ),
+    snap_sigs AS (SELECT * FROM mins WHERE doc_id % 3 = 0),
+    inc_sigs  AS (SELECT * FROM mins WHERE doc_id % 3 <> 0),
+    cands AS (
+      {" UNION ".join(_inc_band_join_sql(b) for b in range(_INC_BANDS))}
+    ),
+    near AS (
+      SELECT DISTINCT c.inc_id AS doc_id
+      FROM cands c
+      JOIN inc_sigs a ON a.doc_id = c.inc_id
+      JOIN snap_sigs b ON b.doc_id = c.snap_id
+      WHERE ({" + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(_MH_PERMS))})
+            >= {_INC_MIN_MATCHES}
+    )
+    SELECT i.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'novel' END AS status
+    FROM incoming i
+    LEFT JOIN exact e ON e.doc_id = i.doc_id
+    LEFT JOIN near n ON n.doc_id = i.doc_id
+    """,
+    tags=("dedup", "incremental", "minhash", "llm-pipeline", "portable"),
+)
+def dedup_incremental_vs_snapshot(spark, sf_dir):
+    """Incremental ingestion dedup — the shape a production pipeline runs
+    every batch: new documents are checked against the ALREADY-INGESTED
+    corpus snapshot, never against each other (self-dedup is a separate,
+    earlier pass). Tier 1: exact md5 match against the snapshot. Tier 2:
+    portable-MinHash band buckets joined CROSS-SET only (incoming bands x
+    snapshot bands — the candidate join never pairs two incoming or two
+    snapshot docs), verified at >= 8/16 matching minima. Every incoming doc
+    gets a status: exact_dup / near_dup / novel. At 100 TB the snapshot
+    side is signatures only (16 longs/doc, not text), the band join is the
+    only shuffle, and a growing corpus amortizes: each batch compares
+    against signatures, not re-shingled text. Fixture: docs with id%3=0
+    form the snapshot; copies of them (id+10000) are injected into the
+    incoming batch so all three statuses occur."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    snapshot = d.filter(F.col("doc_id") % 3 == 0)
+    incoming = d.filter(F.col("doc_id") % 3 != 0).unionByName(
+        snapshot.select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    snap_md5 = snapshot.select(F.md5("text").alias("_h")).distinct()
+    exact = (
+        incoming.withColumn("_h", F.md5("text"))
+        .join(F.broadcast(snap_md5), "_h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    sh = shingles(toks_df(spark, sf_dir), "doc_id", "tokens", n=8)
+    h = (
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+        % _MH_P
+    ).alias("h")
+    sig = (
+        sh.select("doc_id", h)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.lit(_mh_a(i)) * F.col("h") + F.lit(_mh_b(i))) % _MH_P
+                ).alias(f"m{i}")
+                for i in range(_MH_PERMS)
+            ]
+        )
+        .localCheckpoint(eager=False)  # feeds 2x4 band joins + verification
+    )
+    snap_sigs = sig.filter(F.col("doc_id") % 3 == 0)
+    inc_sigs = sig.filter(F.col("doc_id") % 3 != 0)
+    cands = None
+    for b in range(_INC_BANDS):
+        cols = [f"m{b * _INC_ROWS + r}" for r in range(_INC_ROWS)]
+        i_side = inc_sigs.select(F.col("doc_id").alias("inc_id"), *cols)
+        s_side = snap_sigs.select(F.col("doc_id").alias("snap_id"), *cols)
+        piece = i_side.join(s_side, cols).select("inc_id", "snap_id")
+        cands = piece if cands is None else cands.unionByName(piece)
+    cands = cands.distinct()
+    a = inc_sigs.select(
+        F.col("doc_id").alias("inc_id"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(_MH_PERMS)],
+    )
+    bb = snap_sigs.select(
+        F.col("doc_id").alias("snap_id"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(_MH_PERMS)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_MH_PERMS)
+    )
+    near = (
+        cands.join(a, "inc_id")
+        .join(bb, "snap_id")
+        .filter(matches >= _INC_MIN_MATCHES)
+        .select(F.col("inc_id").alias("doc_id"))
+        .distinct()
+    )
+    return incoming.select("doc_id").join(
+        F.broadcast(exact.withColumn("_e", F.lit(True))), "doc_id", "left"
+    ).join(
+        F.broadcast(near.withColumn("_n", F.lit(True))), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("_e"), F.lit("exact_dup"))
+        .when(F.col("_n"), F.lit("near_dup"))
+        .otherwise(F.lit("novel"))
+        .alias("status"),
+    )

@@ -71,6 +71,9 @@ HEADLINE = [
     "strfn_fuzzy_name_pairs_blocked",
     "events_multigrain_time_rollup",
     "dq_constraint_report",
+    "stats_robust_mad_outliers",
+    "dedup_incremental_vs_snapshot",
+    "src_stream_listing_pages",
 ]
 
 

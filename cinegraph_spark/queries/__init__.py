@@ -83,6 +83,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "src_stream_listing_pages",  # new: streaming Python data source drain
     "stats_robust_mad_outliers",  # new: MAD robust outlier gate
     "dedup_incremental_vs_snapshot",  # new: batch-vs-corpus ingestion dedup
+    "udf_arrow_map_net_revenue",  # new: mapInArrow with in-UDF pre-agg
     "dedup_simhash_portable_hamming",  # refactored onto shared sig builder
     "dedup_minhash_lsh_pairs",  # bucket cap added (rows-only)
     "dedup_simhash_buckets",  # rows-only sibling of the new portable twin

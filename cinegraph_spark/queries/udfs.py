@@ -125,3 +125,71 @@ def udf_pandas_grouped_agg_gini(spark, sf_dir):
     return n.join(g, "o_orderpriority").select(
         "o_orderpriority", "n_orders", "gini"
     )
+
+
+@register(
+    "udf_arrow_map_net_revenue",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS net_revenue
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag
+    """,
+    tags=("udf", "arrow", "mapInArrow"),
+)
+def udf_arrow_map_net_revenue(spark, sf_dir):
+    """The same net-revenue semantics through ``mapInArrow`` — the
+    lowest-level Python hook: raw ``pyarrow.RecordBatch`` in, RecordBatch
+    out, no pandas materialization at all. This is the right tier when the
+    Python work is itself Arrow-native (pyarrow.compute kernels, Arrow-
+    backed ML featurizers): it skips the Arrow→pandas→Arrow copy that
+    mapInPandas pays. Pre-aggregation happens per batch INSIDE the UDF
+    (one output row per returnflag per batch), so what crosses back to the
+    JVM is already tiny and the final groupBy merges batch partials — the
+    map-side-combine shape, hand-held through the Arrow boundary."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cinegraph_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def per_batch(batches):
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            net = pc.multiply(
+                pc.multiply(
+                    t["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), t["l_discount"]),
+                ),
+                pc.add(pa.scalar(1.0), t["l_tax"]),
+            )
+            grouped = (
+                t.append_column("net", net)
+                .group_by("l_returnflag")
+                .aggregate([("net", "sum"), ("net", "count")])
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    grouped["l_returnflag"].combine_chunks(),
+                    grouped["net_sum"].combine_chunks(),
+                    grouped["net_count"].cast(pa.int64()).combine_chunks(),
+                ],
+                ["l_returnflag", "part_sum", "part_n"],
+            )
+
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .select("l_returnflag", "l_extendedprice", "l_discount", "l_tax")
+    )
+    partials = li.mapInArrow(
+        per_batch, "l_returnflag string, part_sum double, part_n long"
+    )
+    return partials.groupBy("l_returnflag").agg(
+        F.sum("part_n").alias("n_items"),
+        F.round(F.sum("part_sum"), 2).alias("net_revenue"),
+    )

@@ -380,3 +380,33 @@ def test_dq_report_two_fact_scans_with_broadcast_fk(q):
     c = plan_counts(df)
     assert c["broadcast_hash_join"] >= 1
     assert c["sort_merge_join"] == 0
+
+
+def test_mad_outliers_broadcast_stats(q):
+    """stats_robust_mad_outliers: the per-type stats tables join back by
+    broadcast; the fact side never sort-merge-shuffles for them."""
+    c = plan_counts(q("stats_robust_mad_outliers"))
+    assert c["sort_merge_join"] == 0
+    assert c["broadcast_hash_join"] >= 2
+    assert c["python_row_udf"] == 0 and c["python_arrow_udf"] == 0
+
+
+def test_incremental_dedup_no_self_pairs_shape(q):
+    """dedup_incremental_vs_snapshot: signature band joins + broadcast
+    status lookups; zero Python, no row-UDFs anywhere."""
+    c = plan_counts(q("dedup_incremental_vs_snapshot"))
+    assert c["python_row_udf"] == 0
+    assert c["broadcast_hash_join"] >= 2  # exact md5 set + status lookups
+
+
+def test_map_in_arrow_prunes_and_pushes(q):
+    """udf_arrow_map_net_revenue: the shipdate filter still reaches the
+    scan and only the four referenced columns are read — mapInArrow must
+    not break pushdown; and the Python boundary is Arrow, not row."""
+    df = q("udf_arrow_map_net_revenue")
+    [filters] = pushed_filters(df)
+    assert "l_shipdate" in filters
+    [schema] = read_schemas(df)
+    assert "l_extendedprice" in schema and "l_partkey" not in schema
+    c = plan_counts(df)
+    assert c["python_row_udf"] == 0

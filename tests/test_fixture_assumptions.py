@@ -1,0 +1,95 @@
+"""Guards on driver-testdata assumptions that oracles quietly rely on.
+
+The driver regenerates /root/testdata each round, and regenerations HAVE
+changed semantics mid-project (round 6: events.parquet switched from
+TIMESTAMP(NANOS) to naive TIMESTAMP(MICROS), silently breaking a pinned
+streaming schema). Each test here asserts one assumption some oracle or
+reader depends on, so the next regeneration fails HERE with a named
+assumption instead of as a cryptic driver hash mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+
+
+def test_events_ts_unit_is_us_or_ns():
+    """queries/util.py::_events and the streaming sniffer handle exactly
+    timestamp[us]/timestamp[ns] (or int64); anything else is a new case."""
+    t = pq.read_schema(f"{TESTDATA}/events.parquet").field("ts").type
+    assert str(t) in ("timestamp[us]", "timestamp[ns]", "int64"), (
+        f"events.ts physical type changed to {t} — update _events and "
+        "_events_ts_unit_divisor"
+    )
+
+
+def test_documents_text_is_single_byte_safe():
+    """media_payload_checksums' SQL oracle recomputes a BYTE checksum
+    character-wise — exact only while every document char is one UTF-8
+    byte (printable ASCII). A non-ASCII regeneration must demote that
+    oracle to rows-only."""
+    tbl = pq.read_table(f"{TESTDATA}/documents.parquet", columns=["text"])
+    for chunk in tbl["text"].chunks:
+        for v in chunk:
+            s = v.as_py()
+            assert len(s.encode("utf-8")) == len(s), (
+                "documents.text contains multi-byte chars — the "
+                "media_payload_checksums oracle is no longer byte-exact"
+            )
+
+
+def test_documents_have_planted_near_dups():
+    """The near-dup family's recall tests assume the corpus plants
+    near-duplicate pairs; an empty pair set would make several dedup
+    queries vacuous (0 rows) without failing anything."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{TESTDATA}/documents.parquet'"
+    )
+    from cinegraph_spark.queries.neardup_common import SHINGLE_CTES
+
+    n = con.execute(
+        f"""
+        WITH {SHINGLE_CTES}
+        SELECT count(*) FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+        """
+    ).fetchone()[0]
+    assert n > 0, "no planted near-dup pairs at >=0.6 Jaccard in fixtures"
+
+
+def test_events_user_ids_within_customer_keys():
+    """stream_enrich_purchase_customer joins user_id = c_custkey; if a
+    regeneration widens the user_id range past the customer keys the
+    enrichment silently drops rows (inner join)."""
+    import duckdb
+
+    con = duckdb.connect()
+    hi_user, = con.execute(
+        f"SELECT max(user_id) FROM '{TESTDATA}/events.parquet'"
+    ).fetchone()
+    hi_cust, = con.execute(
+        f"SELECT max(c_custkey) FROM '{TESTDATA}/customer.parquet'"
+    ).fetchone()
+    assert hi_user <= hi_cust, (
+        f"max user_id {hi_user} exceeds max c_custkey {hi_cust} — the "
+        "stream enrichment inner join now drops events"
+    )
+
+
+@pytest.mark.parametrize("table", ["documents", "embeddings"])
+def test_small_tables_have_expected_scale(table):
+    """documents are 500 rows at sf<=0.01 and 5000 at sf0.1; embeddings
+    500 / 2000 — row-count intuition several fixtures rely on."""
+    n = pq.read_metadata(f"{TESTDATA}/{table}.parquet").num_rows
+    assert n in (500, 2000, 5000), f"{table} row count changed to {n}"

@@ -110,10 +110,26 @@ def _encode(tokenizer: Any, texts: list[str]) -> list[list[int]]:
     return [list(x) for x in ids]
 
 
+def device_slot(n_slots: int) -> int:
+    """X3 — round-robin resource assignment (the reference cycles proxy
+    resources round-robin per worker, ``scraping/utils.py:17-40,43-63``;
+    the Spark analog is tasks picking a local accelerator/connection
+    slot). The running task's partition id modulo ``n_slots`` spreads
+    concurrent tasks on one executor across its local resources with zero
+    coordination — deterministic per partition, so retries of a partition
+    land on the same slot. Returns 0 outside a task context (driver-side
+    tests, local experimentation)."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    return (ctx.partitionId() if ctx is not None else 0) % max(n_slots, 1)
+
+
 def hf_scorer(
-    model_loader: Callable[[], Any] | None = None,
+    model_loader: Callable[..., Any] | None = None,
     multi_label: bool = True,
     batch_size: int = 16,
+    n_device_slots: int | None = None,
 ):
     """Build a ``mapInPandas`` function scoring window texts with a model —
     the reference's batched forward pass (``model.py:108-141``) on the
@@ -127,6 +143,12 @@ def hf_scorer(
     right-pad to the batch max (``pad_batch``), mask = ids != pad_id,
     forward, then sigmoid (multi-label / PEFT path) vs row-softmax
     (single-label) exactly as ``model.py:136-140`` switches.
+
+    With ``n_device_slots`` set, the loader is called as
+    ``model_loader(slot)`` where ``slot = device_slot(n_device_slots)`` —
+    the X3 round-robin assignment: each task pins its model to a local
+    accelerator slot (e.g. ``torch.device(f"cuda:{slot}")``) without any
+    cross-task coordination.
 
     The transformers stack is not installed in this container, so with no
     injected loader this raises — the batching/padding/masking semantics
@@ -144,7 +166,12 @@ def hf_scorer(
                     "available in this environment; use stub_scores for "
                     "deterministic runs"
                 )
-            state["tokenizer"], state["model"] = model_loader()
+            if n_device_slots is not None:
+                state["tokenizer"], state["model"] = model_loader(
+                    device_slot(n_device_slots)
+                )
+            else:
+                state["tokenizer"], state["model"] = model_loader()
         tokenizer, model = state["tokenizer"], state["model"]
         pad_id = getattr(tokenizer, "pad_token_id", 0)
         if pad_id is None:

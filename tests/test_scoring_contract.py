@@ -187,3 +187,79 @@ def test_scorer_maps_in_pandas_end_to_end(spark):
             [float(want_pdf[e].iloc[i]) for e in EMOTIONS]
         ), doc_id
     assert not any(math.isnan(v) for vals in got.values() for v in vals)
+
+
+def test_device_slot_round_robin_over_partitions(spark):
+    """X3 — device_slot must assign partitionId % n_slots inside tasks:
+    every slot in range is used, assignment is deterministic per
+    partition, and out-of-task (driver) calls return 0."""
+    from pyspark.sql import functions as F
+
+    from cinegraph_spark.operators.scoring import device_slot
+
+    assert device_slot(4) == 0  # driver side: no task context
+
+    def emit(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from cinegraph_spark.operators.scoring import device_slot as ds
+
+        pid = TaskContext.get().partitionId()
+        next(batches)  # consume
+        yield pd.DataFrame({"pid": [pid], "slot": [ds(3)]})
+
+    df = (
+        spark.range(60)
+        .repartition(6)
+        .mapInPandas(emit, "pid int, slot int")
+        .collect()
+    )
+    got = {(r.pid, r.slot) for r in df}
+    assert got == {(p, p % 3) for p in range(6)}
+
+
+def test_hf_scorer_loader_receives_round_robin_slot(spark):
+    """With n_device_slots set, hf_scorer calls model_loader(slot) with the
+    task's round-robin slot — the pluggable point where a real loader pins
+    its model to cuda:{slot}."""
+    import numpy as np
+    import pandas as pd
+
+    from cinegraph_spark.operators.scoring import hf_scorer
+    from cinegraph_spark.schemas import EMOTIONS
+
+    def loader(slot):
+        class Tok:
+            pad_token_id = 0
+
+            def __call__(self, texts):
+                return [[slot + 1]] * len(texts)  # ids encode the slot
+
+        def model(ids, mask):
+            # logits put all mass on emotion index = ids[0][0]-1 = slot
+            n = len(ids)
+            out = np.full((n, len(EMOTIONS)), -40.0)
+            out[:, (ids[0][0] - 1) % len(EMOTIONS)] = 40.0
+            return out
+
+        return Tok(), model
+
+    score = hf_scorer(model_loader=loader, multi_label=True,
+                      n_device_slots=2)
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "window_id": [0, 1],
+         "window_text": ["a b", "c d"]}
+    )
+    df = (
+        spark.createDataFrame(pdf)
+        .repartition(4)
+        .mapInPandas(score, "doc_id long, window_id long, "
+                     "window_text string, "
+                     + ", ".join(f"{e} double" for e in EMOTIONS))
+    )
+    rows = df.collect()
+    assert rows  # ran through the slot-aware loader without error
+    for r in rows:
+        hot = [e for e in EMOTIONS if r[e] > 0.99]
+        assert len(hot) == 1  # exactly the slot-indexed emotion saturated

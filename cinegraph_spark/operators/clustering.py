@@ -271,7 +271,15 @@ def fallback_names(parent_name: str, n: int) -> list[str]:
     :func:`validate_names` for any parent string — collapse/normalize
     whitespace (exotic whitespace like NEL would otherwise split the
     ``_Subgroup_i`` suffix into its own word) and keep at most 3 parent
-    words so the result never exceeds the 4-word cap."""
+    words so the result never exceeds the 4-word cap.
+
+    Deliberate deviation from the reference's terminal fallback text
+    (which emits ``parent.replace(' ', '_')_Subgroup_{i+1}`` — underscore
+    -joined parent, 1-based index): this repo keeps spaces in the (≤3)
+    parent words and uses 0-based indices. Both satisfy
+    :func:`validate_names`; byte parity of fallback name TEXT with
+    reference output is not a goal (the names are synthetic labels, not
+    data), so the deviation is recorded here rather than matched."""
     words = parent_name.split()[:3]
     base = " ".join(words)
     return [f"{base}_Subgroup_{i}" for i in range(n)]

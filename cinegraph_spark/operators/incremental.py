@@ -17,7 +17,8 @@ ingest-date/batch column the scan prunes to recent partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 
@@ -31,8 +32,12 @@ def append_new_keys(
     try:
         existing_keys = spark.read.parquet(path).select(key)
     except AnalysisException:  # first write — nothing to dedupe against
-        df.write.parquet(path)
-        return df.count()
+        # Observation counts rows as the write job streams them past, so the
+        # first write costs ONE scan of the (possibly expensive) input plan
+        # instead of write-then-recount.
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.parquet(path)
+        return int(obs.get["n"])
     fresh = df.join(existing_keys, key, "left_anti")
     # localCheckpoint pins the anti-join result BEFORE the append mutates
     # the same files the plan would otherwise re-scan lazily

@@ -24,6 +24,7 @@ from cinegraph_spark.queries import register
 from cinegraph_spark.queries.neardup_common import (
     SHINGLE_CTES,
     ngram_jaccard_pairs_df,
+    shingle_over_sql,
     toks_df,
 )
 from cinegraph_spark.queries.util import SCRAMBLE_SQL as _SCRAMBLE_SQL, scramble as _scramble
@@ -1628,8 +1629,7 @@ def _inc_band_join_sql(b: int) -> str:
 @register(
     "dedup_incremental_vs_snapshot",
     f"""
-    WITH {SHINGLE_CTES},
-    snapshot AS (
+    WITH snapshot AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
     ),
     incoming AS (
@@ -1642,11 +1642,17 @@ def _inc_band_join_sql(b: int) -> str:
       SELECT DISTINCT i.doc_id FROM incoming i
       JOIN snapshot s ON md5(i.text) = md5(s.text)
     ),
+    all_docs AS (
+      SELECT doc_id, text FROM snapshot
+      UNION ALL
+      SELECT doc_id, text FROM incoming
+    ),
+    {shingle_over_sql("all_docs")},
     hashed AS (
       SELECT doc_id,
              CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
                % {_MH_P} AS h
-      FROM sh_all
+      FROM sh_u
     ),
     mins AS (
       SELECT doc_id,
@@ -1689,7 +1695,13 @@ def dedup_incremental_vs_snapshot(spark, sf_dir):
     only shuffle, and a growing corpus amortizes: each batch compares
     against signatures, not re-shingled text. Fixture: docs with id%3=0
     form the snapshot; copies of them (id+10000) are injected into the
-    incoming batch so all three statuses occur."""
+    incoming batch so all three statuses occur. Signatures are derived
+    from the snapshot∪incoming union (the frames the query actually
+    processes), so injected docs are near-dup-classifiable in their own
+    right — they report exact_dup only because that tier wins the CASE,
+    not because the near-dup tier can't see them."""
+    from cinegraph_spark.operators.windowize import tokenize_whitespace
+
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
     snapshot = d.filter(F.col("doc_id") % 3 == 0)
     incoming = d.filter(F.col("doc_id") % 3 != 0).unionByName(
@@ -1704,7 +1716,11 @@ def dedup_incremental_vs_snapshot(spark, sf_dir):
         .select("doc_id")
         .distinct()
     )
-    sh = shingles(toks_df(spark, sf_dir), "doc_id", "tokens", n=8)
+    all_docs = snapshot.unionByName(incoming)
+    toks = all_docs.select(
+        "doc_id", tokenize_whitespace(F.col("text")).alias("tokens")
+    )
+    sh = shingles(toks, "doc_id", "tokens", n=8)
     h = (
         F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
         % _MH_P

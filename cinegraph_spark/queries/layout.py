@@ -50,9 +50,9 @@ def _interleave_sql(cx: str, dy: str) -> str:
     f"""
     WITH dims AS (
       SELECT least(CAST(o_custkey AS BIGINT) // {_Z_CUST_DIV}, 255) AS cx,
-             least(CAST(date_diff('day', DATE '{_Z_EPOCH}',
+             greatest(least(CAST(date_diff('day', DATE '{_Z_EPOCH}',
                                   CAST(o_orderdate AS DATE)) AS BIGINT)
-                   // {_Z_DAY_DIV}, 255) AS dy
+                   // {_Z_DAY_DIV}, 255), 0) AS dy
       FROM orders
     ),
     z AS (SELECT cx, dy, ({_interleave_sql("cx", "dy")}) AS zval FROM dims)
@@ -78,14 +78,22 @@ def layout_zorder_bucket_stats(spark, sf_dir):
             (F.col("o_custkey").cast("long") / _Z_CUST_DIV).cast("long"),
             F.lit(255).cast("long"),
         ).alias("cx"),
-        F.least(
-            (
-                F.datediff(
-                    F.to_date("o_orderdate"), F.lit(_Z_EPOCH).cast("date")
-                ).cast("long")
-                / _Z_DAY_DIV
-            ).cast("long"),
-            F.lit(255).cast("long"),
+        # greatest(..., 0) clamps dates before _Z_EPOCH: without it a
+        # negative day index diverges cross-engine (DuckDB `//` floors,
+        # Spark's cast truncates toward zero) and breaks the bit-interleave.
+        # Current testdata bottoms out exactly at the epoch; the clamp makes
+        # the query regeneration-proof instead of fixture-dependent.
+        F.greatest(
+            F.least(
+                (
+                    F.datediff(
+                        F.to_date("o_orderdate"), F.lit(_Z_EPOCH).cast("date")
+                    ).cast("long")
+                    / _Z_DAY_DIV
+                ).cast("long"),
+                F.lit(255).cast("long"),
+            ),
+            F.lit(0).cast("long"),
         ).alias("dy"),
     )
     z = o.withColumn("zval", F.expr(_interleave_sql("cx", "dy")))

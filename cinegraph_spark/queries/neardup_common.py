@@ -49,6 +49,29 @@ SHINGLE_CTES = """
 """
 
 
+def shingle_over_sql(src: str, toks: str = "toks_u", sh: str = "sh_u") -> str:
+    """CTE text (to splice after a ``WITH``) that shingles an arbitrary
+    ``(doc_id, text)`` relation ``src`` — same tokenizer and 8-token
+    shingle construction as :data:`SHINGLE_CTES`, but parameterized so a
+    query whose corpus is NOT the raw ``documents`` view (e.g. the
+    incremental-dedup union of snapshot + incoming batch) can derive
+    signatures from the frame it actually processes."""
+    return f"""
+    {toks} AS (
+      SELECT doc_id, list_filter(string_split_regex(
+               regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+'),
+               t -> t <> '') AS tokens
+      FROM {src}
+    ),
+    {sh} AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(tokens) >= 8
+                  THEN array_to_string(tokens[i : i + 7], ' ')
+                  ELSE array_to_string(tokens, ' ') END AS shingle
+      FROM {toks}, unnest(range(1, greatest(len(tokens) - 6, 2))) AS u(i)
+    )"""
+
+
 def toks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, tokens) with the engine's whitespace tokenizer."""
     return T(spark, sf_dir, "documents").select(

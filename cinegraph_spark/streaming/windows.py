@@ -30,10 +30,26 @@ def _events_ts_unit_divisor(sf_dir: str) -> int:
     TIMESTAMP(MICROS). One driver-side footer read — the unit is a property
     of the dataset, not of any row, so sniffing it once is cheap and safe
     at any scale. (The driver's testdata has shipped both units across
-    rounds; sniffing keeps the stream correct for either.)"""
+    rounds; sniffing keeps the stream correct for either.) Handles both a
+    single-file ``events.parquet`` and a multi-file directory of that name
+    (sniffs the first part file — the unit is dataset-wide)."""
+    import glob as _glob
+    import os
+
     import pyarrow.parquet as pq
 
-    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        parts = sorted(_glob.glob(f"{path}/*.parquet")) or sorted(
+            _glob.glob(f"{path}/part-*")
+        )
+        if not parts:
+            raise FileNotFoundError(
+                f"no parquet part files under directory {path} — "
+                "cannot sniff the events timestamp unit"
+            )
+        path = parts[0]
+    t = pq.read_schema(path).field("ts").type
     return 1000 if getattr(t, "unit", "us") == "ns" else 1
 
 

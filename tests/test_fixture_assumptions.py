@@ -75,15 +75,21 @@ def test_events_user_ids_within_customer_keys():
     import duckdb
 
     con = duckdb.connect()
-    hi_user, = con.execute(
-        f"SELECT max(user_id) FROM '{TESTDATA}/events.parquet'"
+    # Set membership, not a max() comparison: a regenerated customer table
+    # with gaps in its key space would pass a max-based guard while the
+    # inner join silently dropped events for the missing keys.
+    orphans, = con.execute(
+        f"""
+        SELECT count(*) FROM '{TESTDATA}/events.parquet' e
+        WHERE NOT EXISTS (
+          SELECT 1 FROM '{TESTDATA}/customer.parquet' c
+          WHERE c.c_custkey = e.user_id
+        )
+        """
     ).fetchone()
-    hi_cust, = con.execute(
-        f"SELECT max(c_custkey) FROM '{TESTDATA}/customer.parquet'"
-    ).fetchone()
-    assert hi_user <= hi_cust, (
-        f"max user_id {hi_user} exceeds max c_custkey {hi_cust} — the "
-        "stream enrichment inner join now drops events"
+    assert orphans == 0, (
+        f"{orphans} events reference user_ids absent from customer keys — "
+        "the stream enrichment inner join now drops events"
     )
 
 

@@ -85,10 +85,29 @@ class ListingStreamReader(SimpleDataSourceStreamReader):
     delivery for free.
 
     ``read`` advances up to ``pages_per_batch`` pages per micro-batch
-    (default: all remaining — an availableNow drain then consumes the full
-    listing in one batch); ``readBetweenOffsets`` replays a committed range
-    deterministically after failure, which is what makes the source
-    exactly-once rather than at-least-once."""
+    (default 0 = all remaining); ``readBetweenOffsets`` replays a committed
+    range deterministically after failure, which is what makes the source
+    exactly-once rather than at-least-once.
+
+    **Driver-prefetch bound (API contract, measured on Spark 4.1):**
+    ``SimpleDataSourceStreamReader`` prefetches ``read()``'s rows on the
+    DRIVER, and ``Trigger.AvailableNow`` consumes exactly ONE ``read()``
+    batch per run. The two sane configurations are therefore:
+
+    - ``pages_per_batch=0`` (default): one-shot availableNow drains see the
+      whole listing, but the driver materializes every remaining page in
+      one list — fine at the reference's scale (~2k pages × 25 rows), NOT
+      at 100× listing depth.
+    - ``pages_per_batch=N``: driver prefetch is bounded at ``N`` pages per
+      micro-batch for continuous triggers, and an availableNow run consumes
+      only the next ``N`` pages — drain the full listing by re-running
+      against one checkpoint until the sink stops growing (pinned in
+      ``tests/test_listing_source.py::test_bounded_batches_drain_resumes``).
+
+    For unbounded full-listing scans prefer the BATCH ``ListingReader``
+    (one executor task per page, no driver prefetch) — it is the scale
+    path; the stream exists for incremental 'continue from the last page'
+    consumption."""
 
     def __init__(self, options: dict):
         self.pages = int(options.get("pages", "10"))
@@ -110,7 +129,12 @@ class ListingStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         p = int(start["page"])
         if p >= self.pages:
-            return [], {"page": p}
+            # MUST be an iterator, not a list: on a no-advance result the
+            # engine probes exhaustion with next(it)
+            # (pyspark/sql/datasource_internal.py::add_result_to_cache);
+            # a plain [] raises TypeError there. Advancing batches below
+            # stay concrete lists — those rows are pickled for prefetch.
+            return iter(()), {"page": p}
         end = (
             min(p + self.pages_per_batch, self.pages)
             if self.pages_per_batch > 0
@@ -139,7 +163,12 @@ def read_listing_stream(
     per_page: int = PER_PAGE,
     pages_per_batch: int = 0,
 ):
-    """Register (idempotent) and open the paginated listing as a stream."""
+    """Register (idempotent) and open the paginated listing as a stream.
+
+    ``pages_per_batch=0`` (default) returns all remaining pages in one
+    micro-batch — required for one-shot availableNow drains, but the rows
+    are prefetched driver-side, so at deep-listing scale pass a bound and
+    drain incrementally (see :class:`ListingStreamReader` docstring)."""
     spark.dataSource.register(ListingDataSource)
     return (
         spark.readStream.format("cinegraph_listing")

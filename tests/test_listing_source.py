@@ -44,9 +44,17 @@ def test_stream_reader_offset_contract():
     assert o2 == {"page": 4} and len(rows2) == 8
     rows3, o3 = r.read(o2)
     assert o3 == {"page": 5} and len(rows3) == 4
-    # exhausted: empty batch, offset does not advance
+    # exhausted: empty batch, offset does not advance. The no-advance
+    # result must be an ITERATOR (the engine probes it with next();
+    # a plain list raises TypeError in add_result_to_cache)
     rows4, o4 = r.read(o3)
-    assert rows4 == [] and o4 == {"page": 5}
+    assert list(rows4) == [] and o4 == {"page": 5}
+    rows5, _ = r.read(o3)
+    try:
+        next(rows5)
+        raise AssertionError("exhausted read() should yield nothing")
+    except StopIteration:
+        pass
     # replay of the first committed range is bit-identical
     assert r.readBetweenOffsets({"page": 0}, {"page": 2}) == rows1
     # full replay equals the concatenated batches
@@ -75,5 +83,49 @@ def test_stream_drain_matches_batch_read(spark):
     out = run_availablenow_to_memory(spark, stream, name, output_mode="append")
     streamed = {
         (r["page"], r["rank"]): r["raw_title"] for r in out.collect()
+    }
+    assert streamed == batch
+
+
+def test_bounded_batches_drain_resumes(spark, tmp_path):
+    """The bounded-prefetch contract (see ListingStreamReader docstring):
+    with pages_per_batch set, ONE availableNow run consumes exactly one
+    read() batch — and repeated runs against the same checkpoint resume
+    from the committed page offset until the listing is exhausted, ending
+    with exactly the unbounded one-batch drain's rows (exactly-once: no
+    page duplicated or dropped across restarts)."""
+    from cinegraph_spark.sources.listing import (
+        read_listing,
+        read_listing_stream,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    counts = []
+    for _ in range(6):  # 4 pages / 2 per batch -> expect exactly 2 runs
+        s = read_listing_stream(spark, pages=4, per_page=6, pages_per_batch=2)
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        n = spark.read.parquet(sink).count()
+        counts.append(n)
+        if len(counts) > 1 and counts[-1] == counts[-2]:
+            break
+    # one read() batch (2 pages x 6 rows) per availableNow run
+    assert counts[0] == 12, counts
+    assert counts[1] == 24, counts
+    streamed = {
+        (r["page"], r["rank"]): r["raw_title"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch = {
+        (r["page"], r["rank"]): r["raw_title"]
+        for r in read_listing(spark, pages=4, per_page=6).collect()
     }
     assert streamed == batch

@@ -1,0 +1,78 @@
+"""Measured scale-trend smoke for the capped quadratic families.
+
+Several queries are *structurally* quadratic (pair discovery: LSH banding,
+shingle-Jaccard self-join, interval overlap) but carry explicit caps that
+bound their work and output to ~linear in the input (bucket cap 64,
+shingle max-DF 20, interval banding). The 100 TB design claims rest on
+those caps — this test turns the claims into a measured trend: run each
+family at sf0.01 and sf0.1 (a 10x input step: documents 500 -> 5000,
+events 10k -> 100k) and assert output rows and wall time grow roughly
+linearly, not quadratically.
+
+The pins are deliberately LOOSE (slack 4x on a 10x step): local[32] wall
+time at these sizes is mostly fixed overhead and JVM noise, and output
+density depends on the fixture's planted-dup rate. What the test must
+catch is the failure mode where a cap regresses and a family silently
+goes quadratic — a 10x input step then shows ~100x growth, far outside
+any slack here. sf0.01 runs first so codegen warm-up is charged to the
+small run (biasing the RATIO conservative... i.e. toward passing — the
+trend bound, not the absolute time, is the signal).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+SF_SMALL = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
+SF_BIG = os.environ.get("SPARK_GRAFT_SF_BIG", "/root/testdata/sf0.1")
+
+#: input step between the two SFs (documents 500->5000, events 10k->100k)
+INPUT_RATIO = 10.0
+#: slack multiplier on the linear bound — quadratic growth would be ~100x
+SLACK = 4.0
+
+FAMILIES = [
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "events_interval_overlap_pairs",
+]
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from cinegraph_spark.queries import load_all
+
+    return load_all()
+
+
+@pytest.mark.parametrize("name", FAMILIES)
+def test_capped_family_scales_linearly(spark, registry, name):
+    if not (os.path.isdir(SF_SMALL) and os.path.isdir(SF_BIG)):
+        pytest.skip("both sf0.01 and sf0.1 testdata dirs required")
+    spec = registry[name]
+
+    def run(sf_dir):
+        t0 = time.perf_counter()
+        n = spec.spark(spark, sf_dir).count()
+        return n, time.perf_counter() - t0
+
+    n_small, t_small = run(SF_SMALL)
+    n_big, t_big = run(SF_BIG)
+    assert n_small > 0, f"{name}: vacuous at {SF_SMALL} — fixture changed?"
+
+    row_ratio = n_big / n_small
+    assert row_ratio <= INPUT_RATIO * SLACK, (
+        f"{name}: output rows grew {row_ratio:.1f}x on a {INPUT_RATIO:.0f}x "
+        f"input step ({n_small} -> {n_big}) — cap regressed to quadratic?"
+    )
+
+    # floor the small time: at sf0.01 wall is fixed overhead; a tiny
+    # denominator would make the ratio meaningless noise
+    time_ratio = t_big / max(t_small, 0.5)
+    assert time_ratio <= INPUT_RATIO * SLACK, (
+        f"{name}: wall time grew {time_ratio:.1f}x on a {INPUT_RATIO:.0f}x "
+        f"input step ({t_small:.2f}s -> {t_big:.2f}s) — quadratic work?"
+    )

@@ -1,12 +1,13 @@
 """Pin the driver-facing registry order (load-bearing: the driver's
 correctness harness checks ~50 queries per round in registration order).
 
-Round-6 contract: queries whose code, oracle, or shared read path changed
-this round occupy the front slots (the DSIR negative-zero fix, the
-streaming micros-unit fix, the LSH bucket cap, the portable-SimHash
-refactor + its new bucketed twin, and the whole events family whose reader
-changed), rows-only re-checks follow, and the fallback tail starts with
-the oldest (round-1) passes as regression canaries.
+Round-7 contract: an oldest-green-first regression sweep. The front slots
+hold (1) the queries whose code or oracle changed this round (incremental
+-dedup signature derivation, z-order clamp, listing-stream read()
+contract) plus three round-6 canaries, then (2) every query last
+driver-checked in r1, r2, r3 — in that round order — so the ~50-slot
+budget re-verifies the longest-unchecked registry tail against current
+testdata. Freshness per round is recorded in NOTES.md.
 """
 
 from __future__ import annotations
@@ -19,15 +20,30 @@ def test_priority_slots_lead_registry():
     assert tuple(names[: len(DRIVER_PRIORITY)]) == DRIVER_PRIORITY
 
 
-def test_round6_changed_queries_lead():
-    """The two queries that hash-failed or silently regressed under the
-    round-6 micros testdata — plus the brand-new portable-buckets query —
-    must be inside the driver's ~50-slot budget, at the very front."""
+def test_round7_changed_then_stalest_lead():
+    """Changed-this-round queries and the r6 canaries occupy the very
+    front; the r1-era families (strfn/pipeline/skew/agg-pivot) fill the
+    budget right after them; nothing checked green in r5/r6 consumes a
+    budget slot beyond the canaries."""
     names = list(load_all().keys())
-    front = names[:8]
-    assert "text_dsir_importance" in front
-    assert "stream_join_purchase_click_attribution" in front
-    assert "dedup_simhash_portable_buckets" in front
+    front = names[:6]
+    for changed in (
+        "dedup_incremental_vs_snapshot",
+        "layout_zorder_bucket_stats",
+        "src_stream_listing_pages",
+        "text_dsir_importance",
+    ):
+        assert changed in front
+    # the r1 tail starts immediately after the 6-slot head
+    assert names[6] == "skew_salted_agg_revenue_per_priority"
+    budget = set(names[:50])
+    # the stalest families are inside the budget
+    assert "strfn_clean_chain" in budget
+    assert "pipeline_token_windows" in budget
+    assert "tree_build_graph" in budget
+    # r5/r6-green queries (non-canary) stay out of the budget
+    assert "ts_holt_linear_daily" not in budget
+    assert "sketch_histogram_quantiles" not in budget
 
 
 def test_load_all_idempotent_order():

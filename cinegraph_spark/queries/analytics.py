@@ -1778,3 +1778,81 @@ def dedup_incremental_vs_snapshot(spark, sf_dir):
         .otherwise(F.lit("novel"))
         .alias("status"),
     )
+
+
+@register(
+    "events_scd2_point_in_time",
+    """
+    WITH dim AS (
+      SELECT user_id, value AS state_value,
+             row_number() OVER w AS state_version,
+             ts AS valid_from, lead(ts) OVER w AS valid_to
+      FROM events WHERE event_type = 'view'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    fact AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id AS purchase_id, f.user_id,
+           epoch_us(f.ts) AS purchase_ts_us,
+           d.state_version, d.state_value
+    FROM fact f LEFT JOIN dim d
+      ON d.user_id = f.user_id AND d.valid_from <= f.ts
+         AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+    tags=("events", "scd2", "asof", "point-in-time", "join"),
+)
+def events_scd2_point_in_time(spark, sf_dir):
+    """Point-in-time enrichment against an SCD2 dimension — the fourth
+    as-of variant (backward as-of ``operators/asof.py``, nearest as-of,
+    cogrouped as-of, and now interval-keyed): every purchase picks up the
+    user's view-state row whose ``[valid_from, valid_to)`` validity
+    interval covers the purchase timestamp, exactly the lookup a
+    warehouse runs against an SCD2 dimension to reconstruct "the state as
+    it was" at fact time.
+
+    The dimension is built with the same lead()-over-change-stream shape
+    as ``events_scd2_user_state`` (one shuffle on user_id, no self-join).
+    The enrichment joins on the user_id equi-key with the interval test as
+    a join filter — Spark plans a shuffle join on user_id, never a range
+    cross-product, and validity intervals partition time per user so at
+    most one dimension row matches (purchases before any view keep NULL
+    state via the left join). Fact timestamps are projected as integer
+    epoch microseconds; state_value is raw stored data (no rounding
+    needed — both engines read identical doubles from parquet)."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("value").alias("state_value"),
+            F.row_number().over(w).alias("state_version"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    fact = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    ep = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', pts)"
+    )
+    return (
+        fact.join(
+            dim,
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("valid_from") <= F.col("pts"))
+            & (F.col("valid_to").isNull() | (F.col("pts") < F.col("valid_to"))),
+            "left",
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            ep.alias("purchase_ts_us"),
+            "state_version",
+            "state_value",
+        )
+    )

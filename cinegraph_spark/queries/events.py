@@ -542,3 +542,82 @@ def events_funnel_view_click_purchase(spark, sf_dir):
             stage.cast("int").alias("stage"),
         )
     )
+
+
+@register(
+    "stream_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                            date_trunc('week', e.ts)) / 7 AS BIGINT)
+               AS week_offset
+      FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset, count(*) AS n_users
+    FROM activity GROUP BY 1, 2
+    """,
+    tags=("streaming", "stateful", "retention", "cohort"),
+)
+def stream_retention_cohorts(spark, sf_dir):
+    """The retention triangle computed by a REAL stateful stream — the
+    streaming twin of ``events_retention_cohorts`` with the SAME oracle:
+    readStream over the events parquet → ``applyInPandasWithState``
+    first-seen/week-set tracker (``streaming/stateful.py::
+    stateful_retention_offsets``) → availableNow drain → tiny batch rollup
+    of the drained distinct activity set.
+
+    The stateful operator does the heavy lifting (per-user first-seen week
+    and week-set dedup live in the state store; emissions are the newly
+    seen (cohort, week) pairs only); the post-drain aggregation touches
+    one row per (user, week) — cohort-triangle-sized, not stream-sized.
+    Post-processing keeps each user's minimal-cohort rows so a cross-batch
+    re-base (earlier event arriving in a later batch) never double-counts:
+    stale rows carry the older, larger cohort value and are filtered out.
+    Cohort timestamps travel as integer UTC-midnight microseconds and are
+    rendered with date arithmetic, so no session-timezone formatting can
+    leak into the hash."""
+    import uuid
+
+    from cinegraph_spark.streaming.stateful import stateful_retention_offsets
+    from cinegraph_spark.streaming.windows import (
+        read_events_stream,
+        run_availablenow_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    name = f"q_retention_{uuid.uuid4().hex[:8]}"
+    out = run_availablenow_to_memory(
+        spark,
+        stateful_retention_offsets(stream),
+        name,
+        output_mode="update",
+    )
+    # self-join of the memory-sink view needs deduplicated attribute ids:
+    # rebuild the agg side from collected distinct rows is overkill — a
+    # localCheckpoint of the tiny drained frame gives it fresh attributes
+    drained = out.localCheckpoint(eager=True)
+    final = (
+        drained.groupBy(F.col("user_id").alias("f_user"))
+        .agg(F.min("cohort_us").alias("final_us"))
+    )
+    act = (
+        drained.join(final, drained["user_id"] == final["f_user"])
+        .filter(F.col("cohort_us") == F.col("final_us"))
+        .select("user_id", "cohort_us", "week_us")
+        .distinct()
+    )
+    cohort_date = F.expr(
+        "date_add(DATE'1970-01-01', CAST(cohort_us DIV 86400000000 AS INT))"
+    )
+    return act.groupBy(
+        F.date_format(cohort_date, "yyyy-MM-dd").alias("cohort_week"),
+        ((F.col("week_us") - F.col("cohort_us")) / (7 * 86400 * 1000000))
+        .cast("long")
+        .alias("week_offset"),
+    ).agg(F.count("*").alias("n_users"))

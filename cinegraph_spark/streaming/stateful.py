@@ -105,6 +105,75 @@ def tws_topk_per_user(events: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def stateful_retention_offsets(events: DataFrame) -> DataFrame:
+    """Streaming cohort-retention tracker: per-user state holds the
+    first-seen week and the set of activity weeks; each micro-batch emits
+    the user's NEWLY-seen ``(cohort_week, week)`` pairs, so the drained
+    append union is exactly the distinct activity set the batch retention
+    query aggregates (``queries/analytics.py::events_retention_cohorts``).
+
+    Correct under arbitrary micro-batch splits: if a later batch delivers
+    an EARLIER event (cross-batch disorder), the cohort re-bases and the
+    operator re-emits the user's full week set under the new cohort —
+    post-processing keeps each user's minimal-cohort rows, so stale
+    emissions from before the re-base are dropped, never double-counted.
+
+    Week arithmetic is integer microseconds on UTC wall-clocks (the drain
+    harness scopes the session to UTC): Monday truncation via
+    ``normalize() - dayofweek`` matches ``date_trunc('week', ts)`` in both
+    Spark and DuckDB. State per user is the first week (long) plus one
+    long per distinct activity week — bounded by the corpus time span, a
+    few dozen entries, far smaller than the per-user event stream."""
+
+    _EPOCH = pd.Timestamp(0)
+    _US = pd.Timedelta(microseconds=1)
+
+    def track(key, pdf_iter, state):
+        if state.exists:
+            first_us, seen_list = state.get
+            seen = set(seen_list)
+        else:
+            first_us, seen = None, set()
+        new_weeks: set[int] = set()
+        for pdf in pdf_iter:
+            ts = pdf["ts"].dropna()
+            if ts.empty:
+                continue
+            wk = ts.dt.normalize() - pd.to_timedelta(
+                ts.dt.dayofweek, unit="D"
+            )
+            new_weeks.update(int(x) for x in (wk - _EPOCH) // _US)
+        if not new_weeks:
+            yield pd.DataFrame(
+                {"user_id": [], "cohort_us": [], "week_us": []}
+            ).astype({"user_id": "int64", "cohort_us": "int64", "week_us": "int64"})
+            return
+        prev_first = first_us
+        first_us = min(new_weeks) if prev_first is None else min(
+            prev_first, min(new_weeks)
+        )
+        rebase = prev_first is not None and first_us < prev_first
+        fresh = new_weeks - seen
+        seen |= new_weeks
+        emit = sorted(seen) if rebase else sorted(fresh)
+        state.update((first_us, sorted(seen)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(emit),
+                "cohort_us": [first_us] * len(emit),
+                "week_us": emit,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id long, cohort_us long, week_us long",
+        stateStructType="first_us long, seen array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_user_profile(events: DataFrame) -> DataFrame:
     """Running per-user activity profile: event count, value sum, first/last
     event time, and the longest inter-event gap seen so far (in seconds).

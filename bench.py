@@ -74,6 +74,9 @@ HEADLINE = [
     "stats_robust_mad_outliers",
     "dedup_incremental_vs_snapshot",
     "src_stream_listing_pages",
+    # round 7 additions
+    "stream_retention_cohorts",
+    "events_scd2_point_in_time",
 ]
 
 

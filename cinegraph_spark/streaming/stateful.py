@@ -105,6 +105,28 @@ def tws_topk_per_user(events: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def _merge_retention(
+    first_us: int | None, seen: set[int], new_weeks: set[int]
+) -> tuple[int, list[int], list[int]]:
+    """Pure state-merge for the retention tracker: fold a batch's activity
+    weeks into (first-seen, seen-set) state. Returns ``(first_us,
+    sorted_seen, emit)`` where ``emit`` is the full seen set on a cohort
+    re-base (an earlier week arrived after later ones — all prior
+    emissions carried the wrong cohort and must be superseded) and only
+    the newly-seen weeks otherwise. Kept module-level so the cross-batch
+    disorder path is unit-testable without a streaming drain
+    (tests/test_streaming.py::test_retention_merge_rebase)."""
+    prev_first = first_us
+    first_us = (
+        min(new_weeks) if prev_first is None else min(prev_first, min(new_weeks))
+    )
+    rebase = prev_first is not None and first_us < prev_first
+    fresh = new_weeks - seen
+    seen = seen | new_weeks
+    emit = sorted(seen) if rebase else sorted(fresh)
+    return first_us, sorted(seen), emit
+
+
 def stateful_retention_offsets(events: DataFrame) -> DataFrame:
     """Streaming cohort-retention tracker: per-user state holds the
     first-seen week and the set of activity weeks; each micro-batch emits
@@ -148,15 +170,10 @@ def stateful_retention_offsets(events: DataFrame) -> DataFrame:
                 {"user_id": [], "cohort_us": [], "week_us": []}
             ).astype({"user_id": "int64", "cohort_us": "int64", "week_us": "int64"})
             return
-        prev_first = first_us
-        first_us = min(new_weeks) if prev_first is None else min(
-            prev_first, min(new_weeks)
+        first_us, seen_sorted, emit = _merge_retention(
+            first_us, seen, new_weeks
         )
-        rebase = prev_first is not None and first_us < prev_first
-        fresh = new_weeks - seen
-        seen |= new_weeks
-        emit = sorted(seen) if rebase else sorted(fresh)
-        state.update((first_us, sorted(seen)))
+        state.update((first_us, seen_sorted))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]] * len(emit),

@@ -319,3 +319,25 @@ def test_dynamic_gap_sessions_stream_matches_batch(spark, sf_dir):
     wide = session_windows(read_events_stream(spark, sf_dir), gap="45 minutes")
     n_wide = run_availablenow_to_memory(spark, wide, "t_wide_session").count()
     assert len(g) >= n_wide
+
+
+def test_retention_merge_rebase():
+    """Cross-batch disorder contract of the streaming retention tracker
+    (streaming/stateful.py::_merge_retention): an earlier week arriving
+    AFTER later ones re-bases the cohort and re-emits the full seen set
+    (so post-drain min-cohort filtering supersedes every stale row);
+    in-order batches emit only newly-seen weeks."""
+    from cinegraph_spark.streaming.stateful import _merge_retention
+
+    W = 7 * 86400 * 1_000_000  # one week in microseconds
+    # first batch: weeks 2,3 -> cohort = week 2, both emitted
+    f, seen, emit = _merge_retention(None, set(), {2 * W, 3 * W})
+    assert f == 2 * W and emit == [2 * W, 3 * W]
+    # repeat week -> no emission, state unchanged
+    f, seen, emit = _merge_retention(f, set(seen), {3 * W})
+    assert f == 2 * W and emit == []
+    # disorder: week 0 arrives late -> rebase + full re-emission
+    f, seen, emit = _merge_retention(f, set(seen), {0})
+    assert f == 0
+    assert emit == [0, 2 * W, 3 * W]
+    assert seen == [0, 2 * W, 3 * W]

@@ -71,20 +71,29 @@ def read_events_stream(
     micro-batch long after this builder returns; it is a read-compat flag
     with no effect on any other query's semantics (and a no-op on
     MICROS-unit files)."""
+    import os
+
     divisor = _events_ts_unit_divisor(sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        # the file source requires a directory; glob-filter to the events
-        # table inside the sf dir
-        .option("pathGlobFilter", "events.parquet")
+    reader = spark.readStream.schema(
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
     )
+    # The file source monitors a directory. Two dataset layouts exist:
+    # a single-file events.parquet (the driver's testdata) — stream the sf
+    # dir glob-filtered to that file — and a directory-of-part-files
+    # events.parquet (any Spark-written regeneration) — stream the
+    # directory itself (a glob filter naming the directory would match NO
+    # part files and silently yield an empty stream).
+    table_path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(table_path):
+        stream_path = table_path
+    else:
+        stream_path = sf_dir
+        reader = reader.option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(sf_dir)
+    df = reader.parquet(stream_path)
     return df.withColumn("ts", F.timestamp_micros(F.expr(f"ts div {divisor}")))
 
 

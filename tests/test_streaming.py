@@ -341,3 +341,73 @@ def test_retention_merge_rebase():
     assert f == 0
     assert emit == [0, 2 * W, 3 * W]
     assert seen == [0, 2 * W, 3 * W]
+
+
+def test_retention_stream_multibatch_disorder(spark, tmp_path):
+    """End-to-end re-base: events split into 4 part files in DESCENDING
+    time order and drained with maxFilesPerTrigger=1, so every user's
+    earliest weeks arrive in LATER micro-batches — the cohort re-bases
+    mid-stream, stale emissions carry superseded cohorts, and the
+    post-drain min-cohort filter must recover exactly the batch retention
+    triangle. Also exercises the ts-unit sniffer's multi-file directory
+    path (events.parquet as a directory of part files)."""
+    import uuid
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from cinegraph_spark.queries import load_all
+    from cinegraph_spark.streaming.stateful import stateful_retention_offsets
+    from cinegraph_spark.streaming.windows import (
+        read_events_stream,
+        run_availablenow_to_memory,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    tbl = pq.read_table(src).sort_by([("ts", "descending")])
+    outdir = tmp_path / "events.parquet"
+    outdir.mkdir()
+    n = tbl.num_rows // 4 + 1
+    for i in range(4):
+        chunk = tbl.slice(i * n, n)
+        if chunk.num_rows:
+            pq.write_table(chunk, f"{outdir}/part-{i}.parquet")
+
+    stream = read_events_stream(
+        spark, str(tmp_path), max_files_per_trigger=1
+    )
+    name = f"t_ret_dis_{uuid.uuid4().hex[:6]}"
+    out = run_availablenow_to_memory(
+        spark, stateful_retention_offsets(stream), name, output_mode="update"
+    )
+    drained = out.localCheckpoint(eager=True)
+    final = drained.groupBy(F.col("user_id").alias("f_user")).agg(
+        F.min("cohort_us").alias("final_us")
+    )
+    act = (
+        drained.join(final, drained["user_id"] == final["f_user"])
+        .filter(F.col("cohort_us") == F.col("final_us"))
+        .select("user_id", "cohort_us", "week_us")
+        .distinct()
+    )
+    cohort_date = F.expr(
+        "date_add(DATE'1970-01-01', CAST(cohort_us DIV 86400000000 AS INT))"
+    )
+    streamed = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in act.groupBy(
+            F.date_format(cohort_date, "yyyy-MM-dd").alias("cohort_week"),
+            ((F.col("week_us") - F.col("cohort_us")) / (7 * 86400 * 1000000))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .collect()
+    }
+    batch = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in load_all()["events_retention_cohorts"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert streamed == batch and len(batch) > 0

@@ -183,3 +183,26 @@ def test_retry_namer_always_returns_valid_names(responses, n):
     ) and len(responses) >= 0:
         if calls["n"] == NAMER_RETRIES:
             assert out == fallback_names("p", n)
+
+
+def test_append_new_keys_empty_first_write(spark, sf_dir, tmp_path):
+    """The Observation-counted first write (one scan, no recount) must
+    return 0 for an empty input and still create a readable dataset —
+    the pruned-partition edge a scheduled incremental job hits on a quiet
+    interval."""
+    from cinegraph_spark.operators.incremental import append_new_keys
+    from cinegraph_spark.queries.util import T
+
+    path = str(tmp_path / "inc_empty")
+    empty = (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter("o_orderkey < 0")
+    )
+    assert append_new_keys(spark, empty, path, "o_orderkey") == 0
+    assert spark.read.parquet(path).count() == 0
+    # and a following non-empty batch appends normally
+    some = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).limit(5)
+    assert append_new_keys(spark, some, path, "o_orderkey") == 5

@@ -426,3 +426,111 @@ def dedup_levenshtein_part_names(spark, sf_dir):
         .filter(F.col("edit_dist") <= 2)
         .select("brand", "key_a", "key_b", "edit_dist")
     )
+
+
+@register(
+    "dedup_embedding_cc_survivors",
+    """
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+               * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.35
+    ),
+    nodes AS (SELECT DISTINCT id FROM
+              (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a
+    ),
+    comp AS (SELECT src AS vec_id, min(dst) AS component FROM reach GROUP BY src),
+    members AS (
+      SELECT e.vec_id,
+             coalesce(c.component, e.vec_id) AS component,
+             sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nrm
+      FROM e LEFT JOIN comp c ON c.vec_id = e.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY component
+                                   ORDER BY nrm DESC, vec_id) AS rn
+      FROM members
+    )
+    SELECT component,
+           min(CASE WHEN rn = 1 THEN vec_id END) AS survivor_id,
+           count(*) AS n_members,
+           array_to_string(list(CAST(vec_id AS VARCHAR) ORDER BY vec_id), ',')
+             AS member_ids
+    FROM ranked GROUP BY component
+    """,
+    tags=("dedup", "near-dup", "embedding", "cc", "survivor", "llm-pipeline"),
+)
+def dedup_embedding_cc_survivors(spark, sf_dir):
+    """Semantic-dedup survivor selection — the step after
+    ``dedup_embedding_near_pairs`` that an LLM-data pipeline actually
+    ships: cosine near-dup pairs (cell-local, never all-pairs) →
+    connected components (pair lists undercount duplication: A~B, B~C but
+    not A~C must still collapse to one kept doc) → one survivor per
+    component by a deterministic keep-rule (largest L2 norm, vec_id
+    tiebreak — 'keep the most informative copy' with a total order).
+    Singletons keep themselves (component = own vec_id via the left
+    join), so the output is a complete keep/drop decision for the corpus.
+
+    Scale: the pair join is label-cell-local (IVF shape), the CC is the
+    O(log d) min-label propagation used by the shingle clusters, the
+    norm ranking is one window over components. Oracle: recursive-CTE
+    transitive closure + the same window, exact because every compared
+    quantity (dot, norm) is computed with the identical operation order
+    in both engines."""
+    from pyspark.sql import Window
+
+    from cinegraph_spark.functions import vector as V
+    from cinegraph_spark.operators.graph_algos import connected_components
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("l_a"),
+        F.col("v").alias("va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("l_b"),
+        F.col("v").alias("vb"),
+    )
+    pairs = (
+        a.join(b, (F.col("l_a") == F.col("l_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(V.cosine(F.col("va"), F.col("vb")) >= 0.35)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(pairs, "id_a", "id_b", oriented=True)
+    members = (
+        e.select("vec_id", V.norm(F.col("v")).alias("nrm"))
+        .join(cc, F.col("vec_id") == F.col("id"), "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+            "nrm",
+        )
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("nrm"), "vec_id")
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("component").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("vec_id"))).alias("survivor_id"),
+        F.count("*").alias("n_members"),
+        F.array_join(
+            F.sort_array(F.collect_list("vec_id")).cast("array<string>"), ","
+        ).alias("member_ids"),
+    )

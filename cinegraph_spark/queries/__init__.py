@@ -63,18 +63,25 @@ def register(
 #: last driver-checked in r1-r3, partly against older testdata
 #: generations. Order: (1) the queries whose code or oracle changed THIS
 #: round (incremental-dedup signature derivation, z-order clamp, listing
-#: stream read() contract) plus three r6 canaries (the historical
-#: dsir fail, one streaming and one batch events query — the events
-#: reader is the piece most exposed to a testdata regeneration);
-#: (2) every query last checked in r1, then r2, then r3, preserving
-#: registry order within each round bucket (freshness per round recorded
-#: in NOTES.md). The ~50-slot budget cuts off mid-r2; the r2/r3 remainder
-#: queues first for round 8. Every name here must exist in the registry —
-#: load_all asserts.
+#: stream read() contract), the three BRAND-NEW round-7 queries (no
+#: driver row exists yet — a first check outranks a stale re-check), and
+#: three r6 canaries (the historical dsir fail, one streaming and one
+#: batch events query — the events reader is the piece most exposed to a
+#: testdata regeneration); (2) every query last checked in r1, then r2,
+#: then r3, preserving registry order within each round bucket (freshness
+#: per round recorded in NOTES.md). The ~50-slot budget cuts off mid-r2;
+#: the r2/r3 remainder queues first for round 8. Every name here must
+#: exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # changed-code queries + brand-new round-7 queries (never
+    # driver-checked — a first driver row outranks a stale re-check)
     "dedup_incremental_vs_snapshot",
     "layout_zorder_bucket_stats",
     "src_stream_listing_pages",
+    "stream_retention_cohorts",  # new r7: stateful-stream retention twin
+    "events_scd2_point_in_time",  # new r7: SCD2 point-in-time as-of
+    "dedup_embedding_cc_survivors",  # new r7: semantic-dedup survivors
+    # round-6 canaries (historical fail + the regeneration-exposed reader)
     "stream_join_purchase_click_attribution",
     "text_dsir_importance",
     "events_tumbling_5min",

@@ -141,19 +141,30 @@ def stateful_retention_offsets(events: DataFrame) -> DataFrame:
     post-processing keeps each user's minimal-cohort rows, so stale
     emissions from before the re-base are dropped, never double-counted.
 
-    Week truncation runs JVM-side BEFORE the stateful operator
-    (``date_trunc('week', ts)`` evaluated under the drain harness's UTC
-    scope, projected to integer epoch microseconds with ``unix_micros``) —
-    the Python worker then receives two long columns instead of the full
-    event rows, and the state function is pure integer set arithmetic.
-    Measured at sf0.1 this halves the drain cost vs shipping raw events
-    into pandas. State per user is the first week (long) plus one long
-    per distinct activity week — bounded by the corpus time span, a few
-    dozen entries, far smaller than the per-user event stream."""
+    Week truncation runs JVM-side BEFORE the stateful operator, as pure
+    instant arithmetic: Monday-aligned integer floor over
+    ``unix_micros(ts)`` (anchor: Monday 1969-12-29 00:00 UTC). NOT
+    ``date_trunc('week', ...)`` — that expression bakes the session
+    timezone in at ANALYSIS time, and this frame is built before the
+    drain harness scopes the session to UTC, so a hostile caller zone
+    would leak into the cohort weeks (caught by the round-7 hostile-tz
+    sweep). The integer form is timezone-independent at analysis AND
+    runtime, and matches DuckDB's ``date_trunc('week')`` on the naive
+    (UTC-wall) oracle timestamps. The Python worker then receives two
+    long columns instead of full event rows and the state function is
+    pure integer set arithmetic — measured at sf0.1 this halves the
+    drain cost vs shipping raw events into pandas. State per user is the
+    first week (long) plus one long per distinct activity week — bounded
+    by the corpus time span, far smaller than the per-user stream."""
 
+    _WEEK_US = 7 * 86400 * 1_000_000
+    _MON0_US = -3 * 86400 * 1_000_000  # Monday 1969-12-29 00:00:00 UTC
     weeks = events.select(
         "user_id",
-        F.unix_micros(F.date_trunc("week", F.col("ts"))).alias("week_us"),
+        F.expr(
+            f"((unix_micros(ts) - {_MON0_US}) DIV {_WEEK_US}) "
+            f"* {_WEEK_US} + {_MON0_US}"
+        ).alias("week_us"),
     )
 
     def track(key, pdf_iter, state):

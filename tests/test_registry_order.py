@@ -21,21 +21,25 @@ def test_priority_slots_lead_registry():
 
 
 def test_round7_changed_then_stalest_lead():
-    """Changed-this-round queries and the r6 canaries occupy the very
+    """Changed-this-round queries, the brand-new round-7 queries (first
+    driver row outranks a stale re-check), and the r6 canaries occupy the
     front; the r1-era families (strfn/pipeline/skew/agg-pivot) fill the
     budget right after them; nothing checked green in r5/r6 consumes a
     budget slot beyond the canaries."""
     names = list(load_all().keys())
-    front = names[:6]
-    for changed in (
+    front = names[:9]
+    for leading in (
         "dedup_incremental_vs_snapshot",
         "layout_zorder_bucket_stats",
         "src_stream_listing_pages",
+        "stream_retention_cohorts",
+        "events_scd2_point_in_time",
+        "dedup_embedding_cc_survivors",
         "text_dsir_importance",
     ):
-        assert changed in front
-    # the r1 tail starts immediately after the 6-slot head
-    assert names[6] == "skew_salted_agg_revenue_per_priority"
+        assert leading in front
+    # the r1 tail starts immediately after the 9-slot head
+    assert names[9] == "skew_salted_agg_revenue_per_priority"
     budget = set(names[:50])
     # the stalest families are inside the budget
     assert "strfn_clean_chain" in budget

@@ -99,3 +99,32 @@ def test_small_tables_have_expected_scale(table):
     500 / 2000 — row-count intuition several fixtures rely on."""
     n = pq.read_metadata(f"{TESTDATA}/{table}.parquet").num_rows
     assert n in (500, 2000, 5000), f"{table} row count changed to {n}"
+
+
+def test_shingle_over_sql_matches_shared_ctes():
+    """`shingle_over_sql` (parameterized shingle CTEs for arbitrary
+    (doc_id, text) relations, used by the incremental-dedup oracle) must
+    stay token-for-token equivalent to the shared SHINGLE_CTES
+    construction when pointed at the same `documents` relation — drift
+    between the two would silently skew the incremental oracle."""
+    import duckdb
+
+    from cinegraph_spark.queries.neardup_common import (
+        SHINGLE_CTES,
+        shingle_over_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{TESTDATA}/documents.parquet'"
+    )
+    a = con.execute(
+        f"WITH {SHINGLE_CTES} SELECT doc_id, shingle FROM sh_all "
+        "ORDER BY doc_id, shingle"
+    ).fetchall()
+    b = con.execute(
+        f"WITH {shingle_over_sql('documents')} "
+        "SELECT doc_id, shingle FROM sh_u ORDER BY doc_id, shingle"
+    ).fetchall()
+    assert a == b and len(a) > 0

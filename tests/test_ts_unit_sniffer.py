@@ -79,3 +79,24 @@ def test_both_units_drain_to_identical_instants(tmp_path, spark):
     assert first_ts.astimezone(dt.timezone.utc).replace(tzinfo=None) == (
         dt.datetime(2024, 1, 1, 0, 0, 0)
     )
+
+
+def test_divisor_sniffs_directory_layout(tmp_path):
+    """A Spark-written regeneration ships events.parquet as a DIRECTORY of
+    part files; the sniffer must glob inside and read the first footer
+    instead of raising on the directory path."""
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    inner = tmp_path / "stage"
+    inner.mkdir()
+    _write_events(str(inner), "ns")
+    (inner / "events.parquet").rename(d / "part-00000.parquet")
+    assert _events_ts_unit_divisor(str(tmp_path)) == 1000
+
+
+def test_divisor_empty_directory_raises_named_error(tmp_path):
+    (tmp_path / "events.parquet").mkdir()
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="timestamp unit"):
+        _events_ts_unit_divisor(str(tmp_path))

@@ -77,6 +77,7 @@ HEADLINE = [
     # round 7 additions
     "stream_retention_cohorts",
     "events_scd2_point_in_time",
+    "pipeline_training_data_prep",
 ]
 
 

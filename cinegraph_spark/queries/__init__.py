@@ -81,6 +81,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_retention_cohorts",  # new r7: stateful-stream retention twin
     "events_scd2_point_in_time",  # new r7: SCD2 point-in-time as-of
     "dedup_embedding_cc_survivors",  # new r7: semantic-dedup survivors
+    "pipeline_training_data_prep",  # new r7: end-to-end prep composite
     # round-6 canaries (historical fail + the regeneration-exposed reader)
     "stream_join_purchase_click_attribution",
     "text_dsir_importance",

@@ -152,3 +152,129 @@ def pack_chunk_manifest(spark, sf_dir):
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+def _prep_oracle_sql() -> str:
+    from cinegraph_spark.functions.text_clean import clean_subtitles_sql
+    from cinegraph_spark.queries.util import SCRAMBLE_SQL
+
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {clean_subtitles_sql("text")} AS cleaned FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, md5(cleaned) AS h,
+             list_filter(string_split_regex(
+                 regexp_replace(cleaned, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+'),
+                 t -> t <> '') AS tokens
+      FROM base
+    ),
+    stats AS (
+      SELECT doc_id, h, CAST(len(tokens) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(tokens)) AS BIGINT) AS n_uniq
+      FROM tok
+    ),
+    q AS (SELECT *, (n_tok >= 40 AND n_uniq * 100 >= 37 * n_tok) AS pass_q
+          FROM stats),
+    surv AS (SELECT h, min(doc_id) AS survivor_id FROM q WHERE pass_q
+             GROUP BY h),
+    labeled AS (
+      SELECT q.doc_id, q.h, q.n_tok, q.pass_q,
+             CASE WHEN NOT q.pass_q THEN 'dropped_quality'
+                  WHEN q.doc_id <> s.survivor_id THEN 'dropped_dup'
+                  ELSE 'kept' END AS status
+      FROM q LEFT JOIN surv s ON s.h = q.h
+    ),
+    kept AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN {SCRAMBLE_SQL} < 800 THEN 'train'
+                  WHEN {SCRAMBLE_SQL} < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM labeled WHERE status = 'kept'
+    ),
+    packed AS (
+      SELECT doc_id, split,
+             CAST(coalesce(sum(n_tok) OVER (PARTITION BY split ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 // {CAPACITY} AS BIGINT) AS chunk_first
+      FROM kept
+    )
+    SELECT l.doc_id, l.status, l.n_tok, p.split, p.chunk_first
+    FROM labeled l LEFT JOIN packed p ON p.doc_id = l.doc_id
+    """
+
+
+@register(
+    "pipeline_training_data_prep",
+    _prep_oracle_sql(),
+    tags=("pipeline", "llm-pipeline", "composite", "dedup", "packing"),
+)
+def pipeline_training_data_prep(spark, sf_dir):
+    """The whole training-data prep pipeline as ONE declarative plan —
+    clean → quality-gate → exact-dedup survivors → deterministic split →
+    sequence packing — proving a user can run their end-to-end workload,
+    not just the stages in isolation. Every document gets a verdict:
+    dropped_quality (failed the word-count / unique-ratio gates, computed
+    on CLEANED text), dropped_dup (an earlier doc has byte-identical
+    cleaned text), or kept — and every kept doc gets its content-hash
+    split (train/val/test, partitioning-independent) and its first
+    512-token chunk index within that split's packed stream.
+
+    One plan, Catalyst fuses the stages: the clean chain and gates are
+    map-only codegen, dedup is one md5 hash-shuffle, the split is a
+    map-side expression, packing is one window prefix-sum per split —
+    three shuffles end to end at any corpus size. All comparisons are
+    integer-exact (cross-multiplied ratios, content-keyed hashing), so
+    the five-stage composite still has a bit-exact oracle."""
+    from cinegraph_spark.functions.text_clean import clean_subtitles
+    from cinegraph_spark.queries.util import scramble
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    cleaned = clean_subtitles(F.col("text"))
+    toks = tokenize_whitespace(cleaned)
+    stats = d.select(
+        "doc_id",
+        F.md5(cleaned).alias("h"),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+    )
+    q = stats.withColumn(
+        "pass_q",
+        (F.col("n_tok") >= 40)
+        & (F.col("n_uniq") * 100 >= 37 * F.col("n_tok")),
+    )
+    surv = (
+        q.filter("pass_q")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("survivor_id"))
+    )
+    labeled = q.join(surv, "h", "left").withColumn(
+        "status",
+        F.when(~F.col("pass_q"), "dropped_quality")
+        .when(F.col("doc_id") != F.col("survivor_id"), "dropped_dup")
+        .otherwise("kept"),
+    )
+    scr = scramble(F.col("doc_id"))
+    kept = labeled.filter(F.col("status") == "kept").select(
+        "doc_id",
+        "n_tok",
+        F.when(scr < 800, "train")
+        .when(scr < 900, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    w = (
+        Window.partitionBy("split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = kept.select(
+        F.col("doc_id").alias("p_doc"),
+        "split",
+        (F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / CAPACITY)
+        .cast("long")
+        .alias("chunk_first"),
+    )
+    return labeled.join(
+        packed, labeled["doc_id"] == packed["p_doc"], "left"
+    ).select("doc_id", "status", "n_tok", "split", "chunk_first")

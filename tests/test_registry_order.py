@@ -27,7 +27,7 @@ def test_round7_changed_then_stalest_lead():
     budget right after them; nothing checked green in r5/r6 consumes a
     budget slot beyond the canaries."""
     names = list(load_all().keys())
-    front = names[:9]
+    front = names[:10]
     for leading in (
         "dedup_incremental_vs_snapshot",
         "layout_zorder_bucket_stats",
@@ -35,11 +35,12 @@ def test_round7_changed_then_stalest_lead():
         "stream_retention_cohorts",
         "events_scd2_point_in_time",
         "dedup_embedding_cc_survivors",
+        "pipeline_training_data_prep",
         "text_dsir_importance",
     ):
         assert leading in front
-    # the r1 tail starts immediately after the 9-slot head
-    assert names[9] == "skew_salted_agg_revenue_per_priority"
+    # the r1 tail starts immediately after the 10-slot head
+    assert names[10] == "skew_salted_agg_revenue_per_priority"
     budget = set(names[:50])
     # the stalest families are inside the budget
     assert "strfn_clean_chain" in budget

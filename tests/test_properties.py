@@ -206,3 +206,44 @@ def test_append_new_keys_empty_first_write(spark, sf_dir, tmp_path):
         "o_orderkey", "o_totalprice"
     ).limit(5)
     assert append_new_keys(spark, some, path, "o_orderkey") == 5
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    weeks=st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=30),
+    cuts=st.lists(st.integers(min_value=0, max_value=29), max_size=5),
+)
+def test_retention_merge_partition_invariance(weeks, cuts):
+    """The streaming retention tracker's correctness claim, as a property:
+    for ANY partition of a user's activity weeks into micro-batches (any
+    sizes, any order — hypothesis also generates out-of-order splits via
+    the unsorted cut points), folding batches through _merge_retention and
+    reconciling emissions the way the query does (keep rows emitted under
+    the final minimal cohort) yields exactly the single-batch result:
+    cohort = min week, activity set = all distinct weeks."""
+    from cinegraph_spark.streaming.stateful import _merge_retention
+
+    W = 7 * 86400 * 1_000_000
+    weeks_us = [w * W for w in weeks]
+    bounds = sorted({c for c in cuts if c < len(weeks_us)})
+    batches, prev = [], 0
+    for b in bounds + [len(weeks_us)]:
+        if b > prev:
+            batches.append(weeks_us[prev:b])
+            prev = b
+    if not batches:
+        batches = [weeks_us]
+
+    first, seen, emissions = None, set(), []
+    for batch in batches:
+        first, seen_sorted, emit = _merge_retention(first, set(seen), set(batch))
+        seen = set(seen_sorted)
+        emissions.extend((first, w) for w in emit)
+
+    expected_cohort = min(weeks_us)
+    expected_weeks = set(weeks_us)
+    assert first == expected_cohort
+    assert seen == expected_weeks
+    # the query's reconciliation: rows carrying the final (minimal) cohort
+    final_rows = {w for c, w in emissions if c == expected_cohort}
+    assert final_rows == expected_weeks

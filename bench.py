@@ -123,18 +123,36 @@ def main() -> None:
                     f"{ceiling}s ceiling",
                     file=sys.stderr,
                 )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "over_budget": over,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "over_budget": over,
+    }
+    # Full-precision copy for local inspection (stdout stays parseable).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_last_local.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+
+    # The driver captures only the LAST ~2000 bytes of stdout; the final
+    # line must be a complete JSON object inside that window or the driver
+    # records parsed=null (r1-r7 all did). Compact separators + 2-decimal
+    # times fit 57 queries in ~1975 bytes; degrade to 1 decimal if a long
+    # over_budget dict or slow-query digits push past the margin.
+    def _line(nd: int) -> str:
+        slim = dict(result)
+        slim["queries"] = {k: round(v, nd) for k, v in times.items()}
+        return json.dumps(slim, separators=(",", ":"))
+
+    line = _line(2)
+    if len(line) > 1900:
+        line = _line(1)
+    if len(line) > 1980:  # long over_budget dict: keep names, drop details
+        result["over_budget"] = sorted(over)
+        line = _line(1)
+    print(line)
     spark.stop()
 
 

@@ -29,6 +29,12 @@ from cinegraph_spark.queries.util import T
 
 CAPACITY = 512
 
+#: Hierarchical-packing shard width: docs are prefix-summed inside
+#: doc_id-range shards of this span, then shard totals are cumulated over
+#: the (corpus/SHARD_SPAN)-row shard relation. Monotone in doc_id, so the
+#: two-level sum is bit-identical to the flat per-split prefix-sum.
+SHARD_SPAN = 256
+
 # cum_before = tokens of all earlier docs in the same source shard
 # (doc_id order). DuckDB's empty-frame sum is NULL -> coalesce to 0.
 _PACKED_CTE = f"""
@@ -222,10 +228,19 @@ def pipeline_training_data_prep(spark, sf_dir):
 
     One plan, Catalyst fuses the stages: the clean chain and gates are
     map-only codegen, dedup is one md5 hash-shuffle, the split is a
-    map-side expression, packing is one window prefix-sum per split —
-    three shuffles end to end at any corpus size. All comparisons are
-    integer-exact (cross-multiplied ratios, content-keyed hashing), so
-    the five-stage composite still has a bit-exact oracle."""
+    map-side expression. Packing is a HIERARCHICAL prefix-sum: `split`
+    has only three values, so a flat `Window.partitionBy("split")` would
+    serialize each split's entire kept corpus through one reducer at
+    100 TB. Instead each doc gets a shard = doc_id DIV {SHARD_SPAN}
+    (monotone in doc_id, so shard order IS doc order), the running total
+    inside each (split, shard) is a well-partitioned window, per-shard
+    token totals are rolled up and cumulated over the shard relation
+    (n_docs/{SHARD_SPAN} rows — the only per-split window left touches
+    that tiny pre-aggregated set, and the span is a knob: raise it or
+    recurse for another 256x headroom), and the shard offsets broadcast
+    back map-side. cum_before = shard_offset + intra_shard_prefix is the
+    same integer, so the five-stage composite keeps its bit-exact oracle
+    while no stage funnels the corpus through 3 partitions."""
     from cinegraph_spark.functions.text_clean import clean_subtitles
     from cinegraph_spark.queries.util import scramble
 
@@ -263,15 +278,40 @@ def pipeline_training_data_prep(spark, sf_dir):
         .otherwise("test")
         .alias("split"),
     )
-    w = (
-        Window.partitionBy("split")
+    kept = kept.withColumn(
+        "shard", (F.col("doc_id") / SHARD_SPAN).cast("long")
+    )
+    w_in = (
+        Window.partitionBy("split", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    packed = kept.select(
+    intra = kept.select(
         F.col("doc_id").alias("p_doc"),
         "split",
-        (F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / CAPACITY)
+        "shard",
+        F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)).alias("intra_before"),
+    )
+    w_sh = (
+        Window.partitionBy("split")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard_offsets = (
+        kept.groupBy("split", "shard")
+        .agg(F.sum("n_tok").alias("sh_tok"))
+        .select(
+            "split",
+            "shard",
+            F.coalesce(F.sum("sh_tok").over(w_sh), F.lit(0)).alias("sh_off"),
+        )
+    )
+    packed = intra.join(
+        F.broadcast(shard_offsets), ["split", "shard"]
+    ).select(
+        "p_doc",
+        "split",
+        ((F.col("sh_off") + F.col("intra_before")) / CAPACITY)
         .cast("long")
         .alias("chunk_first"),
     )

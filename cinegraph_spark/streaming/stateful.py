@@ -185,12 +185,18 @@ def stateful_retention_offsets(events: DataFrame) -> DataFrame:
             first_us, seen, new_weeks
         )
         state.update((first_us, seen_sorted))
+        # Explicit int64 cast: when emit == [] (all weeks already seen, no
+        # re-base) the frame is built from empty Python lists and would get
+        # object dtype — relying on Arrow's lenient empty-column cast against
+        # the 'long' output schema is version-fragile.
         yield pd.DataFrame(
             {
                 "user_id": [key[0]] * len(emit),
                 "cohort_us": [first_us] * len(emit),
                 "week_us": emit,
             }
+        ).astype(
+            {"user_id": "int64", "cohort_us": "int64", "week_us": "int64"}
         )
 
     return weeks.groupBy("user_id").applyInPandasWithState(

@@ -101,6 +101,40 @@ def test_small_tables_have_expected_scale(table):
     assert n in (500, 2000, 5000), f"{table} row count changed to {n}"
 
 
+def test_embedding_cosines_clear_of_cc_threshold():
+    """dedup_embedding_cc_survivors gates pairs on cosine >= 0.35 evaluated
+    independently in Spark (sequential F.aggregate fold) and DuckDB
+    (list_dot_product) — their float summation orders are not contractually
+    identical, so a pair whose cosine sits within float-noise of 0.35 could
+    flip a connected-component split between engines and fail the bit-exact
+    oracle. Assert the regenerated fixtures keep every same-label pair's
+    cosine at least 1e-6 away from the threshold."""
+    import duckdb
+
+    con = duckdb.connect()
+    closest, = con.execute(
+        f"""
+        WITH e AS (
+          SELECT vec_id, label,
+                 CAST(embedding AS DOUBLE[]) AS v
+          FROM '{TESTDATA}/embeddings.parquet'
+        )
+        SELECT min(abs(
+          list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v)))
+          - 0.35))
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        """
+    ).fetchone()
+    assert closest is not None and closest > 1e-6, (
+        f"a same-label embedding pair's cosine is {closest} from the 0.35 "
+        "CC threshold — engine float-order noise can flip the component "
+        "split; re-pick the threshold or demote the oracle to rows-only"
+    )
+
+
 def test_shingle_over_sql_matches_shared_ctes():
     """`shingle_over_sql` (parameterized shingle CTEs for arbitrary
     (doc_id, text) relations, used by the incremental-dedup oracle) must

@@ -198,6 +198,31 @@ def test_packing_prefix_sum_is_single_window_shuffle(q):
     assert c["python_row_udf"] == 0 and c["python_arrow_udf"] == 0
 
 
+def test_training_prep_packing_window_is_sharded(q):
+    """The composite's packing prefix-sum must be hierarchical: the window
+    that touches the full kept corpus partitions by (split, shard), and the
+    only per-split-alone window runs over the pre-aggregated shard-totals
+    relation. A flat Window.partitionBy(split) over the corpus — 3
+    partitions, each split through one reducer at 100 TB — is the
+    regression this pins against. The shard offsets join back broadcast."""
+    df = q("pipeline_training_data_prep")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    windows = [
+        line for line in plan.splitlines() if "windowspecdefinition(" in line
+    ]
+    assert windows, "expected window ops in the packing stage"
+    corpus_windows = [w for w in windows if "sum(n_tok" in w]
+    assert corpus_windows, "corpus prefix-sum window missing"
+    for w in corpus_windows:
+        assert "shard" in w, (
+            "corpus-sized prefix-sum window no longer partitions by shard — "
+            f"flat per-split window is back: {w.strip()[:160]}"
+        )
+    c = plan_counts(df)
+    assert c["broadcast_hash_join"] >= 1
+    assert c["python_row_udf"] == 0 and c["python_arrow_udf"] == 0
+
+
 def test_levenshtein_dedup_has_no_python(q):
     """Blocked fuzzy matching stays JVM-side: levenshtein is a codegen'd
     built-in, not a UDF."""

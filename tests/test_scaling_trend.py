@@ -38,6 +38,11 @@ FAMILIES = [
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
     "events_interval_overlap_pairs",
+    # hierarchical packing (r8): output is 1 row/doc by construction; the
+    # trend guards the prefix-sum staying sharded — a regression to the
+    # flat per-split window shows up as wall time tracking corpus size
+    # through one reducer rather than the partition count
+    "pipeline_training_data_prep",
 ]
 
 

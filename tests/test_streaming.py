@@ -363,7 +363,12 @@ def test_retention_stream_multibatch_disorder(spark, tmp_path):
         run_availablenow_to_memory,
     )
 
-    src = "/root/testdata/sf0.001/events.parquet"
+    import os
+
+    src = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001"),
+        "events.parquet",
+    )
     tbl = pq.read_table(src).sort_by([("ts", "descending")])
     outdir = tmp_path / "events.parquet"
     outdir.mkdir()

@@ -266,20 +266,22 @@ def stream_stateful_topk_per_user(spark, sf_dir):
     value was emitted in the batch it arrived — so re-ranking the distinct
     (user, value) union recovers exactly the final state regardless of how
     many micro-batches the source produced."""
-    import uuid
+    import tempfile
 
     from pyspark.sql import Window
 
     from cinegraph_spark.streaming.stateful import stateful_topk_per_user
     from cinegraph_spark.streaming.windows import (
         read_events_stream,
-        run_availablenow_to_memory,
+        run_availablenow_to_parquet,
     )
 
     stream = read_events_stream(spark, sf_dir)
-    name = f"q_topk_{uuid.uuid4().hex[:8]}"
-    out = run_availablenow_to_memory(
-        spark, stateful_topk_per_user(stream, k=3), name, output_mode="update"
+    out = run_availablenow_to_parquet(
+        spark,
+        stateful_topk_per_user(stream, k=3),
+        tempfile.mkdtemp(prefix="cg_drain_topk_"),
+        output_mode="update",
     )
     w = Window.partitionBy("user_id").orderBy(F.desc("value"))
     return (
@@ -313,21 +315,20 @@ def stream_join_purchase_click_attribution(spark, sf_dir):
     purchase↔click attribution join with watermark-bounded state →
     availableNow drain. Oracle: the same range predicate as a batch
     self-join. Timestamps projected as strings so the hash is tz-proof."""
-    import uuid
+    import tempfile
 
     from cinegraph_spark.queries.util import ntz, tstr
     from cinegraph_spark.streaming.joins import purchases_with_recent_clicks
     from cinegraph_spark.streaming.windows import (
         read_events_stream,
-        run_availablenow_to_memory,
+        run_availablenow_to_parquet,
     )
 
     stream = read_events_stream(spark, sf_dir)
-    name = f"q_ssjoin_{uuid.uuid4().hex[:8]}"
-    out = run_availablenow_to_memory(
+    out = run_availablenow_to_parquet(
         spark,
         purchases_with_recent_clicks(stream),
-        name,
+        tempfile.mkdtemp(prefix="cg_drain_ssjoin_"),
         output_mode="append",
     )
     # ntz first: the drained instants format tz-independently afterwards
@@ -360,13 +361,13 @@ def stream_enrich_purchase_customer(spark, sf_dir):
     static customer dimension per micro-batch — zero state store, zero
     stream-side shuffle; the dim is re-resolved each batch (slowly-changing
     semantics for free). Oracle: the same equi-join in batch SQL."""
-    import uuid
+    import tempfile
 
     from cinegraph_spark.queries.util import T, r4
     from cinegraph_spark.streaming.joins import enrich_stream_with_dim
     from cinegraph_spark.streaming.windows import (
         read_events_stream,
-        run_availablenow_to_memory,
+        run_availablenow_to_parquet,
     )
 
     stream = read_events_stream(spark, sf_dir)
@@ -376,9 +377,11 @@ def stream_enrich_purchase_customer(spark, sf_dir):
     enriched = enrich_stream_with_dim(
         stream, dim, on=F.col("user_id") == F.col("c_custkey")
     )
-    name = f"q_enrich_{uuid.uuid4().hex[:8]}"
-    out = run_availablenow_to_memory(
-        spark, enriched, name, output_mode="append"
+    out = run_availablenow_to_parquet(
+        spark,
+        enriched,
+        tempfile.mkdtemp(prefix="cg_drain_enrich_"),
+        output_mode="append",
     )
     return out.select(
         "user_id",
@@ -582,25 +585,23 @@ def stream_retention_cohorts(spark, sf_dir):
     Cohort timestamps travel as integer UTC-midnight microseconds and are
     rendered with date arithmetic, so no session-timezone formatting can
     leak into the hash."""
-    import uuid
+    import tempfile
 
     from cinegraph_spark.streaming.stateful import stateful_retention_offsets
     from cinegraph_spark.streaming.windows import (
         read_events_stream,
-        run_availablenow_to_memory,
+        run_availablenow_to_parquet,
     )
 
     stream = read_events_stream(spark, sf_dir)
-    name = f"q_retention_{uuid.uuid4().hex[:8]}"
-    out = run_availablenow_to_memory(
+    out = run_availablenow_to_parquet(
         spark,
         stateful_retention_offsets(stream),
-        name,
+        tempfile.mkdtemp(prefix="cg_drain_retention_"),
         output_mode="update",
     )
-    # self-join of the memory-sink view needs deduplicated attribute ids:
-    # rebuild the agg side from collected distinct rows is overkill — a
-    # localCheckpoint of the tiny drained frame gives it fresh attributes
+    # localCheckpoint the cohort-triangle-sized drain: pins the snapshot
+    # and gives the self-join below fresh attribute ids
     drained = out.localCheckpoint(eager=True)
     final = (
         drained.groupBy(F.col("user_id").alias("f_user"))

@@ -93,16 +93,20 @@ def src_stream_listing_pages(spark, sf_dir):
     replay (readBetweenOffsets) for free. Per-page rollup oracle checks the
     streamed rows end-to-end; the multi-batch/resume contract is pinned in
     tests/test_listing_source.py."""
-    import uuid
+    import tempfile
 
     from cinegraph_spark.session import ensure_shipped
     from cinegraph_spark.sources.listing import read_listing_stream
-    from cinegraph_spark.streaming.windows import run_availablenow_to_memory
+    from cinegraph_spark.streaming.windows import run_availablenow_to_parquet
 
     ensure_shipped(spark)
     stream = read_listing_stream(spark, pages=_PAGES, per_page=_PER_PAGE)
-    name = f"q_src_stream_{uuid.uuid4().hex[:8]}"
-    out = run_availablenow_to_memory(spark, stream, name, output_mode="append")
+    out = run_availablenow_to_parquet(
+        spark,
+        stream,
+        tempfile.mkdtemp(prefix="cg_drain_listing_"),
+        output_mode="append",
+    )
     return out.groupBy(F.col("page").cast("long").alias("page")).agg(
         F.count("*").alias("n_titles"),
         F.sum(

@@ -174,8 +174,11 @@ def run_availablenow_to_memory(
     output_mode: str = "complete",
     timeout_s: int = 120,
 ) -> DataFrame:
-    """Test harness: drain all available input through the streaming plan
-    into an in-memory table; returns the result as a batch DataFrame.
+    """Test harness ONLY: drain all available input through the streaming
+    plan into an in-memory table; returns the result as a batch DataFrame.
+    Drained rows materialize in DRIVER memory — registered queries and
+    anything benched must use ``run_availablenow_to_parquet``, whose
+    executors write the emissions to files instead.
 
     The drain runs with the session tz scoped to UTC (restored after): the
     stream executes entirely inside this call, so Arrow/pandas timestamp
@@ -196,6 +199,48 @@ def run_availablenow_to_memory(
         )
         q.awaitTermination(timeout_s)
     return spark.table(query_name)
+
+
+def run_availablenow_to_parquet(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    path: str,
+    output_mode: str = "update",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Production drain: process all available input and write every
+    micro-batch's emissions straight to a parquet directory via
+    ``foreachBatch`` — executors write the files; NOTHING materializes on
+    the driver, unlike the memory-sink twin whose drained rows all live in
+    driver memory (fine for tests, a bottleneck once emissions are
+    O(users × weeks) at 100×). ``foreachBatch`` rather than the file sink
+    proper because the file sink is append-only and stateful operators
+    here emit in update mode; the per-batch batch-DataFrame write is the
+    standard Structured Streaming pattern for exactly that gap.
+
+    Same UTC/shuffle scoping as the memory drain (the stream executes
+    entirely inside this call). Returns a batch DataFrame over the written
+    files, read with the stream's own schema so an empty drain yields an
+    empty frame instead of a schema-inference error."""
+    import os
+
+    from cinegraph_spark.session import bounded_shuffle, scoped_confs
+
+    schema = stream_df.schema
+    os.makedirs(path, exist_ok=True)
+
+    def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    with scoped_confs(spark, **{"spark.sql.session.timeZone": "UTC"}), bounded_shuffle(spark, 8):
+        q = (
+            stream_df.writeStream.foreachBatch(_write_batch)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    return spark.read.schema(schema).parquet(path)
 
 
 def session_windows_dynamic_gap(

@@ -416,3 +416,58 @@ def test_retention_stream_multibatch_disorder(spark, tmp_path):
         .collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_parquet_drain_matches_memory_drain(spark, sf_dir, tmp_path):
+    """run_availablenow_to_parquet is the production drain (executors write
+    files; nothing lands on the driver) — it must produce exactly the rows
+    the memory-sink test harness does for the same streaming plan."""
+    from cinegraph_spark.streaming.windows import run_availablenow_to_parquet
+
+    mem = run_availablenow_to_memory(
+        spark, tumbling_counts(read_events_stream(spark, sf_dir)), "t_pqdrain_m"
+    )
+    pq_df = run_availablenow_to_parquet(
+        spark,
+        tumbling_counts(read_events_stream(spark, sf_dir)),
+        str(tmp_path / "drain"),
+        output_mode="complete",
+    )
+    key = lambda r: (r.window_start, r.event_type)
+    m = {key(r): (r.n_events, round(r.total_value, 6)) for r in mem.collect()}
+    p = {key(r): (r.n_events, round(r.total_value, 6)) for r in pq_df.collect()}
+    assert m == p and len(p) > 0
+
+
+def test_parquet_drain_empty_stream_yields_empty_frame(spark, tmp_path):
+    """An input matching zero rows must drain to an EMPTY frame with the
+    stream's schema (the explicit-schema read), not a schema-inference
+    error on a fileless directory."""
+    from cinegraph_spark.streaming.windows import run_availablenow_to_parquet
+
+    empty_src = tmp_path / "src"
+    empty_src.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "event_type": pa.array([], type=pa.string()),
+            "ts": pa.array([], type=pa.timestamp("us")),
+            "value": pa.array([], type=pa.float64()),
+        }
+    )
+    pq.write_table(tbl, f"{empty_src}/events.parquet")
+    stream = read_events_stream(spark, str(empty_src))
+    out = run_availablenow_to_parquet(
+        spark,
+        tumbling_counts(stream),
+        str(tmp_path / "drain_empty"),
+        output_mode="complete",
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "window_start", "window_end", "event_type", "n_events", "total_value"
+    }

@@ -54,78 +54,31 @@ def register(
     return deco
 
 
-#: Driver-slot priority (round 7). The driver's correctness harness walks
+#: Driver-slot priority (round 8). The driver's correctness harness walks
 #: the registry in order under a ~50-query budget, so this list pins the
 #: front slots explicitly instead of relying on module import order.
-#: Round-7 rationale — an OLDEST-GREEN-FIRST regression sweep: rounds 4-6
-#: spent their slots on changed code, so the registry tail (strings,
-#: pipeline, tree, vectors, textstats, dedup, graph, TPC-H families) was
-#: last driver-checked in r1-r3, partly against older testdata
-#: generations. Order: (1) the queries whose code or oracle changed THIS
-#: round (incremental-dedup signature derivation, z-order clamp, listing
-#: stream read() contract), the three BRAND-NEW round-7 queries (no
-#: driver row exists yet — a first check outranks a stale re-check), and
-#: three r6 canaries (the historical dsir fail, one streaming and one
-#: batch events query — the events reader is the piece most exposed to a
-#: testdata regeneration); (2) every query last checked in r1, then r2,
-#: then r3, preserving registry order within each round bucket (freshness
-#: per round recorded in NOTES.md). The ~50-slot budget cuts off mid-r2;
-#: the r2/r3 remainder queues first for round 8. Every name here must
-#: exist in the registry — load_all asserts.
+#: Round-8 rationale — continue the oldest-green-first rotation begun in
+#: r7 (which swept all of r1 and the r2 head): (1) six canaries whose
+#: code changed THIS round — the five streaming queries now draining
+#: through the parquet file sink instead of the memory sink, and the
+#: training-prep composite whose packing prefix-sum became hierarchical
+#: (both changes are oracle-identical by design; the driver row proves
+#: it); (2) the r2 remainder (vec/text/dedup/media tail), then every
+#: query last checked in r3 (graph, TPC-H, subquery, window, sampling,
+#: packing families), preserving registry order within each round bucket
+#: (freshness per round computed from CORRECTNESS_r0*.json). 6+21+39 =
+#: 66 names; the ~50-slot budget cuts off mid-r3 and the r3 remainder
+#: queues first for round 9. Every name here must exist in the registry
+#: — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # changed-code queries + brand-new round-7 queries (never
-    # driver-checked — a first driver row outranks a stale re-check)
-    "dedup_incremental_vs_snapshot",
-    "layout_zorder_bucket_stats",
-    "src_stream_listing_pages",
-    "stream_retention_cohorts",  # new r7: stateful-stream retention twin
-    "events_scd2_point_in_time",  # new r7: SCD2 point-in-time as-of
-    "dedup_embedding_cc_survivors",  # new r7: semantic-dedup survivors
-    "pipeline_training_data_prep",  # new r7: end-to-end prep composite
-    # round-6 canaries (historical fail + the regeneration-exposed reader)
+    # round-8 changed-code canaries (parquet drain / hierarchical packing)
+    "stream_retention_cohorts",
     "stream_join_purchase_click_attribution",
-    "text_dsir_importance",
-    "events_tumbling_5min",
-    "skew_salted_agg_revenue_per_priority",
-    "agg_pivot_status_by_priority",
-    "agg_unpivot_lineitem_measures",
-    "agg_percentiles_price",
-    "strfn_remove_timestamps",
-    "strfn_remove_brackets_content",
-    "strfn_remove_html_tags",
-    "strfn_remove_speaker_labels",
-    "strfn_remove_dialog_punctuation",
-    "strfn_remove_newlines",
-    "strfn_remove_non_alphabetic",
-    "strfn_remove_filler_words",
-    "strfn_lowercase_text",
-    "strfn_normalize_whitespace",
-    "strfn_clean_titles",
-    "strfn_clean_chain",
-    "strfn_title_year_parse",
-    "pipeline_token_windows",
-    "pipeline_window_scores",
-    "pipeline_movie_features",
-    "pipeline_scaled_features",
-    "pipeline_corpus_centroid",
-    "pipeline_dominant_emotion",
-    "pipeline_arc_smoothed",
-    "tree_build_graph",
-    "tree_root_fetch",
-    "tree_children_of_root",
-    "tree_children_of_node",
-    "tree_node_movies",
-    "tree_depth_histogram",
-    "tree_subtree_rollup",
-    "tree_movie_fetch_nested",
-    "tree_viz_projection",
-    "vec_norm_stats",
-    "vec_cosine_topk_to_query",
-    "vec_knn_per_query",
-    "vec_euclidean_to_label_centroid",
-    "vec_representative_topk_per_label",
-    "vec_ann_ivf_topk",
-    "vec_ann_lsh_topk",
+    "stream_enrich_purchase_customer",
+    "stream_stateful_topk_per_user",
+    "src_stream_listing_pages",
+    "pipeline_training_data_prep",
+    # last checked round 2 (registry order)
     "vec_centroid_shift_labels",
     "vec_int8_quantize_error",
     "text_token_stats",
@@ -147,6 +100,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_contamination_screen",
     "dedup_levenshtein_part_names",
     "media_feature_extract",
+    # last checked round 3 (registry order)
     "graph_copurchase_degree_topk",
     "graph_copurchase_triangles",
     "graph_cc_neardup_clusters",

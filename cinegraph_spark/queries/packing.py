@@ -263,11 +263,22 @@ def pipeline_training_data_prep(spark, sf_dir):
         .groupBy("h")
         .agg(F.min("doc_id").alias("survivor_id"))
     )
-    labeled = q.join(surv, "h", "left").withColumn(
-        "status",
-        F.when(~F.col("pass_q"), "dropped_quality")
-        .when(F.col("doc_id") != F.col("survivor_id"), "dropped_dup")
-        .otherwise("kept"),
+    # Lazy localCheckpoint: `labeled` has THREE consumers (the final
+    # verdict join, and — via `kept` — the intra-shard window and the
+    # shard-totals rollup). Materializing this narrow per-doc frame (6
+    # small columns) on first action runs the expensive clean/tokenize/
+    # dedup lineage exactly once; without it Spark recomputes the chain
+    # per consumer — ReuseExchange does not unify these branch shapes
+    # (measured ~2x the composite's wall time).
+    labeled = (
+        q.join(surv, "h", "left")
+        .withColumn(
+            "status",
+            F.when(~F.col("pass_q"), "dropped_quality")
+            .when(F.col("doc_id") != F.col("survivor_id"), "dropped_dup")
+            .otherwise("kept"),
+        )
+        .localCheckpoint(eager=False)
     )
     scr = scramble(F.col("doc_id"))
     kept = labeled.filter(F.col("status") == "kept").select(
@@ -287,7 +298,7 @@ def pipeline_training_data_prep(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     intra = kept.select(
-        F.col("doc_id").alias("p_doc"),
+        "doc_id",
         "split",
         "shard",
         F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)).alias("intra_before"),
@@ -309,7 +320,7 @@ def pipeline_training_data_prep(spark, sf_dir):
     packed = intra.join(
         F.broadcast(shard_offsets), ["split", "shard"]
     ).select(
-        "p_doc",
+        F.col("doc_id").alias("p_doc"),
         "split",
         ((F.col("sh_off") + F.col("intra_before")) / CAPACITY)
         .cast("long")

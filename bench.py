@@ -78,6 +78,8 @@ HEADLINE = [
     "stream_retention_cohorts",
     "events_scd2_point_in_time",
     "pipeline_training_data_prep",
+    # round 8 additions
+    "pipeline_ingest_dedup_retention",
 ]
 
 

@@ -78,6 +78,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_stateful_topk_per_user",
     "src_stream_listing_pages",
     "pipeline_training_data_prep",
+    # brand-new round-8 queries (no driver row yet — first check outranks
+    # a stale re-check)
+    "pipeline_ingest_dedup_retention",
+    "agg_percentiles_price_tdigest",
     # last checked round 2 (registry order)
     "vec_centroid_shift_labels",
     "vec_int8_quantize_error",

@@ -622,3 +622,96 @@ def stream_retention_cohorts(spark, sf_dir):
         .cast("long")
         .alias("week_offset"),
     ).agg(F.count("*").alias("n_users"))
+
+
+@register(
+    "pipeline_ingest_dedup_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT e.user_id, f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                            date_trunc('week', e.ts)) / 7 AS BIGINT)
+               AS week_offset,
+             count(*) AS n_ev
+      FROM events e JOIN first_seen f USING (user_id)
+      GROUP BY 1, 2, 3
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset,
+           count(*) AS n_users,
+           CAST(sum(n_ev) AS BIGINT) AS n_events
+    FROM activity GROUP BY 1, 2
+    """,
+    tags=("pipeline", "streaming", "composite", "incremental", "retention"),
+)
+def pipeline_ingest_dedup_retention(spark, sf_dir):
+    """End-to-end ingest composite chaining the streaming surface: a REAL
+    readStream of the events source drains through the production parquet
+    sink into a landing zone, an at-least-once upstream is simulated by
+    draining the SAME source a second time (full re-delivery), keyed
+    incremental dedup (`operators/incremental.py::append_new_keys`)
+    folds both deliveries into a snapshot with exactly one row per
+    event_id, and the weekly retention triangle is reported OVER THE
+    SNAPSHOT — so the oracle (plain batch SQL over `events`) only
+    hash-matches if every stage preserved exactly-once semantics. The
+    report carries `n_events` per cohort cell precisely because the
+    user-distinct triangle alone would mask surviving duplicates: a
+    dedup regression doubles n_events and fails the hash.
+
+    Scale shape: the drains are executor-side file writes (nothing on the
+    driver), the dedup is a key-pruned anti-join against the snapshot,
+    and the report is the two co-partitioned user_id shuffles of the
+    batch retention query. Snapshot instants are projected back to UTC
+    wall clocks (`ntz`) before any week math, so no session timezone can
+    leak into the hash."""
+    import tempfile
+
+    from cinegraph_spark.operators.incremental import append_new_keys
+    from cinegraph_spark.queries.util import dstr, ntz
+    from cinegraph_spark.streaming.windows import (
+        read_events_stream,
+        run_availablenow_to_parquet,
+    )
+
+    snapshot = tempfile.mkdtemp(prefix="cg_ingest_snap_") + "/snapshot"
+    for delivery in range(2):  # second pass = full upstream re-delivery
+        landed = run_availablenow_to_parquet(
+            spark,
+            read_events_stream(spark, sf_dir),
+            tempfile.mkdtemp(prefix=f"cg_ingest_land{delivery}_"),
+            output_mode="append",
+        )
+        append_new_keys(spark, landed, snapshot, "event_id")
+
+    snap = spark.read.parquet(snapshot).select(
+        "user_id", ntz(F.col("ts")).alias("ts")
+    )
+    first = snap.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        snap.join(first, "user_id")
+        .groupBy(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_ev"))
+    )
+    return activity.groupBy(
+        dstr(F.col("cohort_week")).alias("cohort_week"), "week_offset"
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+    )

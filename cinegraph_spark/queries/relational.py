@@ -902,3 +902,28 @@ def agg_percentiles_price(spark, sf_dir):
         r4(F.expr("percentile(o_totalprice, 0.9)")).alias("p90"),
         r4(F.expr("percentile(o_totalprice, 0.99)")).alias("p99"),
     )
+
+
+@register(
+    "agg_percentiles_price_tdigest",
+    None,  # rows-only: sketch results are merge-order-dependent, so no
+    # engine-exact oracle exists; the exact twin agg_percentiles_price IS
+    # exact-oracle-checked, and tests/test_properties.py pins this sketch
+    # within 1% relative of it per group (justified in COVERAGE.md)
+    tags=("relational", "agg", "percentile", "sketch"),
+)
+def agg_percentiles_price_tdigest(spark, sf_dir):
+    """The 100 TB path for `agg_percentiles_price`: `approx_percentile`
+    (Spark's t-digest-style quantile sketch) instead of exact
+    `percentile`. The exact form holds each group's full value multiset
+    in the aggregation buffer — O(group size) memory, a spill risk on a
+    100 TB fact table; the sketch is O(accuracy) per group and merges
+    map-side, so the plan is a plain partial-agg shuffle at any scale.
+    Same query shape, same output schema as the exact twin; accuracy
+    10000 keeps the 3 probed quantiles within ~0.1% at test scale."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        r4(F.expr("approx_percentile(o_totalprice, 0.5, 10000)")).alias("p50"),
+        r4(F.expr("approx_percentile(o_totalprice, 0.9, 10000)")).alias("p90"),
+        r4(F.expr("approx_percentile(o_totalprice, 0.99, 10000)")).alias("p99"),
+    )

@@ -120,6 +120,52 @@ def test_sketch_aggregates_track_exact(spark, sf_dir):
     assert abs(row.approx_p90 - row.exact_p90) / row.exact_p90 < 0.02
 
 
+def test_tdigest_percentile_twin_tracks_exact(spark, sf_dir):
+    """agg_percentiles_price_tdigest (rows-only, merge-order-dependent) must
+    track its exact-oracle-checked twin: each sketch quantile lies inside
+    the exact rank envelope [q-0.02, q+0.02] per group — this is the
+    correctness contract that substitutes for a driver hash on the sketch
+    variant."""
+    from cinegraph_spark.queries import load_all
+
+    specs = load_all()
+    exact = {
+        r["o_orderpriority"]: r
+        for r in specs["agg_percentiles_price"].spark(spark, sf_dir).collect()
+    }
+    approx = specs["agg_percentiles_price_tdigest"].spark(spark, sf_dir).collect()
+    assert len(approx) == len(exact) > 0
+    # Rank-based envelope: the sketch returns an actual data element, so at
+    # small n its VALUE can differ from the interpolated exact quantile by
+    # a whole inter-order-price gap even when its rank error is ~0. Assert
+    # each sketch value lies between the exact quantiles at q +/- 0.02.
+    from pyspark.sql import functions as F
+
+    from cinegraph_spark.queries.util import T
+
+    o = T(spark, sf_dir, "orders")
+    env = {
+        r["o_orderpriority"]: r
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            *[
+                F.expr(f"percentile(o_totalprice, {q})").alias(f"q{i}")
+                for i, q in enumerate(
+                    (0.48, 0.52, 0.88, 0.92, 0.97, 1.0)
+                )
+            ]
+        )
+        .collect()
+    }
+    for r in approx:
+        e = env[r["o_orderpriority"]]
+        for q, lo, hi in (("p50", "q0", "q1"), ("p90", "q2", "q3"), ("p99", "q4", "q5")):
+            assert e[lo] <= r[q] <= e[hi], (
+                f"{r['o_orderpriority']} {q}: sketch {r[q]} outside exact "
+                f"rank envelope [{e[lo]}, {e[hi]}]"
+            )
+
+
 @given(
     seqs=st.lists(
         st.lists(st.integers(1, 10_000), min_size=0, max_size=40),

@@ -1,0 +1,238 @@
+"""HNSW-analog graph ANN — closes the last declared capability of the
+reference's pgvector index (`db/models/embedding.py:15-17`,
+`services/db_service/db_init.sql:23-28`): a navigable small-world graph
+searched by greedy beam descent, here as a *driver-built, broadcast,
+map-side-searched* index.
+
+Placement in the ANN tier (see `operators/similarity.py` for IVF/LSH/PQ):
+HNSW is a pointer-chasing in-memory structure with no distributed analog —
+the Spark-native deployment is the same shape as the IVF centroids and PQ
+codebooks this repo already uses: build the graph over a SMALL
+representative set (the embeddings table here, ≤2000 rows at sf0.1; at
+100 TB you build it over the IVF cell centroids or a sampled skeleton, or
+one sub-index per partition), broadcast it, and run the beam search
+map-side over the query stream via Arrow-batched ``mapInPandas``. The one
+``collect()`` is the index build input and is bounded by the same
+small-side contract as the Ward-linkage centroid cap
+(`operators/clustering.py`) — pinned by `tests/test_hnsw.py`.
+
+Determinism contract (what makes the exact oracle possible):
+- insertion order = ascending vec_id; level draws from a seeded
+  ``np.random.default_rng``;
+- all tie-breaks are (distance, node-id) tuples; adjacency lists keep
+  insertion order; pruning sorts by (distance, id);
+- the EMITTED ``cos_sim`` is recomputed with a sequential left-to-right
+  float64 fold (`_seq_cos`) — the same operation order Spark's
+  ``F.aggregate`` and DuckDB's ``list_dot_product`` use — because numpy's
+  BLAS dot may differ in the last ulp and flip a 6-decimal rounding.
+  np.dot is used only for *ranking inside the search*, where ulp noise
+  cannot change the candidate set at sane ``ef``.
+
+With ``ef`` well above k on a connected graph the searched candidate set
+contains the true top-k, so the registered query hash-matches the exact
+brute-force k-NN oracle. Recall 1 is a property of (corpus, M, ef), not a
+law — `tests/test_hnsw.py` asserts zero misses over EVERY corpus vector as
+query at the defaults (measured margin: M=16/ef=96 already misses only
+1/8000 at sf0.1; the shipped M=16/ef=128 misses 0). If a regeneration
+breaks it, demote the query to rows-only.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalize(X: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return X / n
+
+
+def _seq_cos(a, b) -> float:
+    """Sequential left-to-right cosine — bit-identical to Spark
+    ``F.aggregate`` / DuckDB ``list_dot_product`` fold order."""
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    for x in a:
+        na += float(x) * float(x)
+    for y in b:
+        nb += float(y) * float(y)
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _search_layer(q, entries, ef, adj, Xn):
+    """Best-first beam search on one layer; returns [(dist, node)] ascending,
+    at most ef entries. Deterministic: heaps order by (dist, node)."""
+
+    def dist(i):
+        return 1.0 - float(np.dot(Xn[i], q))
+
+    visited = set(entries)
+    cand = [(dist(e), e) for e in entries]
+    heapq.heapify(cand)
+    results = [(-d, n) for d, n in cand]
+    heapq.heapify(results)
+    while len(results) > ef:
+        heapq.heappop(results)
+    while cand:
+        d, c = heapq.heappop(cand)
+        if len(results) >= ef and d > -results[0][0]:
+            break
+        for nb in adj.get(c, ()):
+            if nb in visited:
+                continue
+            visited.add(nb)
+            dn = dist(nb)
+            if len(results) < ef or dn < -results[0][0]:
+                heapq.heappush(cand, (dn, nb))
+                heapq.heappush(results, (-dn, nb))
+                if len(results) > ef:
+                    heapq.heappop(results)
+    return sorted((-nd, n) for nd, n in results)
+
+
+def hnsw_build(
+    ids: list[int],
+    X: np.ndarray,
+    M: int = 16,
+    ef_construction: int = 128,
+    seed: int = 42,
+) -> dict:
+    """Deterministic multi-layer HNSW over (ids, X). ``ids`` must be sorted
+    ascending (the insertion order is part of the determinism contract).
+    Layer-0 degree cap is 2M (the standard M_max0), upper layers M."""
+    assert list(ids) == sorted(ids), "insertion order must be ascending ids"
+    Xn = _normalize(np.asarray(X, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    ml = 1.0 / math.log(M)
+    layers: list[dict[int, list[int]]] = []
+    entry, max_level = None, -1
+
+    def cap(level):
+        return 2 * M if level == 0 else M
+
+    for i in range(len(ids)):
+        lvl = int(-math.log(max(float(rng.random()), 1e-300)) * ml)
+        if entry is None:
+            while len(layers) <= lvl:
+                layers.append({})
+            for l in range(lvl + 1):
+                layers[l][i] = []
+            entry, max_level = i, lvl
+            continue
+        q = Xn[i]
+        ep = [entry]
+        for l in range(max_level, lvl, -1):
+            ep = [_search_layer(q, ep, 1, layers[l], Xn)[0][1]]
+        for l in range(min(lvl, max_level), -1, -1):
+            res = _search_layer(q, ep, ef_construction, layers[l], Xn)
+            neigh = [n for _, n in res[: cap(l)]]
+            layers[l].setdefault(i, []).extend(neigh)
+            for n in neigh:
+                lst = layers[l].setdefault(n, [])
+                lst.append(i)
+                if len(lst) > cap(l):
+                    lst.sort(
+                        key=lambda j, n=n: (
+                            1.0 - float(np.dot(Xn[n], Xn[j])),
+                            j,
+                        )
+                    )
+                    del lst[cap(l):]
+            ep = [n for _, n in res]
+        if lvl > max_level:
+            while len(layers) <= lvl:
+                layers.append({})
+            for l in range(max_level + 1, lvl + 1):
+                layers[l].setdefault(i, [])
+            entry, max_level = i, lvl
+    return {
+        "ids": list(ids),
+        "Xn": Xn,
+        "X": np.asarray(X, dtype=np.float64),
+        "layers": layers,
+        "entry": entry,
+        "max_level": max_level,
+        "M": M,
+    }
+
+
+def hnsw_search(index: dict, qv: np.ndarray, k: int, ef: int = 128):
+    """Greedy descent through the upper layers, beam search at layer 0.
+    Returns [(vec_id, candidate_rank_dist)] — callers re-score candidates
+    with `_seq_cos` for emission; this list's ORDER is np-dot ranking."""
+    q = np.asarray(qv, dtype=np.float64)
+    nq = np.linalg.norm(q)
+    q = q / (nq if nq else 1.0)
+    ep = [index["entry"]]
+    for l in range(index["max_level"], 0, -1):
+        ep = [_search_layer(q, ep, 1, index["layers"][l], index["Xn"])[0][1]]
+    res = _search_layer(q, ep, max(ef, k), index["layers"][0], index["Xn"])
+    return [(index["ids"][n], d) for d, n in res]
+
+
+def hnsw_cosine_knn(
+    e: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    ef: int = 128,
+    M: int = 16,
+    ef_construction: int = 128,
+    round_to: int = 6,
+) -> DataFrame:
+    """Batched ANN k-NN: build the graph over ``e`` (vec_id, v — SMALL by
+    contract, see module docstring), broadcast it, and search each row of
+    ``queries`` (vec_id, v) map-side. Self-matches are excluded. Output
+    (qid, nid, cos_sim, rnk) ranks by (rounded cos_sim DESC, nid) — the
+    exact k-NN oracle's order — with cos_sim from the sequential fold."""
+    rows = sorted(
+        e.select("vec_id", "v").collect(), key=lambda r: r["vec_id"]
+    )
+    ids = [int(r["vec_id"]) for r in rows]
+    X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    index = hnsw_build(ids, X, M=M, ef_construction=ef_construction)
+    pos = {vid: i for i, vid in enumerate(ids)}
+    spark = e.sparkSession
+    b = spark.sparkContext.broadcast(
+        {"index": index, "pos": pos}
+    )
+
+    def search_batches(batches):
+        import pandas as pd
+
+        idx = b.value["index"]
+        posmap = b.value["pos"]
+        for pdf in batches:
+            out = {"qid": [], "nid": [], "cos_sim": [], "rnk": []}
+            for qid, qv in zip(pdf["qid"], pdf["qv"]):
+                qv = np.asarray(list(qv), dtype=np.float64)
+                cands = [
+                    nid
+                    for nid, _ in hnsw_search(idx, qv, k + 1, ef)
+                    if nid != qid
+                ]
+                scored = sorted(
+                    (
+                        (round(_seq_cos(qv, idx["X"][posmap[nid]]), round_to), nid)
+                        for nid in cands
+                    ),
+                    key=lambda t: (-t[0], t[1]),
+                )[:k]
+                for r_, (cs, nid) in enumerate(scored, 1):
+                    out["qid"].append(int(qid))
+                    out["nid"].append(int(nid))
+                    out["cos_sim"].append(cs)
+                    out["rnk"].append(r_)
+            yield pd.DataFrame(out)
+
+    return queries.select(
+        F.col("vec_id").cast("long").alias("qid"), F.col("v").alias("qv")
+    ).mapInPandas(search_batches, "qid long, nid long, cos_sim double, rnk long")

@@ -2,9 +2,11 @@
 reference's declared pgvector HNSW cosine capability
 (`db/models/embedding.py:15-17`, `services/db_service/db_init.sql:23-28`).
 
-HNSW is a pointer-chasing in-memory graph — there is no Spark analog. The
-distributed equivalents both follow the same shape: *partition the corpus by
-a cheap hash of the vector, search only the partition(s) the query lands in*.
+HNSW is a pointer-chasing in-memory graph — there is no distributed analog
+of the structure itself; `operators/hnsw.py` ships the graph as a
+driver-built broadcast index searched map-side, while the operators here
+follow the partition-native shape: *partition the corpus by a cheap hash of
+the vector, search only the partition(s) the query lands in*.
 
 - **IVF** (inverted file): coarse-quantize every vector to its nearest
   centroid; a query probes only the ``nprobe`` nearest cells. Spark-side the

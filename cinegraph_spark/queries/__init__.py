@@ -82,6 +82,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # a stale re-check)
     "pipeline_ingest_dedup_retention",
     "agg_percentiles_price_tdigest",
+    "vec_ann_hnsw_knn",
     # last checked round 2 (registry order)
     "vec_centroid_shift_labels",
     "vec_int8_quantize_error",

@@ -460,3 +460,44 @@ def vec_ann_pq_topk(spark, sf_dir):
     return pq_topk(
         e.filter(F.col("vec_id") != 0), q, _PQ_BOOKS[sf_dir], k=10, rerank=80
     )
+
+
+@register(
+    "vec_ann_hnsw_knn",
+    f"""
+    WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT qid, vec_id AS nid,
+             round(list_dot_product(v, qv)
+                   / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos_sim
+      FROM e, q WHERE vec_id <> qid
+    )
+    SELECT qid, nid, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, nid) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    tags=("vector", "ann", "hnsw", "knn", "similarity"),
+)
+def vec_ann_hnsw_knn(spark, sf_dir):
+    """V1 scale path (d): HNSW-analog graph ANN — the last declared
+    capability of the reference's pgvector index
+    (`db/models/embedding.py:15-17`). The navigable-small-world graph is
+    built ONCE on the driver over the small vector set (the same
+    small-side contract as the IVF centroids / PQ codebooks / Ward
+    linkage), broadcast, and each query row runs the greedy-descent beam
+    search map-side in an Arrow-batched ``mapInPandas`` — so query
+    throughput scales with partitions while the index stays a bounded
+    broadcast. Deterministic construction + sequential-fold cosine
+    emission make the result hash-match the EXACT brute-force k-NN
+    oracle (recall 1 at ef=128 on this corpus — asserted by
+    tests/test_hnsw.py, not assumed; a regeneration that broke it would
+    fail there first)."""
+    from cinegraph_spark.operators.hnsw import hnsw_cosine_knn
+
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    queries = e.filter(F.col("vec_id") < 10)
+    return hnsw_cosine_knn(e, queries, k=3, ef=128)

@@ -1,0 +1,149 @@
+"""HNSW graph-ANN contract (operators/hnsw.py).
+
+The registered query `vec_ann_hnsw_knn` carries an EXACT brute-force k-NN
+oracle — legitimate only while the beam search recalls the true top-k on
+the fixture corpus. These tests assert that recall (it is a property of
+(corpus, ef), not a law), plus the determinism and graph invariants the
+oracle-exactness rests on, so a testdata regeneration or a parameter
+change fails HERE with a named assumption instead of as a driver hash
+mismatch.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cinegraph_spark.operators.hnsw import (
+    _seq_cos,
+    hnsw_build,
+    hnsw_cosine_knn,
+    hnsw_search,
+)
+
+
+def _corpus(spark, sf_dir):
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    rows = sorted(e.collect(), key=lambda r: r["vec_id"])
+    ids = [int(r["vec_id"]) for r in rows]
+    X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    return ids, X
+
+
+def test_search_is_exact_on_synthetic_grid():
+    """Pure-function sanity: on a tiny set, beam search with ef >= n
+    returns exactly the brute-force neighbor ranking."""
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(40, 8))
+    ids = list(range(40))
+    index = hnsw_build(ids, X, M=4, ef_construction=16)
+    q = rng.normal(size=8)
+    got = [nid for nid, _ in hnsw_search(index, q, 5, ef=40)][:5]
+    qn = q / np.linalg.norm(q)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    want = list(np.argsort([-(float(np.dot(x, qn))) for x in Xn], kind="stable")[:5])
+    assert got == [ids[i] for i in want]
+
+
+def test_recall_is_one_on_fixture_corpus(spark, sf_dir):
+    """THE oracle-exactness guard: for every corpus vector as query, the
+    default-ef beam search's candidate set must contain the true top-4 (k+1
+    incl. self) by numpy ranking. If a regeneration breaks this, demote
+    vec_ann_hnsw_knn to rows-only."""
+    ids, X = _corpus(spark, sf_dir)
+    index = hnsw_build(ids, X)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ Xn.T
+    misses = 0
+    for qi in range(len(ids)):
+        true_top = set(
+            ids[j] for j in np.argsort(-sims[qi], kind="stable")[:4]
+        )
+        cands = set(nid for nid, _ in hnsw_search(index, X[qi], 4))
+        misses += len(true_top - cands)
+    assert misses == 0, f"{misses} true-neighbor misses at default ef"
+
+
+def test_build_is_deterministic(spark, sf_dir):
+    ids, X = _corpus(spark, sf_dir)
+    a = hnsw_build(ids, X)
+    b = hnsw_build(ids, X)
+    assert a["entry"] == b["entry"] and a["max_level"] == b["max_level"]
+    assert a["layers"] == b["layers"]
+
+
+def test_graph_invariants(spark, sf_dir):
+    """Degree caps (2M at layer 0, M above) and layer-0 connectivity —
+    connectivity is what makes high-ef search exhaustive-equivalent."""
+    ids, X = _corpus(spark, sf_dir)
+    M = 16
+    index = hnsw_build(ids, X, M=M)
+    for lvl, adj in enumerate(index["layers"]):
+        cap = 2 * M if lvl == 0 else M
+        for node, nbrs in adj.items():
+            assert len(nbrs) <= cap, f"layer {lvl} node {node} degree {len(nbrs)}"
+            assert node not in nbrs, "self-loop"
+    # BFS over layer 0 from the entry point reaches every node
+    adj0 = index["layers"][0]
+    seen = {index["entry"]}
+    frontier = [index["entry"]]
+    while frontier:
+        nxt = []
+        for n in frontier:
+            for nb in adj0.get(n, ()):
+                if nb not in seen:
+                    seen.add(nb)
+                    nxt.append(nb)
+        frontier = nxt
+    assert len(seen) == len(ids), f"layer 0 disconnected: {len(seen)}/{len(ids)}"
+
+
+def test_seq_cos_matches_spark_fold(spark):
+    """The emitted cosine must reproduce Spark's sequential F.aggregate
+    fold bit-for-bit (same operation order) — the property the 6-decimal
+    oracle rounding relies on."""
+    from cinegraph_spark.functions import vector as V
+
+    rng = np.random.default_rng(3)
+    a = [float(x) for x in rng.normal(size=64)]
+    b = [float(x) for x in rng.normal(size=64)]
+    df = spark.createDataFrame(
+        [(a, b)], "a array<double>, b array<double>"
+    ).select(V.cosine(F.col("a"), F.col("b")).alias("c"))
+    spark_c = df.collect()[0]["c"]
+    assert _seq_cos(a, b) == spark_c
+
+
+def test_distributed_knn_matches_driver_search(spark, sf_dir):
+    """The mapInPandas path returns exactly what driver-side search +
+    sequential re-scoring produce (broadcast/Arrow plumbing adds nothing)."""
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    out = hnsw_cosine_knn(e, e.filter(F.col("vec_id") < 5), k=3)
+    got = {
+        (r["qid"], r["rnk"]): (r["nid"], r["cos_sim"]) for r in out.collect()
+    }
+    ids, X = _corpus(spark, sf_dir)
+    index = hnsw_build(ids, X)
+    pos = {v: i for i, v in enumerate(ids)}
+    for qid in range(5):
+        qv = X[pos[qid]]
+        cands = [n for n, _ in hnsw_search(index, qv, 4) if n != qid]
+        scored = sorted(
+            ((round(_seq_cos(qv, X[pos[n]]), 6), n) for n in cands),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        for rnk, (cs, nid) in enumerate(scored, 1):
+            assert got[(qid, rnk)] == (nid, cs)

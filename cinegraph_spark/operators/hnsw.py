@@ -196,6 +196,10 @@ def hnsw_cosine_knn(
     rows = sorted(
         e.select("vec_id", "v").collect(), key=lambda r: r["vec_id"]
     )
+    if not rows:  # empty corpus (pruned-partition edge): empty result frame
+        return e.sparkSession.createDataFrame(
+            [], "qid long, nid long, cos_sim double, rnk long"
+        )
     ids = [int(r["vec_id"]) for r in rows]
     X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
     index = hnsw_build(ids, X, M=M, ef_construction=ef_construction)

@@ -471,3 +471,38 @@ def test_parquet_drain_empty_stream_yields_empty_frame(spark, tmp_path):
     assert set(out.columns) == {
         "window_start", "window_end", "event_type", "n_events", "total_value"
     }
+
+
+def test_parquet_drain_multibatch_appends_once_per_batch(spark, tmp_path):
+    """foreachBatch append across MULTIPLE micro-batches: a 4-part source
+    with maxFilesPerTrigger=1 must land every input row in the parquet
+    drain exactly once (no dropped or re-appended batches)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cinegraph_spark.streaming.windows import run_availablenow_to_parquet
+
+    src = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001"),
+        "events.parquet",
+    )
+    tbl = pq.read_table(src)
+    outdir = tmp_path / "events.parquet"
+    outdir.mkdir()
+    n = tbl.num_rows // 4 + 1
+    for i in range(4):
+        chunk = tbl.slice(i * n, n)
+        if chunk.num_rows:
+            pq.write_table(chunk, f"{outdir}/part-{i}.parquet")
+
+    stream = read_events_stream(spark, str(tmp_path), max_files_per_trigger=1)
+    drained = run_availablenow_to_parquet(
+        spark,
+        stream.select("event_id"),
+        str(tmp_path / "drain"),
+        output_mode="append",
+    )
+    got = sorted(r["event_id"] for r in drained.collect())
+    want = sorted(tbl["event_id"].to_pylist())
+    assert got == want

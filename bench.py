@@ -80,6 +80,7 @@ HEADLINE = [
     "pipeline_training_data_prep",
     # round 8 additions
     "pipeline_ingest_dedup_retention",
+    "vec_ann_hnsw_partitioned_knn",
 ]
 
 
@@ -169,6 +170,13 @@ def main() -> None:
         line = _line(1)
     if len(line) > 1980:  # long over_budget dict: keep names, drop details
         result["over_budget"] = sorted(over)
+        line = _line(1)
+    if len(line) > 1995:  # last resort: breach count only (names in stderr)
+        result["over_budget"] = len(over)
+        line = _line(1)
+    if len(line) > 1980:  # and the shortest contract-shaped frame
+        result["metric"] = "hl"
+        result["value"] = round(total, 1)
         line = _line(1)
     print(line)
     spark.stop()

@@ -240,3 +240,84 @@ def hnsw_cosine_knn(
     return queries.select(
         F.col("vec_id").cast("long").alias("qid"), F.col("v").alias("qv")
     ).mapInPandas(search_batches, "qid long, nid long, cos_sim double, rnk long")
+
+
+def hnsw_partitioned_knn(
+    e: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_partitions: int = 8,
+    ef: int = 128,
+    M: int = 16,
+    ef_construction: int = 128,
+    round_to: int = 6,
+) -> DataFrame:
+    """Scatter-gather HNSW — the FULL-CORPUS scale path (the broadcast
+    variant above caps the corpus at what one driver graph holds): hash-
+    partition the corpus, build one sub-index per partition inside an
+    Arrow-batched ``mapInPandas`` (executors build; the driver never sees
+    the vectors), search the broadcast query batch against every
+    sub-index, and re-rank the union of local top-(k+1) candidates with
+    one tiny window. Exactness guarantee: every global top-k neighbor
+    ranks within the local top-k of ITS OWN partition (partitions are
+    disjoint), so if each local beam search has recall 1 — much easier on
+    a partition-sized set than on the full corpus — the candidate union
+    provably contains the global top-k, and the final ranking is exact.
+    At 100 TB: partitions are the parquet layout, sub-indexes are built
+    once per partition and cached/persisted, and only the O(n_queries ×
+    n_partitions × k) candidate rows ever shuffle."""
+    qrows = sorted(
+        queries.select("vec_id", "v").collect(), key=lambda r: r["vec_id"]
+    )
+    if not qrows:
+        return e.sparkSession.createDataFrame(
+            [], "qid long, nid long, cos_sim double, rnk long"
+        )
+    spark = e.sparkSession
+    bq = spark.sparkContext.broadcast(
+        [(int(r["vec_id"]), [float(x) for x in r["v"]]) for r in qrows]
+    )
+
+    def local_search(batches):
+        import pandas as pd
+
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        order = pdf["vec_id"].astype("int64").argsort(kind="stable")
+        pdf = pdf.iloc[order]
+        ids = [int(x) for x in pdf["vec_id"]]
+        X = np.asarray([list(v) for v in pdf["v"]], dtype=np.float64)
+        index = hnsw_build(ids, X, M=M, ef_construction=ef_construction)
+        pos = {vid: i for i, vid in enumerate(ids)}
+        out = {"qid": [], "nid": [], "cos_sim": []}
+        for qid, qv in bq.value:
+            qv = np.asarray(qv, dtype=np.float64)
+            cands = [
+                nid
+                for nid, _ in hnsw_search(index, qv, k + 1, ef)
+                if nid != qid
+            ]
+            for cs, nid in sorted(
+                ((round(_seq_cos(qv, X[pos[n]]), round_to), n) for n in cands),
+                key=lambda t: (-t[0], t[1]),
+            )[: k + 1]:
+                out["qid"].append(qid)
+                out["nid"].append(nid)
+                out["cos_sim"].append(cs)
+        yield pd.DataFrame(out)
+
+    from pyspark.sql import Window
+
+    cands = e.repartition(n_partitions, "vec_id").mapInPandas(
+        local_search, "qid long, nid long, cos_sim double"
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cos_sim"), F.asc("nid")
+    )
+    return (
+        cands.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cos_sim", "rnk")
+    )

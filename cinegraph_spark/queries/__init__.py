@@ -83,6 +83,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_ingest_dedup_retention",
     "agg_percentiles_price_tdigest",
     "vec_ann_hnsw_knn",
+    "vec_ann_hnsw_partitioned_knn",
     # last checked round 2 (registry order)
     "vec_centroid_shift_labels",
     "vec_int8_quantize_error",

@@ -501,3 +501,44 @@ def vec_ann_hnsw_knn(spark, sf_dir):
     e = _emb(spark, sf_dir).select("vec_id", "v")
     queries = e.filter(F.col("vec_id") < 10)
     return hnsw_cosine_knn(e, queries, k=3, ef=128)
+
+
+@register(
+    "vec_ann_hnsw_partitioned_knn",
+    f"""
+    WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT qid, vec_id AS nid,
+             round(list_dot_product(v, qv)
+                   / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos_sim
+      FROM e, q WHERE vec_id <> qid
+    )
+    SELECT qid, nid, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, nid) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    tags=("vector", "ann", "hnsw", "knn", "similarity", "partitioned"),
+)
+def vec_ann_hnsw_partitioned_knn(spark, sf_dir):
+    """V1 scale path (e): scatter-gather HNSW — the FULL-CORPUS form of
+    the graph ANN (`operators/hnsw.py::hnsw_partitioned_knn`). The corpus
+    hash-partitions on vec_id, each partition builds its own sub-index
+    inside mapInPandas (executors build — no driver collect of vectors at
+    all, unlike the broadcast variant), the broadcast query batch probes
+    every sub-index, and one tiny window re-ranks the candidate union.
+    Every global top-k neighbor is in the local top-k of its own
+    partition, so partition-level recall 1 (easier than corpus-level)
+    makes the union provably contain the global top-k — the same exact
+    brute-force oracle hash-matches, and the answer is independent of
+    n_partitions (pinned in tests/test_hnsw.py)."""
+    from cinegraph_spark.operators.hnsw import hnsw_partitioned_knn
+    from cinegraph_spark.session import bounded_shuffle
+
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    queries = e.filter(F.col("vec_id") < 10)
+    with bounded_shuffle(spark, 8):
+        return hnsw_partitioned_knn(e, queries, k=3, n_partitions=8)

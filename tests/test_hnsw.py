@@ -147,3 +147,51 @@ def test_distributed_knn_matches_driver_search(spark, sf_dir):
         )[:3]
         for rnk, (cs, nid) in enumerate(scored, 1):
             assert got[(qid, rnk)] == (nid, cs)
+
+
+def test_partitioned_knn_is_partition_invariant(spark, sf_dir):
+    """The scatter-gather result must not depend on n_partitions — the
+    candidate-union + re-rank recovers the same global top-k whether the
+    corpus is 1 partition (== the single-index answer) or 8."""
+    from cinegraph_spark.operators.hnsw import hnsw_partitioned_knn
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = e.filter(F.col("vec_id") < 10)
+    one = sorted(
+        map(tuple, hnsw_partitioned_knn(e, q, k=3, n_partitions=1).collect())
+    )
+    eight = sorted(
+        map(tuple, hnsw_partitioned_knn(e, q, k=3, n_partitions=8).collect())
+    )
+    assert one == eight and len(one) == 30
+
+
+def test_partitioned_knn_exact_for_every_corpus_query(spark, sf_dir):
+    """Full-corpus exactness sweep: with EVERY corpus vector as a query,
+    the scatter-gather answer equals brute force — the partition-level
+    recall-1 guarantee the exact oracle rests on, tested directly."""
+    from cinegraph_spark.operators.hnsw import hnsw_partitioned_knn
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    got = {
+        (r["qid"], r["rnk"]): r["nid"]
+        for r in hnsw_partitioned_knn(e, e, k=3, n_partitions=8).collect()
+    }
+    ids, X = _corpus(spark, sf_dir)
+    pos = {v: i for i, v in enumerate(ids)}
+    for qid in ids:
+        qv = X[pos[qid]]
+        scored = sorted(
+            ((round(_seq_cos(qv, X[pos[n]]), 6), n) for n in ids if n != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        for rnk, (_, nid) in enumerate(scored, 1):
+            assert got[(qid, rnk)] == nid, (qid, rnk, nid, got[(qid, rnk)])

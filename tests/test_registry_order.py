@@ -26,7 +26,7 @@ def test_round8_changed_then_stalest_lead():
     fills the budget right after them; the r3 bucket follows; nothing
     checked green in r5-r7 consumes a budget slot beyond the canaries."""
     names = list(load_all().keys())
-    front = names[:9]
+    front = names[:10]
     for leading in (
         "stream_retention_cohorts",
         "stream_join_purchase_click_attribution",
@@ -38,10 +38,11 @@ def test_round8_changed_then_stalest_lead():
         "pipeline_ingest_dedup_retention",
         "agg_percentiles_price_tdigest",
         "vec_ann_hnsw_knn",
+        "vec_ann_hnsw_partitioned_knn",
     ):
         assert leading in front
-    # the r2 tail starts immediately after the 9-slot head
-    assert names[9] == "vec_centroid_shift_labels"
+    # the r2 tail starts immediately after the 10-slot head
+    assert names[10] == "vec_centroid_shift_labels"
     budget = set(names[:50])
     # the stalest families are inside the budget
     assert "media_feature_extract" in budget

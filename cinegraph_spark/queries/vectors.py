@@ -536,9 +536,10 @@ def vec_ann_hnsw_partitioned_knn(spark, sf_dir):
     brute-force oracle hash-matches, and the answer is independent of
     n_partitions (pinned in tests/test_hnsw.py)."""
     from cinegraph_spark.operators.hnsw import hnsw_partitioned_knn
-    from cinegraph_spark.session import bounded_shuffle
 
     e = _emb(spark, sf_dir).select("vec_id", "v")
     queries = e.filter(F.col("vec_id") < 10)
-    with bounded_shuffle(spark, 8):
-        return hnsw_partitioned_knn(e, queries, k=3, n_partitions=8)
+    # no bounded_shuffle: the plan's only data-sized exchange is the
+    # explicit repartition(8); the re-rank window shuffles ~n_queries*8*k
+    # candidate rows, harmless at any session partition count
+    return hnsw_partitioned_knn(e, queries, k=3, n_partitions=8)

@@ -57,75 +57,28 @@ def register(
 #: Driver-slot priority (round 8). The driver's correctness harness walks
 #: the registry in order under a ~50-query budget, so this list pins the
 #: front slots explicitly instead of relying on module import order.
-#: Round-8 rationale — continue the oldest-green-first rotation begun in
-#: r7 (which swept all of r1 and the r2 head): (1) six canaries whose
-#: code changed THIS round — the five streaming queries now draining
-#: through the parquet file sink instead of the memory sink, and the
-#: training-prep composite whose packing prefix-sum became hierarchical
-#: (both changes are oracle-identical by design; the driver row proves
-#: it); (2) the r2 remainder (vec/text/dedup/media tail), then every
-#: query last checked in r3 (graph, TPC-H, subquery, window, sampling,
-#: packing families), preserving registry order within each round bucket
-#: (freshness per round computed from CORRECTNESS_r0*.json). 6+21+39 =
-#: 66 names; the ~50-slot budget cuts off mid-r3 and the r3 remainder
-#: queues first for round 9. Every name here must exist in the registry
-#: — load_all asserts.
+#: Round-9 rationale — FINISH the oldest-green-first rotation (r7 swept
+#: r1 + the r2 head, r8 swept the r2 remainder + the r3 head): after r8
+#: exactly 50 queries remain with a latest check older than round 6 — 20
+#: last checked in r3 (the TPC-H/subquery/window/sampling/packing tail)
+#: and 30 last checked in r5 (the agg/join/window/setop/scalar/media/udf
+#: families) — one full 50-slot round. They fill every slot, oldest
+#: bucket first, registry order within each bucket (freshness computed
+#: from CORRECTNESS_r0*.json). Round-9 changed-code canaries (the
+#: parquet-drain hardening touching the five streaming queries + ingest
+#: composite, the adaptive-partition HNSW, and the sub-shard packing —
+#: all oracle-identical by design AND covered by the local
+#: test_oracle_parity mirror) queue immediately after the 50: the
+#: packing pair is already inside the stale set, and displacing an
+#: r3-stale slot for an r8-green re-check would leave the rotation
+#: permanently unfinished. After this round no query's latest check is
+#: older than r5. Every name here must exist in the registry — load_all
+#: asserts.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-8 changed-code canaries (parquet drain / hierarchical packing)
-    "stream_retention_cohorts",
-    "stream_join_purchase_click_attribution",
-    "stream_enrich_purchase_customer",
-    "stream_stateful_topk_per_user",
-    "src_stream_listing_pages",
-    "pipeline_training_data_prep",
-    # brand-new round-8 queries (no driver row yet — first check outranks
-    # a stale re-check)
-    "pipeline_ingest_dedup_retention",
-    "agg_percentiles_price_tdigest",
-    "vec_ann_hnsw_knn",
-    "vec_ann_hnsw_partitioned_knn",
-    # last checked round 2 (registry order)
-    "vec_centroid_shift_labels",
-    "vec_int8_quantize_error",
-    "text_token_stats",
-    "text_bpe_token_count",
-    "text_quality_score",
-    "text_langid_heuristic",
-    "text_fingerprint",
-    "text_source_lang_profile",
-    "text_tfidf_top_terms",
-    "text_udtf_sentence_split",
-    "text_pii_redact",
-    "text_quality_filter_gopher",
-    "text_repetition_stats",
-    "dedup_exact_groups",
-    "dedup_exact_survivors",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_neardup_survivors",
-    "dedup_embedding_near_pairs",
-    "dedup_contamination_screen",
-    "dedup_levenshtein_part_names",
-    "media_feature_extract",
-    # last checked round 3 (registry order)
-    "graph_copurchase_degree_topk",
-    "graph_copurchase_triangles",
-    "graph_cc_neardup_clusters",
-    "graph_cc_star_neardup_clusters",
-    "graph_neighbors_of_node",
-    "graph_bfs_levels_tree",
-    "graph_pagerank_copurchase",
-    "graph_recursive_cte_descendants",
-    "graph_label_propagation_communities",
-    "q4_order_priority_check",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
+    # last checked round 3 (registry order — the 20 names the r8 budget
+    # cut off) — includes pack_chunks/pack_chunk_manifest, whose
+    # prefix-sum becomes sub-sharded this round (oracle-identical; the
+    # driver row doubles as the canary)
     "q18_large_volume_customers",
     "q19_discounted_revenue",
     "q22_idle_rich_customers",
@@ -146,6 +99,48 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_train_val_test_split",
     "dedup_minhash_portable_est",
     "sketch_countmin_heavy_hitters",
+    # last checked round 5 (registry order)
+    "agg_rollup_region_nation",
+    "agg_cube_status_priority",
+    "agg_grouping_sets",
+    "join_inner_order_totals_per_segment",
+    "join_left_customers_order_counts",
+    "join_full_outer_customer_supplier_nations",
+    "join_semi_customers_with_open_orders",
+    "join_anti_customers_without_orders",
+    "join_broadcast_part_lineitem",
+    "join_range_theta_price_band",
+    "window_topk_orders_per_customer",
+    "window_rank_dense_rank",
+    "window_running_revenue_per_customer",
+    "window_range_frame_acctbal",
+    "sort_topk_orders_global",
+    "setop_union_intersect_except",
+    "setop_intersect_all_linestatus",
+    "scalar_orders_by_month",
+    "scalar_case_bucketing",
+    "agg_regr_corr_stats",
+    "join_lateral_top2_customers_per_nation",
+    "join_merge_cdc_customer_orders",
+    "join_right_orders_all_customers",
+    "media_frame_sample_plan",
+    "media_kind_profile",
+    "media_payload_checksums",
+    "sketch_hll_distinct_users",
+    "src_paginated_listing_decades",
+    "udf_pandas_grouped_agg_gini",
+    "udf_pandas_scalar_net_revenue",
+    # --- 50-slot budget line ---
+    # round-9 changed-code canaries (first overflow slots): the streaming
+    # queries + ingest composite ride the hardened idempotent parquet
+    # drain; the partitioned HNSW derives n_partitions from corpus size
+    "stream_retention_cohorts",
+    "stream_join_purchase_click_attribution",
+    "stream_enrich_purchase_customer",
+    "stream_stateful_topk_per_user",
+    "src_stream_listing_pages",
+    "pipeline_ingest_dedup_retention",
+    "vec_ann_hnsw_partitioned_knn",
 )
 
 

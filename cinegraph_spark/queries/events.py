@@ -266,7 +266,7 @@ def stream_stateful_topk_per_user(spark, sf_dir):
     value was emitted in the batch it arrived — so re-ranking the distinct
     (user, value) union recovers exactly the final state regardless of how
     many micro-batches the source produced."""
-    import tempfile
+    from cinegraph_spark.session import scratch_dir
 
     from pyspark.sql import Window
 
@@ -280,7 +280,7 @@ def stream_stateful_topk_per_user(spark, sf_dir):
     out = run_availablenow_to_parquet(
         spark,
         stateful_topk_per_user(stream, k=3),
-        tempfile.mkdtemp(prefix="cg_drain_topk_"),
+        scratch_dir("cg_drain_topk_"),
         output_mode="update",
     )
     w = Window.partitionBy("user_id").orderBy(F.desc("value"))
@@ -315,7 +315,7 @@ def stream_join_purchase_click_attribution(spark, sf_dir):
     purchase↔click attribution join with watermark-bounded state →
     availableNow drain. Oracle: the same range predicate as a batch
     self-join. Timestamps projected as strings so the hash is tz-proof."""
-    import tempfile
+    from cinegraph_spark.session import scratch_dir
 
     from cinegraph_spark.queries.util import ntz, tstr
     from cinegraph_spark.streaming.joins import purchases_with_recent_clicks
@@ -328,7 +328,7 @@ def stream_join_purchase_click_attribution(spark, sf_dir):
     out = run_availablenow_to_parquet(
         spark,
         purchases_with_recent_clicks(stream),
-        tempfile.mkdtemp(prefix="cg_drain_ssjoin_"),
+        scratch_dir("cg_drain_ssjoin_"),
         output_mode="append",
     )
     # ntz first: the drained instants format tz-independently afterwards
@@ -361,7 +361,7 @@ def stream_enrich_purchase_customer(spark, sf_dir):
     static customer dimension per micro-batch — zero state store, zero
     stream-side shuffle; the dim is re-resolved each batch (slowly-changing
     semantics for free). Oracle: the same equi-join in batch SQL."""
-    import tempfile
+    from cinegraph_spark.session import scratch_dir
 
     from cinegraph_spark.queries.util import T, r4
     from cinegraph_spark.streaming.joins import enrich_stream_with_dim
@@ -380,7 +380,7 @@ def stream_enrich_purchase_customer(spark, sf_dir):
     out = run_availablenow_to_parquet(
         spark,
         enriched,
-        tempfile.mkdtemp(prefix="cg_drain_enrich_"),
+        scratch_dir("cg_drain_enrich_"),
         output_mode="append",
     )
     return out.select(
@@ -585,7 +585,7 @@ def stream_retention_cohorts(spark, sf_dir):
     Cohort timestamps travel as integer UTC-midnight microseconds and are
     rendered with date arithmetic, so no session-timezone formatting can
     leak into the hash."""
-    import tempfile
+    from cinegraph_spark.session import scratch_dir
 
     from cinegraph_spark.streaming.stateful import stateful_retention_offsets
     from cinegraph_spark.streaming.windows import (
@@ -597,7 +597,7 @@ def stream_retention_cohorts(spark, sf_dir):
     out = run_availablenow_to_parquet(
         spark,
         stateful_retention_offsets(stream),
-        tempfile.mkdtemp(prefix="cg_drain_retention_"),
+        scratch_dir("cg_drain_retention_"),
         output_mode="update",
     )
     # localCheckpoint the cohort-triangle-sized drain: pins the snapshot
@@ -668,7 +668,7 @@ def pipeline_ingest_dedup_retention(spark, sf_dir):
     batch retention query. Snapshot instants are projected back to UTC
     wall clocks (`ntz`) before any week math, so no session timezone can
     leak into the hash."""
-    import tempfile
+    from cinegraph_spark.session import scratch_dir
 
     from cinegraph_spark.operators.incremental import append_new_keys
     from cinegraph_spark.queries.util import dstr, ntz
@@ -677,12 +677,12 @@ def pipeline_ingest_dedup_retention(spark, sf_dir):
         run_availablenow_to_parquet,
     )
 
-    snapshot = tempfile.mkdtemp(prefix="cg_ingest_snap_") + "/snapshot"
+    snapshot = scratch_dir("cg_ingest_snap_") + "/snapshot"
     for delivery in range(2):  # second pass = full upstream re-delivery
         landed = run_availablenow_to_parquet(
             spark,
             read_events_stream(spark, sf_dir),
-            tempfile.mkdtemp(prefix=f"cg_ingest_land{delivery}_"),
+            scratch_dir(f"cg_ingest_land{delivery}_"),
             output_mode="append",
         )
         append_new_keys(spark, landed, snapshot, "event_id")

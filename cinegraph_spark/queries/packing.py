@@ -9,9 +9,12 @@ Semantics are deliberately shard-local: documents are packed per ``source``
 (ordered by ``doc_id``), so each shard's token stream is independent. That
 is both what real pipelines do (packing never crosses shard boundaries —
 workers own shards) and what makes the op scale: the running token total is
-a plain window prefix-sum partitioned by source, one shuffle, no global
-ordering. A single pathologically huge source would need sub-shard salting
-(split on ``scramble(doc_id) % n``) — same math, finer partition key.
+a shard-local window prefix-sum, no global ordering. As of round 9 the
+per-source prefix-sum is additionally HIERARCHICAL (sub-sharded on
+``doc_id DIV 256`` inside each source, shard totals cumulated over the
+tiny shard relation, offsets broadcast back) so even a single
+pathologically huge source never serializes through one reducer — same
+math, bit-identical output.
 
 Capacity is 512 tokens to match the windowizer's model context
 (``settings.py`` CHUNK_SIZE); all arithmetic is integer-exact, so oracle
@@ -74,26 +77,65 @@ _PACKED_CTE = f"""
 def pack_chunks_per_source(spark, sf_dir):
     """Per-document chunk span under concat-and-chunk packing: where each
     document's tokens land in its source shard's 512-token chunk stream.
-    One window prefix-sum per source (a single hash shuffle on the shard
-    key); everything after the cumsum is map-only arithmetic. A document
-    spanning a chunk boundary reports the full inclusive span."""
+
+    The prefix-sum is HIERARCHICAL (round 9 — same trick as the
+    training-prep composite, closing the documented limitation at the top
+    of this module): a flat ``Window.partitionBy("source")`` serializes
+    each source's entire token stream through one reducer, so one
+    pathologically huge source becomes a single-task straggler at 100 TB.
+    Instead: (1) intra-shard prefix-sum inside (source, doc_id DIV 256)
+    sub-shards — bounded tasks however big the source; (2) cumulate shard
+    totals over the tiny (corpus/256)-row shard relation; (3) broadcast
+    the offsets back. shard is monotone in doc_id within a source, so the
+    two-level sum is bit-identical to the flat per-source prefix-sum —
+    same oracle, same hash. A document spanning a chunk boundary reports
+    the full inclusive span."""
     d = T(spark, sf_dir, "documents").select(
         "doc_id", "source", tokenize_whitespace(F.col("text")).alias("tokens")
     )
     d = d.select(
         "doc_id", "source", F.size("tokens").cast("long").alias("n_tok")
     ).filter(F.col("n_tok") > 0)
-    w = (
-        Window.partitionBy("source")
+    d = d.withColumn("shard", (F.col("doc_id") / SHARD_SPAN).cast("long"))
+    w_in = (
+        Window.partitionBy("source", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
-    s = d.select(
-        "doc_id",
-        "source",
-        "n_tok",
-        cum_before.alias("cum_before"),
+    intra_before = F.coalesce(
+        F.sum("n_tok").over(w_in), F.lit(0).cast("long")
+    )
+    w_sh = (
+        Window.partitionBy("source")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard_offsets = (
+        d.groupBy("source", "shard")
+        .agg(F.sum("n_tok").alias("sh_tok"))
+        .select(
+            "source",
+            "shard",
+            F.coalesce(F.sum("sh_tok").over(w_sh), F.lit(0).cast("long")).alias(
+                "sh_off"
+            ),
+        )
+    )
+    s = (
+        d.select(
+            "doc_id",
+            "source",
+            "shard",
+            "n_tok",
+            intra_before.alias("intra_before"),
+        )
+        .join(F.broadcast(shard_offsets), ["source", "shard"])
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            (F.col("sh_off") + F.col("intra_before")).alias("cum_before"),
+        )
     ).select(
         "*",
         (F.col("cum_before") / CAPACITY).cast("long").alias("chunk_first"),

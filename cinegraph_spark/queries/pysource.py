@@ -93,7 +93,7 @@ def src_stream_listing_pages(spark, sf_dir):
     replay (readBetweenOffsets) for free. Per-page rollup oracle checks the
     streamed rows end-to-end; the multi-batch/resume contract is pinned in
     tests/test_listing_source.py."""
-    import tempfile
+    from cinegraph_spark.session import scratch_dir
 
     from cinegraph_spark.session import ensure_shipped
     from cinegraph_spark.sources.listing import read_listing_stream
@@ -104,7 +104,7 @@ def src_stream_listing_pages(spark, sf_dir):
     out = run_availablenow_to_parquet(
         spark,
         stream,
-        tempfile.mkdtemp(prefix="cg_drain_listing_"),
+        scratch_dir("cg_drain_listing_"),
         output_mode="append",
     )
     return out.groupBy(F.col("page").cast("long").alias("page")).agg(

@@ -539,7 +539,16 @@ def vec_ann_hnsw_partitioned_knn(spark, sf_dir):
 
     e = _emb(spark, sf_dir).select("vec_id", "v")
     queries = e.filter(F.col("vec_id") < 10)
-    # no bounded_shuffle: the plan's only data-sized exchange is the
-    # explicit repartition(8); the re-rank window shuffles ~n_queries*8*k
-    # candidate rows, harmless at any session partition count
-    return hnsw_partitioned_knn(e, queries, k=3, n_partitions=8)
+    # n_partitions is DERIVED from corpus size (ceil(n/target)) so each
+    # sub-index build materializes a bounded pandas frame whatever the
+    # corpus size; the 256-row target is scaled down from the production
+    # 64k default so the test fixtures still exercise a real multi-
+    # partition scatter-gather (sf0.1 → 8 sub-indexes). The answer is
+    # partition-count independent, so this is purely a memory knob.
+    # No bounded_shuffle: the plan's only data-sized exchange is the
+    # explicit repartition; the re-rank window shuffles
+    # ~n_queries*n_partitions*k candidate rows, harmless at any session
+    # partition count.
+    return hnsw_partitioned_knn(
+        e, queries, k=3, target_rows_per_subindex=256
+    )

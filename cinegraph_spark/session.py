@@ -92,18 +92,30 @@ def ensure_shipped(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_cinegraph_shipped", False):
         return
+    import hashlib
     import pathlib
     import tempfile
     import zipfile
 
     pkg_dir = pathlib.Path(__file__).resolve().parent
+    # Key the zip name by a content digest: a bare name cached the FIRST
+    # build forever, so workers kept importing a stale package snapshot
+    # (round 9: a round-old zip without operators/hnsw.py broke the HNSW
+    # mapInPandas closures in any fresh-cwd process). Hashing ~600 KB of
+    # source is microseconds next to the addPyFile RPC.
+    files = sorted(pkg_dir.rglob("*.py"))
+    h = hashlib.md5()
+    for p in files:
+        h.update(str(p.relative_to(pkg_dir)).encode())
+        h.update(p.read_bytes())
     zpath = os.path.join(
-        tempfile.gettempdir(), f"cinegraph_spark_pkg_{os.getuid()}.zip"
+        tempfile.gettempdir(),
+        f"cinegraph_spark_pkg_{os.getuid()}_{h.hexdigest()[:12]}.zip",
     )
     if not os.path.exists(zpath):
-        tmp = zpath + ".tmp"
+        tmp = zpath + f".tmp{os.getpid()}"
         with zipfile.ZipFile(tmp, "w") as z:
-            for p in sorted(pkg_dir.rglob("*.py")):
+            for p in files:
                 z.write(p, "cinegraph_spark/" + str(p.relative_to(pkg_dir)))
         os.replace(tmp, zpath)
     sc.addPyFile(zpath)
@@ -124,6 +136,33 @@ def tune(spark: SparkSession) -> SparkSession:
             # affect correctness, only performance/decoding behavior.
             pass
     return spark
+
+
+#: Lazily created per-process scratch root for streaming-drain parquet
+#: output; removed at interpreter exit. Before round 9 every drain query
+#: invocation leaked a bare tempfile.mkdtemp full of parquet (harmless per
+#: run, accumulating across driver/bench rounds on a long-lived box —
+#: ADVICE r8).
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """A fresh scratch directory under a per-process root that is removed
+    via ``atexit`` when the interpreter exits. Used by the streaming drain
+    queries for their parquet sink output: the returned frame is fully
+    consumed (or localCheckpointed) before the process ends, so
+    exit-time removal is safe. On a real cluster the drains would target
+    durable object-store paths instead; this is the local-run hygiene
+    path."""
+    global _SCRATCH_ROOT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _SCRATCH_ROOT is None or not os.path.isdir(_SCRATCH_ROOT):
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="cinegraph_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
 
 
 def get_spark(

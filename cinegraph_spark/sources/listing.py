@@ -146,9 +146,29 @@ class ListingStreamReader(SimpleDataSourceStreamReader):
         return self._rows(int(start["page"]), int(end["page"]))
 
 
+def _register(spark) -> None:
+    """Register the DataSource (idempotent), pickled BY VALUE: the
+    streaming-source planner is a separate Python process spawned by the
+    driver JVM that unpickles the DataSource class but does NOT see
+    ``addPyFile`` includes or the driver's ``sys.path`` edits — from any
+    cwd other than the repo root it dies with ModuleNotFoundError (found
+    by the round-9 fresh-cwd driver simulation). ``register_pickle_by_value``
+    embeds this module's code in the pickle, so neither the planner nor
+    the executors need the package importable for the source itself.
+    NB: must be pyspark's VENDORED cloudpickle — ``spark.dataSource``
+    serializes with ``pyspark.cloudpickle``, whose by-value registry is
+    separate from the standalone ``cloudpickle`` package's."""
+    from pyspark import cloudpickle
+
+    import cinegraph_spark.sources.listing as _self
+
+    cloudpickle.register_pickle_by_value(_self)
+    spark.dataSource.register(ListingDataSource)
+
+
 def read_listing(spark, pages: int = 10, per_page: int = PER_PAGE):
     """Register (idempotent) and read the paginated listing."""
-    spark.dataSource.register(ListingDataSource)
+    _register(spark)
     return (
         spark.read.format("cinegraph_listing")
         .option("pages", str(pages))
@@ -169,7 +189,7 @@ def read_listing_stream(
     micro-batch — required for one-shot availableNow drains, but the rows
     are prefetched driver-side, so at deep-listing scale pass a bound and
     drain incrementally (see :class:`ListingStreamReader` docstring)."""
-    spark.dataSource.register(ListingDataSource)
+    _register(spark)
     return (
         spark.readStream.format("cinegraph_listing")
         .option("pages", str(pages))

@@ -197,7 +197,11 @@ def run_availablenow_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"memory drain {query_name!r} did not finish in {timeout_s}s"
+            )
     return spark.table(query_name)
 
 
@@ -221,7 +225,19 @@ def run_availablenow_to_parquet(
     Same UTC/shuffle scoping as the memory drain (the stream executes
     entirely inside this call). Returns a batch DataFrame over the written
     files, read with the stream's own schema so an empty drain yields an
-    empty frame instead of a schema-inference error."""
+    empty frame instead of a schema-inference error.
+
+    Idempotence + failure contract (hardened round 9): ``foreachBatch``
+    is at-least-once, so each micro-batch writes to a *batch_id-keyed
+    subdirectory* with ``mode("overwrite")`` — the standard idempotent-
+    foreachBatch pattern; a replayed batch (driver restart from
+    checkpoint) overwrites its own directory instead of double-appending.
+    The read-back uses ``recursiveFileLookup`` so the subdirectories are
+    plain file containers, not inferred partition columns. And a drain
+    that outruns ``timeout_s`` raises ``TimeoutError`` instead of
+    silently returning a partial directory while the stream still writes
+    (the stop + raise happen inside the scoped-conf block, so UTC/shuffle
+    confs are never restored mid-stream)."""
     import os
 
     from cinegraph_spark.session import bounded_shuffle, scoped_confs
@@ -229,8 +245,10 @@ def run_availablenow_to_parquet(
     schema = stream_df.schema
     os.makedirs(path, exist_ok=True)
 
-    def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(path)
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(path, f"batch-{batch_id:08d}")
+        )
 
     with scoped_confs(spark, **{"spark.sql.session.timeZone": "UTC"}), bounded_shuffle(spark, 8):
         q = (
@@ -239,8 +257,16 @@ def run_availablenow_to_parquet(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
-    return spark.read.schema(schema).parquet(path)
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"parquet drain at {path} did not finish in {timeout_s}s"
+            )
+    return (
+        spark.read.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
 
 
 def session_windows_dynamic_gap(

@@ -189,12 +189,32 @@ def test_contamination_screen_broadcasts_eval_shingles(q):
     assert c["python_row_udf"] == 0
 
 
-def test_packing_prefix_sum_is_single_window_shuffle(q):
-    """Concat-and-chunk packing is one hash shuffle on the shard key (the
-    window prefix-sum); the chunk arithmetic after it is map-only. More
-    exchanges would mean the packing re-partitions per stage."""
-    c = plan_counts(q("pack_chunks_per_source"))
-    assert c["shuffle_exchange"] == 1
+def test_packing_prefix_sum_is_sharded(q):
+    """Concat-and-chunk packing's prefix-sum must be hierarchical (round
+    9): every corpus-sized window partitions by (source, shard) — bounded
+    tasks however big one source — and the only per-source-alone window
+    runs over the pre-aggregated shard-totals relation, joined back
+    broadcast. The regression this pins against is the flat
+    Window.partitionBy(source), which serializes a pathologically huge
+    source through one reducer at 100 TB. Exchange budget: intra-shard
+    window + shard-totals agg + tiny shard window — and nothing more (a
+    higher count would mean per-stage re-partitioning crept in)."""
+    df = q("pack_chunks_per_source")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    windows = [
+        line for line in plan.splitlines() if "windowspecdefinition(" in line
+    ]
+    assert windows, "expected window ops in the packing stage"
+    corpus_windows = [w for w in windows if "sum(n_tok" in w]
+    assert corpus_windows, "corpus prefix-sum window missing"
+    for w in corpus_windows:
+        assert "shard" in w, (
+            "corpus-sized prefix-sum window no longer partitions by shard — "
+            f"flat per-source window is back: {w.strip()[:160]}"
+        )
+    c = plan_counts(df)
+    assert c["shuffle_exchange"] <= 3
+    assert c["broadcast_hash_join"] >= 1
     assert c["python_row_udf"] == 0 and c["python_arrow_udf"] == 0
 
 

@@ -150,34 +150,50 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "over_budget": over,
     }
-    # Full-precision copy for local inspection (stdout stays parseable).
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_last_local.json"), "w") as fh:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    # Full-precision, full-name copy for local inspection (stdout stays
+    # parseable); the driver-facing line below uses aliases.
+    with open(os.path.join(repo, "BENCH_last_local.json"), "w") as fh:
         json.dump(result, fh, indent=1)
 
     # The driver captures only the LAST ~2000 bytes of stdout; the final
     # line must be a complete JSON object inside that window or the driver
-    # records parsed=null (r1-r7 all did). Compact separators + 2-decimal
-    # times fit 57 queries in ~1975 bytes; degrade to 1 decimal if a long
-    # over_budget dict or slow-query digits push past the margin.
-    def _line(nd: int) -> str:
-        slim = dict(result)
-        slim["queries"] = {k: round(v, nd) for k, v in times.items()}
+    # records parsed=null (it cost q1/q3/q5 their r7 timings). Full query
+    # names overflowed at 61+ headline queries even at 1-decimal times
+    # (r8 NOTES), so the line maps each name to a STABLE short alias —
+    # "b" + HEADLINE index, stable because HEADLINE is append-only — and
+    # the alias->name map is committed as BENCH_aliases.json (refreshed
+    # every run, so it can never drift from the line). ~11 bytes/query
+    # keeps even a 150-query headline set inside the tail window.
+    aliases = {name: f"b{i:02d}" for i, name in enumerate(HEADLINE)}
+    with open(os.path.join(repo, "BENCH_aliases.json"), "w") as fh:
+        json.dump(
+            {alias: name for name, alias in aliases.items()}, fh, indent=1
+        )
+    slim = dict(result)
+    slim["queries"] = {
+        aliases[k]: round(v, 2) for k, v in times.items()
+    }
+    slim["over_budget"] = {
+        aliases[k]: v for k, v in over.items()
+    }
+    slim["aliases"] = "BENCH_aliases.json"
+
+    def _dump() -> str:
         return json.dumps(slim, separators=(",", ":"))
 
-    line = _line(2)
-    if len(line) > 1900:
-        line = _line(1)
-    if len(line) > 1980:  # long over_budget dict: keep names, drop details
-        result["over_budget"] = sorted(over)
-        line = _line(1)
-    if len(line) > 1995:  # last resort: breach count only (names in stderr)
-        result["over_budget"] = len(over)
-        line = _line(1)
-    if len(line) > 1980:  # and the shortest contract-shaped frame
-        result["metric"] = "hl"
-        result["value"] = round(total, 1)
-        line = _line(1)
+    line = _dump()
+    if len(line) > 1900:  # ~170+ queries: drop to 1 decimal
+        slim["queries"] = {
+            aliases[k]: round(v, 1) for k, v in times.items()
+        }
+        line = _dump()
+    if len(line) > 1900:  # mass budget breach: aliases only, no details
+        slim["over_budget"] = sorted(aliases[k] for k in over)
+        line = _dump()
+    if len(line) > 1950:  # last resort: breach count (details in stderr
+        slim["over_budget"] = len(over)  # and BENCH_last_local.json)
+        line = _dump()
     print(line)
     spark.stop()
 

@@ -1,0 +1,69 @@
+"""Round-9 fresh-process driver simulation (verify-skill recipe): plain
+session, hostile timezone, run registry queries vs DuckDB oracles at a
+given sf. Usage: python .r9_sim.py [names...|ALL] — run from any cwd."""
+import sys, math, os
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod
+from pyspark.sql import SparkSession
+import duckdb
+
+sf_dir = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.session.timeZone", "America/New_York")
+    .config("spark.sql.shuffle.partitions", "200")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+
+def canon(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+names = sys.argv[1:]
+if names == ["ALL"]:
+    names = list(qs)
+bad, ok_n, ro_n = [], 0, 0
+for name in names:
+    try:
+        sdf = qs[name](spark, sf_dir)
+        srows, scols = sdf.collect(), sdf.columns
+        sql = os_.get(name)
+        if sql is None:
+            ro_n += 1
+            print(name, "rows_only", len(srows), flush=True)
+            continue
+        d = con.execute(sql)
+        dcols = [x[0] for x in d.description]
+        drows = d.fetchall()
+        so = sorted(range(len(scols)), key=lambda i: scols[i])
+        do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        sset = sorted("|".join(canon(r[i]) for i in so) for r in srows)
+        dset = sorted("|".join(canon(r[i]) for i in do) for r in drows)
+        good = sorted(scols) == sorted(dcols) and sset == dset
+        print(name, "OK" if good else "MISMATCH", len(srows), flush=True)
+        if good:
+            ok_n += 1
+        else:
+            bad.append(name)
+    except Exception as e:
+        print(name, "ERROR", repr(e)[:200], flush=True)
+        bad.append(name)
+print(f"SUMMARY ok={ok_n} rows_only={ro_n} bad={len(bad)} {bad}")
+spark.stop()

@@ -1,0 +1,66 @@
+"""Pin the bench stdout contract: the driver captures only the LAST ~2000
+bytes of stdout, so the final JSON line must fit that window WITH every
+headline query's timing recoverable. Round 9 replaced full query names with
+stable aliases (b<HEADLINE index>, map committed as BENCH_aliases.json)
+after r8 measured overflow at 61+ queries even at 1-decimal times."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+
+
+def _simulated_line(n_over: int) -> str:
+    """Mirror bench.py's degrade ladder on synthetic worst-case values."""
+    aliases = {name: f"b{i:02d}" for i, name in enumerate(HEADLINE)}
+    slim = {
+        "metric": "headline_total",
+        "value": 99999.999,
+        "unit": "sec",
+        "queries": {aliases[n]: 123.45 for n in HEADLINE},
+        "sf": 0.1,
+        "over_budget": {
+            aliases[n]: [123.45, 61.72] for n in list(HEADLINE)[:n_over]
+        },
+        "aliases": "BENCH_aliases.json",
+    }
+    line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > 1900:
+        slim["queries"] = {aliases[n]: 123.4 for n in HEADLINE}
+        line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > 1900:
+        slim["over_budget"] = sorted(slim["over_budget"])
+        line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > 1950:
+        slim["over_budget"] = n_over
+        line = json.dumps(slim, separators=(",", ":"))
+    return line
+
+
+def test_bench_line_fits_driver_tail_even_worst_case():
+    # every timing 6 digits AND every query over budget — the ladder must
+    # land inside the 2000-byte tail with headroom, at every breach count
+    for n_over in (0, 3, len(HEADLINE)):
+        assert len(_simulated_line(n_over)) < 1960, n_over
+
+
+def test_aliases_are_stable_and_unique():
+    aliases = [f"b{i:02d}" for i in range(len(HEADLINE))]
+    assert len(set(aliases)) == len(HEADLINE)
+    # append-only discipline: the first entries are the original headline
+    # set, so historical BENCH_r*.json aliases keep resolving
+    assert HEADLINE[0] == "q1_pricing_summary"
+    assert HEADLINE[1] == "q3_shipping_priority"
+
+
+def test_headline_names_are_registered():
+    from cinegraph_spark.queries import load_all
+
+    specs = load_all()
+    missing = [n for n in HEADLINE if n not in specs]
+    assert not missing, missing

@@ -43,6 +43,13 @@ FAMILIES = [
     # flat per-split window shows up as wall time tracking corpus size
     # through one reducer rather than the partition count
     "pipeline_training_data_prep",
+    # r9 additions (VERDICT r8 task 5): the ingest composite (2 streaming
+    # drains + anti-join dedup + cohort report — output is a fixed-ish
+    # cohort triangle, work is ~linear in events) and the scatter-gather
+    # HNSW (output fixed at n_queries*k; sub-index builds are
+    # partition-local, so wall tracks corpus/partitions, not corpus²)
+    "pipeline_ingest_dedup_retention",
+    "vec_ann_hnsw_partitioned_knn",
 ]
 
 

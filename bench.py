@@ -81,6 +81,8 @@ HEADLINE = [
     # round 8 additions
     "pipeline_ingest_dedup_retention",
     "vec_ann_hnsw_partitioned_knn",
+    # round 9 additions
+    "vec_ann_hnsw_served_knn",
 ]
 
 

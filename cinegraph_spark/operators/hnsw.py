@@ -363,3 +363,133 @@ def hnsw_partitioned_knn(
         .filter(F.col("rnk") <= k)
         .select("qid", "nid", "cos_sim", "rnk")
     )
+
+
+def hnsw_index_save(
+    e: DataFrame,
+    path: str,
+    M: int = 16,
+    ef_construction: int = 128,
+    n_partitions: int | None = None,
+    target_rows_per_subindex: int = TARGET_ROWS_PER_SUBINDEX,
+) -> None:
+    """BUILD-ONCE half of the serving shape (the reference keeps its HNSW
+    index persistent inside Postgres/pgvector — ``db/models/embedding.py:
+    15-17`` — and queries it many times; the two-in-one
+    :func:`hnsw_partitioned_knn` rebuilds per query batch, which is the
+    right shape for a one-shot batch job but not for serving): build one
+    sub-index per hash partition executor-side and persist each as a
+    pickled blob row in a parquet table. The driver never sees a vector;
+    each row is one partition's self-contained searchable index
+    (``n_vectors`` + blob), so the serving table has exactly
+    ``n_partitions`` rows and a query pass can mapInPandas straight over
+    it. Blob size tracks ``target_rows_per_subindex`` (the same bounded-
+    materialization contract as the scatter-gather form); at 100 TB the
+    blobs live next to the vectors in the lake and rebuild only when
+    their partition changes."""
+    spark = e.sparkSession
+    from cinegraph_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    if n_partitions is None:
+        n_rows = e.count()
+        n_partitions = max(1, -(-n_rows // max(1, target_rows_per_subindex)))
+
+    def build(batches):
+        import pickle
+
+        import pandas as pd
+
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        order = pdf["vec_id"].astype("int64").argsort(kind="stable")
+        pdf = pdf.iloc[order]
+        ids = [int(x) for x in pdf["vec_id"]]
+        X = np.asarray([list(v) for v in pdf["v"]], dtype=np.float64)
+        index = hnsw_build(ids, X, M=M, ef_construction=ef_construction)
+        blob = pickle.dumps(
+            {"index": index, "X": X,
+             "pos": {vid: i for i, vid in enumerate(ids)}},
+            protocol=4,
+        )
+        yield pd.DataFrame({"n_vectors": [len(ids)], "blob": [blob]})
+
+    (
+        e.repartition(n_partitions, "vec_id")
+        .mapInPandas(build, "n_vectors long, blob binary")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def hnsw_index_knn(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    ef: int = 128,
+    round_to: int = 6,
+) -> DataFrame:
+    """QUERY-MANY half: search a persisted :func:`hnsw_index_save` table.
+    Each index row (one partition's sub-index) unpickles inside its own
+    mapInPandas task and beam-searches the broadcast query batch; one
+    tiny window re-ranks the candidate union — the identical
+    exactness argument as :func:`hnsw_partitioned_knn` (disjoint
+    partitions + local recall 1 ⇒ the union contains the global top-k),
+    so the same brute-force oracle hash-matches without any rebuild
+    cost. Only O(n_queries × n_index_rows × k) candidate rows shuffle."""
+    qrows = sorted(
+        queries.select("vec_id", "v").collect(), key=lambda r: r["vec_id"]
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "qid long, nid long, cos_sim double, rnk long"
+        )
+    from cinegraph_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    bq = spark.sparkContext.broadcast(
+        [(int(r["vec_id"]), [float(x) for x in r["v"]]) for r in qrows]
+    )
+
+    def search(batches):
+        import pickle
+
+        import pandas as pd
+
+        for pdf in batches:
+            for blob in pdf["blob"]:
+                data = pickle.loads(bytes(blob))
+                index, X, pos = data["index"], data["X"], data["pos"]
+                out = {"qid": [], "nid": [], "cos_sim": []}
+                for qid, qv in bq.value:
+                    qv = np.asarray(qv, dtype=np.float64)
+                    cands = [
+                        nid
+                        for nid, _ in hnsw_search(index, qv, k + 1, ef)
+                        if nid != qid
+                    ]
+                    for cs, nid in sorted(
+                        (
+                            (round(_seq_cos(qv, X[pos[n]]), round_to), n)
+                            for n in cands
+                        ),
+                        key=lambda t: (-t[0], t[1]),
+                    )[: k + 1]:
+                        out["qid"].append(qid)
+                        out["nid"].append(nid)
+                        out["cos_sim"].append(cs)
+                yield pd.DataFrame(out)
+
+    from pyspark.sql import Window
+
+    idx = spark.read.parquet(path).select("blob")
+    cands = idx.mapInPandas(search, "qid long, nid long, cos_sim double")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        cands.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cos_sim", "rnk")
+    )

@@ -131,9 +131,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "udf_pandas_grouped_agg_gini",
     "udf_pandas_scalar_net_revenue",
     # --- 50-slot budget line ---
-    # round-9 changed-code canaries (first overflow slots): the streaming
-    # queries + ingest composite ride the hardened idempotent parquet
-    # drain; the partitioned HNSW derives n_partitions from corpus size
+    # brand-new round-9 query (no driver row yet), then changed-code
+    # canaries: the streaming queries + ingest composite ride the
+    # hardened idempotent parquet drain; the partitioned HNSW derives
+    # n_partitions from corpus size
+    "vec_ann_hnsw_served_knn",
     "stream_retention_cohorts",
     "stream_join_purchase_click_attribution",
     "stream_enrich_purchase_customer",

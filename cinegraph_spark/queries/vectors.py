@@ -552,3 +552,46 @@ def vec_ann_hnsw_partitioned_knn(spark, sf_dir):
     return hnsw_partitioned_knn(
         e, queries, k=3, target_rows_per_subindex=256
     )
+
+
+@register(
+    "vec_ann_hnsw_served_knn",
+    f"""
+    WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT qid, vec_id AS nid,
+             round(list_dot_product(v, qv)
+                   / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos_sim
+      FROM e, q WHERE vec_id <> qid
+    )
+    SELECT qid, nid, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, nid) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    tags=("vector", "ann", "hnsw", "knn", "similarity", "serving"),
+)
+def vec_ann_hnsw_served_knn(spark, sf_dir):
+    """V1 serving path (r9): PERSISTED scatter-gather HNSW — the
+    build-once/query-many shape of the reference's pgvector index
+    (`db/models/embedding.py:15-17`: the index lives in the database and
+    outlives any one query). `hnsw_index_save` builds one sub-index per
+    hash partition executor-side and persists each as a pickled blob row
+    in a parquet serving table (driver never sees a vector);
+    `hnsw_index_knn` then searches the table — each blob row unpickles in
+    its own mapInPandas task against the broadcast query batch, and one
+    tiny window re-ranks the candidate union. Same exactness argument and
+    brute-force oracle as the rebuild-per-batch `vec_ann_hnsw_partitioned`
+    twin; tests/test_hnsw.py proves query-many (two different query
+    batches against ONE saved table) and partition invariance."""
+    from cinegraph_spark.operators.hnsw import hnsw_index_knn, hnsw_index_save
+    from cinegraph_spark.session import scratch_dir
+
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    path = scratch_dir("cg_hnsw_idx_") + "/index"
+    hnsw_index_save(e, path, target_rows_per_subindex=256)
+    queries = e.filter(F.col("vec_id") < 10)
+    return hnsw_index_knn(spark, path, queries, k=3)

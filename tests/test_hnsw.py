@@ -195,3 +195,65 @@ def test_partitioned_knn_exact_for_every_corpus_query(spark, sf_dir):
         )[:3]
         for rnk, (_, nid) in enumerate(scored, 1):
             assert got[(qid, rnk)] == nid, (qid, rnk, nid, got[(qid, rnk)])
+
+
+def test_served_index_query_many_and_exact(spark, sf_dir, tmp_path):
+    """Build-once/query-many: ONE persisted index table answers two
+    different query batches, both exactly equal to brute force — the
+    serving shape `vec_ann_hnsw_served_knn` rests on."""
+    from cinegraph_spark.operators.hnsw import hnsw_index_knn, hnsw_index_save
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    path = str(tmp_path / "hnsw_index")
+    hnsw_index_save(e, path, target_rows_per_subindex=256)
+
+    ids, X = _corpus(spark, sf_dir)
+    pos = {v: i for i, v in enumerate(ids)}
+
+    for lo, hi in ((0, 5), (5, 12)):
+        batch = e.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        )
+        got = {
+            (r["qid"], r["rnk"]): (r["nid"], r["cos_sim"])
+            for r in hnsw_index_knn(spark, path, batch, k=3).collect()
+        }
+        for qid in range(lo, hi):
+            qv = X[pos[qid]]
+            scored = sorted(
+                (
+                    (round(_seq_cos(qv, X[pos[n]]), 6), n)
+                    for n in ids
+                    if n != qid
+                ),
+                key=lambda t: (-t[0], t[1]),
+            )[:3]
+            for rnk, (cs, nid) in enumerate(scored, 1):
+                assert got[(qid, rnk)] == (nid, cs), (lo, qid, rnk)
+
+
+def test_served_index_partition_invariant(spark, sf_dir, tmp_path):
+    """The persisted form keeps the scatter-gather invariance: 1-row and
+    8-row serving tables answer identically."""
+    from cinegraph_spark.operators.hnsw import hnsw_index_knn, hnsw_index_save
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = e.filter(F.col("vec_id") < 10)
+    p1 = str(tmp_path / "idx1")
+    p8 = str(tmp_path / "idx8")
+    hnsw_index_save(e, p1, n_partitions=1)
+    hnsw_index_save(e, p8, n_partitions=8)
+    one = sorted(map(tuple, hnsw_index_knn(spark, p1, q, k=3).collect()))
+    eight = sorted(map(tuple, hnsw_index_knn(spark, p8, q, k=3).collect()))
+    assert one == eight and len(one) == 30
+    # serving-table shape: exactly one row per partition
+    assert spark.read.parquet(p1).count() == 1
+    assert spark.read.parquet(p8).count() <= 8

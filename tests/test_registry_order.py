@@ -48,8 +48,9 @@ def test_round9_stalest_fill_budget_then_canaries():
         assert stale in budget, stale
     # the r5 bucket starts right after the 20-name r3 bucket
     assert names[20] == "agg_rollup_region_nation"
-    # changed-code canaries are the first overflow slots (51+)
-    overflow = names[50:57]
+    # brand-new query then changed-code canaries in the overflow slots
+    overflow = names[50:58]
+    assert names[50] == "vec_ann_hnsw_served_knn"
     for canary in (
         "stream_retention_cohorts",
         "stream_join_purchase_click_attribution",

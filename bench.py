@@ -86,6 +86,45 @@ HEADLINE = [
 ]
 
 
+def compress_result(result: dict, headline: list[str]) -> tuple[str, dict]:
+    """Compress the full result dict into the driver-facing stdout line.
+
+    The driver captures only the LAST ~2000 bytes of stdout; the final line
+    must be a complete JSON object inside that window or the driver records
+    parsed=null (it cost q1/q3/q5 their r7 timings). Full query names
+    overflowed at 61+ headline queries even at 1-decimal times (r8 NOTES),
+    so the line maps each name to a STABLE short alias — "b" + headline
+    index, stable because the headline list is append-only — then degrades
+    through a ladder (2→1 decimals, over_budget dict → names → count) if
+    the set ever grows past ~170 queries. Pure (no I/O) so the contract
+    test pins the REAL ladder, not a hand-copied mirror
+    (tests/test_bench_contract.py). Returns (line, alias→name map)."""
+    aliases = {name: f"b{i:02d}" for i, name in enumerate(headline)}
+    times = result["queries"]
+    over = result["over_budget"]
+    slim = dict(result)
+    slim["queries"] = {aliases[k]: round(v, 2) for k, v in times.items()}
+    slim["over_budget"] = {aliases[k]: v for k, v in over.items()}
+    slim["aliases"] = "BENCH_aliases.json"
+
+    def _dump() -> str:
+        return json.dumps(slim, separators=(",", ":"))
+
+    line = _dump()
+    if len(line) > 1900:  # ~170+ queries: drop to 1 decimal
+        slim["queries"] = {
+            aliases[k]: round(v, 1) for k, v in times.items()
+        }
+        line = _dump()
+    if len(line) > 1900:  # mass budget breach: aliases only, no details
+        slim["over_budget"] = sorted(aliases[k] for k in over)
+        line = _dump()
+    if len(line) > 1950:  # last resort: breach count (details in stderr
+        slim["over_budget"] = len(over)  # and BENCH_last_local.json)
+        line = _dump()
+    return line, {alias: name for name, alias in aliases.items()}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from cinegraph_spark.queries import load_all
@@ -158,44 +197,12 @@ def main() -> None:
     with open(os.path.join(repo, "BENCH_last_local.json"), "w") as fh:
         json.dump(result, fh, indent=1)
 
-    # The driver captures only the LAST ~2000 bytes of stdout; the final
-    # line must be a complete JSON object inside that window or the driver
-    # records parsed=null (it cost q1/q3/q5 their r7 timings). Full query
-    # names overflowed at 61+ headline queries even at 1-decimal times
-    # (r8 NOTES), so the line maps each name to a STABLE short alias —
-    # "b" + HEADLINE index, stable because HEADLINE is append-only — and
-    # the alias->name map is committed as BENCH_aliases.json (refreshed
-    # every run, so it can never drift from the line). ~11 bytes/query
-    # keeps even a 150-query headline set inside the tail window.
-    aliases = {name: f"b{i:02d}" for i, name in enumerate(HEADLINE)}
+    # Driver-facing line: aliased + degrade ladder (see compress_result).
+    # The alias->name map is committed as BENCH_aliases.json, refreshed
+    # every run so it can never drift from the line.
+    line, alias_map = compress_result(result, HEADLINE)
     with open(os.path.join(repo, "BENCH_aliases.json"), "w") as fh:
-        json.dump(
-            {alias: name for name, alias in aliases.items()}, fh, indent=1
-        )
-    slim = dict(result)
-    slim["queries"] = {
-        aliases[k]: round(v, 2) for k, v in times.items()
-    }
-    slim["over_budget"] = {
-        aliases[k]: v for k, v in over.items()
-    }
-    slim["aliases"] = "BENCH_aliases.json"
-
-    def _dump() -> str:
-        return json.dumps(slim, separators=(",", ":"))
-
-    line = _dump()
-    if len(line) > 1900:  # ~170+ queries: drop to 1 decimal
-        slim["queries"] = {
-            aliases[k]: round(v, 1) for k, v in times.items()
-        }
-        line = _dump()
-    if len(line) > 1900:  # mass budget breach: aliases only, no details
-        slim["over_budget"] = sorted(aliases[k] for k in over)
-        line = _dump()
-    if len(line) > 1950:  # last resort: breach count (details in stderr
-        slim["over_budget"] = len(over)  # and BENCH_last_local.json)
-        line = _dump()
+        json.dump(alias_map, fh, indent=1)
     print(line)
     spark.stop()
 

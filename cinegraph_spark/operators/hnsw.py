@@ -191,6 +191,41 @@ def hnsw_search(index: dict, qv: np.ndarray, k: int, ef: int = 128):
     return [(index["ids"][n], d) for d, n in res]
 
 
+def _subindex_from_batches(batches, M: int, ef_construction: int):
+    """Concat one partition's Arrow batches into a single frame and build
+    the deterministic sub-index: stable-sort by vec_id (ascending-ids
+    insertion order is part of the determinism contract), then
+    :func:`hnsw_build`. Returns ``None`` for an empty partition. Shared by
+    every executor-side build site (scatter-gather and index-save) so an
+    ordering/tie-break fix lands exactly once."""
+    import pandas as pd
+
+    parts = [pdf for pdf in batches if len(pdf)]
+    if not parts:
+        return None
+    pdf = pd.concat(parts, ignore_index=True)
+    order = pdf["vec_id"].astype("int64").argsort(kind="stable")
+    pdf = pdf.iloc[order]
+    ids = [int(x) for x in pdf["vec_id"]]
+    X = np.asarray([list(v) for v in pdf["v"]], dtype=np.float64)
+    return hnsw_build(ids, X, M=M, ef_construction=ef_construction)
+
+
+def _score_query(index, pos, qid, qv, k, ef, round_to, top_n):
+    """The determinism-critical emit step, shared by all three query
+    forms: beam-search ``k+1`` candidates (self-match excluded after), re-
+    score each against the ORIGINAL vectors with the sequential fold (see
+    module docstring — np.dot only ranks in-search), and return the top
+    ``top_n`` as [(rounded_cos, nid)] ordered by (cos DESC, nid ASC)."""
+    qv = np.asarray(qv, dtype=np.float64)
+    X = index["X"]
+    cands = [nid for nid, _ in hnsw_search(index, qv, k + 1, ef) if nid != qid]
+    return sorted(
+        ((round(_seq_cos(qv, X[pos[n]]), round_to), n) for n in cands),
+        key=lambda t: (-t[0], t[1]),
+    )[:top_n]
+
+
 def hnsw_cosine_knn(
     e: DataFrame,
     queries: DataFrame,
@@ -232,19 +267,9 @@ def hnsw_cosine_knn(
         for pdf in batches:
             out = {"qid": [], "nid": [], "cos_sim": [], "rnk": []}
             for qid, qv in zip(pdf["qid"], pdf["qv"]):
-                qv = np.asarray(list(qv), dtype=np.float64)
-                cands = [
-                    nid
-                    for nid, _ in hnsw_search(idx, qv, k + 1, ef)
-                    if nid != qid
-                ]
-                scored = sorted(
-                    (
-                        (round(_seq_cos(qv, idx["X"][posmap[nid]]), round_to), nid)
-                        for nid in cands
-                    ),
-                    key=lambda t: (-t[0], t[1]),
-                )[:k]
+                scored = _score_query(
+                    idx, posmap, qid, list(qv), k, ef, round_to, k
+                )
                 for r_, (cs, nid) in enumerate(scored, 1):
                     out["qid"].append(int(qid))
                     out["nid"].append(int(nid))
@@ -302,16 +327,16 @@ def hnsw_partitioned_knn(
     item). The answer is n_partitions-independent (disjoint partitions +
     exact re-rank; pinned at two partition counts in tests/test_hnsw.py),
     so the adaptive count is purely a memory/parallelism knob."""
-    if n_partitions is None:
-        n_rows = e.count()
-        n_partitions = max(1, -(-n_rows // max(1, target_rows_per_subindex)))
     qrows = sorted(
         queries.select("vec_id", "v").collect(), key=lambda r: r["vec_id"]
     )
-    if not qrows:
+    if not qrows:  # before the adaptive count: no query batch, no scan job
         return e.sparkSession.createDataFrame(
             [], "qid long, nid long, cos_sim double, rnk long"
         )
+    if n_partitions is None:
+        n_rows = e.count()
+        n_partitions = max(1, -(-n_rows // max(1, target_rows_per_subindex)))
     spark = e.sparkSession
     from cinegraph_spark.session import ensure_shipped
 
@@ -323,28 +348,15 @@ def hnsw_partitioned_knn(
     def local_search(batches):
         import pandas as pd
 
-        parts = [pdf for pdf in batches if len(pdf)]
-        if not parts:
+        index = _subindex_from_batches(batches, M, ef_construction)
+        if index is None:
             return
-        pdf = pd.concat(parts, ignore_index=True)
-        order = pdf["vec_id"].astype("int64").argsort(kind="stable")
-        pdf = pdf.iloc[order]
-        ids = [int(x) for x in pdf["vec_id"]]
-        X = np.asarray([list(v) for v in pdf["v"]], dtype=np.float64)
-        index = hnsw_build(ids, X, M=M, ef_construction=ef_construction)
-        pos = {vid: i for i, vid in enumerate(ids)}
+        pos = {vid: i for i, vid in enumerate(index["ids"])}
         out = {"qid": [], "nid": [], "cos_sim": []}
         for qid, qv in bq.value:
-            qv = np.asarray(qv, dtype=np.float64)
-            cands = [
-                nid
-                for nid, _ in hnsw_search(index, qv, k + 1, ef)
-                if nid != qid
-            ]
-            for cs, nid in sorted(
-                ((round(_seq_cos(qv, X[pos[n]]), round_to), n) for n in cands),
-                key=lambda t: (-t[0], t[1]),
-            )[: k + 1]:
+            for cs, nid in _score_query(
+                index, pos, qid, qv, k, ef, round_to, k + 1
+            ):
                 out["qid"].append(qid)
                 out["nid"].append(nid)
                 out["cos_sim"].append(cs)
@@ -400,21 +412,19 @@ def hnsw_index_save(
 
         import pandas as pd
 
-        parts = [pdf for pdf in batches if len(pdf)]
-        if not parts:
+        index = _subindex_from_batches(batches, M, ef_construction)
+        if index is None:
             return
-        pdf = pd.concat(parts, ignore_index=True)
-        order = pdf["vec_id"].astype("int64").argsort(kind="stable")
-        pdf = pdf.iloc[order]
-        ids = [int(x) for x in pdf["vec_id"]]
-        X = np.asarray([list(v) for v in pdf["v"]], dtype=np.float64)
-        index = hnsw_build(ids, X, M=M, ef_construction=ef_construction)
-        blob = pickle.dumps(
-            {"index": index, "X": X,
-             "pos": {vid: i for i, vid in enumerate(ids)}},
-            protocol=4,
+        # The blob is the index dict MINUS the normalized matrix: Xn is
+        # bit-identical to _normalize(X) (same op as the build), so the
+        # reader reconstructs it at load instead of paying to store,
+        # read, and unpickle a second n×d float64 matrix per task. ids/
+        # layers/entry/M ride along — the blob is self-contained.
+        slim = {k2: v for k2, v in index.items() if k2 != "Xn"}
+        blob = pickle.dumps(slim, protocol=4)
+        yield pd.DataFrame(
+            {"n_vectors": [len(index["ids"])], "blob": [blob]}
         )
-        yield pd.DataFrame({"n_vectors": [len(ids)], "blob": [blob]})
 
     (
         e.repartition(n_partitions, "vec_id")
@@ -461,23 +471,15 @@ def hnsw_index_knn(
 
         for pdf in batches:
             for blob in pdf["blob"]:
-                data = pickle.loads(bytes(blob))
-                index, X, pos = data["index"], data["X"], data["pos"]
+                index = pickle.loads(bytes(blob))
+                if "Xn" not in index:  # slim blob: rebuild, bit-identical
+                    index["Xn"] = _normalize(index["X"])
+                pos = {vid: i for i, vid in enumerate(index["ids"])}
                 out = {"qid": [], "nid": [], "cos_sim": []}
                 for qid, qv in bq.value:
-                    qv = np.asarray(qv, dtype=np.float64)
-                    cands = [
-                        nid
-                        for nid, _ in hnsw_search(index, qv, k + 1, ef)
-                        if nid != qid
-                    ]
-                    for cs, nid in sorted(
-                        (
-                            (round(_seq_cos(qv, X[pos[n]]), round_to), n)
-                            for n in cands
-                        ),
-                        key=lambda t: (-t[0], t[1]),
-                    )[: k + 1]:
+                    for cs, nid in _score_query(
+                        index, pos, qid, qv, k, ef, round_to, k + 1
+                    ):
                         out["qid"].append(qid)
                         out["nid"].append(nid)
                         out["cos_sim"].append(cs)

@@ -96,7 +96,15 @@ def pack_chunks_per_source(spark, sf_dir):
     d = d.select(
         "doc_id", "source", F.size("tokens").cast("long").alias("n_tok")
     ).filter(F.col("n_tok") > 0)
-    d = d.withColumn("shard", (F.col("doc_id") / SHARD_SPAN).cast("long"))
+    # Lazy localCheckpoint: `d` has TWO consumers (the intra-shard window
+    # branch and the shard-totals rollup) with different exchange shapes,
+    # so ReuseExchange cannot unify them — without this the expensive
+    # regex tokenize of every document runs once per branch (same hazard
+    # and fix as pipeline_training_data_prep's `labeled`). The
+    # materialized frame is 4 narrow columns.
+    d = d.withColumn(
+        "shard", (F.col("doc_id") / SHARD_SPAN).cast("long")
+    ).localCheckpoint(eager=False)
     w_in = (
         Window.partitionBy("source", "shard")
         .orderBy("doc_id")

@@ -113,6 +113,23 @@ def ensure_shipped(spark: SparkSession) -> None:
         f"cinegraph_spark_pkg_{os.getuid()}_{h.hexdigest()[:12]}.zip",
     )
     if not os.path.exists(zpath):
+        # Content-hash keys accumulate one zip per package edit on a
+        # long-lived box — drop stale siblings before writing the new one
+        # (best-effort: another live session may still hold one open;
+        # addPyFile copies the zip into Spark's own tempdir immediately,
+        # so unlinking a sibling only ever breaks a session mid-addPyFile,
+        # which the try/except below tolerates).
+        import contextlib
+        import glob
+
+        for old in glob.glob(
+            os.path.join(
+                tempfile.gettempdir(),
+                f"cinegraph_spark_pkg_{os.getuid()}_*.zip",
+            )
+        ):
+            with contextlib.suppress(OSError):
+                os.unlink(old)
         tmp = zpath + f".tmp{os.getpid()}"
         with zipfile.ZipFile(tmp, "w") as z:
             for p in files:

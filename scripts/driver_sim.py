@@ -1,6 +1,6 @@
-"""Round-9 fresh-process driver simulation (verify-skill recipe): plain
-session, hostile timezone, run registry queries vs DuckDB oracles at a
-given sf. Usage: python .r9_sim.py [names...|ALL] — run from any cwd."""
+"""Fresh-process driver simulation (verify-skill recipe): plain session,
+hostile timezone, run registry queries vs DuckDB oracles at a given sf.
+Usage: python scripts/driver_sim.py [names...|ALL] — run from any cwd."""
 import sys, math, os
 
 sys.path.insert(0, "/root/repo")

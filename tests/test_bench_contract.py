@@ -12,33 +12,25 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE  # noqa: E402
+from bench import HEADLINE, compress_result  # noqa: E402
 
 
 def _simulated_line(n_over: int) -> str:
-    """Mirror bench.py's degrade ladder on synthetic worst-case values."""
-    aliases = {name: f"b{i:02d}" for i, name in enumerate(HEADLINE)}
-    slim = {
+    """Run the REAL degrade ladder (bench.compress_result — a hand-copied
+    mirror here would silently drift from the code it pins) on synthetic
+    worst-case values."""
+    result = {
         "metric": "headline_total",
         "value": 99999.999,
         "unit": "sec",
-        "queries": {aliases[n]: 123.45 for n in HEADLINE},
+        "queries": {n: 123.456 for n in HEADLINE},
         "sf": 0.1,
         "over_budget": {
-            aliases[n]: [123.45, 61.72] for n in list(HEADLINE)[:n_over]
+            n: [123.456, 61.72] for n in list(HEADLINE)[:n_over]
         },
-        "aliases": "BENCH_aliases.json",
     }
-    line = json.dumps(slim, separators=(",", ":"))
-    if len(line) > 1900:
-        slim["queries"] = {aliases[n]: 123.4 for n in HEADLINE}
-        line = json.dumps(slim, separators=(",", ":"))
-    if len(line) > 1900:
-        slim["over_budget"] = sorted(slim["over_budget"])
-        line = json.dumps(slim, separators=(",", ":"))
-    if len(line) > 1950:
-        slim["over_budget"] = n_over
-        line = json.dumps(slim, separators=(",", ":"))
+    line, alias_map = compress_result(result, list(HEADLINE))
+    assert len(alias_map) == len(HEADLINE)
     return line
 
 
@@ -46,7 +38,9 @@ def test_bench_line_fits_driver_tail_even_worst_case():
     # every timing 6 digits AND every query over budget — the ladder must
     # land inside the 2000-byte tail with headroom, at every breach count
     for n_over in (0, 3, len(HEADLINE)):
-        assert len(_simulated_line(n_over)) < 1960, n_over
+        line = _simulated_line(n_over)
+        assert len(line) < 1960, n_over
+        assert json.loads(line)["metric"] == "headline_total"
 
 
 def test_aliases_are_stable_and_unique():

@@ -143,6 +143,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "src_stream_listing_pages",
     "pipeline_ingest_dedup_retention",
     "vec_ann_hnsw_partitioned_knn",
+    # its broadcast twin rides the same refactored score-emit helper
+    "vec_ann_hnsw_knn",
 )
 
 

@@ -47,8 +47,14 @@ def euclidean(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; NULL-safe on zero vectors (returns NULL)."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL-safe on zero vectors — a zero-norm side
+    yields NULL (ranked last under ``desc`` ordering) instead of an ANSI
+    DIVIDE_BY_ZERO crash. Spark 4 defaults ``spark.sql.ansi.enabled=true``,
+    where plain ``0.0/0.0`` RAISES rather than returning NULL, so the
+    denominator must be nulled explicitly: one all-zero embedding (the
+    typical encoder output for empty text) would otherwise kill every ANN
+    top-k query it appears in."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def scale(a: Column, s: Column | float) -> Column:

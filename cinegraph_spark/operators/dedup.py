@@ -1,6 +1,7 @@
 """Deduplication operators for LLM training-data pipelines (SURVEY §2.10,
-north-star additions). All deterministic: hashes are xxhash64 of explicit
-strings, no RNG, so results are stable across runs and cluster sizes.
+north-star additions). All deterministic: content hashes are md5 /
+xxhash64 of explicit strings, no RNG, so results are stable across runs
+and cluster sizes.
 
 Four tiers, cheapest-first — the 100 TB strategy is to knock out exact dups
 with one shuffle, then LSH-bucket the near-dup search so the candidate join
@@ -23,8 +24,10 @@ from pyspark.sql import functions as F
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Exact dedup: group by md5(text); keep the minimum id as
-    representative. Returns (text_hash, keep_id, n_copies, dup_ids)."""
+    """Exact dedup: group by md5 of the RAW text (callers normalize first
+    if they want normalization — see functions/text_clean.py); keep the
+    minimum id as representative. Returns (text_hash, keep_id, n_copies,
+    all_ids)."""
     return (
         df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
         .agg(
@@ -116,6 +119,21 @@ def lsh_candidate_pairs(
     (few) oversized keys, so no giant bucket is ever collected anywhere.
     Pass ``max_bucket=None`` for uncapped semantics.
     """
+    # Fail LOUDLY on a mis-sized signature: under Spark 4's ANSI default a
+    # short sig would die mid-stage with an anonymous element_at
+    # INVALID_ARRAY_INDEX error (and under non-ANSI, worse: NULLs silently
+    # skipped by concat_ws degrade every band hash). The guard names both
+    # knobs; when the branch never fires it costs one array-size compare.
+    need = bands * rows
+    checked = F.when(F.size("sig") >= need, F.col("sig")).otherwise(
+        F.raise_error(
+            F.lit(
+                f"lsh_candidate_pairs: bands*rows={need} exceeds the "
+                "signature length — pass num_perm >= bands*rows to "
+                "minhash_signatures"
+            )
+        )
+    )
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -125,7 +143,7 @@ def lsh_candidate_pairs(
                         F.concat_ws(
                             ":",
                             *[
-                                F.element_at("sig", b * rows + r + 1)
+                                F.element_at(checked, b * rows + r + 1)
                                 for r in range(rows)
                             ],
                         )
@@ -183,24 +201,41 @@ def jaccard_pairs(
     dropping ubiquitous ones does not lose real pairs — the same reasoning
     as IDF weighting. Pass ``max_df=None`` for uncapped semantics.
 
-    With ``candidates`` (the LSH-verification path), the cap is not applied:
-    the join is candidate-bounded already and the verification wants the
-    true full-set Jaccard. Output: (id_a, id_b, n_a, n_b, n_common, jaccard).
+    With ``candidates`` (the LSH-verification path), the DF cap is not
+    applied — the verification wants the true full-set Jaccard — but the
+    shingle stream IS first restricted to documents that appear in
+    ``candidates`` (a semi-join on the id union): the shared-shingle
+    self-join below is otherwise *shingle*-bounded, not candidate-bounded,
+    and one ubiquitous shingle would emit DF² rows that no later semi-join
+    can prune (Catalyst cannot push an (id_a, id_b) pair filter below the
+    join). After the restriction the join's fan-out is bounded by the
+    candidate set, which the LSH bucket cap already bounded. Output:
+    (id_a, id_b, n_a, n_b, n_common, jaccard).
 
     Discovery-mode physical shape: an inverted index — ONE shuffle groups
-    shingles into per-shingle posting lists, the DF cap is a posting-list
-    length filter, and pairs are emitted from each list with array
-    expressions (≤ max_df²/2 per shingle, map-side). The shingle strings
-    cross the wire once; everything downstream is compact id pairs. Both
-    consumers of the posting lists (pair emission and per-doc sizes) hang
-    off the same Exchange, which Spark reuses.
+    shingles into per-shingle posting lists, and pairs are emitted from
+    each list with array expressions (≤ max_df²/2 per shingle, map-side).
+    The DF cap is applied with a window count BEFORE the posting lists are
+    aggregated: the window operator's per-group buffer spills to disk, so
+    a degenerate shingle with DF=10⁷ streams through and is filtered,
+    whereas a ``collect_list``-then-filter would first materialize its
+    entire posting array in one in-memory aggregation buffer. The window
+    and the aggregation share one hash-partitioning on ``shingle`` (no
+    second Exchange — pinned by tests/test_review_r9.py). The shingle
+    strings cross the wire once; everything downstream is compact id pairs.
     """
     if candidates is None:
-        postings = sh.groupBy("shingle").agg(
+        grouped = sh
+        if max_df is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("shingle")
+            grouped = sh.withColumn(
+                "_df", F.count(F.lit(1)).over(w)
+            ).filter(F.col("_df") <= max_df)
+        postings = grouped.groupBy("shingle").agg(
             F.sort_array(F.collect_list(id_col)).alias("ids")
         )
-        if max_df is not None:
-            postings = postings.filter(F.size("ids") <= max_df)
         sizes = (
             postings.select(F.explode("ids").alias(id_col))
             .groupBy(id_col)
@@ -224,9 +259,18 @@ def jaccard_pairs(
             .agg(F.count("*").alias("n_common"))
         )
     else:
-        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        # restrict to candidate documents BEFORE the self-join (see
+        # docstring); their full shingle sets are retained, so n_a/n_b/
+        # n_common — and therefore the Jaccard — are unchanged.
+        sh_c = sh.join(cand_ids, id_col, "left_semi")
+        sizes = sh_c.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        a = sh_c.select(F.col(id_col).alias("id_a"), "shingle")
+        b = sh_c.select(F.col(id_col).alias("id_b"), "shingle")
         common = (
             a.join(b, "shingle")
             .filter(F.col("id_a") < F.col("id_b"))

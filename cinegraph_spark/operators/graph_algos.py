@@ -83,8 +83,13 @@ def connected_components(
     with bounded_shuffle(edges.sparkSession):
         e = symmetrize(edges, src, dst, oriented=oriented)
         e = e.localCheckpoint(eager=True)
+        # vertex set from the PRE-symmetrize endpoints: symmetrize drops
+        # self-loops, so deriving vertices from `e` would silently omit a
+        # vertex whose only edge is (v, v) — diverging from
+        # connected_components_star, which keeps it (component = itself)
         labels = (
-            e.select(F.col("src").alias("id"))
+            edges.select(F.col(src).alias("id"))
+            .unionByName(edges.select(F.col(dst).alias("id")))
             .distinct()
             .withColumn("component", F.col("id"))
             .localCheckpoint(eager=True)
@@ -249,7 +254,14 @@ def pagerank(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        out_deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
+        # eager checkpoint like verts: without it each iteration's plan
+        # embeds (and re-executes) this full-edge-list aggregation —
+        # 10 redundant shuffle stages per default pagerank call
+        out_deg = (
+            e.groupBy(F.col("src").alias("id"))
+            .agg(F.count("*").alias("out_deg"))
+            .localCheckpoint(eager=True)
+        )
         ranks = verts.withColumn("rank", F.lit(1.0))
         for _ in range(iterations):
             contribs = (
@@ -323,8 +335,19 @@ def bfs_levels(
     """
     with bounded_shuffle(edges.sparkSession):
         e = symmetrize(edges, src, dst).localCheckpoint(eager=True)
+        # seed id type follows the edge schema — a hardcoded `id long`
+        # would reject string-keyed graphs (and force implicit casts in
+        # the frontier join under ANSI) despite the module's generality
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        seed_schema = StructType(
+            [
+                StructField("id", edges.schema[src].dataType),
+                StructField("level", IntegerType()),
+            ]
+        )
         visited = e.sparkSession.createDataFrame(
-            [(start_id, 0)], "id long, level int"
+            [(start_id, 0)], seed_schema
         ).localCheckpoint(eager=True)
         frontier = visited
         for depth in range(1, max_depth + 1):

@@ -41,13 +41,17 @@ def stateful_topk_per_user(events: DataFrame, k: int = 3) -> DataFrame:
             vals.extend(float(v) for v in pdf["value"].dropna())
             vals = sorted(vals, reverse=True)[:k]
         state.update((vals,))
+        # Explicit dtypes: a group whose every value was null yields empty
+        # lists -> object-dtype columns; relying on Arrow's lenient
+        # empty-column cast against the long/int/double output schema is
+        # version-fragile (same hazard note as stateful_retention_offsets).
         yield pd.DataFrame(
             {
                 "user_id": [key[0]] * len(vals),
                 "rnk": list(range(1, len(vals) + 1)),
                 "value": vals,
             }
-        )
+        ).astype({"user_id": "int64", "rnk": "int32", "value": "float64"})
 
     return events.groupBy("user_id").applyInPandasWithState(
         merge_topk,
@@ -93,6 +97,8 @@ def tws_topk_per_user(events: DataFrame, k: int = 3) -> DataFrame:
                     "rnk": list(range(1, len(vals) + 1)),
                     "value": vals,
                 }
+            ).astype(
+                {"user_id": "int64", "rnk": "int32", "value": "float64"}
             )
 
         def close(self) -> None:
@@ -223,8 +229,19 @@ def stateful_user_profile(events: DataFrame) -> DataFrame:
             n, total, first_ts, last_ts, max_gap = state.get
         else:
             n, total, first_ts, last_ts, max_gap = 0, 0.0, None, None, 0.0
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("ts")
+        # ONE global sort over the whole micro-batch's rows for this key:
+        # pdf_iter yields multiple Arrow chunks for a large or multi-file
+        # group (maxRecordsPerBatch caps each chunk) in NO guaranteed time
+        # order — sorting each chunk independently would corrupt first/
+        # last/max_gap whenever a group spans chunks (e.g. an availableNow
+        # batch delivering part files out of time order).
+        chunks = [c for c in pdf_iter if len(c)]
+        frames = (
+            [pd.concat(chunks, ignore_index=True).sort_values("ts")]
+            if chunks
+            else []
+        )
+        for pdf in frames:
             for ts, val in zip(pdf["ts"], pdf["value"]):
                 if last_ts is not None:
                     gap = (ts - last_ts).total_seconds()

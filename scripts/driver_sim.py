@@ -14,6 +14,12 @@ spark = (
     .config("spark.sql.session.timeZone", "America/New_York")
     .config("spark.sql.shuffle.partitions", "200")
     .config("spark.ui.enabled", "false")
+    # the default 1g driver heap OOMs on the sf0.1 join-heavy queries
+    # (triangles); this knob sizes the sim's JVM, it is NOT an engine
+    # conf the queries may rely on
+    .config(
+        "spark.driver.memory", os.environ.get("SIM_DRIVER_MEM", "6g")
+    )
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")

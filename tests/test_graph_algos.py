@@ -62,8 +62,27 @@ def test_cc_two_components_and_chain(spark):
 def test_cc_direction_and_duplicates_ignored(spark):
     e = edges_df(spark, [(5, 2), (2, 5), (5, 2), (7, 7)])
     got = {r["id"]: r["component"] for r in connected_components(e).collect()}
-    # self-loop-only vertex 7 is dropped by symmetrize; 2 and 5 merge
-    assert got == {2: 2, 5: 2}
+    # 2 and 5 merge; the self-loop-only vertex 7 is its OWN component —
+    # symmetrize drops the (7,7) edge but the vertex set is derived from
+    # the raw endpoints, matching connected_components_star (the two
+    # twins previously diverged on exactly this row)
+    assert got == {2: 2, 5: 2, 7: 7}
+
+
+def test_cc_minlabel_and_star_agree_on_self_loop_only_vertex(spark):
+    """Swapping CC implementations (as the min-label docstring suggests
+    for long-path graphs) must not change the output row set."""
+    from cinegraph_spark.operators.graph_algos import (
+        connected_components_star,
+    )
+
+    e = edges_df(spark, [(5, 5), (1, 2)])
+    a = {(r["id"], r["component"]) for r in connected_components(e).collect()}
+    b = {
+        (r["id"], r["component"])
+        for r in connected_components_star(e).collect()
+    }
+    assert a == b == {(1, 1), (2, 1), (5, 5)}
 
 
 def test_cc_star_matches_minlabel_and_ground_truth(spark):

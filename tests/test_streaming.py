@@ -506,3 +506,85 @@ def test_parquet_drain_multibatch_appends_once_per_batch(spark, tmp_path):
     got = sorted(r["event_id"] for r in drained.collect())
     want = sorted(tbl["event_id"].to_pylist())
     assert got == want
+
+
+def test_profile_chunk_disorder_within_batch(spark, tmp_path):
+    """A large (or multi-file) group reaches the state function as
+    MULTIPLE Arrow chunks in no guaranteed time order; the profile must
+    sort the whole micro-batch once — the regression this pins is
+    per-chunk sorting, which corrupts first/last/max_gap whenever a
+    group spans chunks (maxRecordsPerBatch caps each chunk)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cinegraph_spark.streaming.stateful import stateful_user_profile
+
+    ts = [100, 40, 90, 10, 70, 20, 60, 30]  # seconds, scrambled
+    tbl = pa.table(
+        {
+            "user_id": pa.array([7] * 8, pa.int64()),
+            "ts": pa.array([t * 1_000_000 for t in ts], pa.timestamp("us")),
+            "value": pa.array([float(i) for i in range(8)], pa.float64()),
+        }
+    )
+    outdir = tmp_path / "events.parquet"
+    outdir.mkdir()
+    pq.write_table(tbl, f"{outdir}/part-0.parquet")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = read_events_stream(spark, str(tmp_path))
+        got = run_availablenow_to_memory(
+            spark,
+            stateful_user_profile(stream),
+            f"t_prof_dis_{uuid.uuid4().hex[:6]}",
+            output_mode="update",
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_events"] == 8
+    # true time order 10..100: span 90 s; sorted gaps max out at 20 s —
+    # per-chunk sorting would yield a shorter span and a bogus max gap
+    assert (r["last_ts"] - r["first_ts"]).total_seconds() == 90.0
+    assert r["max_gap_s"] == 20.0
+
+
+def test_stateful_topk_all_null_values_group(spark, tmp_path):
+    """A user whose every value is NULL emits an EMPTY frame — the
+    explicit dtype cast must keep the drain alive (object-dtype empty
+    columns against the long/int/double schema are version-fragile)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cinegraph_spark.streaming.stateful import stateful_topk_per_user
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "ts": pa.array(
+                [t * 1_000_000 for t in (10, 20, 30, 40)], pa.timestamp("us")
+            ),
+            "value": pa.array([None, None, 5.0, 9.0], pa.float64()),
+        }
+    )
+    outdir = tmp_path / "events.parquet"
+    outdir.mkdir()
+    pq.write_table(tbl, f"{outdir}/part-0.parquet")
+    stream = read_events_stream(spark, str(tmp_path))
+    got = run_availablenow_to_memory(
+        spark,
+        stateful_topk_per_user(stream),
+        f"t_topk_null_{uuid.uuid4().hex[:6]}",
+        output_mode="update",
+    ).collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append((r["rnk"], r["value"]))
+    assert 1 not in by_user  # all-null user: no rows, no crash
+    assert sorted(by_user[2]) == [(1, 9.0), (2, 5.0)]

@@ -83,6 +83,7 @@ HEADLINE = [
     "vec_ann_hnsw_partitioned_knn",
     # round 9 additions
     "vec_ann_hnsw_served_knn",
+    "dedup_repeated_span_mask",
 ]
 
 

@@ -325,3 +325,84 @@ def simhash64(df: DataFrame, id_col: str, tokens_col: str) -> DataFrame:
 def hamming64(a, b):
     """Hamming distance between two int64 simhashes (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def repeated_ngram_span_mask(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span removal (the RefinedWeb / MassiveText
+    "exact substring dedup" family, at token-k-gram granularity): any
+    k-token gram that occurs in ``min_df`` or more DISTINCT documents is a
+    boilerplate span; every word position covered by such a gram is masked
+    out of every document that contains it. Symmetric removal (no
+    first-occurrence survivor) keeps the operator deterministic and
+    partition-invariant — no global document order is consulted.
+
+    Returns one row per input document:
+    ``(id_col, n_words, n_dup_starts, n_kept, clean_text)`` where
+    ``dup_starts`` are the 0-based start positions of duplicated grams and
+    ``clean_text`` is the document with covered positions removed (empty
+    string when everything was boilerplate).
+
+    100 TB shape — LINEAR, no quadratic pair emission anywhere:
+    - one shuffle groups gram occurrences for the distinct-doc count
+      (partial aggregation map-side; a degenerate gram in millions of
+      documents is a single spillable aggregation group, never a pair
+      explosion — unlike near-dup pair discovery, each occurrence joins
+      the dup set exactly once);
+    - one shuffle collects per-document duplicated start positions
+      (bounded by the document's own length);
+    - one join back to the corpus on the document id.
+    Gram strings cross the wire once; hash them (md5/xxhash64) before the
+    shuffle at real scale if byte volume dominates — kept as strings here
+    for exact cross-engine oracle parity.
+    """
+    words = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), words.alias("ws"))
+    # gram starts 0..n-k; sequence(0, n-k) would DESCEND for n<k, so gate
+    sh = base.select(
+        id_col,
+        F.posexplode(
+            F.when(
+                F.size("ws") >= k,
+                F.expr(
+                    f"transform(sequence(0, size(ws) - {k}),"
+                    f" i -> concat_ws(' ', slice(ws, i + 1, {k})))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<string>)"))
+        ).alias("start0", "gram"),
+    )
+    dup = (
+        sh.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_df)
+        .select("gram")
+    )
+    ds = (
+        sh.join(dup, "gram")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("start0")).alias("dup_starts"))
+    )
+    out = base.join(ds, id_col, "left").select(
+        id_col,
+        F.size("ws").alias("n_words"),
+        F.coalesce(F.col("dup_starts"), F.expr("CAST(array() AS array<int>)")).alias(
+            "_starts"
+        ),
+        F.col("ws"),
+    )
+    kept = F.expr(
+        "filter(ws, (w, i) -> NOT exists(_starts,"
+        f" s -> s <= i AND i < s + {k}))"
+    )
+    return out.select(
+        id_col,
+        "n_words",
+        F.size("_starts").alias("n_dup_starts"),
+        F.size(kept).alias("n_kept"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )

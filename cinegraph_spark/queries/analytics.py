@@ -99,13 +99,18 @@ def events_retention_cohorts(spark, sf_dir):
            n_events,
            round((n_events - mu) / sd, 4) AS z
     FROM stats
-    WHERE abs((n_events - mu) / sd) >= 2
+    WHERE sd > 0 AND abs((n_events - mu) / sd) >= 2
     """,
     tags=("events", "anomaly", "zscore"),
 )
 def events_anomaly_zscore_hourly(spark, sf_dir):
     """Rate-anomaly detection: hourly event counts per type, z-scored
     against that type's own mean/stddev (population), keeping |z| >= 2.
+    Zero-variance types (every hourly count identical — e.g. a type seen
+    in exactly one hour) are excluded BEFORE the division: a z-score is
+    undefined there, and under Spark 4's ANSI default even double 0/0
+    RAISES DIVIDE_BY_ZERO rather than yielding NaN, so the unguarded
+    expression was a latent crash on any degenerate type.
     One count shuffle to ~types x hours rows, then an analytic window per
     type — the post-aggregation data is hours-bounded, so the window is
     cheap at any raw-event scale."""
@@ -114,11 +119,20 @@ def events_anomaly_zscore_hourly(spark, sf_dir):
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count("*").alias("n_events"))
     w = Window.partitionBy("event_type")
-    z = (F.col("n_events") - F.avg("n_events").over(w)) / F.stddev_pop(
-        "n_events"
-    ).over(w)
     return (
-        hourly.withColumn("z", z)
+        hourly.withColumn("mu", F.avg("n_events").over(w))
+        .withColumn("sd", F.stddev_pop("n_events").over(w))
+        # the division lives INSIDE the when(): predicate pushdown may
+        # merge filters and conjunct order is not short-circuit-guaranteed,
+        # so a bare `/` after a sd>0 filter could still evaluate on a
+        # zero-sd row; CaseWhen branches are lazily evaluated per row
+        .withColumn(
+            "z",
+            F.when(
+                F.col("sd") > 0,
+                (F.col("n_events") - F.col("mu")) / F.col("sd"),
+            ),
+        )
         .filter(F.abs(F.col("z")) >= 2)
         .select(
             "event_type",

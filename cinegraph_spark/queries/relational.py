@@ -718,8 +718,8 @@ def scalar_orders_by_month(spark, sf_dir):
     "scalar_json_events",
     """
     SELECT event_type,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
            count(*) AS n
     FROM events
     GROUP BY event_type
@@ -728,9 +728,13 @@ def scalar_orders_by_month(spark, sf_dir):
 )
 def scalar_json_events(spark, sf_dir):
     """JSON path extraction on events.props (reference analog: JSONB
-    movies.other_data, ``db/models/movie.py:12``)."""
+    movies.other_data, ``db/models/movie.py:12``). ``try_cast`` on both
+    sides: a missing path is NULL either way, but a NON-NUMERIC value
+    would make ANSI ``cast`` (and DuckDB ``CAST``) raise and kill the
+    whole aggregation — at real log scale malformed props are a
+    certainty, and one bad row must degrade to NULL, not fail the job."""
     e = T(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return e.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"),
         F.max(k).alias("max_k"),

@@ -382,7 +382,9 @@ def vec_centroid_shift_labels(spark, sf_dir):
     ),
     q AS (
       SELECT x.dim, x.val,
-             round((x.val - s.mn) * 254 / (s.mx - s.mn)) - 127 AS code
+             round((x.val - s.mn) * 254
+                   / (CASE WHEN s.mx = s.mn THEN 1 ELSE s.mx - s.mn END))
+             - 127 AS code
       FROM x JOIN stats s ON x.dim = s.dim
     ),
     dq AS (
@@ -414,7 +416,14 @@ def vec_int8_quantize_error(spark, sf_dir):
     x = e.select("vec_id", F.posexplode("v").alias("dim", "val"))
     stats = x.groupBy("dim").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
     q = x.join(F.broadcast(stats), "dim")
-    code = F.round((F.col("val") - F.col("mn")) * 254 / (F.col("mx") - F.col("mn"))) - 127
+    # a constant dimension (mx == mn — e.g. zero-padded embedding dims)
+    # must not divide by its zero range: under Spark 4's ANSI default even
+    # double 0/0 raises DIVIDE_BY_ZERO. Guarded range 1 gives code -127,
+    # dequant == mn == val, err 0 — identically in both engines.
+    rng = F.when(F.col("mx") == F.col("mn"), F.lit(1.0)).otherwise(
+        F.col("mx") - F.col("mn")
+    )
+    code = F.round((F.col("val") - F.col("mn")) * 254 / rng) - 127
     dequant = (code + 127) * (F.col("mx") - F.col("mn")) / 254 + F.col("mn")
     err = F.abs(dequant - F.col("val"))
     return (

@@ -84,6 +84,7 @@ HEADLINE = [
     # round 9 additions
     "vec_ann_hnsw_served_knn",
     "dedup_repeated_span_mask",
+    "sample_token_budget_greedy",
 ]
 
 

@@ -145,10 +145,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "vec_ann_hnsw_partitioned_knn",
     # its broadcast twin rides the same refactored score-emit helper
     "vec_ann_hnsw_knn",
-    # brand-new round-9 query #2 (no driver row yet): cross-doc repeated
-    # span removal — must lead round 10 with vec_ann_hnsw_served_knn if
-    # the r9 budget cuts before this slot
+    # brand-new round-9 queries #2/#3 (no driver row yet): cross-doc
+    # repeated span removal + token-budget greedy selection — must lead
+    # round 10 with vec_ann_hnsw_served_knn if the r9 budget cuts before
+    # these slots
     "dedup_repeated_span_mask",
+    "sample_token_budget_greedy",
 )
 
 

@@ -113,10 +113,10 @@ def text_bpe_token_count(spark, sf_dir):
     )
 
 
-@register(
-    "text_quality_score",
-    f"""
-    WITH {_TOKS_CTE},
+#: quality-score oracle SQL, factored so the token-budget selection query
+#: can reuse the exact same CTEs (drift between the two would silently
+#: de-align their oracles)
+_QUALITY_CTES = f"""{_TOKS_CTE},
     stats AS (
       SELECT doc_id,
              CAST(len(tokens) AS BIGINT) AS n_tok,
@@ -126,14 +126,22 @@ def text_bpe_token_count(spark, sf_dir):
              CAST(len(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS BIGINT) AS n_alpha,
              CAST(greatest(len(text), 1) AS BIGINT) AS n_chr
       FROM toks
-    )
-    SELECT doc_id, n_tok, n_stop,
+    )"""
+
+_QUALITY_SELECT = """SELECT doc_id, n_tok, n_stop,
            round(CAST(n_alpha AS DOUBLE) / n_chr, 4) AS alpha_ratio,
            round(CAST(4 * least(n_tok, 50) * greatest(n_tok, 1) * n_chr
                       + 150 * least(5 * n_stop, greatest(n_tok, 1)) * n_chr
                       + 150 * n_alpha * greatest(n_tok, 1) AS DOUBLE)
                  / (500 * greatest(n_tok, 1) * n_chr), 4) AS quality
-    FROM stats
+    FROM stats"""
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH {_QUALITY_CTES}
+    {_QUALITY_SELECT}
     """,
     tags=("textstats", "quality"),
 )
@@ -616,4 +624,91 @@ def text_repetition_stats(spark, sf_dir):
         "top_count",
         F.round(dup * 1.0 / F.col("n_bigrams"), 4).alias("dup_frac"),
         (dup * 20 > F.col("n_bigrams")).cast("int").alias("repetitive"),
+    )
+
+
+@register(
+    "sample_token_budget_greedy",
+    f"""
+    WITH {_QUALITY_CTES},
+    qual AS ({_QUALITY_SELECT}),
+    sel AS (
+      SELECT doc_id, n_tok,
+             CAST(round(quality * 10000) AS BIGINT) AS qmilli
+      FROM qual
+    ),
+    ord AS (
+      SELECT *,
+             CAST(coalesce(sum(n_tok) OVER (
+               ORDER BY qmilli DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum_before
+      FROM sel
+    ),
+    tot AS (SELECT (4 * CAST(sum(n_tok) AS BIGINT)) // 10 AS budget FROM sel)
+    SELECT doc_id, n_tok, qmilli, cum_before
+    FROM ord, tot
+    WHERE cum_before < budget
+    ORDER BY cum_before, doc_id
+    """,
+    tags=("sampling", "budget", "quality", "llm-pipeline"),
+)
+def sample_token_budget_greedy(spark, sf_dir):
+    """Token-budget-constrained corpus selection: rank every document by
+    its composite quality score (descending, doc_id tiebreak) and keep
+    documents greedily until 40% of the corpus's total tokens are
+    consumed — the canonical "best data under a token budget" mixing
+    step. A document is selected iff the cumulative token count BEFORE it
+    is under budget, so the straddling document is included and the rule
+    is deterministic on any partitioning.
+
+    Integer-exact ordering: the 4-decimal quality score becomes
+    ``qmilli = round(quality * 10000)`` (identical IEEE doubles in both
+    engines make the round identical), and the budget is
+    ``(4 * total_tokens) div 10`` — no float thresholds anywhere.
+
+    100 TB shape — the global prefix-sum is HIERARCHICAL, never a
+    one-reducer window (the round-7 packing lesson): documents hash into
+    <= 101 quality buckets (``qmilli div 100`` — bucket order equals
+    quality order by construction), the intra-bucket running sum windows
+    on the bucket key in parallel, bucket totals cumulate on a 101-row
+    relation, and offsets broadcast back. Budget and offsets are two
+    1-row/101-row broadcasts against the scored corpus scan."""
+    from pyspark.sql import Window
+
+    q = text_quality_score(spark, sf_dir).select(
+        "doc_id",
+        "n_tok",
+        F.round(F.col("quality") * 10000).cast("long").alias("qmilli"),
+    )
+    q = q.withColumn("bucket", F.expr("qmilli div 100"))
+    w_intra = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("qmilli"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = q.withColumn(
+        "intra_before", F.coalesce(F.sum("n_tok").over(w_intra), F.lit(0))
+    )
+    btot = q.groupBy("bucket").agg(F.sum("n_tok").alias("btot"))
+    w_bucket = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boff = btot.select(
+        "bucket",
+        F.coalesce(F.sum("btot").over(w_bucket), F.lit(0)).alias("bucket_before"),
+    )
+    budget = btot.agg(
+        F.expr("(4 * CAST(sum(btot) AS BIGINT)) div 10").alias("budget")
+    )
+    return (
+        scored.join(F.broadcast(boff), "bucket")
+        .crossJoin(F.broadcast(budget))
+        .withColumn(
+            "cum_before",
+            (F.col("bucket_before") + F.col("intra_before")).cast("long"),
+        )
+        .filter(F.col("cum_before") < F.col("budget"))
+        .select("doc_id", "n_tok", "qmilli", "cum_before")
+        .orderBy("cum_before", "doc_id")
     )

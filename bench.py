@@ -85,6 +85,8 @@ HEADLINE = [
     "vec_ann_hnsw_served_knn",
     "dedup_repeated_span_mask",
     "sample_token_budget_greedy",
+    "text_vocab_oov_rate",
+    "dedup_minhash_incremental_screen",
 ]
 
 

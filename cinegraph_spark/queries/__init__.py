@@ -151,6 +151,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # these slots
     "dedup_repeated_span_mask",
     "sample_token_budget_greedy",
+    "text_vocab_oov_rate",
+    # NB dedup_minhash_portable_est sits in the stale-50 head above AND is
+    # an r9 changed-code canary (its signature builder was factored into
+    # _portable_minhash_sigs, shared with the incremental screen) — its
+    # driver row this round re-proves the refactor
+    "dedup_minhash_incremental_screen",
 )
 
 

@@ -493,6 +493,33 @@ def _mh_b(i: int) -> int:
     return 997 * i + 1
 
 
+def _portable_minhash_sigs(spark, sf_dir):
+    """Per-doc portable MinHash signature (m0..m15): 8-token shingles with
+    the discovery-mode DF cap (<= 20, mirroring the oracle's ``sh`` CTE),
+    md5-prefix hashed into the mod-prime universe, 16 affine-permutation
+    minima. Shared by the estimation audit and the incremental screen."""
+    sh = shingles(toks_df(spark, sf_dir), "doc_id", "tokens", n=8)
+    postings = sh.groupBy("shingle").agg(
+        F.collect_list("doc_id").alias("ids")
+    ).filter(F.size("ids") <= 20)
+    capped = postings.select(
+        F.explode("ids").alias("doc_id"), "shingle"
+    )
+    h = (
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+        % _MH_P
+    ).alias("h")
+    hashed = capped.select("doc_id", h)
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(_mh_a(i)) * F.col("h") + F.lit(_mh_b(i))) % _MH_P).alias(
+                f"m{i}"
+            )
+            for i in range(_MH_PERMS)
+        ]
+    )
+
+
 @register(
     "dedup_minhash_portable_est",
     f"""
@@ -544,27 +571,7 @@ def dedup_minhash_portable_est(spark, sf_dir):
     checkpoint's materialization barrier costs as much as the second
     tokenize+shingle pass (wide strings, map-only work), unlike the LSH
     query where THREE consumers amortize it."""
-    sh = shingles(toks_df(spark, sf_dir), "doc_id", "tokens", n=8)
-    # apply the same discovery-mode DF cap as the oracle's `sh` CTE (<=20)
-    postings = sh.groupBy("shingle").agg(
-        F.collect_list("doc_id").alias("ids")
-    ).filter(F.size("ids") <= 20)
-    capped = postings.select(
-        F.explode("ids").alias("doc_id"), "shingle"
-    )
-    h = (
-        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
-        % _MH_P
-    ).alias("h")
-    hashed = capped.select("doc_id", h)
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(_mh_a(i)) * F.col("h") + F.lit(_mh_b(i))) % _MH_P).alias(
-                f"m{i}"
-            )
-            for i in range(_MH_PERMS)
-        ]
-    )
+    sig = _portable_minhash_sigs(spark, sf_dir)
     pairs = ngram_jaccard_pairs_df(spark, sf_dir).select(
         "id_a", "id_b", "jaccard"
     )
@@ -589,6 +596,148 @@ def dedup_minhash_portable_est(spark, sf_dir):
             F.round(matches / F.lit(float(_MH_PERMS)), 4).alias("est_jaccard"),
             "jaccard",
         )
+    )
+
+
+def _mh_band_sql(src: str, idc: str) -> str:
+    """UNION ALL band projection for the incremental-screen oracle: band j
+    keys on the concatenated minima m_{4j}..m_{4j+3}."""
+    parts = [
+        f"SELECT doc_id AS {idc}, {j} AS b, "
+        f"concat_ws(':', {', '.join(f'm{4 * j + r}' for r in range(4))}) AS key "
+        f"FROM {src}"
+        for j in range(4)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dedup_minhash_incremental_screen",
+    f"""
+    WITH {SHINGLE_CTES},
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+               % {_MH_P} AS h
+      FROM sh
+    ),
+    mins AS (
+      SELECT doc_id,
+             {", ".join(f"min(({_mh_a(i)} * h + {_mh_b(i)}) % {_MH_P}) AS m{i}" for i in range(_MH_PERMS))}
+      FROM hashed GROUP BY doc_id
+    ),
+    inc AS (SELECT * FROM mins WHERE doc_id % 3 = 0),
+    snap AS (SELECT * FROM mins WHERE doc_id % 3 <> 0),
+    bi AS ({_mh_band_sql("inc", "inc_id")}),
+    bs AS ({_mh_band_sql("snap", "snap_id")}),
+    cand AS (
+      SELECT DISTINCT inc_id, snap_id
+      FROM bi JOIN bs ON bi.b = bs.b AND bi.key = bs.key
+    ),
+    est AS (
+      SELECT c.inc_id, c.snap_id,
+             round(({" + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(_MH_PERMS))})
+                   / {_MH_PERMS}.0, 4) AS est
+      FROM cand c
+      JOIN mins a ON a.doc_id = c.inc_id
+      JOIN mins b ON b.doc_id = c.snap_id
+    ),
+    agg AS (
+      SELECT inc_id, count(*) AS n_candidates, max(est) AS best_est
+      FROM est GROUP BY inc_id
+    )
+    SELECT i.doc_id,
+           CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+           coalesce(best_est, 0.0) + 0 AS best_est,
+           CAST(coalesce(best_est, 0.0) >= 0.5 AS INT) AS flagged
+    FROM inc i LEFT JOIN agg ON agg.inc_id = i.doc_id
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "near-dup", "minhash", "incremental", "llm-pipeline"),
+)
+def dedup_minhash_incremental_screen(spark, sf_dir):
+    """Incremental-ingest NEAR-dup screen: split the corpus into a
+    snapshot (doc_id % 3 != 0) and an incoming delivery (doc_id % 3 == 0),
+    and screen every incoming document against the snapshot through
+    banded MinHash LSH — 4 bands x 4 rows over the 16-permutation
+    portable signature. A shared band key yields a candidate; candidates
+    are scored by signature-match fraction; ``flagged`` marks incoming
+    docs whose best estimate clears 0.5. The near-dup complement of
+    ``dedup_incremental_vs_snapshot`` (which is exact-hash only).
+
+    100 TB shape: signatures are 16 longs/doc (the corpus-sized side
+    shuffles once to build them — in production the snapshot's signatures
+    and band keys are persisted, so a delivery only hashes ITSELF and
+    probes the band buckets); the band join touches only colliding keys,
+    and only candidate pairs (LSH-bounded, capped upstream by the
+    max-bucket rule of lsh_candidate_pairs at real scale) ever compute a
+    signature comparison. No exact-Jaccard verification pass here by
+    design — this is the cheap admission gate."""
+    sig = _portable_minhash_sigs(spark, sf_dir)
+    inc = sig.filter(F.col("doc_id") % 3 == 0)
+    snap = sig.filter(F.col("doc_id") % 3 != 0)
+
+    def _bands(df, idc):
+        return df.select(
+            F.col("doc_id").alias(idc),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"m{4 * j + r}").cast("string")
+                                for r in range(4)
+                            ],
+                        )
+                        for j in range(4)
+                    ]
+                )
+            ).alias("b", "key"),
+        )
+
+    cand = (
+        _bands(inc, "inc_id")
+        .join(_bands(snap, "snap_id"), ["b", "key"])
+        .select("inc_id", "snap_id")
+        .distinct()
+    )
+    a = sig.select(
+        F.col("doc_id").alias("inc_id"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(_MH_PERMS)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("snap_id"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(_MH_PERMS)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_MH_PERMS)
+    )
+    est = (
+        cand.join(a, "inc_id")
+        .join(b, "snap_id")
+        .select(
+            "inc_id",
+            F.round(matches / F.lit(float(_MH_PERMS)), 4).alias("est"),
+        )
+    )
+    agg = est.groupBy("inc_id").agg(
+        F.count("*").alias("n_candidates"), F.max("est").alias("best_est")
+    )
+    best = F.coalesce(F.col("best_est"), F.lit(0.0))
+    return (
+        inc.select("doc_id")
+        .join(agg, F.col("doc_id") == F.col("inc_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            (best + F.lit(0)).alias("best_est"),
+            (best >= 0.5).cast("int").alias("flagged"),
+        )
+        .orderBy("doc_id")
     )
 
 

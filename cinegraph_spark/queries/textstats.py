@@ -712,3 +712,68 @@ def sample_token_budget_greedy(spark, sf_dir):
         .select("doc_id", "n_tok", "qmilli", "cum_before")
         .orderBy("cum_before", "doc_id")
     )
+
+
+@register(
+    "text_vocab_oov_rate",
+    f"""
+    WITH {_TOKS_CTE},
+    freq AS (
+      SELECT t AS tok, count(*) AS c
+      FROM toks, unnest(tokens) AS u(t) GROUP BY t
+    ),
+    vocab AS (
+      SELECT list(tok ORDER BY tok) AS v
+      FROM (SELECT tok FROM freq ORDER BY c DESC, tok LIMIT 15)
+    )
+    SELECT doc_id,
+           CAST(len(tokens) AS BIGINT) AS n_tok,
+           CAST(len(list_filter(tokens, t -> NOT list_contains(v, t)))
+                AS BIGINT) AS n_oov,
+           round(CAST(len(list_filter(tokens, t -> NOT list_contains(v, t)))
+                      AS DOUBLE)
+                 / greatest(len(tokens), 1), 4) AS oov_rate
+    FROM toks, vocab
+    ORDER BY doc_id
+    """,
+    tags=("textstats", "vocab", "llm-pipeline"),
+)
+def text_vocab_oov_rate(spark, sf_dir):
+    """Tokenizer-vocabulary coverage: build the top-15 corpus vocabulary
+    by token frequency (count desc, token asc tiebreak — deterministic),
+    then score every document's out-of-vocabulary token count and rate.
+    The coverage analysis run before committing to a tokenizer/vocab
+    size on a new corpus.
+
+    100 TB shape: one explode+count shuffle builds the frequency table
+    (map-side combined, vocabulary-bounded); the top-V rows collapse to a
+    ONE-ROW array relation that is broadcast — the per-document probe is
+    then a map-only array_contains scan, no join shuffle of the exploded
+    corpus."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", tokenize_whitespace(F.col("text")).alias("tokens")
+    )
+    freq = (
+        d.select(F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    top = freq.orderBy(F.desc("c"), F.asc("tok")).limit(15)
+    vocab = top.agg(F.sort_array(F.collect_list("tok")).alias("v"))
+    n_oov = F.size(
+        F.filter("tokens", lambda t: ~F.array_contains("v", t))
+    ).cast("long")
+    return (
+        d.crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.size("tokens").cast("long").alias("n_tok"),
+            n_oov.alias("n_oov"),
+            F.round(
+                n_oov.cast("double")
+                / F.greatest(F.size("tokens"), F.lit(1)),
+                4,
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )

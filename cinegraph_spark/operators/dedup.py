@@ -259,6 +259,14 @@ def jaccard_pairs(
             .agg(F.count("*").alias("n_common"))
         )
     else:
+        # the candidate frame (often itself a multi-stage LSH plan) is
+        # consumed THREE times below — twice by the id union, once by the
+        # final pair semi-join. Without staging, each consumer re-executes
+        # the entire candidate lineage (the sweep after the r9 semi-join
+        # fix measured dedup_minhash_lsh_pairs at 64 shuffles vs 11
+        # staged — three full corpus passes at scale). Lazy localCheckpoint
+        # materializes it once on first action.
+        candidates = candidates.localCheckpoint(eager=False)
         cand_ids = (
             candidates.select(F.col("id_a").alias(id_col))
             .union(candidates.select(F.col("id_b").alias(id_col)))

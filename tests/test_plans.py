@@ -362,15 +362,47 @@ def test_histogram_sketch_stays_jvm_and_prunes(q):
     assert "ts" not in schema and "props" not in schema
 
 
-def test_lsh_bucket_cap_is_broadcast_anti_join(q):
+def test_lsh_bucket_cap_is_broadcast_anti_join(spark, sf_dir):
     """The degenerate-bucket cap must execute as a broadcast anti-join on
     the (few) oversized keys — a shuffled anti-join would re-shuffle the
-    whole banded frame and defeat the point."""
-    from cinegraph_spark.plans import formatted_plan
+    whole banded frame and defeat the point.
 
-    plan = formatted_plan(q("dedup_minhash_lsh_pairs"))
+    Pinned on the CANDIDATE subtree: in the registered query the
+    candidates are staged behind a lazy localCheckpoint (they feed three
+    consumers in jaccard_pairs' verification mode — see the r9 plan-audit
+    note in operators/dedup.py), so the anti-join executes inside the
+    checkpoint materialization and no longer appears in the final query's
+    plan string."""
+    from cinegraph_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+    from cinegraph_spark.plans import formatted_plan
+    from cinegraph_spark.queries.neardup_common import toks_df
+
+    sh = shingles(toks_df(spark, sf_dir), "doc_id", "tokens", n=8)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(sh, "doc_id", num_perm=32), "doc_id", bands=8, rows=4
+    )
+    plan = formatted_plan(cands)
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_verification_candidates_are_staged(q):
+    """jaccard_pairs' verification mode consumes the candidate frame three
+    times (id union ×2, final semi-join); the lazy localCheckpoint must
+    cut the lineage so the LSH pipeline is not replicated per consumer —
+    the staged plan scans an ExistingRDD instead of re-deriving the
+    banded join (unstaged, the r9 audit measured 64 shuffles vs 11)."""
+    from cinegraph_spark.plans import formatted_plan, plan_counts
+
+    df = q("dedup_minhash_lsh_pairs")
+    assert "ExistingRDD" in formatted_plan(df) or "Scan ExistingRDD" in (
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan_counts(df)["shuffle_exchange"] <= 16
 
 
 def test_portable_simhash_buckets_no_python(q):

@@ -50,6 +50,15 @@ FAMILIES = [
     # partition-local, so wall tracks corpus/partitions, not corpus²)
     "pipeline_ingest_dedup_retention",
     "vec_ann_hnsw_partitioned_knn",
+    # r9 additions: repeated-span removal (1 row/doc out; the dup-gram
+    # join is occurrence-bounded — a regression to pair emission would
+    # track gram-frequency², not corpus), the incremental MinHash screen
+    # (1 row/incoming doc; band-join fan-out is LSH-bounded), and the
+    # token-budget selection (rows track the 40% budget; a regression to
+    # the one-reducer global window tracks corpus through one task)
+    "dedup_repeated_span_mask",
+    "dedup_minhash_incremental_screen",
+    "sample_token_budget_greedy",
 ]
 
 

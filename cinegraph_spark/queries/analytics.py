@@ -673,7 +673,12 @@ def dedup_minhash_incremental_screen(spark, sf_dir):
     max-bucket rule of lsh_candidate_pairs at real scale) ever compute a
     signature comparison. No exact-Jaccard verification pass here by
     design — this is the cheap admission gate."""
-    sig = _portable_minhash_sigs(spark, sf_dir)
+    # FOUR consumers of the signature frame (incoming bands, snapshot
+    # bands, and both sides of the candidate scoring join) — stage it once
+    # or each consumer re-runs the shingle→posting→minima lineage (the
+    # ≥3-consumer rule; 2-consumer recompute is a measured wash, see
+    # dedup_minhash_portable_est's docstring)
+    sig = _portable_minhash_sigs(spark, sf_dir).localCheckpoint(eager=False)
     inc = sig.filter(F.col("doc_id") % 3 == 0)
     snap = sig.filter(F.col("doc_id") % 3 != 0)
 

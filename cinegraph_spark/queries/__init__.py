@@ -157,6 +157,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # _portable_minhash_sigs, shared with the incremental screen) — its
     # driver row this round re-proves the refactor
     "dedup_minhash_incremental_screen",
+    # streaming admission gate (foreachBatch transform drain; not in the
+    # bench headline — see its docstring)
+    "pipeline_stream_neardup_gate",
 )
 
 

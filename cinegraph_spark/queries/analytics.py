@@ -746,6 +746,227 @@ def dedup_minhash_incremental_screen(spark, sf_dir):
     )
 
 
+def _portable_minhash_sigs_from(docs: DataFrame) -> DataFrame:
+    """CAPLESS portable MinHash signature over an arbitrary
+    ``(doc_id, text)`` frame: every distinct 8-token shingle of the doc
+    participates (no corpus-global DF cap), so the signature is a PURE
+    per-document function — computable on any micro-batch slice of a
+    stream with no corpus state, which the capped variant
+    (:func:`_portable_minhash_sigs`) is not."""
+    from cinegraph_spark.operators.windowize import tokenize_whitespace
+
+    toks = docs.select(
+        "doc_id", tokenize_whitespace(F.col("text")).alias("tokens")
+    )
+    sh = shingles(toks, "doc_id", "tokens", n=8)
+    h = (
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+        % _MH_P
+    ).alias("h")
+    return sh.select("doc_id", h).groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(_mh_a(i)) * F.col("h") + F.lit(_mh_b(i))) % _MH_P).alias(
+                f"m{i}"
+            )
+            for i in range(_MH_PERMS)
+        ]
+    )
+
+
+def _mh_bands_df(sig: DataFrame, idc: str) -> DataFrame:
+    """(doc_id, m0..m15) → (idc, b, key): 4 band keys per signature."""
+    return sig.select(
+        F.col("doc_id").alias(idc),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.col(f"m{4 * j + r}").cast("string")
+                            for r in range(4)
+                        ],
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("b", "key"),
+    )
+
+
+def _neardup_gate(snap_bands: DataFrame, b_sig: DataFrame):
+    """Build the per-batch admission-gate transform (batch docs frame →
+    per-doc verdict frame) against a prepared snapshot index:
+    ``snap_bands`` = (snap_id, b, key), ``b_sig`` = (snap_id, b0..b15).
+    Module-level so the multi-batch disorder test drives the same code
+    the registered query runs."""
+
+    def gate(batch_docs: DataFrame) -> DataFrame:
+        sig = _portable_minhash_sigs_from(batch_docs).localCheckpoint(
+            eager=False
+        )
+        cand = (
+            _mh_bands_df(sig, "inc_id")
+            .join(snap_bands, ["b", "key"])
+            .select("inc_id", "snap_id")
+            .distinct()
+        )
+        a_sig = sig.select(
+            F.col("doc_id").alias("inc_id"),
+            *[F.col(f"m{i}").alias(f"a{i}") for i in range(_MH_PERMS)],
+        )
+        matches = sum(
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(_MH_PERMS)
+        )
+        est = (
+            cand.join(a_sig, "inc_id")
+            .join(b_sig, "snap_id")
+            .select(
+                "inc_id",
+                F.round(matches / F.lit(float(_MH_PERMS)), 4).alias("est"),
+            )
+        )
+        agg = est.groupBy("inc_id").agg(
+            F.count("*").alias("n_candidates"), F.max("est").alias("best_est")
+        )
+        best = F.coalesce(F.col("best_est"), F.lit(0.0))
+        return (
+            sig.select("doc_id")
+            .join(agg, F.col("doc_id") == F.col("inc_id"), "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n_candidates"), F.lit(0))
+                .cast("bigint")
+                .alias("n_candidates"),
+                (best + F.lit(0)).alias("best_est"),
+                (best < 0.5).cast("int").alias("admitted"),
+            )
+        )
+
+    return gate
+
+
+@register(
+    "pipeline_stream_neardup_gate",
+    f"""
+    WITH snap_docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+    ),
+    inc_docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    {shingle_over_sql("snap_docs", "toks_s", "sh_s")},
+    {shingle_over_sql("inc_docs", "toks_i", "sh_i")},
+    hs AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+               % {_MH_P} AS h
+      FROM sh_s
+    ),
+    hi AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+               % {_MH_P} AS h
+      FROM sh_i
+    ),
+    ms AS (
+      SELECT doc_id,
+             {", ".join(f"min(({_mh_a(i)} * h + {_mh_b(i)}) % {_MH_P}) AS m{i}" for i in range(_MH_PERMS))}
+      FROM hs GROUP BY doc_id
+    ),
+    mi AS (
+      SELECT doc_id,
+             {", ".join(f"min(({_mh_a(i)} * h + {_mh_b(i)}) % {_MH_P}) AS m{i}" for i in range(_MH_PERMS))}
+      FROM hi GROUP BY doc_id
+    ),
+    bs AS ({_mh_band_sql("ms", "snap_id")}),
+    bi AS ({_mh_band_sql("mi", "inc_id")}),
+    cand AS (
+      SELECT DISTINCT inc_id, snap_id
+      FROM bi JOIN bs ON bi.b = bs.b AND bi.key = bs.key
+    ),
+    est AS (
+      SELECT c.inc_id, c.snap_id,
+             round(({" + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(_MH_PERMS))})
+                   / {_MH_PERMS}.0, 4) AS est
+      FROM cand c
+      JOIN mi a ON a.doc_id = c.inc_id
+      JOIN ms b ON b.doc_id = c.snap_id
+    ),
+    agg AS (
+      SELECT inc_id, count(*) AS n_candidates, max(est) AS best_est
+      FROM est GROUP BY inc_id
+    )
+    SELECT i.doc_id,
+           CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+           coalesce(best_est, 0.0) + 0 AS best_est,
+           CAST(coalesce(best_est, 0.0) < 0.5 AS INT) AS admitted
+    FROM mi i LEFT JOIN agg ON agg.inc_id = i.doc_id
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "streaming", "dedup", "near-dup", "llm-pipeline"),
+)
+def pipeline_stream_neardup_gate(spark, sf_dir):
+    """STREAMING near-dup admission gate — the ingestion-time shape of
+    the incremental screen: the incoming delivery (doc_id % 3 == 0)
+    arrives as a REAL file-source stream; each micro-batch is screened
+    inside ``foreachBatch`` against a build-once static index of the
+    snapshot corpus (capless portable-MinHash signatures + 4×4 band
+    keys, eagerly localCheckpoint-ed BEFORE the stream starts so no
+    batch re-derives the snapshot lineage), and the per-document verdict
+    drains through the idempotent batch-keyed parquet sink. ``admitted``
+    marks documents whose best signature-match estimate stays under 0.5.
+
+    Stream-safety is a THEOREM here, not luck: the capless signature is
+    a pure per-document function (no corpus-global DF cap), so the gate
+    verdict is identical under any micro-batch split of the delivery —
+    pinned by the multi-batch disorder test in tests/test_streaming.py.
+    The batch oracle (same SQL, no streaming) hash-matches only if the
+    drain preserved exactly-once per-doc semantics.
+
+    100 TB shape: the snapshot index is built once and persisted (here:
+    checkpointed; production: a parquet/serving table, cf.
+    hnsw_index_save); a delivery hashes ONLY ITSELF (map-side per doc),
+    probes the band buckets, and scores the LSH-bounded candidates.
+
+    NOT in the bench headline: the snapshot index build is ~6 s at sf0.1
+    (the one-split documents scan — a local-fixture artifact), the same
+    exclusion precedent as vec_ann_hnsw_knn's driver graph build; the
+    gate's own per-batch work is ~1.7 s and the LSH shape is already
+    benched via dedup_minhash_incremental_screen."""
+    from cinegraph_spark.queries.util import T as _T
+    from cinegraph_spark.session import scratch_dir
+    from cinegraph_spark.streaming.windows import (
+        read_documents_stream,
+        run_availablenow_to_parquet,
+    )
+
+    docs = _T(spark, sf_dir, "documents").select("doc_id", "text")
+    snap_sigs = _portable_minhash_sigs_from(
+        docs.filter(F.col("doc_id") % 3 != 0)
+    ).localCheckpoint(eager=True)
+    snap_bands = _mh_bands_df(snap_sigs, "snap_id").localCheckpoint(eager=True)
+    b_sig = snap_sigs.select(
+        F.col("doc_id").alias("snap_id"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(_MH_PERMS)],
+    )
+
+    gate = _neardup_gate(snap_bands, b_sig)
+
+    incoming = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 3 == 0
+    ).select("doc_id", "text")
+    out = run_availablenow_to_parquet(
+        spark,
+        incoming,
+        scratch_dir("cg_neardup_gate_"),
+        output_mode="append",
+        transform=gate,
+    )
+    return out.orderBy("doc_id")
+
+
 #: portable-SimHash signature CTEs (expects a ``toks`` CTE in scope); shared
 #: by the Hamming-audit and bucketed-LSH twins below.
 _PSH_SIG_CTES = f"""

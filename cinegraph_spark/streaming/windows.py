@@ -53,6 +53,27 @@ def _events_ts_unit_divisor(sf_dir: str) -> int:
     return 1000 if getattr(t, "unit", "us") == "ns" else 1
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet, handling both
+    physical shapes the testdata has shipped: a single FILE
+    (``documents.parquet`` is one file at every current SF — a file path
+    cannot be a FileStreamSource basePath, so stream the sf dir with a
+    ``pathGlobFilter``) and a DIRECTORY of part files (stream it
+    directly; the glob approach matches nothing in that layout — the
+    events-reader lesson, NOTES r6)."""
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -211,6 +232,7 @@ def run_availablenow_to_parquet(
     path: str,
     output_mode: str = "update",
     timeout_s: int = 120,
+    transform=None,
 ) -> DataFrame:
     """Production drain: process all available input and write every
     micro-batch's emissions straight to a parquet directory via
@@ -237,15 +259,32 @@ def run_availablenow_to_parquet(
     that outruns ``timeout_s`` raises ``TimeoutError`` instead of
     silently returning a partial directory while the stream still writes
     (the stop + raise happen inside the scoped-conf block, so UTC/shuffle
-    confs are never restored mid-stream)."""
+    confs are never restored mid-stream).
+
+    ``transform`` (optional): a batch-DataFrame → batch-DataFrame callable
+    applied to each micro-batch INSIDE ``foreachBatch`` before the write —
+    the hook for per-batch logic the streaming engine cannot express
+    directly (multi-join + aggregation against static tables, e.g. the
+    near-dup admission gate). It must be PER-ROW-INDEPENDENT or otherwise
+    batch-split-safe: foreachBatch gives no cross-batch state here, so a
+    transform whose result depends on which rows share a batch would be
+    nondeterministic under repartitioned input. The read-back schema is
+    derived by analyzing the transform against an empty frame."""
     import os
 
     from cinegraph_spark.session import bounded_shuffle, scoped_confs
 
-    schema = stream_df.schema
+    if transform is None:
+        schema = stream_df.schema
+    else:
+        schema = transform(
+            spark.createDataFrame([], stream_df.schema)
+        ).schema
     os.makedirs(path, exist_ok=True)
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
         batch_df.write.mode("overwrite").parquet(
             os.path.join(path, f"batch-{batch_id:08d}")
         )

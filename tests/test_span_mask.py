@@ -69,3 +69,52 @@ def test_partition_invariance(spark):
     assert one == many
     # the shared 4-word prefix spans grams at starts 0 and 1
     assert all(one[i]["clean_text"] == f"suffix{i} end{i}" for i in range(8))
+
+
+# --- property: Spark output == pure-Python reference on random corpora ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _reference(docs: dict[int, list[str]], k: int, min_df: int):
+    """Pure-Python repeated-span mask: the executable spec."""
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for d, ws in docs.items():
+        for p in range(len(ws) - k + 1):
+            gram_docs[tuple(ws[p : p + k])].add(d)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= min_df}
+    out = {}
+    for d, ws in docs.items():
+        starts = [
+            p for p in range(len(ws) - k + 1) if tuple(ws[p : p + k]) in dup
+        ]
+        covered = {i for s in starts for i in range(s, s + k)}
+        kept = [w for i, w in enumerate(ws) if i not in covered]
+        out[d] = (len(ws), len(starts), len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=12
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    k=st.integers(2, 4),
+    min_df=st.integers(2, 3),
+)
+def test_matches_python_reference(spark, docs, k, min_df):
+    corpus = {i: ws for i, ws in enumerate(docs)}
+    rows = [(i, " ".join(ws)) for i, ws in corpus.items()]
+    got = {
+        d: (r["n_words"], r["n_dup_starts"], r["n_kept"], r["clean_text"])
+        for d, r in _run(spark, rows, k=k, min_df=min_df).items()
+    }
+    want = _reference(corpus, k, min_df)
+    assert got == want

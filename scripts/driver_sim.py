@@ -11,8 +11,16 @@ import duckdb
 sf_dir = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
 spark = (
     SparkSession.builder.master("local[8]")
-    .config("spark.sql.session.timeZone", "America/New_York")
-    .config("spark.sql.shuffle.partitions", "200")
+    # SIM_TZ / SIM_SHUFFLE let a sweep vary the hostile environment —
+    # e.g. Asia/Kolkata (half-hour offset, catches what a whole-hour
+    # zone cannot) and an odd partition count
+    .config(
+        "spark.sql.session.timeZone",
+        os.environ.get("SIM_TZ", "America/New_York"),
+    )
+    .config(
+        "spark.sql.shuffle.partitions", os.environ.get("SIM_SHUFFLE", "200")
+    )
     .config("spark.ui.enabled", "false")
     # the default 1g driver heap OOMs on the sf0.1 join-heavy queries
     # (triangles); this knob sizes the sim's JVM, it is NOT an engine

@@ -88,3 +88,25 @@ def test_gate_verdict_invariant_under_micro_batch_split(spark, tmp_path):
     rejected = {d for d, r in multi.items() if r["admitted"] == 0}
     assert rejected == {0, 3}
     assert all(multi[d]["n_candidates"] == 0 for d in (6, 9, 12, 15))
+
+
+def test_read_documents_stream_handles_directory_shape(spark, tmp_path):
+    """The testdata has shipped both shapes (events flipped in r6); the
+    documents reader must stream a DIRECTORY documents.parquet directly —
+    the pathGlobFilter approach matches nothing in that layout."""
+    from cinegraph_spark.streaming.windows import read_documents_stream
+
+    doc_dir = f"{tmp_path}/documents.parquet"
+    rows = [(i, f"text {i}", "en", "s", 6) for i in range(10)]
+    for half in (rows[:5], rows[5:]):
+        spark.createDataFrame(
+            half, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).coalesce(1).write.mode("append").parquet(doc_dir)
+    out = run_availablenow_to_parquet(
+        spark,
+        read_documents_stream(spark, str(tmp_path)).select("doc_id", "text"),
+        f"{tmp_path}/out",
+        output_mode="append",
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == list(range(10))

@@ -87,6 +87,7 @@ HEADLINE = [
     "sample_token_budget_greedy",
     "text_vocab_oov_rate",
     "dedup_minhash_incremental_screen",
+    "sample_global_shuffle_order",
 ]
 
 

@@ -160,6 +160,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # streaming admission gate (foreachBatch transform drain; not in the
     # bench headline — see its docstring)
     "pipeline_stream_neardup_gate",
+    "sample_global_shuffle_order",
 )
 
 

@@ -119,3 +119,65 @@ def sample_lang_quota(spark, sf_dir):
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
+
+
+@register(
+    "sample_global_shuffle_order",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(concat('shuf42:', CAST(doc_id AS VARCHAR))) AS k
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(k, 1, 2)) AS BIGINT) AS BIGINT)
+             AS shard,
+           CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT)
+             AS global_pos
+    FROM keyed
+    ORDER BY global_pos
+    """,
+    tags=("sampling", "shuffle", "llm-pipeline"),
+)
+def sample_global_shuffle_order(spark, sf_dir):
+    """Deterministic GLOBAL training-order shuffle: every document gets a
+    reproducible position — rank by ``md5('shuf42:' || doc_id)`` with a
+    doc_id tiebreak — so a re-run, a recompacted copy, or a different
+    cluster layout produces the identical data order (the reproducibility
+    requirement for training-run forensics; ``df.orderBy(rand())`` gives
+    none of that).
+
+    100 TB shape — the global rank is HIERARCHICAL, never one reducer
+    sorting the corpus: the first md5 byte is the shard (256 buckets;
+    shard order IS key order because it's the key's leading byte),
+    intra-shard ranks window on the shard key in parallel, shard counts
+    cumulate on a 256-row relation, and offsets broadcast back. The
+    DuckDB oracle uses the naive single window — bit-identical output,
+    which tests/test_token_budget.py-style equivalence pins locally."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string"))).alias(
+            "k"
+        ),
+    )
+    d = d.withColumn(
+        "shard", F.conv(F.substring("k", 1, 2), 16, 10).cast("long")
+    )
+    w_intra = Window.partitionBy("shard").orderBy("k", "doc_id")
+    ranked = d.withColumn("intra", F.row_number().over(w_intra))
+    counts = d.groupBy("shard").agg(F.count("*").alias("n"))
+    w_shard = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "shard", F.coalesce(F.sum("n").over(w_shard), F.lit(0)).alias("off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "shard")
+        .select(
+            "doc_id",
+            "shard",
+            (F.col("off") + F.col("intra") - 1).cast("long").alias("global_pos"),
+        )
+        .orderBy("global_pos")
+    )

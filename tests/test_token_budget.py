@@ -64,3 +64,36 @@ def test_straddling_doc_included_budget_respected(spark, sf_dir):
         assert cum < budget  # selection rule
         cum += r["n_tok"]
     assert cum >= budget  # the straddling doc pushed us to/over budget
+
+
+def test_global_shuffle_hierarchical_equals_naive(spark, sf_dir):
+    """sample_global_shuffle_order's 256-shard rank must equal the naive
+    single-window global rank bit-for-bit (shard = leading md5 byte, so
+    shard order IS key order)."""
+    got = {
+        r["doc_id"]: r["global_pos"]
+        for r in SPECS["sample_global_shuffle_order"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    keyed = (
+        SPECS["sample_global_shuffle_order"]
+        .spark(spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string"))
+            ).alias("k"),
+        )
+    )
+    w = Window.orderBy("k", "doc_id")
+    want = {
+        r["doc_id"]: r["pos"]
+        for r in keyed.select(
+            "doc_id", (F.row_number().over(w) - 1).alias("pos")
+        ).collect()
+    }
+    assert got == want
+    # positions are a permutation of 0..n-1
+    assert sorted(got.values()) == list(range(len(got)))

@@ -106,3 +106,80 @@ def test_keys_do_not_cross_and_equal_ts_ties_take_extreme_ids(spark):
         100: (9, 60_000_000, "backward"),
         200: (4, 60_000_000, "forward"),
     }
+
+
+# --- property: asof_nearest == pandas merge_asof (the executable spec) ---
+
+from datetime import timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+_BASE = datetime(2024, 1, 1)
+
+
+def _dt(us: int) -> datetime:
+    return _BASE + timedelta(microseconds=us)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10_000)),
+        min_size=0,
+        max_size=12,
+        unique=True,
+    ),
+    tol=st.sampled_from([50, 500, 5_000]),
+)
+def test_nearest_matches_pandas_merge_asof(spark, lefts, rights, tol):
+    """pandas ``merge_asof(direction='nearest', tolerance)`` is the spec
+    asof_nearest reimplements distributively. With the right side sorted
+    by (ts, id), pandas' positional tie rules coincide with ours (largest
+    id backward, smallest forward; equidistant prefers backward — probed
+    empirically on pandas 2.2), so the (left_id -> nearest_right_id)
+    mapping must agree exactly on random inputs."""
+    import pandas as pd
+
+    l_rows = [(k, _dt(us), i) for i, (k, us) in enumerate(lefts)]
+    r_rows = [(k, _dt(us), 100 + i) for i, (k, us) in enumerate(rights)]
+    ldf = spark.createDataFrame(
+        l_rows, "k int, ts timestamp_ntz, lid int"
+    )
+    rdf = spark.createDataFrame(
+        r_rows, "k int, ts timestamp_ntz, rid int"
+    )
+    got_rows = asof_nearest(
+        ldf, rdf, key="k", ts="ts", left_id="lid", right_id="rid",
+        tolerance_us=tol,
+    ).collect()
+    got = {r["lid"]: r["nearest_rid"] for r in got_rows}
+
+    lp = pd.DataFrame(l_rows, columns=["k", "ts", "lid"]).sort_values(
+        ["ts", "lid"]
+    )
+    rp = pd.DataFrame(r_rows, columns=["k", "ts", "rid"]).sort_values(
+        ["ts", "rid"]
+    )
+    if rp.empty:
+        assert got == {}
+        return
+    m = pd.merge_asof(
+        lp,
+        rp,
+        on="ts",
+        by="k",
+        direction="nearest",
+        tolerance=pd.Timedelta(microseconds=tol),
+    )
+    want = {
+        int(r.lid): int(r.rid) for r in m.itertuples() if pd.notna(r.rid)
+    }
+    assert got == want

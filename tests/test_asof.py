@@ -183,3 +183,55 @@ def test_nearest_matches_pandas_merge_asof(spark, lefts, rights, tol):
         int(r.lid): int(r.rid) for r in m.itertuples() if pd.notna(r.rid)
     }
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10_000)),
+        min_size=0,
+        max_size=12,
+        unique=True,
+    ),
+)
+def test_backward_matches_pandas_merge_asof(spark, lefts, rights):
+    """asof_join (latest right at-or-before) vs
+    pandas merge_asof(direction='backward') — same alignment as the
+    nearest pin: right sorted by (ts, id) makes pandas' positional
+    dup-ts rule equal our largest-id rule."""
+    import pandas as pd
+
+    from cinegraph_spark.operators.asof import asof_join
+
+    l_rows = [(k, _dt(us), i) for i, (k, us) in enumerate(lefts)]
+    r_rows = [(k, _dt(us), 100 + i) for i, (k, us) in enumerate(rights)]
+    ldf = spark.createDataFrame(l_rows, "k int, ts timestamp_ntz, lid int")
+    rdf = spark.createDataFrame(r_rows, "k int, ts timestamp_ntz, rid int")
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(
+            ldf, rdf, key="k", ts="ts", left_id="lid", right_id="rid"
+        ).collect()
+    }
+
+    lp = pd.DataFrame(l_rows, columns=["k", "ts", "lid"]).sort_values(
+        ["ts", "lid"]
+    )
+    if not r_rows:
+        assert got == {r[2]: None for r in l_rows}
+        return
+    rp = pd.DataFrame(r_rows, columns=["k", "ts", "rid"]).sort_values(
+        ["ts", "rid"]
+    )
+    m = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    want = {
+        int(r.lid): (int(r.rid) if pd.notna(r.rid) else None)
+        for r in m.itertuples()
+    }
+    assert got == want

@@ -161,6 +161,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # bench headline — see its docstring)
     "pipeline_stream_neardup_gate",
     "sample_global_shuffle_order",
+    # S3 sink as a real Python DataSource WRITER (staged commit/abort);
+    # headline-excluded: 5000 tiny files cost ~14 s at sf0.1 — sink
+    # machinery, not query dataflow
+    "src_textsink_roundtrip",
 )
 
 

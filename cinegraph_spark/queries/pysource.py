@@ -115,3 +115,63 @@ def src_stream_listing_pages(spark, sf_dir):
         .cast("long")
         .alias("n_missing_year"),
     )
+
+
+@register(
+    "src_textsink_roundtrip",
+    """
+    WITH titled AS (
+      SELECT doc_id, text, 1900 + doc_id % 120 AS year,
+             'Doc ' || CAST(doc_id AS VARCHAR) AS title
+      FROM documents
+    )
+    SELECT CAST(year AS BIGINT) AS year,
+           count(*) AS n_files,
+           CAST(sum(len(text)) AS BIGINT) AS sum_chars,
+           min(title || ' ' || CAST(year AS VARCHAR)) AS first_movie
+    FROM titled GROUP BY year ORDER BY year
+    """,
+    tags=("source", "sink", "python-datasource", "s3"),
+)
+def src_textsink_roundtrip(spark, sf_dir):
+    """S3 as a REAL custom connector round-trip: every document becomes a
+    ``{title}_{year}.txt`` file (spaces→underscores — the reference's
+    filename mangle, ``scraping/scraper.py:137-153``) written through the
+    Python Data Source WRITER (``sources/textsink.py``: executor tasks
+    write their partitions in parallel, the driver commits a manifest
+    only after all tasks succeed, abort removes partial output), then the
+    corpus is read BACK through the S4 directory reader
+    (``read_subtitle_corpus``) and rolled up per year. The oracle derives
+    the same rollup from ``documents`` directly, so the hash matches only
+    if the sink wrote every file exactly once with exact content and the
+    filename mangle round-tripped the title/year."""
+    from cinegraph_spark.queries.util import T as _T
+    from cinegraph_spark.session import ensure_shipped, scratch_dir
+    from cinegraph_spark.sources.text_corpus import read_subtitle_corpus
+    from cinegraph_spark.sources.textsink import write_text_files
+
+    ensure_shipped(spark)
+    out_dir = scratch_dir("cg_textsink_")
+    d = _T(spark, sf_dir, "documents")
+    year = (F.lit(1900) + F.pmod("doc_id", F.lit(120))).cast("int")
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    fname = F.concat(
+        F.regexp_replace(title, " ", "_"),
+        F.lit("_"),
+        year.cast("string"),
+        F.lit(".txt"),
+    )
+    write_text_files(
+        d.select(fname.alias("fname"), F.col("text").alias("content")),
+        out_dir,
+    )
+    corpus = read_subtitle_corpus(spark, out_dir)
+    return (
+        corpus.groupBy(F.col("year").cast("long").alias("year"))
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(F.length("raw_text")).cast("long").alias("sum_chars"),
+            F.min("movie").alias("first_movie"),
+        )
+        .orderBy("year")
+    )

@@ -1,0 +1,59 @@
+"""The text-files Python Data Source WRITER's transactional contract:
+commit publishes a manifest listing exactly the written files; a failed
+job's abort removes every file the finished tasks wrote (no partial
+delivery visible to a retry).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cinegraph_spark.sources.textsink import write_text_files
+
+
+def test_commit_writes_manifest_of_all_files(spark, tmp_path):
+    out = f"{tmp_path}/sink"
+    df = spark.createDataFrame(
+        [(f"doc_{i}.txt", f"content {i}") for i in range(7)],
+        "fname string, content string",
+    ).repartition(3)
+    write_text_files(df, out)
+    names = sorted(
+        n for n in os.listdir(out) if not n.startswith("_")
+    )
+    assert names == [f"doc_{i}.txt" for i in range(7)]
+    with open(f"{out}/_MANIFEST") as fh:
+        manifest = fh.read().splitlines()
+    assert manifest == names
+    assert open(f"{out}/doc_3.txt").read() == "content 3"
+
+
+def test_abort_removes_partial_output(spark, tmp_path):
+    out = f"{tmp_path}/sink"
+
+    @F.udf("string")
+    def poison(fname):
+        if fname == "boom.txt":
+            raise RuntimeError("injected task failure")
+        return fname
+
+    # two partitions: one succeeds (its task returns a commit message),
+    # one raises -> the job fails -> abort() must remove the survivors
+    ok = spark.createDataFrame(
+        [(f"doc_{i}.txt", "x") for i in range(4)],
+        "fname string, content string",
+    ).coalesce(1)
+    bad = spark.createDataFrame(
+        [("boom.txt", "x")], "fname string, content string"
+    ).coalesce(1)
+    df = ok.unionAll(bad).select(
+        poison(F.col("fname")).alias("fname"), "content"
+    )
+    with pytest.raises(Exception):
+        write_text_files(df, out)
+    leftovers = sorted(os.listdir(out)) if os.path.isdir(out) else []
+    # no visible files, no manifest, and the staging subtree is swept
+    assert leftovers == []

@@ -65,8 +65,17 @@ class TextFilesWriter(DataSourceWriter):
         path = options.get("path")
         if not path:
             raise ValueError("cinegraph_textfiles requires option('path', dir)")
+        if overwrite:
+            # mode('overwrite') would silently MERGE with a prior delivery
+            # (files are keyed by name; only colliding names would be
+            # replaced) — refuse loudly rather than imply truncate
+            # semantics this sink does not implement.
+            raise ValueError(
+                "cinegraph_textfiles supports append mode only; write each "
+                "delivery to its own directory (the _MANIFEST is the "
+                "visibility boundary)"
+            )
         self.path = path
-        self.overwrite = overwrite
 
     @property
     def _staging(self) -> str:

@@ -57,3 +57,19 @@ def test_abort_removes_partial_output(spark, tmp_path):
     leftovers = sorted(os.listdir(out)) if os.path.isdir(out) else []
     # no visible files, no manifest, and the staging subtree is swept
     assert leftovers == []
+
+
+def test_overwrite_mode_refused(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a.txt", "x")], "fname string, content string"
+    )
+    from cinegraph_spark.sources.textsink import _register
+
+    _register(spark)
+    with pytest.raises(Exception, match="append mode only"):
+        (
+            df.write.format("cinegraph_textfiles")
+            .option("path", f"{tmp_path}/sink")
+            .mode("overwrite")
+            .save()
+        )

@@ -81,6 +81,11 @@ def connected_components(
     # bounded-shuffle scope: a plain 200-partition session would otherwise
     # pay 200-task overhead per round on graphs this size
     with bounded_shuffle(edges.sparkSession):
+        # stage the raw edge list ONCE: symmetrize scans it twice (fwd +
+        # rev) and the vertex union twice more, so an expensive upstream
+        # (the near-dup pair plans every caller feeds in) would otherwise
+        # re-execute 4x before the first superstep
+        edges = edges.select(src, dst).localCheckpoint(eager=True)
         e = symmetrize(edges, src, dst, oriented=oriented)
         e = e.localCheckpoint(eager=True)
         # vertex set from the PRE-symmetrize endpoints: symmetrize drops
@@ -148,8 +153,13 @@ def connected_components_star(
     IS the star forest: every vertex points directly at its component
     minimum. Component ids therefore match min-label's exactly.
     """
-    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     with bounded_shuffle(edges.sparkSession):
+        # stage the raw edge list ONCE (vertex union + canonicalization
+        # scan it 3x; callers feed expensive near-dup pair plans)
+        raw = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .localCheckpoint(eager=True)
+        )
         verts = (
             raw.select(F.col("a").alias("id"))
             .unionByName(raw.select(F.col("b").alias("id")))

@@ -54,117 +54,81 @@ def register(
     return deco
 
 
-#: Driver-slot priority (round 8). The driver's correctness harness walks
+#: Driver-slot priority (round 10). The driver's correctness harness walks
 #: the registry in order under a ~50-query budget, so this list pins the
 #: front slots explicitly instead of relying on module import order.
-#: Round-9 rationale — FINISH the oldest-green-first rotation (r7 swept
-#: r1 + the r2 head, r8 swept the r2 remainder + the r3 head): after r8
-#: exactly 50 queries remain with a latest check older than round 6 — 20
-#: last checked in r3 (the TPC-H/subquery/window/sampling/packing tail)
-#: and 30 last checked in r5 (the agg/join/window/setop/scalar/media/udf
-#: families) — one full 50-slot round. They fill every slot, oldest
-#: bucket first, registry order within each bucket (freshness computed
-#: from CORRECTNESS_r0*.json). Round-9 changed-code canaries (the
-#: parquet-drain hardening touching the five streaming queries + ingest
-#: composite, the adaptive-partition HNSW, and the sub-shard packing —
-#: all oracle-identical by design AND covered by the local
-#: test_oracle_parity mirror) queue immediately after the 50: the
-#: packing pair is already inside the stale set, and displacing an
-#: r3-stale slot for an r8-green re-check would leave the rotation
-#: permanently unfinished. After this round no query's latest check is
-#: older than r5. Every name here must exist in the registry — load_all
+#: Round-10 rationale — exactly per the r9 verdict's tasks 1–2: the 8
+#: round-9 queries that are registered and local-oracle-green but absent
+#: from every CORRECTNESS_r*.json LEAD (their first driver rows are this
+#: round's gate), then the 42-query r6-stale bucket (the oldest latest
+#: check after r9 — computed fresh from CORRECTNESS_r0*.json, registry
+#: order). 8 + 42 = one full 50-slot round; after it no query's latest
+#: check is older than r7. Round-10 changed-code canaries queue after the
+#: budget line: the textsink hardening (fail-loud manifest, fname
+#: validation, atomic manifest rename) rides src_textsink_roundtrip in
+#: the lead-8; graph_cc_neardup_clusters re-queues if its endpoint-union
+#: plan changes. Every name here must exist in the registry — load_all
 #: asserts.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # last checked round 3 (registry order — the 20 names the r8 budget
-    # cut off) — includes pack_chunks/pack_chunk_manifest, whose
-    # prefix-sum becomes sub-sharded this round (oracle-identical; the
-    # driver row doubles as the canary)
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q22_idle_rich_customers",
-    "subq_scalar_orders_above_avg",
-    "subq_correlated_top_heavy_customers",
-    "subq_not_exists_parts_unordered_1997",
-    "window_ntile_percent_cume",
-    "window_first_last_nth_order",
-    "agg_minby_maxby_nation",
-    "sample_hash_mod_documents",
-    "sample_stratified_topn_per_source",
-    "sample_lang_quota",
-    "pack_chunks_per_source",
-    "pack_chunk_manifest",
-    "vec_mips_topk",
-    "text_domain_mix_weights",
-    "text_bigram_surprisal",
-    "sample_train_val_test_split",
-    "dedup_minhash_portable_est",
-    "sketch_countmin_heavy_hitters",
-    # last checked round 5 (registry order)
-    "agg_rollup_region_nation",
-    "agg_cube_status_priority",
-    "agg_grouping_sets",
-    "join_inner_order_totals_per_segment",
-    "join_left_customers_order_counts",
-    "join_full_outer_customer_supplier_nations",
-    "join_semi_customers_with_open_orders",
-    "join_anti_customers_without_orders",
-    "join_broadcast_part_lineitem",
-    "join_range_theta_price_band",
-    "window_topk_orders_per_customer",
-    "window_rank_dense_rank",
-    "window_running_revenue_per_customer",
-    "window_range_frame_acctbal",
-    "sort_topk_orders_global",
-    "setop_union_intersect_except",
-    "setop_intersect_all_linestatus",
-    "scalar_orders_by_month",
-    "scalar_case_bucketing",
-    "agg_regr_corr_stats",
-    "join_lateral_top2_customers_per_nation",
-    "join_merge_cdc_customer_orders",
-    "join_right_orders_all_customers",
-    "media_frame_sample_plan",
-    "media_kind_profile",
-    "media_payload_checksums",
-    "sketch_hll_distinct_users",
-    "src_paginated_listing_decades",
-    "udf_pandas_grouped_agg_gini",
-    "udf_pandas_scalar_net_revenue",
-    # --- 50-slot budget line ---
-    # brand-new round-9 query (no driver row yet), then changed-code
-    # canaries: the streaming queries + ingest composite ride the
-    # hardened idempotent parquet drain; the partitioned HNSW derives
-    # n_partitions from corpus size
+    # never driver-checked (registered in r9) — first rows required
     "vec_ann_hnsw_served_knn",
-    "stream_retention_cohorts",
-    "stream_join_purchase_click_attribution",
-    "stream_enrich_purchase_customer",
-    "stream_stateful_topk_per_user",
-    "src_stream_listing_pages",
-    "pipeline_ingest_dedup_retention",
-    "vec_ann_hnsw_partitioned_knn",
-    # its broadcast twin rides the same refactored score-emit helper
-    "vec_ann_hnsw_knn",
-    # brand-new round-9 queries #2/#3 (no driver row yet): cross-doc
-    # repeated span removal + token-budget greedy selection — must lead
-    # round 10 with vec_ann_hnsw_served_knn if the r9 budget cuts before
-    # these slots
     "dedup_repeated_span_mask",
     "sample_token_budget_greedy",
     "text_vocab_oov_rate",
-    # NB dedup_minhash_portable_est sits in the stale-50 head above AND is
-    # an r9 changed-code canary (its signature builder was factored into
-    # _portable_minhash_sigs, shared with the incremental screen) — its
-    # driver row this round re-proves the refactor
     "dedup_minhash_incremental_screen",
-    # streaming admission gate (foreachBatch transform drain; not in the
-    # bench headline — see its docstring)
     "pipeline_stream_neardup_gate",
     "sample_global_shuffle_order",
-    # S3 sink as a real Python DataSource WRITER (staged commit/abort);
-    # headline-excluded: 5000 tiny files cost ~14 s at sf0.1 — sink
-    # machinery, not query dataflow
     "src_textsink_roundtrip",
+    # last checked round 6 (registry order) — the oldest-green bucket
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_supplier_volume_by_nation",
+    "agg_distinct_parts_per_supplier",
+    "window_lag_lead_user_events",
+    "scalar_json_events",
+    "scalar_datetime_parts_events",
+    "strfn_fuzzy_name_pairs_blocked",
+    "vec_ann_pq_topk",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_buckets",
+    "events_sliding_10min_step5",
+    "events_session_windows_30min",
+    "events_dedup_latest_per_user_type",
+    "events_asof_purchase_click",
+    "events_rate_per_type_minute",
+    "events_gapfill_hourly_ffill",
+    "events_funnel_view_click_purchase",
+    "cluster_graph_nodes",
+    "cluster_membership",
+    "cluster_children_of_root",
+    "cluster_leaf_sizes",
+    "scalar_variant_nested_events",
+    "events_retention_cohorts",
+    "events_anomaly_zscore_hourly",
+    "events_user_rfm_segments",
+    "events_asof_nearest_click",
+    "dedup_simhash_portable_hamming",
+    "dedup_simhash_portable_buckets",
+    "events_session_paths_topk",
+    "events_value_ewma_daily",
+    "events_asof_cogroup_pandas",
+    "events_rolling_1h_range_frame",
+    "events_interval_overlap_pairs",
+    "events_scd2_user_state",
+    "udf_arrow_map_net_revenue",
+    "ts_holt_linear_daily",
+    "sketch_histogram_quantiles",
+    "join_bloom_prefilter_effect",
+    "events_multigrain_time_rollup",
+    "dq_constraint_report",
+    "stats_robust_mad_outliers",
+    # --- 50-slot budget line ---
+    # round-10 changed-code canaries (oracle-identical by design, local
+    # test_oracle_parity covers them; driver rows only if budget allows):
+    # graph_cc_neardup_clusters if the endpoint-union distinct is folded
+    # into the symmetrized-edge checkpoint (verdict task 5)
+    "graph_cc_neardup_clusters",
+    "graph_cc_star_neardup_clusters",
 )
 
 

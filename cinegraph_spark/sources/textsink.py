@@ -75,11 +75,38 @@ class TextFilesWriter(DataSourceWriter):
                 "delivery to its own directory (the _MANIFEST is the "
                 "visibility boundary)"
             )
+        if os.path.exists(os.path.join(path, "_MANIFEST")):
+            # one delivery per directory is the documented contract; a
+            # second append would rewrite _MANIFEST with only ITS names,
+            # silently hiding the earlier delivery from manifest-honoring
+            # readers (and colliding fnames would be overwritten). Enforce
+            # rather than document.
+            raise ValueError(
+                f"cinegraph_textfiles: {path!r} already holds a committed "
+                "delivery (_MANIFEST present); write each delivery to its "
+                "own directory"
+            )
         self.path = path
 
     @property
     def _staging(self) -> str:
         return os.path.join(self.path, "_staging")
+
+    @staticmethod
+    def _validate_fname(fname) -> str:
+        """Reject names that would escape the staging dir (path separators,
+        ``..``), collide with the commit protocol (``_`` prefix is invisible
+        to Hadoop-style readers and reserved for _staging/_MANIFEST), or be
+        unaddressable (empty)."""
+        if not fname:
+            raise ValueError("cinegraph_textfiles: empty fname")
+        bad = os.sep in fname or (os.altsep and os.altsep in fname)
+        if bad or fname in (".", "..") or fname.startswith("_"):
+            raise ValueError(
+                f"cinegraph_textfiles: invalid fname {fname!r} (path "
+                "separators, '..', and '_' prefix are not allowed)"
+            )
+        return fname
 
     def write(self, iterator: Iterator) -> FilesWritten:
         """Executor-side: stage this partition's files under a task-unique
@@ -93,11 +120,12 @@ class TextFilesWriter(DataSourceWriter):
         os.makedirs(task_dir, exist_ok=True)
         written = []
         for row in iterator:
+            name = self._validate_fname(row.fname)
             with open(
-                os.path.join(task_dir, row.fname), "w", encoding="utf-8"
+                os.path.join(task_dir, name), "w", encoding="utf-8"
             ) as fh:
                 fh.write(row.content)
-            written.append(row.fname)
+            written.append(name)
         return FilesWritten(tuple(os.path.join(task_dir, n) for n in written))
 
     def commit(self, messages) -> None:
@@ -107,16 +135,35 @@ class TextFilesWriter(DataSourceWriter):
         observe a partial delivery."""
         import shutil
 
-        names = []
+        # validate the WHOLE delivery before publishing any file: a
+        # duplicate basename across tasks would silently overwrite one
+        # row's content with another's. Raising here publishes nothing —
+        # no file has moved and no manifest exists.
+        staged_names: list[tuple[str, str]] = []
+        seen: set[str] = set()
         for m in messages:
             if m is None:
                 continue
             for staged in m.files:
                 name = os.path.basename(staged)
-                os.replace(staged, os.path.join(self.path, name))
-                names.append(name)
-        with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
-            fh.write("\n".join(sorted(names)) + ("\n" if names else ""))
+                if name in seen:
+                    raise ValueError(
+                        f"cinegraph_textfiles: duplicate fname {name!r} "
+                        "across partitions — each row must have a unique "
+                        "fname"
+                    )
+                seen.add(name)
+                staged_names.append((staged, name))
+        for staged, name in staged_names:
+            os.replace(staged, os.path.join(self.path, name))
+        names = sorted(seen)
+        # temp + os.replace: a crash mid-commit must not leave moved files
+        # beside a truncated manifest — the rename is the atomic
+        # visibility flip.
+        tmp = os.path.join(self.path, "_MANIFEST.tmp")
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(names) + ("\n" if names else ""))
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST"))
         shutil.rmtree(self._staging, ignore_errors=True)
 
     def abort(self, messages) -> None:

@@ -12,6 +12,7 @@ Order matters: bench must never run concurrently with another Spark JVM
 Exit code 0 only if every stage passed.
 """
 import argparse
+import json
 import os
 import re
 import subprocess
@@ -93,9 +94,19 @@ def main():
     # bench LAST and alone (never concurrent with another JVM)
     results.append(run("bench (isolated, sf0.1)", [sys.executable, "bench.py"]))
     ok, out = results[-1]
-    if ok and '"over_budget":{}' not in out.replace(" ", ""):
-        results[-1] = (False, out)
-        print("       ^ bench reported budget breaches")
+    if ok:
+        # parse the final stdout line as JSON rather than string-matching
+        # '"over_budget":{}': compress_result's degrade ladder may emit the
+        # breach set as a dict, a name list, or a count — an EMPTY set must
+        # pass in every representation ({} / [] / 0).
+        try:
+            bench = json.loads(out.strip().splitlines()[-1])
+            breaches = bench["over_budget"]
+        except (ValueError, KeyError, IndexError):
+            breaches = "unparseable bench line"
+        if breaches:
+            results[-1] = (False, out)
+            print(f"       ^ bench reported budget breaches: {breaches}")
 
     n_bad = sum(1 for ok, _ in results if not ok)
     print(f"\nPREFLIGHT: {len(results) - n_bad}/{len(results)} stages green")

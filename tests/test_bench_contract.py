@@ -58,3 +58,17 @@ def test_headline_names_are_registered():
     specs = load_all()
     missing = [n for n in HEADLINE if n not in specs]
     assert not missing, missing
+
+
+def test_every_headline_query_has_a_budget_ceiling():
+    # The over-budget regression gate is blind to any headline query with
+    # no BENCH_budget.json entry (r9 verdict caught vec_ann_hnsw_served_knn
+    # entering the headline unpinned) — enforce full coverage.
+    budget_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_budget.json",
+    )
+    with open(budget_path) as fh:
+        budget = json.load(fh)
+    unpinned = [n for n in HEADLINE if n not in budget]
+    assert not unpinned, unpinned

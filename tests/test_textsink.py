@@ -59,6 +59,61 @@ def test_abort_removes_partial_output(spark, tmp_path):
     assert leftovers == []
 
 
+def test_second_delivery_into_committed_dir_refused(spark, tmp_path):
+    # one delivery per directory: a second append would rewrite _MANIFEST
+    # with only its own names, hiding the first delivery from
+    # manifest-honoring readers
+    out = f"{tmp_path}/sink"
+    df = spark.createDataFrame(
+        [("a.txt", "x")], "fname string, content string"
+    )
+    write_text_files(df, out)
+    df2 = spark.createDataFrame(
+        [("b.txt", "y")], "fname string, content string"
+    )
+    with pytest.raises(Exception, match="already holds a committed"):
+        write_text_files(df2, out)
+    # the first delivery is untouched
+    with open(f"{out}/_MANIFEST") as fh:
+        assert fh.read().splitlines() == ["a.txt"]
+
+
+def test_duplicate_fnames_across_partitions_refused(spark, tmp_path):
+    # two rows, two partitions, same fname: commit() must refuse before
+    # publishing anything (a silent overwrite would lose one row)
+    out = f"{tmp_path}/sink"
+    df = spark.createDataFrame(
+        [("dup.txt", "left"), ("dup.txt", "right")],
+        "fname string, content string",
+    ).repartition(2)
+    with pytest.raises(Exception, match="duplicate fname"):
+        write_text_files(df, out)
+    visible = (
+        [n for n in os.listdir(out) if not n.startswith("_")]
+        if os.path.isdir(out)
+        else []
+    )
+    assert visible == []
+    assert not os.path.exists(f"{out}/_MANIFEST")
+
+
+@pytest.mark.parametrize(
+    "fname", ["../escape.txt", "sub/dir.txt", "_hidden.txt", ""]
+)
+def test_hostile_fnames_rejected(spark, tmp_path, fname):
+    # path separators / '..' would escape the staging dir; '_' prefix is
+    # invisible to Hadoop-style readers and reserved for the protocol
+    out = f"{tmp_path}/sink"
+    df = spark.createDataFrame(
+        [(fname, "x")], "fname string, content string"
+    )
+    with pytest.raises(Exception, match="fname"):
+        write_text_files(df, out)
+    escaped = os.path.join(tmp_path, "escape.txt")
+    assert not os.path.exists(escaped)
+    assert not os.path.exists(f"{out}/_MANIFEST")
+
+
 def test_overwrite_mode_refused(spark, tmp_path):
     df = spark.createDataFrame(
         [("a.txt", "x")], "fname string, content string"

@@ -54,81 +54,86 @@ def register(
     return deco
 
 
-#: Driver-slot priority (round 10). The driver's correctness harness walks
-#: the registry in order under a ~50-query budget, so this list pins the
-#: front slots explicitly instead of relying on module import order.
-#: Round-10 rationale — exactly per the r9 verdict's tasks 1–2: the 8
-#: round-9 queries that are registered and local-oracle-green but absent
-#: from every CORRECTNESS_r*.json LEAD (their first driver rows are this
-#: round's gate), then the 42-query r6-stale bucket (the oldest latest
-#: check after r9 — computed fresh from CORRECTNESS_r0*.json, registry
-#: order). 8 + 42 = one full 50-slot round; after it no query's latest
-#: check is older than r7. Round-10 changed-code canaries queue after the
-#: budget line: the textsink hardening (fail-loud manifest, fname
-#: validation, atomic manifest rename) rides src_textsink_roundtrip in
-#: the lead-8; graph_cc_neardup_clusters re-queues if its endpoint-union
-#: plan changes. Every name here must exist in the registry — load_all
-#: asserts.
-DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-checked (registered in r9) — first rows required
-    "vec_ann_hnsw_served_knn",
-    "dedup_repeated_span_mask",
-    "sample_token_budget_greedy",
-    "text_vocab_oov_rate",
-    "dedup_minhash_incremental_screen",
-    "pipeline_stream_neardup_gate",
-    "sample_global_shuffle_order",
-    "src_textsink_roundtrip",
-    # last checked round 6 (registry order) — the oldest-green bucket
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_supplier_volume_by_nation",
-    "agg_distinct_parts_per_supplier",
-    "window_lag_lead_user_events",
-    "scalar_json_events",
-    "scalar_datetime_parts_events",
-    "strfn_fuzzy_name_pairs_blocked",
-    "vec_ann_pq_topk",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_buckets",
-    "events_sliding_10min_step5",
-    "events_session_windows_30min",
-    "events_dedup_latest_per_user_type",
-    "events_asof_purchase_click",
-    "events_rate_per_type_minute",
-    "events_gapfill_hourly_ffill",
-    "events_funnel_view_click_purchase",
-    "cluster_graph_nodes",
-    "cluster_membership",
-    "cluster_children_of_root",
-    "cluster_leaf_sizes",
-    "scalar_variant_nested_events",
-    "events_retention_cohorts",
-    "events_anomaly_zscore_hourly",
-    "events_user_rfm_segments",
-    "events_asof_nearest_click",
-    "dedup_simhash_portable_hamming",
-    "dedup_simhash_portable_buckets",
-    "events_session_paths_topk",
-    "events_value_ewma_daily",
-    "events_asof_cogroup_pandas",
-    "events_rolling_1h_range_frame",
-    "events_interval_overlap_pairs",
-    "events_scd2_user_state",
-    "udf_arrow_map_net_revenue",
-    "ts_holt_linear_daily",
-    "sketch_histogram_quantiles",
-    "join_bloom_prefilter_effect",
-    "events_multigrain_time_rollup",
-    "dq_constraint_report",
-    "stats_robust_mad_outliers",
-    # --- 50-slot budget line ---
-    # round-10 changed-code canaries (oracle-identical by design, local
-    # test_oracle_parity covers them; driver rows only if budget allows):
-    # graph_cc_neardup_clusters if the endpoint-union distinct is folded
-    # into the symmetrized-edge checkpoint (verdict task 5)
+#: Freshness snapshot the current rotation was derived from: per-query
+#: latest-driver-check rounds computed over CORRECTNESS_r01..r{N}.json for
+#: this N. tests/test_registry_order.py re-derives the stale buckets from
+#: exactly these files and asserts DRIVER_PRIORITY matches — bump this
+#: constant whenever the rotation is rebuilt for a new round, and the test
+#: re-validates the new order against the new data with zero literal pins.
+ROTATION_BUILT_FROM_ROUND: int = 10
+
+#: Changed-code canaries: queries whose underlying implementation changed
+#: since their last driver row. They are allowed to jump the pure
+#: freshness order (the test exempts exactly these names from the
+#: non-decreasing-freshness invariant) but must sit inside the 50-slot
+#: budget.  Round-11: connected_components / connected_components_star
+#: (operators/graph_algos.py) changed in r9 (self-loop fix) and r10
+#: (edge-list staging) with no driver row since r8 — r10 verdict task 2.
+CHANGED_CODE_CANARIES: tuple[str, ...] = (
     "graph_cc_neardup_clusters",
     "graph_cc_star_neardup_clusters",
+)
+
+#: Driver-slot priority (round 11). The driver's correctness harness walks
+#: the registry in order under a ~50-query budget, so this list pins the
+#: front slots explicitly instead of relying on module import order.
+#: Round-11 rationale — exactly per the r10 verdict's task 2: the two
+#: twice-changed CC canaries lead, then the full 46-query r7-stale bucket
+#: (the oldest latest-check bucket, registry order within the bucket),
+#: then the two oldest r8-bucket queries fill the remaining budget slots.
+#: 2 + 46 + 2 = 50; after this round no query's latest check is older
+#: than r8. Every name here must exist in the registry — load_all asserts.
+DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
+    # last checked round 7 (registry order) — the oldest-green bucket
+    "skew_salted_agg_revenue_per_priority",
+    "agg_pivot_status_by_priority",
+    "agg_unpivot_lineitem_measures",
+    "agg_percentiles_price",
+    "strfn_remove_timestamps",
+    "strfn_remove_brackets_content",
+    "strfn_remove_html_tags",
+    "strfn_remove_speaker_labels",
+    "strfn_remove_dialog_punctuation",
+    "strfn_remove_newlines",
+    "strfn_remove_non_alphabetic",
+    "strfn_remove_filler_words",
+    "strfn_lowercase_text",
+    "strfn_normalize_whitespace",
+    "strfn_clean_titles",
+    "strfn_clean_chain",
+    "strfn_title_year_parse",
+    "pipeline_token_windows",
+    "pipeline_window_scores",
+    "pipeline_movie_features",
+    "pipeline_scaled_features",
+    "pipeline_corpus_centroid",
+    "pipeline_dominant_emotion",
+    "pipeline_arc_smoothed",
+    "tree_build_graph",
+    "tree_root_fetch",
+    "tree_children_of_root",
+    "tree_children_of_node",
+    "tree_node_movies",
+    "tree_depth_histogram",
+    "tree_subtree_rollup",
+    "tree_movie_fetch_nested",
+    "tree_viz_projection",
+    "vec_norm_stats",
+    "vec_cosine_topk_to_query",
+    "vec_knn_per_query",
+    "vec_euclidean_to_label_centroid",
+    "vec_representative_topk_per_label",
+    "vec_ann_ivf_topk",
+    "vec_ann_lsh_topk",
+    "dedup_embedding_cc_survivors",
+    "events_tumbling_5min",
+    "text_dsir_importance",
+    "dedup_incremental_vs_snapshot",
+    "events_scd2_point_in_time",
+    "layout_zorder_bucket_stats",
+    # budget fill: the two oldest r8-bucket queries after the canaries
+    "agg_percentiles_price_tdigest",
+    "vec_centroid_shift_labels",
 )
 
 

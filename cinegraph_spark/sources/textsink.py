@@ -97,7 +97,10 @@ class TextFilesWriter(DataSourceWriter):
         """Reject names that would escape the staging dir (path separators,
         ``..``), collide with the commit protocol (``_`` prefix is invisible
         to Hadoop-style readers and reserved for _staging/_MANIFEST), or be
-        unaddressable (empty)."""
+        unaddressable (empty), or corrupt the newline-delimited
+        ``_MANIFEST`` (control characters — ``'a\\nb.txt'`` would write
+        fine but split into two bogus manifest entries, so
+        manifest-honoring readers would miss the real file)."""
         if not fname:
             raise ValueError("cinegraph_textfiles: empty fname")
         bad = os.sep in fname or (os.altsep and os.altsep in fname)
@@ -105,6 +108,11 @@ class TextFilesWriter(DataSourceWriter):
             raise ValueError(
                 f"cinegraph_textfiles: invalid fname {fname!r} (path "
                 "separators, '..', and '_' prefix are not allowed)"
+            )
+        if any(ord(c) < 0x20 or ord(c) == 0x7F for c in fname):
+            raise ValueError(
+                f"cinegraph_textfiles: invalid fname {fname!r} (control "
+                "characters would corrupt the newline-delimited _MANIFEST)"
             )
         return fname
 
@@ -119,8 +127,18 @@ class TextFilesWriter(DataSourceWriter):
         task_dir = os.path.join(self._staging, uuid.uuid4().hex)
         os.makedirs(task_dir, exist_ok=True)
         written = []
+        seen: set[str] = set()
         for row in iterator:
             name = self._validate_fname(row.fname)
+            if name in seen:
+                # same-partition duplicates would silently overwrite each
+                # other inside this task_dir (open 'w'); commit() would
+                # never even see the doubled name. Fail in the task.
+                raise ValueError(
+                    f"cinegraph_textfiles: duplicate fname {name!r} within "
+                    "a partition — each row must have a unique fname"
+                )
+            seen.add(name)
             with open(
                 os.path.join(task_dir, name), "w", encoding="utf-8"
             ) as fh:

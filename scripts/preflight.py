@@ -37,7 +37,7 @@ def run(name, cmd, env=None):
     print(f"[{'PASS' if ok else 'FAIL'}] {name} ({dt:.0f}s)")
     for line in tail.splitlines():
         print(f"       {line[:110]}")
-    return ok, out
+    return ok, out, (p.stdout or "")
 
 
 def main():
@@ -58,10 +58,10 @@ def main():
     )
     # the sweep prints its own summary line; a bad>0 sweep still exits 0,
     # so parse it
-    ok, out = results[-1]
+    ok, out, _ = results[-1]
     m = re.search(r"SUMMARY ok=(\d+) rows_only=(\d+) bad=(\d+)", out)
     if not m or int(m.group(3)) != 0:
-        results[-1] = (False, out)
+        results[-1] = (False, out, "")
         print("       ^ sweep reported failures (bad != 0)")
 
     if not args.quick:
@@ -71,10 +71,10 @@ def main():
                 [sys.executable, "scripts/driver_sim.py", "ALL"],
             )
         )
-        ok, out = results[-1]
+        ok, out, _ = results[-1]
         m = re.search(r"SUMMARY ok=(\d+) rows_only=(\d+) bad=(\d+)", out)
         if not m or int(m.group(3)) != 0:
-            results[-1] = (False, out)
+            results[-1] = (False, out, "")
             print("       ^ sweep reported failures (bad != 0)")
         results.append(
             run(
@@ -93,22 +93,28 @@ def main():
 
     # bench LAST and alone (never concurrent with another JVM)
     results.append(run("bench (isolated, sf0.1)", [sys.executable, "bench.py"]))
-    ok, out = results[-1]
+    ok, out, stdout = results[-1]
     if ok:
-        # parse the final stdout line as JSON rather than string-matching
-        # '"over_budget":{}': compress_result's degrade ladder may emit the
-        # breach set as a dict, a name list, or a count — an EMPTY set must
-        # pass in every representation ({} / [] / 0).
+        # parse the bench JSON from STDOUT only (stderr carries per-query
+        # '# name: ...s' diagnostics and Spark logs, so the last line of the
+        # combined stream is never the JSON), and read over_budget as JSON
+        # rather than string-matching '"over_budget":{}': compress_result's
+        # degrade ladder may emit the breach set as a dict, a name list, or
+        # a count — an EMPTY set must pass in every representation
+        # ({} / [] / 0).
+        json_lines = [
+            ln for ln in stdout.strip().splitlines() if ln.startswith('{"metric"')
+        ]
         try:
-            bench = json.loads(out.strip().splitlines()[-1])
+            bench = json.loads(json_lines[-1])
             breaches = bench["over_budget"]
-        except (ValueError, KeyError, IndexError):
+        except (ValueError, KeyError, IndexError, TypeError):
             breaches = "unparseable bench line"
         if breaches:
-            results[-1] = (False, out)
+            results[-1] = (False, out, stdout)
             print(f"       ^ bench reported budget breaches: {breaches}")
 
-    n_bad = sum(1 for ok, _ in results if not ok)
+    n_bad = sum(1 for r in results if not r[0])
     print(f"\nPREFLIGHT: {len(results) - n_bad}/{len(results)} stages green")
     sys.exit(1 if n_bad else 0)
 

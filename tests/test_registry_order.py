@@ -1,20 +1,50 @@
 """Pin the driver-facing registry order (load-bearing: the driver's
 correctness harness checks ~50 queries per round in registration order).
 
-Round-9 contract: FINISH the oldest-green-first rotation. After r8 exactly
-50 queries have a latest driver check older than round 6 — 20 last checked
-in r3 and 30 in r5 — one full 50-slot round. They fill every budget slot
-(oldest bucket first, registry order within each bucket); the round-9
-changed-code canaries (hardened parquet drain, adaptive-partition HNSW)
-queue immediately after — they were all green in r8 AND are re-verified by
-the local oracle-parity mirror, while displacing an r3-stale slot would
-leave the rotation permanently unfinished. Freshness per round is computed
-from CORRECTNESS_r0*.json.
+The rotation contract is freshness-derived, not literal (r10 verdict task
+1: the per-round literal pins rotted every time the rotation was rebuilt).
+``DRIVER_PRIORITY`` must equal: the declared ``CHANGED_CODE_CANARIES``
+first, then every never-driver-checked query, then queries in
+non-decreasing order of their latest driver-check round, with the 50-slot
+budget covering *every* query strictly staler than the newest non-canary
+round admitted. Freshness is computed from ``CORRECTNESS_r*.json`` up to
+``ROTATION_BUILT_FROM_ROUND`` — the snapshot the rotation was derived
+from — so the arrival of the next round's correctness file cannot
+retroactively fail the suite; rebuilding the rotation for a new round
+means updating the priority list AND bumping the constant, and the test
+re-validates the new order against the new data with zero literal pins.
 """
 
 from __future__ import annotations
 
-from cinegraph_spark.queries import DRIVER_PRIORITY, load_all
+import glob
+import json
+import re
+from pathlib import Path
+
+import pytest
+
+from cinegraph_spark.queries import (
+    CHANGED_CODE_CANARIES,
+    DRIVER_PRIORITY,
+    ROTATION_BUILT_FROM_ROUND,
+    load_all,
+)
+
+REPO = Path(__file__).resolve().parent.parent
+BUDGET = 50
+
+
+def _freshness() -> dict[str, int]:
+    """name -> latest driver-check round, over rounds <= the snapshot."""
+    fresh: dict[str, int] = {}
+    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)\.json$", f).group(1))
+        if rnd > ROTATION_BUILT_FROM_ROUND:
+            continue
+        for name in json.load(open(f)):
+            fresh[name] = max(rnd, fresh.get(name, 0))
+    return fresh
 
 
 def test_priority_slots_lead_registry():
@@ -22,52 +52,70 @@ def test_priority_slots_lead_registry():
     assert tuple(names[: len(DRIVER_PRIORITY)]) == DRIVER_PRIORITY
 
 
-def test_round9_stalest_fill_budget_then_canaries():
-    """The 20 r3-stale queries lead, the 30 r5-stale fill the rest of the
-    budget exactly, and the changed-code canaries take the first overflow
-    slots; nothing checked green in r6-r8 consumes a budget slot."""
-    names = list(load_all().keys())
-    # r3 bucket leads
-    assert names[0] == "q18_large_volume_customers"
-    budget = set(names[:50])
-    # spot-check every family of the stale-50
-    for stale in (
-        "q18_large_volume_customers",
-        "subq_correlated_top_heavy_customers",
-        "window_ntile_percent_cume",
-        "sample_lang_quota",
-        "pack_chunks_per_source",
-        "pack_chunk_manifest",
-        "sketch_countmin_heavy_hitters",
-        "agg_rollup_region_nation",
-        "join_merge_cdc_customer_orders",
-        "media_payload_checksums",
-        "src_paginated_listing_decades",
-        "udf_pandas_scalar_net_revenue",
-    ):
-        assert stale in budget, stale
-    # the r5 bucket starts right after the 20-name r3 bucket
-    assert names[20] == "agg_rollup_region_nation"
-    # brand-new query then changed-code canaries in the overflow slots
-    overflow = names[50:58]
-    assert names[50] == "vec_ann_hnsw_served_knn"
-    for canary in (
-        "stream_retention_cohorts",
-        "stream_join_purchase_click_attribution",
-        "stream_enrich_purchase_customer",
-        "stream_stateful_topk_per_user",
-        "src_stream_listing_pages",
-        "pipeline_ingest_dedup_retention",
-        "vec_ann_hnsw_partitioned_knn",
-    ):
-        assert canary in overflow, canary
-    # r6-r8-green queries (non-canary) stay out of the budget
-    assert "ts_holt_linear_daily" not in budget
-    assert "sketch_histogram_quantiles" not in budget
-    assert "events_scd2_point_in_time" not in budget
-    assert "vec_ann_hnsw_knn" not in budget
-    assert "agg_percentiles_price_tdigest" not in budget
-    assert "pipeline_training_data_prep" not in budget
+def test_rotation_is_freshness_derived():
+    fresh = _freshness()
+    if not fresh:
+        pytest.skip("no CORRECTNESS_r*.json present (fresh clone)")
+    registry = list(load_all().keys())
+    budget = list(DRIVER_PRIORITY[:BUDGET])
+
+    # canaries are declared, registered, and inside the budget
+    for canary in CHANGED_CODE_CANARIES:
+        assert canary in budget, f"changed-code canary {canary} outside budget"
+
+    non_canary = [n for n in DRIVER_PRIORITY if n not in CHANGED_CODE_CANARIES]
+
+    # never-driver-checked queries lead the non-canary slots, and ALL of
+    # them are present (a query with no driver row may not be skipped)
+    never = [n for n in registry if n not in fresh]
+    assert sorted(non_canary[: len(never)]) == sorted(never), (
+        "never-checked queries must fill the first non-canary slots: "
+        f"expected {sorted(never)}"
+    )
+
+    # after the never-checked block, freshness is non-decreasing — the
+    # rotation always drains oldest buckets first
+    rounds = [fresh[n] for n in non_canary[len(never) :]]
+    assert rounds == sorted(rounds), (
+        "non-canary DRIVER_PRIORITY must be ordered oldest-check-first: "
+        f"{list(zip(non_canary[len(never):], rounds))}"
+    )
+
+    # budget completeness: nothing strictly staler than the newest
+    # non-canary round admitted to the budget may be left outside it
+    budget_non_canary = [n for n in budget if n not in CHANGED_CODE_CANARIES]
+    if budget_non_canary:
+        cutoff = max(fresh.get(n, 0) for n in budget_non_canary)
+        left_out = [
+            n
+            for n in registry
+            if n not in budget and (n not in fresh or fresh[n] < cutoff)
+        ]
+        assert not left_out, (
+            f"queries staler than round {cutoff} missing from the "
+            f"{BUDGET}-slot budget: {left_out}"
+        )
+
+
+def test_rotation_snapshot_is_current():
+    """The snapshot constant must point at the newest correctness file on
+    disk when the rotation was built; a NEWER file appearing later (the
+    driver lands r{N+1} at the start of round N+2) is allowed to exceed it
+    by at most one round before the rotation must be rebuilt."""
+    rounds = [
+        int(re.search(r"r(\d+)\.json$", f).group(1))
+        for f in glob.glob(str(REPO / "CORRECTNESS_r*.json"))
+    ]
+    if not rounds:
+        pytest.skip("no CORRECTNESS_r*.json present (fresh clone)")
+    assert ROTATION_BUILT_FROM_ROUND <= max(rounds), (
+        "rotation claims a freshness snapshot newer than any file on disk"
+    )
+    assert max(rounds) - ROTATION_BUILT_FROM_ROUND <= 1, (
+        f"rotation built from r{ROTATION_BUILT_FROM_ROUND} but "
+        f"CORRECTNESS_r{max(rounds)} exists — rebuild DRIVER_PRIORITY "
+        "from the new freshness data and bump ROTATION_BUILT_FROM_ROUND"
+    )
 
 
 def test_load_all_idempotent_order():

@@ -97,8 +97,29 @@ def test_duplicate_fnames_across_partitions_refused(spark, tmp_path):
     assert not os.path.exists(f"{out}/_MANIFEST")
 
 
+def test_duplicate_fnames_within_partition_refused(spark, tmp_path):
+    # same fname twice in ONE partition: the second open('w') in the same
+    # task_dir would silently overwrite the first, and commit() would see
+    # only one staged file — the task itself must refuse
+    out = f"{tmp_path}/sink"
+    df = spark.createDataFrame(
+        [("dup.txt", "left"), ("dup.txt", "right")],
+        "fname string, content string",
+    ).coalesce(1)
+    with pytest.raises(Exception, match="duplicate fname.*within"):
+        write_text_files(df, out)
+    visible = (
+        [n for n in os.listdir(out) if not n.startswith("_")]
+        if os.path.isdir(out)
+        else []
+    )
+    assert visible == []
+    assert not os.path.exists(f"{out}/_MANIFEST")
+
+
 @pytest.mark.parametrize(
-    "fname", ["../escape.txt", "sub/dir.txt", "_hidden.txt", ""]
+    "fname",
+    ["../escape.txt", "sub/dir.txt", "_hidden.txt", "", "a\nb.txt", "a\rb.txt"],
 )
 def test_hostile_fnames_rejected(spark, tmp_path, fname):
     # path separators / '..' would escape the staging dir; '_' prefix is

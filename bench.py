@@ -88,6 +88,8 @@ HEADLINE = [
     "text_vocab_oov_rate",
     "dedup_minhash_incremental_screen",
     "sample_global_shuffle_order",
+    # round 11 additions
+    "vec_ann_hnsw_incremental_knn",
 ]
 
 

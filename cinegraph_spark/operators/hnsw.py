@@ -377,6 +377,53 @@ def hnsw_partitioned_knn(
     )
 
 
+#: Serving-table row schema: one row per non-empty partition, carrying its
+#: own identity (part_id, n_partitions) so incremental maintenance can
+#: address sub-indexes without re-deriving the partition function.
+_INDEX_SCHEMA = "part_id int, n_partitions int, n_vectors long, blob binary"
+
+
+def _part_expr(n_partitions: int):
+    """The serving table's partition function: ``pmod(hash(vec_id), n)``.
+    ``F.hash`` is the same Murmur3 Spark's HashPartitioning uses, so this
+    reproduces ``repartition(n, "vec_id")`` membership — but as a stored
+    COLUMN it becomes part of the index identity, which is what lets a
+    delta update address exactly the touched sub-indexes."""
+    return F.pmod(F.hash("vec_id"), F.lit(n_partitions)).cast("int")
+
+
+def _build_subindex_rows(M: int, ef_construction: int, n_partitions: int):
+    """applyInPandas group fn: one partition's (vec_id, v) rows in, one
+    serving-table row out. The blob is the index dict MINUS the normalized
+    matrix: Xn is bit-identical to _normalize(X) (same op as the build),
+    so the reader reconstructs it at load instead of paying to store,
+    read, and unpickle a second n×d float64 matrix per task. ids/layers/
+    entry/M ride along — the blob is self-contained. Deterministic build
+    over deterministic membership ⇒ the blob bytes are a pure function of
+    the partition's vector set (the incremental-equals-full-rebuild pin
+    in tests/test_hnsw.py rests on exactly this)."""
+
+    def build(pdf):
+        import pickle
+
+        import pandas as pd
+
+        index = _subindex_from_batches(
+            [pdf[["vec_id", "v"]]], M, ef_construction
+        )
+        slim = {k2: v for k2, v in index.items() if k2 != "Xn"}
+        return pd.DataFrame(
+            {
+                "part_id": [int(pdf["part_id"].iloc[0])],
+                "n_partitions": [n_partitions],
+                "n_vectors": [len(index["ids"])],
+                "blob": [pickle.dumps(slim, protocol=4)],
+            }
+        )
+
+    return build
+
+
 def hnsw_index_save(
     e: DataFrame,
     path: str,
@@ -393,12 +440,13 @@ def hnsw_index_save(
     sub-index per hash partition executor-side and persist each as a
     pickled blob row in a parquet table. The driver never sees a vector;
     each row is one partition's self-contained searchable index
-    (``n_vectors`` + blob), so the serving table has exactly
-    ``n_partitions`` rows and a query pass can mapInPandas straight over
-    it. Blob size tracks ``target_rows_per_subindex`` (the same bounded-
-    materialization contract as the scatter-gather form); at 100 TB the
-    blobs live next to the vectors in the lake and rebuild only when
-    their partition changes."""
+    (``part_id``/``n_partitions``/``n_vectors`` + blob), so the serving
+    table has at most ``n_partitions`` rows and a query pass can
+    mapInPandas straight over it. Blob size tracks
+    ``target_rows_per_subindex`` (the same bounded-materialization
+    contract as the scatter-gather form); at 100 TB the blobs live next
+    to the vectors in the lake and rebuild only when their partition
+    changes — :func:`hnsw_index_update` is that maintenance path."""
     spark = e.sparkSession
     from cinegraph_spark.session import ensure_shipped
 
@@ -406,32 +454,81 @@ def hnsw_index_save(
     if n_partitions is None:
         n_rows = e.count()
         n_partitions = max(1, -(-n_rows // max(1, target_rows_per_subindex)))
-
-    def build(batches):
-        import pickle
-
-        import pandas as pd
-
-        index = _subindex_from_batches(batches, M, ef_construction)
-        if index is None:
-            return
-        # The blob is the index dict MINUS the normalized matrix: Xn is
-        # bit-identical to _normalize(X) (same op as the build), so the
-        # reader reconstructs it at load instead of paying to store,
-        # read, and unpickle a second n×d float64 matrix per task. ids/
-        # layers/entry/M ride along — the blob is self-contained.
-        slim = {k2: v for k2, v in index.items() if k2 != "Xn"}
-        blob = pickle.dumps(slim, protocol=4)
-        yield pd.DataFrame(
-            {"n_vectors": [len(index["ids"])], "blob": [blob]}
-        )
-
     (
-        e.repartition(n_partitions, "vec_id")
-        .mapInPandas(build, "n_vectors long, blob binary")
+        e.withColumn("part_id", _part_expr(n_partitions))
+        .groupBy("part_id")
+        .applyInPandas(
+            _build_subindex_rows(M, ef_construction, n_partitions),
+            _INDEX_SCHEMA,
+        )
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def hnsw_index_update(
+    e: DataFrame,
+    delta: DataFrame,
+    path: str,
+    M: int = 16,
+    ef_construction: int = 128,
+) -> dict:
+    """INCREMENTAL maintenance of a :func:`hnsw_index_save` serving table:
+    rebuild only the sub-indexes whose partition membership changed.
+
+    ``e`` is the FULL post-change embeddings table (source of truth);
+    ``delta`` holds the ``vec_id`` of every added, updated, or deleted
+    vector. The partition function (``pmod(hash(vec_id), n_partitions)``)
+    is read back from the table itself — it is part of the index identity,
+    so a delta update can never silently re-shard. Untouched partitions'
+    rows are carried over unchanged; touched partitions rebuild from ``e``
+    with the same deterministic build over the same membership, so the
+    updated table is BIT-IDENTICAL to a fresh full save of ``e`` (pinned
+    by tests/test_hnsw.py) — ``M``/``ef_construction`` must match the
+    original build for that equivalence. A partition emptied by deletes
+    simply drops out of the table.
+
+    Scale shape: the delta's touched-partition set is a broadcast
+    semi/anti join key (never an ``isin`` literal), the kept rows are a
+    blob-table copy (n_partitions rows of metadata scale, no vector
+    touches), and only changed partitions pay graph construction — cost
+    proportional to the CHANGE, not the corpus. The eager localCheckpoint
+    materializes the new table before the overwrite deletes the files it
+    was read from; a lakehouse deployment would write a new versioned
+    directory and flip a pointer instead. Returns
+    ``{"n_partitions": n, "rebuilt_partitions": [...]}``."""
+    spark = e.sparkSession
+    from cinegraph_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    old = spark.read.parquet(path)
+    if "part_id" not in old.columns:
+        raise ValueError(
+            "hnsw_index_update needs a part_id-aware serving table; "
+            "rebuild it once with hnsw_index_save"
+        )
+    n_partitions = int(old.select("n_partitions").first()["n_partitions"])
+    changed_df = (
+        delta.select(_part_expr(n_partitions).alias("part_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    changed = sorted(int(r["part_id"]) for r in changed_df.collect())
+    if not changed:
+        return {"n_partitions": n_partitions, "rebuilt_partitions": []}
+    rebuilt = (
+        e.withColumn("part_id", _part_expr(n_partitions))
+        .join(F.broadcast(changed_df), "part_id", "left_semi")
+        .groupBy("part_id")
+        .applyInPandas(
+            _build_subindex_rows(M, ef_construction, n_partitions),
+            _INDEX_SCHEMA,
+        )
+    )
+    kept = old.join(F.broadcast(changed_df), "part_id", "left_anti")
+    new_table = kept.unionByName(rebuilt).localCheckpoint(eager=True)
+    new_table.write.mode("overwrite").parquet(path)
+    return {"n_partitions": n_partitions, "rebuilt_partitions": changed}
 
 
 def hnsw_index_knn(

@@ -68,22 +68,31 @@ ROTATION_BUILT_FROM_ROUND: int = 10
 #: non-decreasing-freshness invariant) but must sit inside the 50-slot
 #: budget.  Round-11: connected_components / connected_components_star
 #: (operators/graph_algos.py) changed in r9 (self-loop fix) and r10
-#: (edge-list staging) with no driver row since r8 — r10 verdict task 2.
+#: (edge-list staging) with no driver row since r8 — r10 verdict task 2;
+#: vec_ann_hnsw_served_knn rides because hnsw_index_save switched from
+#: mapInPandas-over-repartition to the part_id-keyed applyInPandas form
+#: (same membership and deterministic build — oracle-identical by design,
+#: bit-equality pinned in tests/test_hnsw.py — but changed plans ride).
 CHANGED_CODE_CANARIES: tuple[str, ...] = (
     "graph_cc_neardup_clusters",
     "graph_cc_star_neardup_clusters",
+    "vec_ann_hnsw_served_knn",
 )
 
 #: Driver-slot priority (round 11). The driver's correctness harness walks
 #: the registry in order under a ~50-query budget, so this list pins the
 #: front slots explicitly instead of relying on module import order.
-#: Round-11 rationale — exactly per the r10 verdict's task 2: the two
-#: twice-changed CC canaries lead, then the full 46-query r7-stale bucket
-#: (the oldest latest-check bucket, registry order within the bucket),
-#: then the two oldest r8-bucket queries fill the remaining budget slots.
-#: 2 + 46 + 2 = 50; after this round no query's latest check is older
-#: than r8. Every name here must exist in the registry — load_all asserts.
+#: Round-11 rationale — per the r10 verdict's task 2 plus this round's
+#: changed code: the three changed-code canaries lead (two twice-changed
+#: CC queries + the re-plumbed HNSW serving save), then the one
+#: never-driver-checked query (the new incremental HNSW maintenance
+#: path), then the full 46-query r7-stale bucket (the oldest latest-check
+#: bucket, registry order within the bucket). 3 + 1 + 46 = 50; after this
+#: round no query's latest check is older than r8. Every name here must
+#: exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
+    # never driver-checked (registered r11) — first row required
+    "vec_ann_hnsw_incremental_knn",
     # last checked round 7 (registry order) — the oldest-green bucket
     "skew_salted_agg_revenue_per_priority",
     "agg_pivot_status_by_priority",
@@ -131,9 +140,6 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "dedup_incremental_vs_snapshot",
     "events_scd2_point_in_time",
     "layout_zorder_bucket_stats",
-    # budget fill: the two oldest r8-bucket queries after the canaries
-    "agg_percentiles_price_tdigest",
-    "vec_centroid_shift_labels",
 )
 
 

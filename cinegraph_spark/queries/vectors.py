@@ -604,3 +604,51 @@ def vec_ann_hnsw_served_knn(spark, sf_dir):
     hnsw_index_save(e, path, target_rows_per_subindex=256)
     queries = e.filter(F.col("vec_id") < 10)
     return hnsw_index_knn(spark, path, queries, k=3)
+
+
+@register(
+    "vec_ann_hnsw_incremental_knn",
+    f"""
+    WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT qid, vec_id AS nid,
+             round(list_dot_product(v, qv)
+                   / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos_sim
+      FROM e, q WHERE vec_id <> qid
+    )
+    SELECT qid, nid, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, nid) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    tags=("vector", "ann", "hnsw", "knn", "similarity", "serving", "incremental"),
+)
+def vec_ann_hnsw_incremental_knn(spark, sf_dir):
+    """Serving-table MAINTENANCE path (r11): the index is first saved over
+    yesterday's corpus (vec_id % 5 != 0), then today's arrivals
+    (vec_id % 5 == 0) land via `hnsw_index_update`, which rebuilds ONLY
+    the sub-indexes whose hash partition the delta touches and carries
+    every other blob over untouched — cost proportional to the change,
+    not the corpus (the reference's pgvector index gets the same property
+    from Postgres writes; `db/models/embedding.py:15-17`). The build is
+    deterministic over deterministic membership, so the updated table is
+    bit-identical to a full rebuild (pinned in tests/test_hnsw.py) and
+    the SAME exact brute-force oracle as the served twin applies."""
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_index_knn,
+        hnsw_index_save,
+        hnsw_index_update,
+    )
+    from cinegraph_spark.session import scratch_dir
+
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    path = scratch_dir("cg_hnsw_inc_") + "/index"
+    yesterday = e.filter(F.col("vec_id") % 5 != 0)
+    delta = e.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+    hnsw_index_save(yesterday, path, n_partitions=8)
+    hnsw_index_update(e, delta, path)
+    queries = e.filter(F.col("vec_id") < 10)
+    return hnsw_index_knn(spark, path, queries, k=3)

@@ -508,6 +508,88 @@ def test_parquet_drain_multibatch_appends_once_per_batch(spark, tmp_path):
     assert got == want
 
 
+def test_parquet_drain_crash_recovery_exactly_once(spark, tmp_path):
+    """Kill a parquet drain mid-stream and re-run: exactly-once output.
+
+    The existing idempotence tests cover full CLEAN re-runs (at-least-once
+    re-delivery); this pins the CRASH case — a drain dies partway through,
+    leaving (a) fully-committed early batch directories and (b) a
+    partially-written directory for the in-flight batch (part files landed
+    before the job died, no commit marker). The re-run must overwrite both
+    via the batch_id-keyed ``mode("overwrite")`` write so the read-back
+    equals the batch ground truth exactly — the partial files must neither
+    survive nor double-count.
+    """
+    import os
+
+    import pyarrow.parquet as papq
+
+    from cinegraph_spark.streaming.windows import run_availablenow_to_parquet
+
+    src = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001"),
+        "events.parquet",
+    )
+    full = papq.read_table(src)  # keep ts: the stream's unit sniffer needs it
+    tbl = full.select(["event_id", "user_id", "value"])
+    outdir = tmp_path / "events.parquet"
+    outdir.mkdir()
+    n = full.num_rows // 3 + 1
+    poison_ids = set()
+    for i in range(3):
+        chunk = full.slice(i * n, n)
+        if chunk.num_rows:
+            papq.write_table(chunk, f"{outdir}/part-{i}.parquet")
+        if i == 2:
+            poison_ids = set(chunk["event_id"].to_pylist()[:1])
+
+    sink = str(tmp_path / "drain")
+
+    def make_stream():
+        return read_events_stream(
+            spark, str(tmp_path), max_files_per_trigger=1
+        ).select("event_id", "user_id", "value")
+
+    def poison(batch_df):
+        # simulated crash: the job dies when the marked batch arrives
+        # (schema analysis runs this on an empty frame -> no raise there)
+        if batch_df.filter(
+            F.col("event_id").isin(list(poison_ids))
+        ).count() > 0:
+            raise RuntimeError("injected mid-drain crash")
+        return batch_df
+
+    with pytest.raises(Exception, match="injected mid-drain crash"):
+        run_availablenow_to_parquet(
+            spark, make_stream(), sink, output_mode="append", transform=poison
+        )
+
+    # simulate the in-flight batch's partial write: real duplicate rows
+    # that landed in a batch directory before the job died. If the re-run
+    # appended instead of overwriting per batch_id, recursiveFileLookup
+    # would read these and double-count.
+    partial = tmp_path / "drain" / "batch-00000001"
+    partial.mkdir(exist_ok=True)
+    papq.write_table(tbl.slice(0, 10), f"{partial}/part-00000-partial.parquet")
+
+    recovered = run_availablenow_to_parquet(
+        spark, make_stream(), sink, output_mode="append"
+    )
+    got = sorted(
+        (r["event_id"], r["user_id"], round(r["value"], 6))
+        for r in recovered.collect()
+    )
+    want = sorted(
+        zip(
+            tbl["event_id"].to_pylist(),
+            tbl["user_id"].to_pylist(),
+            (round(v, 6) for v in tbl["value"].to_pylist()),
+        )
+    )
+    assert got == want
+    assert not os.path.exists(f"{partial}/part-00000-partial.parquet")
+
+
 def test_profile_chunk_disorder_within_batch(spark, tmp_path):
     """A large (or multi-file) group reaches the state function as
     MULTIPLE Arrow chunks in no guaranteed time order; the profile must

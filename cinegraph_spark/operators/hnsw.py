@@ -378,9 +378,13 @@ def hnsw_partitioned_knn(
 
 
 #: Serving-table row schema: one row per non-empty partition, carrying its
-#: own identity (part_id, n_partitions) so incremental maintenance can
-#: address sub-indexes without re-deriving the partition function.
-_INDEX_SCHEMA = "part_id int, n_partitions int, n_vectors long, blob binary"
+#: own identity (part_id, n_partitions) and build parameters (m, efc) so
+#: incremental maintenance can address sub-indexes without re-deriving the
+#: partition function and can never rebuild with divergent parameters.
+_INDEX_SCHEMA = (
+    "part_id int, n_partitions int, m int, efc int, n_vectors long, "
+    "blob binary"
+)
 
 
 def _part_expr(n_partitions: int):
@@ -393,33 +397,51 @@ def _part_expr(n_partitions: int):
 
 
 def _build_subindex_rows(M: int, ef_construction: int, n_partitions: int):
-    """applyInPandas group fn: one partition's (vec_id, v) rows in, one
-    serving-table row out. The blob is the index dict MINUS the normalized
-    matrix: Xn is bit-identical to _normalize(X) (same op as the build),
-    so the reader reconstructs it at load instead of paying to store,
-    read, and unpickle a second n×d float64 matrix per task. ids/layers/
-    entry/M ride along — the blob is self-contained. Deterministic build
-    over deterministic membership ⇒ the blob bytes are a pure function of
-    the partition's vector set (the incremental-equals-full-rebuild pin
-    in tests/test_hnsw.py rests on exactly this)."""
+    """mapInPandas task fn over a frame pre-partitioned with
+    ``repartition(n_partitions, "vec_id")`` — whose task-assignment
+    function (``pmod(Murmur3(vec_id), n)``, HashPartitioning) is exactly
+    :func:`_part_expr`, so task i holds precisely partition i's rows: one
+    sub-index per task, perfectly balanced. The EXPLICIT repartition also
+    stops AQE from coalescing the tiny shuffle into one task and
+    serializing the graph builds (a ``groupBy().applyInPandas`` form
+    measured 2.9× slower on the served query, and hashing ``part_id``
+    itself collides 8 ids into ~5 tasks — both shapes lose the
+    parallelism). The fn still groups pandas-side and emits one
+    serving-table row per part_id present, so it stays correct under ANY
+    partitioning that keeps each part_id whole. The blob is the
+    index dict MINUS the normalized matrix: Xn is bit-identical to
+    _normalize(X) (same op as the build), so the reader reconstructs it
+    at load instead of paying to store, read, and unpickle a second n×d
+    float64 matrix per task. ids/layers/entry/M ride along — the blob is
+    self-contained. Deterministic build over deterministic membership ⇒
+    the blob bytes are a pure function of the partition's vector set (the
+    incremental-equals-full-rebuild pin in tests/test_hnsw.py rests on
+    exactly this)."""
 
-    def build(pdf):
+    def build(batches):
         import pickle
 
         import pandas as pd
 
-        index = _subindex_from_batches(
-            [pdf[["vec_id", "v"]]], M, ef_construction
-        )
-        slim = {k2: v for k2, v in index.items() if k2 != "Xn"}
-        return pd.DataFrame(
-            {
-                "part_id": [int(pdf["part_id"].iloc[0])],
-                "n_partitions": [n_partitions],
-                "n_vectors": [len(index["ids"])],
-                "blob": [pickle.dumps(slim, protocol=4)],
-            }
-        )
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        for pid, g in pdf.groupby("part_id", sort=True):
+            index = _subindex_from_batches(
+                [g[["vec_id", "v"]]], M, ef_construction
+            )
+            slim = {k2: v for k2, v in index.items() if k2 != "Xn"}
+            yield pd.DataFrame(
+                {
+                    "part_id": [int(pid)],
+                    "n_partitions": [n_partitions],
+                    "m": [M],
+                    "efc": [ef_construction],
+                    "n_vectors": [len(index["ids"])],
+                    "blob": [pickle.dumps(slim, protocol=4)],
+                }
+            )
 
     return build
 
@@ -456,8 +478,8 @@ def hnsw_index_save(
         n_partitions = max(1, -(-n_rows // max(1, target_rows_per_subindex)))
     (
         e.withColumn("part_id", _part_expr(n_partitions))
-        .groupBy("part_id")
-        .applyInPandas(
+        .repartition(n_partitions, "vec_id")
+        .mapInPandas(
             _build_subindex_rows(M, ef_construction, n_partitions),
             _INDEX_SCHEMA,
         )
@@ -470,8 +492,9 @@ def hnsw_index_update(
     e: DataFrame,
     delta: DataFrame,
     path: str,
-    M: int = 16,
-    ef_construction: int = 128,
+    M: int | None = None,
+    ef_construction: int | None = None,
+    target_rows_per_subindex: int = TARGET_ROWS_PER_SUBINDEX,
 ) -> dict:
     """INCREMENTAL maintenance of a :func:`hnsw_index_save` serving table:
     rebuild only the sub-indexes whose partition membership changed.
@@ -484,9 +507,14 @@ def hnsw_index_update(
     rows are carried over unchanged; touched partitions rebuild from ``e``
     with the same deterministic build over the same membership, so the
     updated table is BIT-IDENTICAL to a fresh full save of ``e`` (pinned
-    by tests/test_hnsw.py) — ``M``/``ef_construction`` must match the
-    original build for that equivalence. A partition emptied by deletes
-    simply drops out of the table.
+    by tests/test_hnsw.py). The build parameters are read back from the
+    table too (``M``/``ef_construction`` default to the stored values;
+    passing explicit values that differ raises — a divergent-parameter
+    rebuild would silently break the bit-equality and the recall
+    contract). A partition emptied by deletes simply drops out of the
+    table; an EMPTY serving table (vacuous index, e.g. built over a
+    zero-row corpus) has no recoverable identity, so the update degrades
+    to a fresh full :func:`hnsw_index_save` of ``e``.
 
     Scale shape: the delta's touched-partition set is a broadcast
     semi/anti join key (never an ``isin`` literal), the kept rows are a
@@ -507,7 +535,35 @@ def hnsw_index_update(
             "hnsw_index_update needs a part_id-aware serving table; "
             "rebuild it once with hnsw_index_save"
         )
-    n_partitions = int(old.select("n_partitions").first()["n_partitions"])
+    head = old.select("n_partitions", "m", "efc").first()
+    if head is None:
+        # vacuous index: no rows means no recoverable partition identity —
+        # degrade to a fresh full build of the current corpus
+        hnsw_index_save(
+            e,
+            path,
+            M=16 if M is None else M,
+            ef_construction=128 if ef_construction is None else ef_construction,
+            target_rows_per_subindex=target_rows_per_subindex,
+        )
+        return {
+            "n_partitions": None,
+            "rebuilt_partitions": [],
+            "full_rebuild": True,
+        }
+    n_partitions = int(head["n_partitions"])
+    for name, given, stored in (
+        ("M", M, int(head["m"])),
+        ("ef_construction", ef_construction, int(head["efc"])),
+    ):
+        if given is not None and given != stored:
+            raise ValueError(
+                f"hnsw_index_update: {name}={given} differs from the "
+                f"table's stored {name}={stored}; a divergent rebuild "
+                "would break the incremental-equals-full-rebuild contract "
+                "— rebuild with hnsw_index_save to change parameters"
+            )
+    M, ef_construction = int(head["m"]), int(head["efc"])
     changed_df = (
         delta.select(_part_expr(n_partitions).alias("part_id"))
         .distinct()
@@ -515,12 +571,19 @@ def hnsw_index_update(
     )
     changed = sorted(int(r["part_id"]) for r in changed_df.collect())
     if not changed:
-        return {"n_partitions": n_partitions, "rebuilt_partitions": []}
+        return {
+            "n_partitions": n_partitions,
+            "rebuilt_partitions": [],
+            "full_rebuild": False,
+        }
     rebuilt = (
         e.withColumn("part_id", _part_expr(n_partitions))
         .join(F.broadcast(changed_df), "part_id", "left_semi")
-        .groupBy("part_id")
-        .applyInPandas(
+        # n_partitions (not len(changed)) keeps task==part_id: a smaller
+        # modulus would SPLIT one part_id's rows across tasks and emit
+        # partial sub-indexes; unchanged partitions' tasks are empty
+        .repartition(n_partitions, "vec_id")
+        .mapInPandas(
             _build_subindex_rows(M, ef_construction, n_partitions),
             _INDEX_SCHEMA,
         )
@@ -528,7 +591,11 @@ def hnsw_index_update(
     kept = old.join(F.broadcast(changed_df), "part_id", "left_anti")
     new_table = kept.unionByName(rebuilt).localCheckpoint(eager=True)
     new_table.write.mode("overwrite").parquet(path)
-    return {"n_partitions": n_partitions, "rebuilt_partitions": changed}
+    return {
+        "n_partitions": n_partitions,
+        "rebuilt_partitions": changed,
+        "full_rebuild": False,
+    }
 
 
 def hnsw_index_knn(

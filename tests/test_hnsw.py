@@ -353,3 +353,55 @@ def test_index_update_drops_emptied_partition(spark, sf_dir, tmp_path):
     }
     q = survivors.select("vec_id", "v").limit(3)
     assert hnsw_index_knn(spark, path, q, k=3).count() > 0
+
+
+def test_index_update_rejects_divergent_parameters(spark, sf_dir, tmp_path):
+    """M / ef_construction are part of the stored index identity: an
+    update with different explicit values must refuse (a divergent
+    rebuild would silently break incremental-equals-full-rebuild), while
+    omitting them reads the stored values back."""
+    import pytest as _pytest
+
+    from cinegraph_spark.operators.hnsw import hnsw_index_save, hnsw_index_update
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    path = str(tmp_path / "idx")
+    hnsw_index_save(e, path, M=16, ef_construction=128, n_partitions=4)
+    one = e.filter(F.col("vec_id") == 1).select("vec_id")
+    with _pytest.raises(ValueError, match="M=8 differs"):
+        hnsw_index_update(e, one, path, M=8)
+    with _pytest.raises(ValueError, match="ef_construction=64 differs"):
+        hnsw_index_update(e, one, path, ef_construction=64)
+    stats = hnsw_index_update(e, one, path)  # stored params read back
+    assert len(stats["rebuilt_partitions"]) == 1
+
+
+def test_index_update_on_empty_table_degrades_to_full_save(
+    spark, sf_dir, tmp_path
+):
+    """A serving table built over a zero-row corpus has no rows and so no
+    recoverable partition identity; updating it must degrade to a fresh
+    full save instead of crashing (the zero-row robustness sweep's
+    vec_ann_hnsw_incremental_knn case)."""
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_index_knn,
+        hnsw_index_save,
+        hnsw_index_update,
+    )
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    path = str(tmp_path / "idx")
+    hnsw_index_save(e.filter("vec_id < 0"), path, n_partitions=8)
+    assert spark.read.parquet(path).count() == 0
+    stats = hnsw_index_update(e, e.select("vec_id"), path)
+    assert stats["full_rebuild"] is True
+    q = e.filter(F.col("vec_id") < 3)
+    assert hnsw_index_knn(spark, path, q, k=3).count() == 9

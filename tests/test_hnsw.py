@@ -355,6 +355,27 @@ def test_index_update_drops_emptied_partition(spark, sf_dir, tmp_path):
     assert hnsw_index_knn(spark, path, q, k=3).count() > 0
 
 
+def test_index_save_invariant_to_incoming_partitioning(
+    spark, sf_dir, tmp_path
+):
+    """The serving table's blob bytes are a pure function of the corpus,
+    not of how the input frame happened to be partitioned: the explicit
+    repartition(n, vec_id) + ascending-id insertion fixes membership and
+    order regardless of the upstream layout."""
+    from cinegraph_spark.operators.hnsw import hnsw_index_save
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    p3 = str(tmp_path / "p3")
+    p13 = str(tmp_path / "p13")
+    hnsw_index_save(e.repartition(3), p3, n_partitions=8)
+    hnsw_index_save(e.repartition(13), p13, n_partitions=8)
+    assert _blob_rows(spark, p3) == _blob_rows(spark, p13)
+
+
 def test_index_update_rejects_divergent_parameters(spark, sf_dir, tmp_path):
     """M / ef_construction are part of the stored index identity: an
     update with different explicit values must refuse (a divergent

@@ -401,6 +401,45 @@ def test_index_update_rejects_divergent_parameters(spark, sf_dir, tmp_path):
     assert len(stats["rebuilt_partitions"]) == 1
 
 
+def test_index_update_equals_full_rebuild_random_deltas(
+    spark, sf_dir, tmp_path
+):
+    """Property form of the incremental contract: for ARBITRARY delta
+    shapes (random modulus/remainder membership — sparse, dense, or
+    empty), save(yesterday) + update(delta) must be bit-identical to
+    save(full). Catches any delta-shape-dependent bug the fixed
+    vec_id % 5 split can't (e.g. a delta hitting one partition, all
+    partitions, or none)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cinegraph_spark.operators.hnsw import hnsw_index_save, hnsw_index_update
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).localCheckpoint(eager=True)
+    counter = [0]
+
+    @settings(max_examples=6, deadline=None)
+    @given(mod=st.integers(2, 50), rem=st.integers(0, 4))
+    def check(mod, rem):
+        counter[0] += 1
+        inc = str(tmp_path / f"inc{counter[0]}")
+        full = str(tmp_path / f"full{counter[0]}")
+        delta = e.filter((F.col("vec_id") % mod) == (rem % mod)).select(
+            "vec_id"
+        )
+        yesterday = e.join(delta, "vec_id", "left_anti")
+        hnsw_index_save(yesterday, inc, n_partitions=4)
+        hnsw_index_update(e, delta, inc)
+        hnsw_index_save(e, full, n_partitions=4)
+        assert _blob_rows(spark, inc) == _blob_rows(spark, full)
+
+    check()
+
+
 def test_index_update_on_empty_table_degrades_to_full_save(
     spark, sf_dir, tmp_path
 ):

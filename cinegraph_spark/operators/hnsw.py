@@ -516,6 +516,12 @@ def hnsw_index_update(
     zero-row corpus) has no recoverable identity, so the update degrades
     to a fresh full :func:`hnsw_index_save` of ``e``.
 
+    ``target_rows_per_subindex`` applies ONLY to the empty-table degrade
+    branch (it sizes the fresh full save); on the normal path
+    ``n_partitions`` is immutable table identity, so per-partition row
+    counts grow with accumulated adds until the caller re-shards with a
+    full :func:`hnsw_index_save`.
+
     Scale shape: the delta's touched-partition set is a broadcast
     semi/anti join key (never an ``isin`` literal), the kept rows are a
     blob-table copy (n_partitions rows of metadata scale, no vector
@@ -538,13 +544,19 @@ def hnsw_index_update(
     head = old.select("n_partitions", "m", "efc").first()
     if head is None:
         # vacuous index: no rows means no recoverable partition identity —
-        # degrade to a fresh full build of the current corpus
+        # degrade to a fresh full build of the current corpus, forwarding
+        # only explicitly-given parameters so hnsw_index_save's defaults
+        # stay defined in exactly one place
+        kwargs = {}
+        if M is not None:
+            kwargs["M"] = M
+        if ef_construction is not None:
+            kwargs["ef_construction"] = ef_construction
         hnsw_index_save(
             e,
             path,
-            M=16 if M is None else M,
-            ef_construction=128 if ef_construction is None else ef_construction,
             target_rows_per_subindex=target_rows_per_subindex,
+            **kwargs,
         )
         return {
             "n_partitions": None,
@@ -564,8 +576,13 @@ def hnsw_index_update(
                 "— rebuild with hnsw_index_save to change parameters"
             )
     M, ef_construction = int(head["m"]), int(head["efc"])
+    # hash the delta's key at e's exact type: Murmur3(int) != Murmur3(long)
+    # for the same value, so a delta arriving as int against a long corpus
+    # would silently mark the WRONG partitions and keep stale blobs
+    key_type = e.schema["vec_id"].dataType
     changed_df = (
-        delta.select(_part_expr(n_partitions).alias("part_id"))
+        delta.select(F.col("vec_id").cast(key_type).alias("vec_id"))
+        .select(_part_expr(n_partitions).alias("part_id"))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -69,10 +69,13 @@ ROTATION_BUILT_FROM_ROUND: int = 10
 #: budget.  Round-11: connected_components / connected_components_star
 #: (operators/graph_algos.py) changed in r9 (self-loop fix) and r10
 #: (edge-list staging) with no driver row since r8 — r10 verdict task 2;
-#: vec_ann_hnsw_served_knn rides because hnsw_index_save switched from
-#: mapInPandas-over-repartition to the part_id-keyed applyInPandas form
-#: (same membership and deterministic build — oracle-identical by design,
-#: bit-equality pinned in tests/test_hnsw.py — but changed plans ride).
+#: vec_ann_hnsw_served_knn rides because hnsw_index_save's serving table
+#: gained stored identity columns (part_id/n_partitions/m/efc) and the
+#: build fn became a pandas-side part_id groupby (still mapInPandas over
+#: repartition(n, "vec_id") — a groupBy().applyInPandas form was tried
+#: and REJECTED as 2.9× slower). Same membership and deterministic build
+#: — oracle-identical by design, bit-equality pinned in tests/test_hnsw.py
+#: — but changed plans ride.
 CHANGED_CODE_CANARIES: tuple[str, ...] = (
     "graph_cc_neardup_clusters",
     "graph_cc_star_neardup_clusters",

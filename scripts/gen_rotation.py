@@ -59,6 +59,13 @@ def main() -> None:
     print(f"# ROTATION_BUILT_FROM_ROUND: int = {newest}")
     print(f"# {len(canaries)} canaries + {len(never)} never + "
           f"{BUDGET - len(canaries) - len(never)} stalest = {BUDGET} slots")
+    if canaries != CHANGED_CODE_CANARIES:
+        # argv override: the budget below assumes THESE canaries lead, so
+        # the paste must replace the committed tuple too
+        print("CHANGED_CODE_CANARIES: tuple[str, ...] = (")
+        for c in canaries:
+            print(f'    "{c}",')
+        print(")")
     print("DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (")
     last_round = "sentinel"
     for n in budget[len(canaries):]:

@@ -401,6 +401,28 @@ def test_index_update_rejects_divergent_parameters(spark, sf_dir, tmp_path):
     assert len(stats["rebuilt_partitions"]) == 1
 
 
+def test_index_update_delta_key_type_is_normalized(spark, sf_dir, tmp_path):
+    """Murmur3(int) != Murmur3(long) for the same value: a delta arriving
+    with a narrower vec_id type than the corpus must still mark the RIGHT
+    partitions (the update casts the delta key to e's type before
+    hashing), not silently rebuild unrelated ones."""
+    from cinegraph_spark.operators.hnsw import hnsw_index_save, hnsw_index_update
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    path = str(tmp_path / "idx")
+    hnsw_index_save(e, path, n_partitions=8)
+
+    delta_long = e.filter(F.col("vec_id") == 7).select("vec_id")
+    delta_int = delta_long.select(F.col("vec_id").cast("int").alias("vec_id"))
+    want = hnsw_index_update(e, delta_long, path)["rebuilt_partitions"]
+    got = hnsw_index_update(e, delta_int, path)["rebuilt_partitions"]
+    assert got == want and len(got) == 1
+
+
 def test_index_update_equals_full_rebuild_random_deltas(
     spark, sf_dir, tmp_path
 ):

@@ -8,13 +8,24 @@ total. This script computes exactly that and prints a paste-ready tuple
 body plus the freshness histogram, so rebuilding the rotation each round
 is mechanical:
 
-    python scripts/gen_rotation.py                 # current canaries
-    python scripts/gen_rotation.py q_a q_b ...     # override canaries
+    python scripts/gen_rotation.py                 # reproduce the committed
+                                                   # rotation (snapshot at
+                                                   # ROTATION_BUILT_FROM_ROUND)
+    python scripts/gen_rotation.py --latest        # next round's rotation
+                                                   # (all files on disk)
+    python scripts/gen_rotation.py --upto 11       # explicit snapshot round
+    python scripts/gen_rotation.py --latest q_a q_b  # override canaries
 
-Then paste the output into cinegraph_spark/queries/__init__.py, bump
-ROTATION_BUILT_FROM_ROUND to the newest CORRECTNESS round on disk, and run
-tests/test_registry_order.py — it re-derives the same buckets and fails on
-any divergence.
+By default freshness is computed over CORRECTNESS files up to
+ROTATION_BUILT_FROM_ROUND — the same snapshot tests/test_registry_order.py
+validates against — so the driver delivering the NEXT round's correctness
+file can never make the generator diverge from the committed rotation
+(the r11 judge hit exactly that: the r10-built pin test flipped the
+moment CORRECTNESS_r11.json landed). To BUILD a new rotation, pass
+--latest (or --upto N), paste the output into
+cinegraph_spark/queries/__init__.py, bump ROTATION_BUILT_FROM_ROUND to
+the printed snapshot round, and run tests/test_registry_order.py — it
+re-derives the same buckets and fails on any divergence.
 """
 import glob
 import json
@@ -29,13 +40,32 @@ BUDGET = 50
 
 
 def main() -> None:
-    from cinegraph_spark.queries import CHANGED_CODE_CANARIES, load_all
+    from cinegraph_spark.queries import (
+        CHANGED_CODE_CANARIES,
+        ROTATION_BUILT_FROM_ROUND,
+        load_all,
+    )
 
-    canaries = tuple(sys.argv[1:]) or CHANGED_CODE_CANARIES
+    args = sys.argv[1:]
+    cutoff: int | None = ROTATION_BUILT_FROM_ROUND
+    if "--latest" in args:
+        args.remove("--latest")
+        cutoff = None
+    if "--upto" in args:
+        i = args.index("--upto")
+        try:
+            cutoff = int(args[i + 1])
+        except (IndexError, ValueError):
+            sys.exit("--upto requires an integer round number")
+        del args[i : i + 2]
+    canaries = tuple(args) or CHANGED_CODE_CANARIES
+
     fresh: dict[str, int] = {}
     newest = 0
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)\.json$", f).group(1))
+        if cutoff is not None and rnd > cutoff:
+            continue
         newest = max(newest, rnd)
         for name in json.load(open(f)):
             fresh[name] = max(rnd, fresh.get(name, 0))
@@ -46,6 +76,14 @@ def main() -> None:
         sys.exit(f"canaries not in registry: {unknown}")
 
     never = [n for n in registry if n not in fresh and n not in canaries]
+    if len(canaries) + len(never) > BUDGET:
+        sys.exit(
+            f"{len(canaries)} canaries + {len(never)} never-checked queries "
+            f"exceed the {BUDGET}-slot budget — the rotation contract "
+            "requires every never-checked query inside the budget; trim the "
+            "canary list or raise BUDGET in both this script and "
+            "tests/test_registry_order.py"
+        )
     stale = sorted(
         (n for n in registry if n in fresh and n not in canaries),
         key=lambda n: (fresh[n], registry.index(n)),
@@ -58,7 +96,8 @@ def main() -> None:
           f"{sorted(hist.items())}; never-checked: {len(never)}")
     print(f"# ROTATION_BUILT_FROM_ROUND: int = {newest}")
     print(f"# {len(canaries)} canaries + {len(never)} never + "
-          f"{BUDGET - len(canaries) - len(never)} stalest = {BUDGET} slots")
+          f"{len(budget) - len(canaries) - len(never)} stalest = "
+          f"{len(budget)} slots")
     if canaries != CHANGED_CODE_CANARIES:
         # argv override: the budget below assumes THESE canaries lead, so
         # the paste must replace the committed tuple too

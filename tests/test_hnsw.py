@@ -487,3 +487,140 @@ def test_index_update_on_empty_table_degrades_to_full_save(
     assert stats["full_rebuild"] is True
     q = e.filter(F.col("vec_id") < 3)
     assert hnsw_index_knn(spark, path, q, k=3).count() == 9
+
+
+def test_index_update_rejects_malformed_delta_keys(spark, sf_dir, tmp_path):
+    """A delta vec_id that is NULL or fails the cast to the corpus key
+    type must raise a named error, not silently hash as NULL and mark an
+    arbitrary partition while the intended one keeps a stale blob (r11
+    ADVICE). try_cast keeps the failure a ValueError even under ANSI."""
+    import pytest as _pytest
+
+    from cinegraph_spark.operators.hnsw import hnsw_index_save, hnsw_index_update
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    path = str(tmp_path / "idx")
+    hnsw_index_save(e, path, n_partitions=8)
+    before = _blob_rows(spark, path)
+
+    null_delta = spark.createDataFrame([(None,)], "vec_id long")
+    with _pytest.raises(ValueError, match="NULL or do not cast"):
+        hnsw_index_update(e, null_delta, path)
+
+    str_delta = spark.createDataFrame([("7",), ("not-a-key",)], "vec_id string")
+    with _pytest.raises(ValueError, match="1 delta vec_id"):
+        hnsw_index_update(e, str_delta, path)
+
+    # the refusal happened before any write: table bytes untouched
+    assert _blob_rows(spark, path) == before
+
+
+def test_index_reshard_after_growth_equals_fresh_save(spark, sf_dir, tmp_path):
+    """The growth loop the r11 verdict asked to close: save a small
+    corpus (right-sized), grow it via hnsw_index_update (n_partitions is
+    immutable identity, so sub-indexes bloat), then hnsw_index_reshard
+    detects the drift past trigger_ratio × target and rebuilds — and the
+    result is BIT-IDENTICAL to a fresh full save at the same target."""
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_index_reshard,
+        hnsw_index_save,
+        hnsw_index_update,
+    )
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    grown = str(tmp_path / "grown")
+    fresh = str(tmp_path / "fresh")
+    yesterday = e.filter(F.col("vec_id") % 5 == 0)  # 20% of the corpus
+    delta = e.filter(F.col("vec_id") % 5 != 0).select("vec_id")
+    # right-sized for yesterday: ~100 rows/partition at sf0.001
+    hnsw_index_save(yesterday, grown, target_rows_per_subindex=100)
+    n_before = spark.read.parquet(grown).first()["n_partitions"]
+    hnsw_index_update(e, delta, grown)  # 5x growth, same n_partitions
+    stats = hnsw_index_reshard(e, grown, target_rows_per_subindex=100)
+    assert stats["resharded"] is True
+    assert stats["previous_n_partitions"] == n_before
+    assert stats["max_subindex_rows"] > 2.0 * 100
+    assert stats["n_partitions"] > n_before
+    hnsw_index_save(e, fresh, target_rows_per_subindex=100)
+    assert _blob_rows(spark, grown) == _blob_rows(spark, fresh)
+
+
+def test_index_reshard_noop_below_trigger_and_force(spark, sf_dir, tmp_path):
+    """A right-sized table is a metadata-only no-op (resharded=False,
+    bytes untouched); force=True re-shards anyway and stays bit-identical
+    to a fresh save (stored M/efc are reused)."""
+    from cinegraph_spark.operators.hnsw import hnsw_index_reshard, hnsw_index_save
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    path = str(tmp_path / "idx")
+    hnsw_index_save(e, path, target_rows_per_subindex=100)
+    before = _blob_rows(spark, path)
+    stats = hnsw_index_reshard(e, path, target_rows_per_subindex=100)
+    assert stats["resharded"] is False
+    assert stats["n_partitions"] == stats["previous_n_partitions"]
+    assert _blob_rows(spark, path) == before
+    stats = hnsw_index_reshard(
+        e, path, target_rows_per_subindex=100, force=True
+    )
+    assert stats["resharded"] is True
+    assert _blob_rows(spark, path) == before  # same corpus, same target
+
+
+def test_index_reshard_vacuous_table_rebuilds(spark, sf_dir, tmp_path):
+    """A zero-row serving table has no recoverable identity: reshard
+    degrades to a fresh full save of the current corpus (same rule as
+    hnsw_index_update)."""
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_index_knn,
+        hnsw_index_reshard,
+        hnsw_index_save,
+    )
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    path = str(tmp_path / "idx")
+    hnsw_index_save(e.filter("vec_id < 0"), path, n_partitions=4)
+    stats = hnsw_index_reshard(e, path, target_rows_per_subindex=100)
+    assert stats["resharded"] is True and stats["previous_n_partitions"] is None
+    q = e.filter(F.col("vec_id") < 3)
+    assert hnsw_index_knn(spark, path, q, k=3).count() == 9
+
+
+def test_swap_write_leaves_no_sibling_dirs(spark, sf_dir, tmp_path):
+    """Every serving-table write goes through the atomic sibling-swap; a
+    SUCCESSFUL save/update/reshard must leave no __swap__ debris next to
+    the table (the sibling only survives a crash, where it is the
+    recovery copy)."""
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_index_reshard,
+        hnsw_index_save,
+        hnsw_index_update,
+    )
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    path = str(tmp_path / "idx")
+    hnsw_index_save(e, path, n_partitions=4)
+    one = e.filter(F.col("vec_id") == 7).select("vec_id")
+    hnsw_index_update(e, one, path)
+    hnsw_index_reshard(e, path, target_rows_per_subindex=100, force=True)
+    leftovers = [p.name for p in tmp_path.iterdir() if "__swap__" in p.name]
+    assert leftovers == []

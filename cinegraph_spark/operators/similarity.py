@@ -334,3 +334,151 @@ def pq_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ivf_cell_stats(e: DataFrame, label: str = "label", v: str = "v") -> DataFrame:
+    """Per-cell serving-state rows: (label, n_vectors, centroid) with a
+    DETERMINISTIC, plan-independent centroid.
+
+    ``F.avg`` over doubles is not reproducible across runs (float addition
+    is non-associative and shuffle arrival order varies), which would sink
+    the incremental-equals-full-rebuild contract the maintenance path pins.
+    Instead each coordinate sum is computed in ``decimal(38,18)`` — decimal
+    addition IS associative and exact, so the sum (and the mean derived
+    from it) is bit-identical whatever the partitioning or aggregation
+    order, while staying entirely JVM-side (no UDF, map-side partial
+    aggregation on the (label, dim) key whose cardinality is
+    #cells × dim — corpus-size-independent, same scale shape as
+    :func:`label_centroids`). 18 fractional digits exceed a double's
+    precision and 20 integral digits cover any realistic cell sum; under
+    ANSI a genuine overflow raises rather than corrupting the state."""
+    flat = e.select(label, F.posexplode(v).alias("dim", "x"))
+    cent = flat.groupBy(label, "dim").agg(
+        (F.sum(F.col("x").cast("decimal(38,18)")) / F.count("*"))
+        .cast("double")
+        .alias("m"),
+        F.count("*").alias("n"),
+    )
+    return cent.groupBy(label).agg(
+        F.max("n").alias("n_vectors"),  # n is identical across dims
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("centroid"),
+    )
+
+
+def ivf_centroids_save(
+    e: DataFrame, path: str, label: str = "label", v: str = "v"
+) -> None:
+    """BUILD-ONCE half of the IVF serving shape: persist the per-cell
+    centroid table (one row per cell: label, n_vectors, centroid) that
+    :func:`ivf_index_topk` probes — the lake-native analog of the
+    reference's persistent pgvector index (`db/models/embedding.py:15-17`)
+    at the IVF tier, mirroring `operators/hnsw.py::hnsw_index_save` for
+    the graph tier. At 100 TB the corpus parquet is partitioned by the
+    cell column, so this table is the only state a query needs before
+    partition-pruned candidate reads. Written via the atomic sibling-swap
+    (never an in-place overwrite of live state)."""
+    from cinegraph_spark.operators.serving_io import atomic_swap_write
+
+    atomic_swap_write(ivf_cell_stats(e, label, v), path)
+
+
+def ivf_centroids_update(
+    e: DataFrame,
+    delta: DataFrame,
+    path: str,
+    label: str = "label",
+    v: str = "v",
+) -> dict:
+    """INCREMENTAL maintenance of an :func:`ivf_centroids_save` table:
+    recompute only the cells the delta touches (same contract as
+    `operators/hnsw.py::hnsw_index_update` — cost proportional to the
+    CHANGE, not the corpus).
+
+    ``e`` is the FULL post-change corpus (source of truth); ``delta``
+    carries one ``label`` value per added, updated, or deleted vector —
+    the label a DELETED vector *had*, since its membership can no longer
+    be derived from ``e`` (unlike the HNSW table, whose
+    ``pmod(hash(vec_id), n)`` partition function derives membership from
+    the key alone). Touched cells recompute from ``e`` with the same
+    deterministic decimal aggregation, so the updated table is
+    BIT-IDENTICAL to a fresh full save; untouched rows carry over; a cell
+    emptied by deletes drops out; an empty table degrades to a fresh full
+    save. Delta labels that are NULL or fail the cast to the corpus label
+    type are refused with a named error (``try_cast`` keeps it a
+    ValueError under ANSI) — a NULL cell key would silently skip the
+    genuinely intended cell and leave a stale centroid. Returns
+    ``{"rebuilt_cells": [...], "full_rebuild": bool}``."""
+    from cinegraph_spark.operators.serving_io import atomic_swap_write
+
+    spark = e.sparkSession
+    old = spark.read.parquet(path)
+    if old.isEmpty():
+        # vacuous table (e.g. built over a zero-row corpus): degrade to a
+        # fresh full save — same rule as hnsw_index_update
+        ivf_centroids_save(e, path, label=label, v=v)
+        return {"rebuilt_cells": [], "full_rebuild": True}
+    cell_type = e.schema[label].dataType
+    cast_cell = F.col(label).try_cast(cell_type)
+    bad = delta.filter(cast_cell.isNull()).count()
+    if bad:
+        raise ValueError(
+            f"ivf_centroids_update: {bad} delta {label} value(s) are NULL "
+            f"or do not cast to the corpus cell type "
+            f"{cell_type.simpleString()}; a NULL cell key would silently "
+            "leave the intended cell's centroid stale — fix the delta input"
+        )
+    changed_df = (
+        delta.select(cast_cell.alias(label)).distinct().localCheckpoint(
+            eager=True
+        )
+    )
+    changed = sorted(r[label] for r in changed_df.collect())
+    if not changed:
+        return {"rebuilt_cells": [], "full_rebuild": False}
+    rebuilt = ivf_cell_stats(
+        e.join(F.broadcast(changed_df), label, "left_semi"), label, v
+    )
+    kept = old.join(F.broadcast(changed_df), label, "left_anti")
+    atomic_swap_write(kept.unionByName(rebuilt), path)
+    return {"rebuilt_cells": changed, "full_rebuild": False}
+
+
+def ivf_index_topk(
+    e: DataFrame,
+    q: DataFrame,
+    path: str,
+    nprobe: int = 2,
+    k: int = 10,
+    label: str = "label",
+    v: str = "v",
+) -> DataFrame:
+    """QUERY-MANY half: IVF ANN against a PERSISTED
+    :func:`ivf_centroids_save` table — probe the ``nprobe`` cells whose
+    stored centroid is most cosine-similar to the query, then exact
+    cosine top-k within them (same semantics as the rebuild-per-query
+    :func:`ivf_cosine_topk`, minus the centroid pass: the table is ≤
+    #cells rows, always broadcast, and with the corpus parquet
+    partitioned by cell the candidate read is partition pruning)."""
+    spark = e.sparkSession
+    cents = spark.read.parquet(path).select(label, "centroid")
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select(label, V.cosine(F.col("centroid"), F.col("qv")).alias("csim"))
+        .orderBy(F.desc("csim"), F.asc(label))
+        .limit(nprobe)
+        .select(label)
+    )
+    return (
+        e.join(F.broadcast(probed), label)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col(label),
+            F.round(V.cosine(F.col(v), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

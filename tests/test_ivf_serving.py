@@ -1,0 +1,190 @@
+"""IVF centroid serving-table maintenance contract
+(operators/similarity.py::ivf_centroids_save/update, ivf_index_topk) —
+the IVF-tier mirror of the HNSW serving contract in tests/test_hnsw.py.
+
+The load-bearing claim is determinism: cell sums are decimal(38,18)
+(exact, order-independent), so save is partitioning-invariant and
+update-touched-cells-only is BIT-IDENTICAL to a fresh full save — which
+is what lets the registered query carry an exact DuckDB oracle computed
+over the final corpus directly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _corpus(spark, sf_dir):
+    from cinegraph_spark.queries.util import T
+
+    return T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _rows(spark, path):
+    return sorted(
+        (r["label"], r["n_vectors"], tuple(r["centroid"]))
+        for r in spark.read.parquet(path).collect()
+    )
+
+
+def test_save_is_invariant_to_input_partitioning(spark, sf_dir, tmp_path):
+    from cinegraph_spark.operators.similarity import ivf_centroids_save
+
+    e = _corpus(spark, sf_dir)
+    p3, p13 = str(tmp_path / "p3"), str(tmp_path / "p13")
+    ivf_centroids_save(e.repartition(3), p3)
+    ivf_centroids_save(e.repartition(13), p13)
+    assert _rows(spark, p3) == _rows(spark, p13)
+
+
+def test_update_equals_full_rebuild(spark, sf_dir, tmp_path):
+    from cinegraph_spark.operators.similarity import (
+        ivf_centroids_save,
+        ivf_centroids_update,
+    )
+
+    e = _corpus(spark, sf_dir)
+    yesterday = e.filter(F.col("vec_id") % 5 != 0)
+    delta = e.filter(F.col("vec_id") % 5 == 0).select("label")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    ivf_centroids_save(yesterday, inc)
+    stats = ivf_centroids_update(e, delta, inc)
+    assert stats["full_rebuild"] is False
+    ivf_centroids_save(e, full)
+    assert _rows(spark, inc) == _rows(spark, full)
+
+
+def test_update_touches_only_delta_cells(spark, sf_dir, tmp_path):
+    from cinegraph_spark.operators.similarity import (
+        ivf_centroids_save,
+        ivf_centroids_update,
+    )
+
+    e = _corpus(spark, sf_dir)
+    path = str(tmp_path / "idx")
+    ivf_centroids_save(e, path)
+    before = _rows(spark, path)
+
+    # empty delta: no-op
+    stats = ivf_centroids_update(e, e.filter("vec_id < 0").select("label"), path)
+    assert stats["rebuilt_cells"] == []
+    assert _rows(spark, path) == before
+
+    # one cell named: exactly that cell recomputes (same corpus -> equal)
+    one = e.filter(F.col("vec_id") == 7).select("label")
+    want = one.first()["label"]
+    stats = ivf_centroids_update(e, one, path)
+    assert stats["rebuilt_cells"] == [want]
+    assert _rows(spark, path) == before
+
+
+def test_update_drops_emptied_cell(spark, sf_dir, tmp_path):
+    from cinegraph_spark.operators.similarity import (
+        ivf_centroids_save,
+        ivf_centroids_update,
+    )
+
+    e = _corpus(spark, sf_dir)
+    path = str(tmp_path / "idx")
+    ivf_centroids_save(e, path)
+    victim = e.first()["label"]
+    survivors = e.filter(F.col("label") != victim)
+    doomed = e.filter(F.col("label") == victim).select("label")
+    stats = ivf_centroids_update(survivors, doomed, path)
+    assert stats["rebuilt_cells"] == [victim]
+    labels = {r["label"] for r in spark.read.parquet(path).collect()}
+    assert victim not in labels and labels
+
+
+def test_update_on_empty_table_degrades_to_full_save(spark, sf_dir, tmp_path):
+    from cinegraph_spark.operators.similarity import (
+        ivf_centroids_save,
+        ivf_centroids_update,
+    )
+
+    e = _corpus(spark, sf_dir)
+    path = str(tmp_path / "idx")
+    ivf_centroids_save(e.filter("vec_id < 0"), path)
+    assert spark.read.parquet(path).count() == 0
+    stats = ivf_centroids_update(e, e.select("label"), path)
+    assert stats["full_rebuild"] is True
+    full = str(tmp_path / "full")
+    ivf_centroids_save(e, full)
+    assert _rows(spark, path) == _rows(spark, full)
+
+
+def test_update_rejects_malformed_delta_cells(spark, sf_dir, tmp_path):
+    from cinegraph_spark.operators.similarity import (
+        ivf_centroids_save,
+        ivf_centroids_update,
+    )
+
+    e = _corpus(spark, sf_dir)
+    path = str(tmp_path / "idx")
+    ivf_centroids_save(e, path)
+    before = _rows(spark, path)
+
+    null_delta = spark.createDataFrame([(None,)], "label int")
+    with pytest.raises(ValueError, match="NULL or do not cast"):
+        ivf_centroids_update(e, null_delta, path)
+    str_delta = spark.createDataFrame([("3",), ("not-a-cell",)], "label string")
+    with pytest.raises(ValueError, match="1 delta label"):
+        ivf_centroids_update(e, str_delta, path)
+    assert _rows(spark, path) == before  # refusal precedes any write
+
+
+def test_update_equals_full_rebuild_random_deltas(spark, sf_dir, tmp_path):
+    """Property form over arbitrary delta shapes (sparse, dense, empty) —
+    the same hypothesis harness as the HNSW twin."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cinegraph_spark.operators.similarity import (
+        ivf_centroids_save,
+        ivf_centroids_update,
+    )
+
+    e = _corpus(spark, sf_dir).localCheckpoint(eager=True)
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(mod=st.integers(2, 50), rem=st.integers(0, 4))
+    def check(mod, rem):
+        counter[0] += 1
+        inc = str(tmp_path / f"inc{counter[0]}")
+        full = str(tmp_path / f"full{counter[0]}")
+        newcomers = e.filter((F.col("vec_id") % mod) == (rem % mod))
+        yesterday = e.join(
+            newcomers.select("vec_id"), "vec_id", "left_anti"
+        )
+        ivf_centroids_save(yesterday, inc)
+        ivf_centroids_update(e, newcomers.select("label"), inc)
+        ivf_centroids_save(e, full)
+        assert _rows(spark, inc) == _rows(spark, full)
+
+    check()
+
+
+def test_served_topk_matches_rebuild_per_query_form(spark, sf_dir, tmp_path):
+    """The persisted-table probe must return exactly what the
+    rebuild-per-query ivf_cosine_topk returns for the same corpus —
+    serving changes WHERE the centroids live, not the answer."""
+    from cinegraph_spark.operators.similarity import (
+        ivf_centroids_save,
+        ivf_cosine_topk,
+        ivf_index_topk,
+    )
+
+    e = _corpus(spark, sf_dir)
+    corpus = e.filter(F.col("vec_id") != 0)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    path = str(tmp_path / "cents")
+    ivf_centroids_save(corpus, path)
+    served = ivf_index_topk(corpus, q, path, nprobe=2, k=10).collect()
+    direct = ivf_cosine_topk(corpus, q, nprobe=2, k=10).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in direct]

@@ -90,6 +90,9 @@ HEADLINE = [
     "sample_global_shuffle_order",
     # round 11 additions
     "vec_ann_hnsw_incremental_knn",
+    # round 12 additions
+    "vec_ann_hnsw_reshard_knn",
+    "vec_ann_ivf_incremental_topk",
 ]
 
 

@@ -60,89 +60,88 @@ def register(
 #: exactly these files and asserts DRIVER_PRIORITY matches — bump this
 #: constant whenever the rotation is rebuilt for a new round, and the test
 #: re-validates the new order against the new data with zero literal pins.
-ROTATION_BUILT_FROM_ROUND: int = 10
+ROTATION_BUILT_FROM_ROUND: int = 11
 
 #: Changed-code canaries: queries whose underlying implementation changed
 #: since their last driver row. They are allowed to jump the pure
 #: freshness order (the test exempts exactly these names from the
 #: non-decreasing-freshness invariant) but must sit inside the 50-slot
-#: budget.  Round-11: connected_components / connected_components_star
-#: (operators/graph_algos.py) changed in r9 (self-loop fix) and r10
-#: (edge-list staging) with no driver row since r8 — r10 verdict task 2;
-#: vec_ann_hnsw_served_knn rides because hnsw_index_save's serving table
-#: gained stored identity columns (part_id/n_partitions/m/efc) and the
-#: build fn became a pandas-side part_id groupby (still mapInPandas over
-#: repartition(n, "vec_id") — a groupBy().applyInPandas form was tried
-#: and REJECTED as 2.9× slower). Same membership and deterministic build
-#: — oracle-identical by design, bit-equality pinned in tests/test_hnsw.py
-#: — but changed plans ride.
+#: budget.  Round-12: hnsw_index_save and hnsw_index_update both changed —
+#: every serving-table write now goes through an atomic sibling-swap
+#: (write-then-rename; a plain overwrite deleted the live index before the
+#: new one existed) and the update path refuses NULL/uncastable delta keys
+#: via try_cast (a NULL key hashed to an arbitrary partition while the
+#: intended one kept a stale blob). Output is oracle-identical by design
+#: (bit-equality pinned in tests/test_hnsw.py) — but changed write paths
+#: ride: served exercises save, incremental exercises save+update.
 CHANGED_CODE_CANARIES: tuple[str, ...] = (
-    "graph_cc_neardup_clusters",
-    "graph_cc_star_neardup_clusters",
     "vec_ann_hnsw_served_knn",
+    "vec_ann_hnsw_incremental_knn",
 )
 
-#: Driver-slot priority (round 11). The driver's correctness harness walks
+#: Driver-slot priority (round 12). The driver's correctness harness walks
 #: the registry in order under a ~50-query budget, so this list pins the
 #: front slots explicitly instead of relying on module import order.
-#: Round-11 rationale — per the r10 verdict's task 2 plus this round's
-#: changed code: the three changed-code canaries lead (two twice-changed
-#: CC queries + the re-plumbed HNSW serving save), then the one
-#: never-driver-checked query (the new incremental HNSW maintenance
-#: path), then the full 46-query r7-stale bucket (the oldest latest-check
-#: bucket, registry order within the bucket). 3 + 1 + 46 = 50; after this
-#: round no query's latest check is older than r8. Every name here must
-#: exist in the registry — load_all asserts.
+#: Round-12 rationale — per the r11 verdict's task 2 plus this round's
+#: changed code: the two changed-write-path HNSW canaries lead, then the
+#: two never-driver-checked queries (the new HNSW re-shard growth loop
+#: and the new IVF-tier incremental centroids path), then the r8-stale
+#: bucket oldest-first (registry order within the bucket).
+#: 2 + 2 + 46 = 50; the two remaining r8 queries (equal-freshness with
+#: the admitted bucket, which the completeness rule permits) head the
+#: r13 queue.
+#: Every name here must exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
-    # never driver-checked (registered r11) — first row required
-    "vec_ann_hnsw_incremental_knn",
-    # last checked round 7 (registry order) — the oldest-green bucket
-    "skew_salted_agg_revenue_per_priority",
-    "agg_pivot_status_by_priority",
-    "agg_unpivot_lineitem_measures",
-    "agg_percentiles_price",
-    "strfn_remove_timestamps",
-    "strfn_remove_brackets_content",
-    "strfn_remove_html_tags",
-    "strfn_remove_speaker_labels",
-    "strfn_remove_dialog_punctuation",
-    "strfn_remove_newlines",
-    "strfn_remove_non_alphabetic",
-    "strfn_remove_filler_words",
-    "strfn_lowercase_text",
-    "strfn_normalize_whitespace",
-    "strfn_clean_titles",
-    "strfn_clean_chain",
-    "strfn_title_year_parse",
-    "pipeline_token_windows",
-    "pipeline_window_scores",
-    "pipeline_movie_features",
-    "pipeline_scaled_features",
-    "pipeline_corpus_centroid",
-    "pipeline_dominant_emotion",
-    "pipeline_arc_smoothed",
-    "tree_build_graph",
-    "tree_root_fetch",
-    "tree_children_of_root",
-    "tree_children_of_node",
-    "tree_node_movies",
-    "tree_depth_histogram",
-    "tree_subtree_rollup",
-    "tree_movie_fetch_nested",
-    "tree_viz_projection",
-    "vec_norm_stats",
-    "vec_cosine_topk_to_query",
-    "vec_knn_per_query",
-    "vec_euclidean_to_label_centroid",
-    "vec_representative_topk_per_label",
-    "vec_ann_ivf_topk",
-    "vec_ann_lsh_topk",
-    "dedup_embedding_cc_survivors",
-    "events_tumbling_5min",
-    "text_dsir_importance",
-    "dedup_incremental_vs_snapshot",
-    "events_scd2_point_in_time",
-    "layout_zorder_bucket_stats",
+    # never driver-checked
+    "vec_ann_hnsw_reshard_knn",
+    "vec_ann_ivf_incremental_topk",
+    # last checked round 8 (registry order)
+    "agg_percentiles_price_tdigest",
+    "vec_centroid_shift_labels",
+    "vec_int8_quantize_error",
+    "vec_ann_hnsw_knn",
+    "vec_ann_hnsw_partitioned_knn",
+    "text_token_stats",
+    "text_bpe_token_count",
+    "text_quality_score",
+    "text_langid_heuristic",
+    "text_fingerprint",
+    "text_source_lang_profile",
+    "text_tfidf_top_terms",
+    "text_udtf_sentence_split",
+    "text_pii_redact",
+    "text_quality_filter_gopher",
+    "text_repetition_stats",
+    "dedup_exact_groups",
+    "dedup_exact_survivors",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_neardup_survivors",
+    "dedup_embedding_near_pairs",
+    "dedup_contamination_screen",
+    "dedup_levenshtein_part_names",
+    "stream_stateful_topk_per_user",
+    "stream_join_purchase_click_attribution",
+    "stream_enrich_purchase_customer",
+    "stream_retention_cohorts",
+    "pipeline_ingest_dedup_retention",
+    "graph_copurchase_degree_topk",
+    "graph_copurchase_triangles",
+    "graph_neighbors_of_node",
+    "graph_bfs_levels_tree",
+    "graph_pagerank_copurchase",
+    "graph_recursive_cte_descendants",
+    "graph_label_propagation_communities",
+    "q4_order_priority_check",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "pipeline_training_data_prep",
 )
 
 

@@ -652,3 +652,119 @@ def vec_ann_hnsw_incremental_knn(spark, sf_dir):
     hnsw_index_update(e, delta, path)
     queries = e.filter(F.col("vec_id") < 10)
     return hnsw_index_knn(spark, path, queries, k=3)
+
+
+@register(
+    "vec_ann_hnsw_reshard_knn",
+    f"""
+    WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT qid, vec_id AS nid,
+             round(list_dot_product(v, qv)
+                   / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos_sim
+      FROM e, q WHERE vec_id <> qid
+    )
+    SELECT qid, nid, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, nid) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    tags=("vector", "ann", "hnsw", "knn", "similarity", "serving",
+          "reshard"),
+)
+def vec_ann_hnsw_reshard_knn(spark, sf_dir):
+    """Serving-table GROWTH loop (r12): the index is saved right-sized
+    over yesterday's 20% of the corpus, today's 5× growth lands via
+    `hnsw_index_update` (n_partitions is immutable identity, so the
+    sub-indexes bloat past 2× the row target), and `hnsw_index_reshard`
+    detects the drift from the stored n_vectors metadata alone and
+    rebuilds at ceil(n/target) partitions — bit-identical to a fresh
+    save (pinned in tests/test_hnsw.py), atomically swapped so the table
+    stays live throughout. This is the maintenance cadence a 100 TB
+    embedding store runs daily: update is cost-∝-delta, reshard is a
+    metadata probe that only pays a rebuild when growth crossed the
+    threshold (the reference's pgvector index gets balance-under-growth
+    from Postgres page splits; `db/models/embedding.py:15-17`). Search
+    result stays exact, so the SAME brute-force oracle applies."""
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_index_knn,
+        hnsw_index_reshard,
+        hnsw_index_save,
+        hnsw_index_update,
+    )
+    from cinegraph_spark.session import scratch_dir
+
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    path = scratch_dir("cg_hnsw_rs_") + "/index"
+    yesterday = e.filter(F.col("vec_id") % 5 == 0)
+    delta = e.filter(F.col("vec_id") % 5 != 0).select("vec_id")
+    hnsw_index_save(yesterday, path, target_rows_per_subindex=128)
+    hnsw_index_update(e, delta, path)
+    stats = hnsw_index_reshard(e, path, target_rows_per_subindex=128)
+    assert stats["resharded"], "growth past 2x target must trigger"
+    queries = e.filter(F.col("vec_id") < 10)
+    return hnsw_index_knn(spark, path, queries, k=3)
+
+
+@register(
+    "vec_ann_ivf_incremental_topk",
+    f"""
+    WITH e AS (SELECT vec_id, label, {_DV} AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    corpus AS (SELECT vec_id, label, v FROM e WHERE vec_id <> 0),
+    flat AS (SELECT label, unnest(v) AS x,
+                    generate_subscripts(v, 1) AS dim FROM corpus),
+    cent AS (SELECT label, dim, avg(x) AS c FROM flat GROUP BY label, dim),
+    centv AS (SELECT label, list(c ORDER BY dim) AS cv
+              FROM cent GROUP BY label),
+    probe AS (
+      SELECT label FROM centv, q
+      ORDER BY list_dot_product(cv, qv)
+               / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qv, x -> x * x)))) DESC, label
+      LIMIT 2
+    )
+    SELECT corpus.vec_id, CAST(corpus.label AS BIGINT) AS label,
+           round(list_dot_product(v, qv)
+                 / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos_sim
+    FROM corpus JOIN probe USING (label), q
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("vector", "ann", "ivf", "similarity", "serving", "incremental"),
+)
+def vec_ann_ivf_incremental_topk(spark, sf_dir):
+    """IVF serving-table MAINTENANCE (r12): the per-cell centroid table is
+    saved over yesterday's corpus (vec_id % 5 != 0), today's arrivals land
+    via `ivf_centroids_update` — which recomputes ONLY the cells the delta
+    names and carries every other row over, cost ∝ change — and
+    `ivf_index_topk` probes the PERSISTED table (top-2 cells by stored-
+    centroid cosine, exact cosine top-10 within them). The cell sums are
+    decimal(38,18) — exact, order-independent — so the updated table is
+    bit-identical to a full rebuild (pinned in tests/test_ivf_serving.py)
+    and the oracle can compute centroids over the final corpus directly.
+    Mirrors `vec_ann_hnsw_incremental_knn` at the IVF tier (the
+    reference's persistent pgvector index, `db/models/embedding.py:15-17`,
+    maintained under growth)."""
+    from cinegraph_spark.operators.similarity import (
+        ivf_centroids_save,
+        ivf_centroids_update,
+        ivf_index_topk,
+    )
+    from cinegraph_spark.session import scratch_dir
+
+    e = _emb(spark, sf_dir)
+    corpus = e.filter(F.col("vec_id") != 0)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    path = scratch_dir("cg_ivf_inc_") + "/centroids"
+    yesterday = corpus.filter(F.col("vec_id") % 5 != 0)
+    delta = corpus.filter(F.col("vec_id") % 5 == 0).select("label")
+    ivf_centroids_save(yesterday, path)
+    ivf_centroids_update(corpus, delta, path)
+    out = ivf_index_topk(corpus, q, path, nprobe=2, k=10)
+    return out.select(
+        "vec_id", F.col("label").cast("long").alias("label"), "cos_sim"
+    )

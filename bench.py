@@ -93,6 +93,7 @@ HEADLINE = [
     # round 12 additions
     "vec_ann_hnsw_reshard_knn",
     "vec_ann_ivf_incremental_topk",
+    "vec_ann_hnsw_stream_update_knn",
 ]
 
 

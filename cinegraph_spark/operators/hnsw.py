@@ -641,6 +641,84 @@ def hnsw_index_update(
     }
 
 
+def hnsw_stream_maintenance_sink(base: DataFrame, land_dir: str, path: str):
+    """``foreachBatch`` sink for STREAMING index maintenance: land the
+    micro-batch idempotently, then apply :func:`hnsw_index_update` with
+    the current corpus as source of truth.
+
+    Exactly-once contract (the repo's established idempotent-drain
+    pattern, `streaming/windows.py::run_availablenow_to_parquet`): each
+    batch writes to a *batch_id-keyed* subdirectory with
+    ``mode("overwrite")``, so a replayed batch (at-least-once
+    foreachBatch, driver restart from checkpoint) overwrites its own
+    files instead of double-appending. The corpus the update reads is
+    ``base ∪ everything-landed-so-far`` — a monotone set of batch
+    directories — and the update rebuilds the touched partitions FROM
+    that corpus (never from the delta rows themselves), so replaying any
+    batch, even out of order after later batches landed, deterministically
+    rewrites the same partitions to the same bytes (pinned in
+    tests/test_hnsw.py). The maintained table converges to bit-identity
+    with a full save of the final corpus."""
+    spark = base.sparkSession
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            land_dir + f"/batch-{batch_id:08d}"
+        )
+        landed = (
+            spark.read.schema(base.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(land_dir)
+        )
+        e_cur = base.unionByName(landed)
+        hnsw_index_update(e_cur, batch_df.select("vec_id"), path)
+
+    return apply
+
+
+def hnsw_index_stream_update(
+    base: DataFrame,
+    arrivals: DataFrame,
+    land_dir: str,
+    path: str,
+    timeout_s: int = 120,
+) -> None:
+    """Drain a STREAM of embedding arrivals into the serving index: every
+    micro-batch lands in the corpus zone and immediately maintains the
+    :func:`hnsw_index_save` table at ``path`` via
+    :func:`hnsw_stream_maintenance_sink` — the continuous form of the
+    daily update job (the reference's pgvector index is maintained by
+    Postgres on every INSERT, `db/models/embedding.py:15-17`; this is the
+    micro-batch equivalent). ``base`` is the corpus the index was saved
+    over; ``arrivals`` is a streaming DataFrame with the same schema.
+    Cost per batch ∝ the partitions that batch's keys hash into, not the
+    corpus. Runs with the repo's standard drain scoping (UTC clock,
+    bounded shuffle) under ``availableNow`` and raises on timeout rather
+    than returning with the stream still writing."""
+    import os
+
+    from cinegraph_spark.session import bounded_shuffle, scoped_confs
+
+    spark = base.sparkSession
+    os.makedirs(land_dir, exist_ok=True)
+    sink = hnsw_stream_maintenance_sink(base, land_dir, path)
+    with scoped_confs(
+        spark, **{"spark.sql.session.timeZone": "UTC"}
+    ), bounded_shuffle(spark, 8):
+        q = (
+            arrivals.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"index maintenance drain at {path} did not finish in "
+                f"{timeout_s}s"
+            )
+
+
 def hnsw_index_reshard(
     e: DataFrame,
     path: str,

@@ -84,17 +84,18 @@ CHANGED_CODE_CANARIES: tuple[str, ...] = (
 #: front slots explicitly instead of relying on module import order.
 #: Round-12 rationale — per the r11 verdict's task 2 plus this round's
 #: changed code: the two changed-write-path HNSW canaries lead, then the
-#: two never-driver-checked queries (the new HNSW re-shard growth loop
-#: and the new IVF-tier incremental centroids path), then the r8-stale
-#: bucket oldest-first (registry order within the bucket).
-#: 2 + 2 + 46 = 50; the two remaining r8 queries (equal-freshness with
-#: the admitted bucket, which the completeness rule permits) head the
-#: r13 queue.
+#: three never-driver-checked queries (the HNSW re-shard growth loop,
+#: the IVF-tier incremental centroids path, and the streaming index-
+#: maintenance drain), then the r8-stale bucket oldest-first (registry
+#: order within the bucket). 2 + 3 + 45 = 50; the three remaining r8
+#: queries (equal-freshness with the admitted bucket, which the
+#: completeness rule permits) head the r13 queue.
 #: Every name here must exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     # never driver-checked
     "vec_ann_hnsw_reshard_knn",
     "vec_ann_ivf_incremental_topk",
+    "vec_ann_hnsw_stream_update_knn",
     # last checked round 8 (registry order)
     "agg_percentiles_price_tdigest",
     "vec_centroid_shift_labels",
@@ -141,7 +142,6 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "q14_promo_revenue",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
-    "pipeline_training_data_prep",
 )
 
 

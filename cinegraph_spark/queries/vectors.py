@@ -768,3 +768,65 @@ def vec_ann_ivf_incremental_topk(spark, sf_dir):
     return out.select(
         "vec_id", F.col("label").cast("long").alias("label"), "cos_sim"
     )
+
+
+@register(
+    "vec_ann_hnsw_stream_update_knn",
+    f"""
+    WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT qid, vec_id AS nid,
+             round(list_dot_product(v, qv)
+                   / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos_sim
+      FROM e, q WHERE vec_id <> qid
+    )
+    SELECT qid, nid, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, nid) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    tags=("vector", "ann", "hnsw", "knn", "similarity", "serving",
+          "streaming", "incremental"),
+)
+def vec_ann_hnsw_stream_update_knn(spark, sf_dir):
+    """STREAMING serving-table maintenance (r12): the index is saved over
+    yesterday's corpus (vec_id % 5 != 0), today's arrivals land as a REAL
+    micro-batched stream (2 parquet files, maxFilesPerTrigger=1 — two
+    separate foreachBatch invocations; the 4-batch + replay + out-of-order
+    variants are pinned in tests/test_hnsw.py), and every batch immediately
+    maintains the index via `hnsw_index_update` with the
+    corpus-landed-so-far as source of truth — the continuous form of the
+    daily maintenance job (the reference's pgvector index updates on
+    every INSERT; `db/models/embedding.py:15-17`). Each batch's landing
+    is batch-id-keyed + overwrite (the repo's exactly-once drain
+    pattern), and the rebuild reads the landed corpus rather than the
+    delta rows, so replayed batches — even out of order — converge to
+    the same bytes (pinned in tests/test_hnsw.py); the final table is
+    bit-identical to a full save and the SAME exact brute-force oracle
+    as the served/incremental twins applies."""
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_index_knn,
+        hnsw_index_save,
+        hnsw_index_stream_update,
+    )
+    from cinegraph_spark.session import scratch_dir
+
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    delta = e.filter(F.col("vec_id") % 5 == 0)
+    scratch = scratch_dir("cg_hnsw_stream_")
+    arrivals_dir = scratch + "/arrivals"
+    delta.repartition(2).write.parquet(arrivals_dir)
+    path = scratch + "/index"
+    hnsw_index_save(base, path, n_partitions=8)
+    arrivals = (
+        spark.readStream.schema("vec_id long, v array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+    hnsw_index_stream_update(base, arrivals, scratch + "/land", path)
+    queries = e.filter(F.col("vec_id") < 10)
+    return hnsw_index_knn(spark, path, queries, k=3)

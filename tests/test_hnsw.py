@@ -624,3 +624,74 @@ def test_swap_write_leaves_no_sibling_dirs(spark, sf_dir, tmp_path):
     hnsw_index_reshard(e, path, target_rows_per_subindex=100, force=True)
     leftovers = [p.name for p in tmp_path.iterdir() if "__swap__" in p.name]
     assert leftovers == []
+
+
+def test_stream_update_equals_full_save(spark, sf_dir, tmp_path):
+    """Draining the arrivals as a 4-micro-batch stream through
+    hnsw_index_stream_update must leave the serving table bit-identical
+    to a fresh full save of the final corpus — the streaming form of the
+    incremental contract."""
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_index_save,
+        hnsw_index_stream_update,
+    )
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    delta = e.filter(F.col("vec_id") % 5 == 0)
+    arrivals_dir = str(tmp_path / "arrivals")
+    delta.repartition(4).write.parquet(arrivals_dir)
+    path, full = str(tmp_path / "idx"), str(tmp_path / "full")
+    hnsw_index_save(base, path, n_partitions=8)
+    arrivals = (
+        spark.readStream.schema("vec_id long, v array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+    hnsw_index_stream_update(base, arrivals, str(tmp_path / "land"), path)
+    hnsw_index_save(e, full, n_partitions=8)
+    assert _blob_rows(spark, path) == _blob_rows(spark, full)
+
+
+def test_stream_sink_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch — immediately or
+    AFTER later batches landed (driver restart from an old checkpoint) —
+    must leave the landing zone and the serving table byte-identical to
+    the single-delivery run, because the landing is batch-id-keyed
+    overwrite and the rebuild reads the landed corpus, not the delta."""
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_index_save,
+        hnsw_stream_maintenance_sink,
+    )
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    b0 = e.filter(F.col("vec_id") % 10 == 0)
+    b1 = e.filter(F.col("vec_id") % 10 == 5)
+    path = str(tmp_path / "idx")
+    land = str(tmp_path / "land")
+    hnsw_index_save(base, path, n_partitions=8)
+    sink = hnsw_stream_maintenance_sink(base, land, path)
+
+    sink(b0, 0)
+    sink(b1, 1)
+    want = _blob_rows(spark, path)
+    n_landed = spark.read.option("recursiveFileLookup", "true").parquet(
+        land
+    ).count()
+
+    sink(b1, 1)  # immediate replay of the last batch
+    sink(b0, 0)  # late, out-of-order replay after a later batch landed
+    assert _blob_rows(spark, path) == want
+    assert (
+        spark.read.option("recursiveFileLookup", "true").parquet(land).count()
+        == n_landed
+    )

@@ -10,7 +10,37 @@ write therefore goes through :func:`atomic_swap_write` instead.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
+
+
+@contextmanager
+def atomic_swap_dir(spark, path: str):
+    """Yield a unique sibling directory to populate (one or several
+    sub-tables); on clean exit, swap it into ``path`` (delete old, rename
+    new). The multi-table form of :func:`atomic_swap_write` — a serving
+    state made of several parquet tables (e.g. PQ codebooks + codes) must
+    flip as ONE unit, or a crash between the two writes leaves a
+    books/codes mismatch. Same crash contract: everything is durably
+    under the sibling before the old directory is touched, and the
+    sibling survives a mid-swap crash as the recovery copy. On an
+    exception inside the block, ``path`` is left untouched (the partial
+    sibling remains for inspection) and the exception propagates."""
+    import uuid
+
+    tmp = path.rstrip("/") + "__swap__" + uuid.uuid4().hex[:12]
+    yield tmp
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    dest, src = jpath(path), jpath(tmp)
+    fs = dest.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(dest):
+        fs.delete(dest, True)
+    if not fs.rename(src, dest):
+        raise IOError(
+            f"atomic swap rename {tmp} -> {path} failed; the freshly "
+            f"written state is intact at {tmp} for manual recovery"
+        )
 
 
 def atomic_swap_write(df: DataFrame, path: str) -> None:
@@ -27,18 +57,5 @@ def atomic_swap_write(df: DataFrame, path: str) -> None:
     until after the sibling write completes (this is what lets
     maintenance paths union carried-over rows with rebuilt ones without
     a checkpoint)."""
-    import uuid
-
-    spark = df.sparkSession
-    tmp = path.rstrip("/") + "__swap__" + uuid.uuid4().hex[:12]
-    df.write.parquet(tmp)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path
-    dest, src = jpath(path), jpath(tmp)
-    fs = dest.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(dest):
-        fs.delete(dest, True)
-    if not fs.rename(src, dest):
-        raise IOError(
-            f"atomic swap rename {tmp} -> {path} failed; the freshly "
-            f"written table is intact at {tmp} for manual recovery"
-        )
+    with atomic_swap_dir(df.sparkSession, path) as tmp:
+        df.write.parquet(tmp)

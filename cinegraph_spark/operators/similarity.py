@@ -285,6 +285,28 @@ def pq_encode_col(v_col, codebooks: list[list[list[float]]]):
     return F.array(*[code_for(j) for j in range(m)])
 
 
+def _pq_adc_expr(codebooks: list[list[list[float]]], code_col):
+    """ADC (asymmetric distance computation) dot-product approximation as
+    one JVM column expression: ``Σ_j q_sub_j · C[j][code_j]`` against the
+    broadcast single-row query's ``qv`` column. Shared by the
+    encode-per-query and serve-from-codes-table search paths."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    def adc_term(j):
+        qsub = F.slice(F.col("qv"), j * dsub + 1, dsub)
+        cent = F.element_at(
+            _lit_codebook(codebooks[j]), F.element_at(code_col, j + 1) + 1
+        )
+        return F.aggregate(
+            F.zip_with(qsub, cent, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return sum(adc_term(j) for j in range(m))
+
+
 def pq_topk(
     e: DataFrame,
     q: DataFrame,
@@ -304,22 +326,8 @@ def pq_topk(
     bandwidth win that makes PQ the 100 TB serving layout), and precision
     comes back in the re-rank, which touches only ``rerank`` full vectors.
     """
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
     enc = e.withColumn("_codes", pq_encode_col(F.col(v), codebooks))
-
-    def adc_term(j):
-        qsub = F.slice(F.col("qv"), j * dsub + 1, dsub)
-        cent = F.element_at(
-            _lit_codebook(codebooks[j]), F.element_at("_codes", j + 1) + 1
-        )
-        return F.aggregate(
-            F.zip_with(qsub, cent, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    adc = sum(adc_term(j) for j in range(m))
+    adc = _pq_adc_expr(codebooks, F.col("_codes"))
     cand = (
         enc.crossJoin(F.broadcast(q))
         .select("vec_id", v, "qv", adc.alias("adc_score"))
@@ -477,6 +485,201 @@ def ivf_index_topk(
         .select(
             "vec_id",
             F.col(label),
+            F.round(V.cosine(F.col(v), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _pq_part_expr(n_partitions: int):
+    """Codes-table partition function — same stored-identity trick as the
+    HNSW serving table (`operators/hnsw.py::_part_expr`): membership is a
+    pure function of the key, so a delta can address exactly the touched
+    partition DIRECTORIES without any lookup."""
+    return F.pmod(F.hash("vec_id"), F.lit(n_partitions)).cast("int")
+
+
+def pq_codes_save(
+    e: DataFrame,
+    codebooks: list[list[list[float]]],
+    path: str,
+    n_partitions: int | None = None,
+    target_rows_per_partition: int = 1_048_576,
+    v: str = "v",
+) -> None:
+    """BUILD-ONCE half of the PQ serving shape: persist the trained
+    codebooks plus the encoded corpus as ONE versioned state directory —
+    ``{path}/books`` (m tiny rows; also carries the table identity:
+    n_partitions and the codes schema) and ``{path}/codes`` (vec_id,
+    code array<int>, ~4m bytes/vector instead of 8·dim — the scan-
+    bandwidth compression that makes PQ the 100 TB serving layout),
+    written ``partitionBy(part_id)`` so maintenance can replace touched
+    partition DIRECTORIES instead of rewriting the corpus. Books and
+    codes flip together under one atomic sibling-swap — a crash can never
+    leave codes encoded against missing or mismatched codebooks.
+
+    Unlike the HNSW blob table (n_partitions rows, full-swap cheap), the
+    codes table is corpus-sized, so its maintenance unit must be the
+    partition directory — see :func:`pq_codes_update`."""
+    import json
+
+    spark = e.sparkSession
+    from cinegraph_spark.operators.serving_io import atomic_swap_dir
+
+    if n_partitions is None:
+        n_rows = e.count()
+        n_partitions = max(
+            1, -(-n_rows // max(1, target_rows_per_partition))
+        )
+    key_ddl = e.schema["vec_id"].dataType.simpleString()
+    codes_schema = f"vec_id {key_ddl}, code array<int>, part_id int"
+    books = spark.createDataFrame(
+        [
+            (j, book, int(n_partitions), codes_schema)
+            for j, book in enumerate(codebooks)
+        ],
+        "j int, codebook array<array<double>>, n_partitions int, "
+        "codes_schema string",
+    )
+    codes = e.select(
+        "vec_id",
+        pq_encode_col(F.col(v), codebooks).alias("code"),
+        _pq_part_expr(n_partitions).alias("part_id"),
+    )
+    with atomic_swap_dir(spark, path) as tmp:
+        books.coalesce(1).write.parquet(tmp + "/books")
+        codes.write.partitionBy("part_id").parquet(tmp + "/codes")
+
+
+def _pq_read_state(spark, path: str):
+    books_rows = sorted(
+        spark.read.parquet(path + "/books").collect(), key=lambda r: r["j"]
+    )
+    if not books_rows:
+        raise ValueError(
+            f"PQ serving state at {path} has an empty books table — the "
+            "codes have no recoverable codebooks; rebuild with "
+            "pq_codes_save (codebooks cannot be silently retrained: new "
+            "books change every stored code's meaning)"
+        )
+    codebooks = [
+        [[float(x) for x in c] for c in r["codebook"]] for r in books_rows
+    ]
+    head = books_rows[0]
+    return codebooks, int(head["n_partitions"]), head["codes_schema"]
+
+
+def pq_codes_update(e: DataFrame, delta: DataFrame, path: str) -> dict:
+    """INCREMENTAL maintenance of a :func:`pq_codes_save` state: re-encode
+    only the partition directories the delta's keys hash into.
+
+    Same delta contract as `operators/hnsw.py::hnsw_index_update` (vec_id
+    per added/updated/deleted vector; membership derives from the key, so
+    deletes need no label; NULL/uncastable keys refused via ``try_cast`` +
+    named error). The encode is deterministic (nearest codebook entry,
+    first-index ties), so the updated codes are BIT-IDENTICAL to a fresh
+    full encode of ``e`` — pinned in tests/test_pq_serving.py.
+
+    Scale shape — the piece that differs from the blob/centroid tables:
+    the codes table is CORPUS-sized, so carrying untouched rows through a
+    full-table swap would make every update a full rewrite. Instead the
+    rebuilt partitions land via dynamic partition overwrite (only the
+    directories present in the written frame are replaced; untouched
+    directories' files are not opened, copied, or rewritten — pinned by
+    an mtime check in tests), and partitions emptied by deletes have
+    their directories dropped explicitly. Codebooks are immutable under
+    update by construction (retraining would silently re-interpret every
+    untouched code). The per-directory replacement is idempotent under
+    replay; its crash window is one partition directory, which re-running
+    the same update restores."""
+    spark = e.sparkSession
+    codebooks, n_partitions, codes_schema = _pq_read_state(spark, path)
+    key_type = e.schema["vec_id"].dataType
+    cast_key = F.col("vec_id").try_cast(key_type)
+    bad = delta.filter(cast_key.isNull()).count()
+    if bad:
+        raise ValueError(
+            f"pq_codes_update: {bad} delta vec_id row(s) are NULL or do "
+            f"not cast to the corpus key type {key_type.simpleString()}; "
+            "a NULL key hashes to an arbitrary partition and the intended "
+            "partition would keep stale codes — fix the delta input"
+        )
+    changed_df = (
+        delta.select(cast_key.alias("vec_id"))
+        .select(_pq_part_expr(n_partitions).alias("part_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    changed = sorted(int(r["part_id"]) for r in changed_df.collect())
+    if not changed:
+        return {"rebuilt_partitions": [], "dropped_partitions": []}
+
+    v_col = [c for c in e.columns if c != "vec_id"][0]
+    rebuilt = (
+        e.withColumn("part_id", _pq_part_expr(n_partitions))
+        .join(F.broadcast(changed_df), "part_id", "left_semi")
+        .select(
+            "vec_id",
+            pq_encode_col(F.col(v_col), codebooks).alias("code"),
+            "part_id",
+        )
+        .localCheckpoint(eager=True)  # the present-set below reuses it
+    )
+    present = {
+        int(r["part_id"])
+        for r in rebuilt.select("part_id").distinct().collect()
+    }
+    (
+        rebuilt.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_id")
+        .parquet(path + "/codes")
+    )
+    dropped = [p for p in changed if p not in present]
+    if dropped:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path
+        root = jpath(path + "/codes")
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        for p in dropped:
+            fs.delete(jpath(f"{path}/codes/part_id={p}"), True)
+    return {"rebuilt_partitions": changed, "dropped_partitions": dropped}
+
+
+def pq_index_topk(
+    e: DataFrame,
+    q: DataFrame,
+    path: str,
+    k: int = 10,
+    rerank: int = 40,
+    v: str = "v",
+) -> DataFrame:
+    """QUERY-MANY half: PQ ANN against a PERSISTED :func:`pq_codes_save`
+    state — the serving read path the codes layout exists for: the ADC
+    pass scans ONLY the codes table (~4m bytes/vector; the full vectors
+    are never opened), keeps the ``rerank`` best candidates
+    (TakeOrdered), and joins just those back to the corpus for the exact
+    cosine re-rank to top-``k``. Same semantics as the
+    encode-per-query :func:`pq_topk` (pinned equal in
+    tests/test_pq_serving.py); same rows-only correctness gate as the PQ
+    family (engine-specific codebook numerics), with recall pinned
+    against brute force."""
+    spark = e.sparkSession
+    codebooks, _, codes_schema = _pq_read_state(spark, path)
+    codes = spark.read.schema(codes_schema).parquet(path + "/codes")
+    cand = (
+        codes.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", _pq_adc_expr(codebooks, F.col("code")).alias("adc_score")
+        )
+        .orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(rerank)
+    )
+    return (
+        e.join(F.broadcast(cand.select("vec_id")), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
             F.round(V.cosine(F.col(v), F.col("qv")), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))

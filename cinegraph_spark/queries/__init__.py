@@ -84,18 +84,20 @@ CHANGED_CODE_CANARIES: tuple[str, ...] = (
 #: front slots explicitly instead of relying on module import order.
 #: Round-12 rationale — per the r11 verdict's task 2 plus this round's
 #: changed code: the two changed-write-path HNSW canaries lead, then the
-#: three never-driver-checked queries (the HNSW re-shard growth loop,
-#: the IVF-tier incremental centroids path, and the streaming index-
-#: maintenance drain), then the r8-stale bucket oldest-first (registry
-#: order within the bucket). 2 + 3 + 45 = 50; the three remaining r8
-#: queries (equal-freshness with the admitted bucket, which the
-#: completeness rule permits) head the r13 queue.
+#: four never-driver-checked queries (the HNSW re-shard growth loop,
+#: the IVF-tier incremental centroids path, the streaming index-
+#: maintenance drain, and the PQ codes serving table — rows-only like
+#: its vec_ann_pq_topk twin), then the r8-stale bucket oldest-first
+#: (registry order within the bucket). 2 + 4 + 44 = 50; the four
+#: remaining r8 queries (equal-freshness with the admitted bucket, which
+#: the completeness rule permits) head the r13 queue.
 #: Every name here must exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     # never driver-checked
     "vec_ann_hnsw_reshard_knn",
     "vec_ann_ivf_incremental_topk",
     "vec_ann_hnsw_stream_update_knn",
+    "vec_ann_pq_served_topk",
     # last checked round 8 (registry order)
     "agg_percentiles_price_tdigest",
     "vec_centroid_shift_labels",
@@ -141,7 +143,6 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "q13_customer_order_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
-    "q17_small_quantity_revenue",
 )
 
 

@@ -830,3 +830,49 @@ def vec_ann_hnsw_stream_update_knn(spark, sf_dir):
     hnsw_index_stream_update(base, arrivals, scratch + "/land", path)
     queries = e.filter(F.col("vec_id") < 10)
     return hnsw_index_knn(spark, path, queries, k=3)
+
+
+@register(
+    "vec_ann_pq_served_topk",
+    None,
+    tags=("vector", "ann", "pq", "similarity", "serving", "incremental",
+          "prop"),
+)
+def vec_ann_pq_served_topk(spark, sf_dir):
+    """PQ serving-table maintenance (r12) — the third ANN tier's
+    build-once/query-many shape: codebooks + encoded corpus persist as ONE
+    atomically-swapped state (`pq_codes_save`; books and codes can never
+    crash apart), yesterday's codes are maintained under today's arrivals
+    by `pq_codes_update` — which re-encodes ONLY the partition DIRECTORIES
+    the delta hashes into via dynamic partition overwrite (the codes table
+    is corpus-sized, so unlike the HNSW blob / IVF centroid tables the
+    maintenance unit must be the directory, never a full-table rewrite —
+    untouched files' mtimes are pinned unchanged in
+    tests/test_pq_serving.py) — and `pq_index_topk` serves the query from
+    the codes scan alone (~4m bytes/vector; full vectors touched only for
+    the rerank join). Deterministic encode ⇒ update is bit-identical to a
+    fresh full encode. Same rows-only driver gate as `vec_ann_pq_topk`
+    (engine-specific codebook numerics — no SQL oracle can exist); the
+    served search is pinned EQUAL to the encode-per-query form, which
+    carries the family's recall-vs-brute-force pins."""
+    from cinegraph_spark.operators.similarity import (
+        pq_codes_save,
+        pq_codes_update,
+        pq_index_topk,
+        pq_train,
+    )
+    from cinegraph_spark.session import bounded_shuffle, scratch_dir
+
+    e = _emb(spark, sf_dir)
+    if sf_dir not in _PQ_BOOKS:
+        with bounded_shuffle(spark):
+            _PQ_BOOKS[sf_dir] = pq_train(e, m=8, k=16)
+    books = _PQ_BOOKS[sf_dir]
+    corpus = e.filter(F.col("vec_id") != 0).select("vec_id", "v")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    path = scratch_dir("cg_pq_srv_") + "/state"
+    yesterday = corpus.filter(F.col("vec_id") % 5 != 0)
+    delta = corpus.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+    pq_codes_save(yesterday, books, path, n_partitions=4)
+    pq_codes_update(corpus, delta, path)
+    return pq_index_topk(corpus, q, path, k=10, rerank=80)

@@ -18,6 +18,7 @@ SPECS = load_all()
 #: required to surface as an immediate, descriptive error.
 TRAINING_QUERIES = {
     "vec_ann_pq_topk",
+    "vec_ann_pq_served_topk",
     "cluster_graph_nodes",
     "cluster_membership",
     "cluster_children_of_root",

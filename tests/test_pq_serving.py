@@ -1,0 +1,206 @@
+"""PQ codes serving-table maintenance contract
+(operators/similarity.py::pq_codes_save/update, pq_index_topk) — the
+PQ-tier mirror of the HNSW/IVF serving contracts, with one structural
+difference the tests pin directly: the codes table is CORPUS-sized, so
+maintenance must replace only the touched partition DIRECTORIES (dynamic
+partition overwrite + explicit drops), never rewrite untouched files.
+
+Correctness weight: encoding is deterministic (nearest codebook entry,
+first-index ties), so update-touched-partitions-only is BIT-IDENTICAL to
+a fresh full encode, and the served search equals the encode-per-query
+pq_topk — which carries the family's recall pins (tests/test_ann_recall).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+_BOOKS = {}
+
+
+def _corpus(spark, sf_dir):
+    from cinegraph_spark.queries.util import T
+
+    return T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _books(spark, sf_dir):
+    from cinegraph_spark.operators.similarity import pq_train
+
+    if sf_dir not in _BOOKS:
+        _BOOKS[sf_dir] = pq_train(_corpus(spark, sf_dir), m=8, k=16)
+    return _BOOKS[sf_dir]
+
+
+def _codes_rows(spark, path):
+    _, _, schema = __import__(
+        "cinegraph_spark.operators.similarity", fromlist=["_pq_read_state"]
+    )._pq_read_state(spark, path)
+    return sorted(
+        (r["vec_id"], r["part_id"], tuple(r["code"]))
+        for r in spark.read.schema(schema).parquet(path + "/codes").collect()
+    )
+
+
+def test_save_then_search_equals_encode_per_query(spark, sf_dir, tmp_path):
+    from cinegraph_spark.operators.similarity import (
+        pq_codes_save,
+        pq_index_topk,
+        pq_topk,
+    )
+
+    e = _corpus(spark, sf_dir)
+    books = _books(spark, sf_dir)
+    corpus = e.filter(F.col("vec_id") != 0)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    path = str(tmp_path / "pq")
+    pq_codes_save(corpus, books, path, n_partitions=4)
+    served = pq_index_topk(corpus, q, path, k=10, rerank=80).collect()
+    direct = pq_topk(corpus, q, books, k=10, rerank=80).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in direct]
+
+
+def test_update_equals_full_save(spark, sf_dir, tmp_path):
+    from cinegraph_spark.operators.similarity import (
+        pq_codes_save,
+        pq_codes_update,
+    )
+
+    e = _corpus(spark, sf_dir)
+    books = _books(spark, sf_dir)
+    yesterday = e.filter(F.col("vec_id") % 5 != 0)
+    delta = e.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    pq_codes_save(yesterday, books, inc, n_partitions=4)
+    stats = pq_codes_update(e, delta, inc)
+    assert stats["rebuilt_partitions"]
+    pq_codes_save(e, books, full, n_partitions=4)
+    assert _codes_rows(spark, inc) == _codes_rows(spark, full)
+
+
+def test_update_rewrites_only_touched_directories(spark, sf_dir, tmp_path):
+    """The 100 TB contract: untouched partition directories' data files
+    must not be opened, rewritten, or replaced — their paths and mtimes
+    are identical before and after the update."""
+    from cinegraph_spark.operators.similarity import (
+        _pq_part_expr,
+        pq_codes_save,
+        pq_codes_update,
+    )
+
+    e = _corpus(spark, sf_dir)
+    books = _books(spark, sf_dir)
+    path = str(tmp_path / "pq")
+    pq_codes_save(e, books, path, n_partitions=4)
+    one = e.filter(F.col("vec_id") == 7).select("vec_id")
+    victim = e.filter(F.col("vec_id") == 7).select(
+        _pq_part_expr(4).alias("p")
+    ).first()["p"]
+
+    def snapshot(skip_part):
+        out = {}
+        for root, _, files in os.walk(path + "/codes"):
+            if f"part_id={skip_part}" in root:
+                continue
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = snapshot(victim)
+    stats = pq_codes_update(e, one, path)
+    assert stats["rebuilt_partitions"] == [victim]
+    assert snapshot(victim) == before
+
+    # same corpus -> the rebuilt partition's CONTENT is unchanged too
+    full = str(tmp_path / "full")
+    pq_codes_save(e, books, full, n_partitions=4)
+    assert _codes_rows(spark, path) == _codes_rows(spark, full)
+
+
+def test_update_drops_emptied_partition_dir(spark, sf_dir, tmp_path):
+    from cinegraph_spark.operators.similarity import (
+        _pq_part_expr,
+        pq_codes_save,
+        pq_codes_update,
+    )
+
+    e = _corpus(spark, sf_dir)
+    books = _books(spark, sf_dir)
+    path = str(tmp_path / "pq")
+    pq_codes_save(e, books, path, n_partitions=4)
+    doomed = e.withColumn("p", _pq_part_expr(4)).filter(F.col("p") == 2)
+    survivors = e.join(doomed.select("vec_id"), "vec_id", "left_anti")
+    stats = pq_codes_update(survivors, doomed.select("vec_id"), path)
+    assert stats["dropped_partitions"] == [2]
+    assert not os.path.exists(path + "/codes/part_id=2")
+    full = str(tmp_path / "full")
+    pq_codes_save(survivors, books, full, n_partitions=4)
+    assert _codes_rows(spark, path) == _codes_rows(spark, full)
+
+
+def test_update_rejects_malformed_delta_keys(spark, sf_dir, tmp_path):
+    from cinegraph_spark.operators.similarity import (
+        pq_codes_save,
+        pq_codes_update,
+    )
+
+    e = _corpus(spark, sf_dir)
+    path = str(tmp_path / "pq")
+    pq_codes_save(e, _books(spark, sf_dir), path, n_partitions=4)
+    before = _codes_rows(spark, path)
+    null_delta = spark.createDataFrame([(None,)], "vec_id long")
+    with pytest.raises(ValueError, match="NULL or do not cast"):
+        pq_codes_update(e, null_delta, path)
+    str_delta = spark.createDataFrame([("7",), ("nope",)], "vec_id string")
+    with pytest.raises(ValueError, match="1 delta vec_id"):
+        pq_codes_update(e, str_delta, path)
+    assert _codes_rows(spark, path) == before
+
+
+def test_update_refuses_empty_books(spark, sf_dir, tmp_path):
+    """Codes without codebooks are meaningless bytes — the state must
+    refuse to update rather than silently retrain (new books would
+    re-interpret every stored code)."""
+    from cinegraph_spark.operators.similarity import pq_codes_update
+
+    e = _corpus(spark, sf_dir)
+    path = str(tmp_path / "pq")
+    os.makedirs(path + "/codes", exist_ok=True)
+    spark.createDataFrame(
+        [],
+        "j int, codebook array<array<double>>, n_partitions int, "
+        "codes_schema string",
+    ).write.parquet(path + "/books")
+    with pytest.raises(ValueError, match="empty books table"):
+        pq_codes_update(e, e.select("vec_id").limit(1), path)
+
+
+def test_books_and_codes_swap_as_one_unit(spark, sf_dir, tmp_path):
+    """A re-save over an existing state replaces books AND codes together
+    (single sibling swap) and leaves no swap debris."""
+    from cinegraph_spark.operators.similarity import (
+        pq_codes_save,
+        pq_index_topk,
+        pq_topk,
+    )
+
+    e = _corpus(spark, sf_dir)
+    books = _books(spark, sf_dir)
+    path = str(tmp_path / "pq")
+    pq_codes_save(e.filter("vec_id % 2 = 0"), books, path, n_partitions=2)
+    pq_codes_save(e, books, path, n_partitions=4)  # full re-save, new n
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    corpus = e.filter(F.col("vec_id") != 0)
+    # search over the re-saved state sees the full corpus
+    # (n.b. codes include vec 0 here; rerank excludes it via the corpus join)
+    served = pq_index_topk(corpus, q, path, k=10, rerank=80).collect()
+    direct = pq_topk(corpus, q, books, k=10, rerank=80).collect()
+    assert [r["vec_id"] for r in served] == [r["vec_id"] for r in direct]
+    assert [p.name for p in tmp_path.iterdir() if "__swap__" in p.name] == []

@@ -641,7 +641,13 @@ def hnsw_index_update(
     }
 
 
-def hnsw_stream_maintenance_sink(base: DataFrame, land_dir: str, path: str):
+def hnsw_stream_maintenance_sink(
+    base: DataFrame,
+    land_dir: str,
+    path: str,
+    reshard_target_rows: int | None = None,
+    reshard_trigger_ratio: float = 2.0,
+):
     """``foreachBatch`` sink for STREAMING index maintenance: land the
     micro-batch idempotently, then apply :func:`hnsw_index_update` with
     the current corpus as source of truth.
@@ -658,7 +664,17 @@ def hnsw_stream_maintenance_sink(base: DataFrame, land_dir: str, path: str):
     batch, even out of order after later batches landed, deterministically
     rewrites the same partitions to the same bytes (pinned in
     tests/test_hnsw.py). The maintained table converges to bit-identity
-    with a full save of the final corpus."""
+    with a full save of the final corpus.
+
+    ``reshard_target_rows`` closes the growth loop INSIDE the stream:
+    after each update, :func:`hnsw_index_reshard` probes the stored
+    ``n_vectors`` metadata (a no-trigger probe is one aggregate over ≤
+    n_partitions rows — per-batch cost is metadata-scale) and right-sizes
+    the table whenever accumulated arrivals push the largest sub-index
+    past ``reshard_trigger_ratio × reshard_target_rows``. The maintained
+    SLO — no sub-index ever ends a batch past the threshold — is pinned
+    in tests/test_hnsw.py. Replay stays idempotent: both steps are pure
+    functions of (landed corpus, stored table identity)."""
     spark = base.sparkSession
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -672,6 +688,13 @@ def hnsw_stream_maintenance_sink(base: DataFrame, land_dir: str, path: str):
         )
         e_cur = base.unionByName(landed)
         hnsw_index_update(e_cur, batch_df.select("vec_id"), path)
+        if reshard_target_rows is not None:
+            hnsw_index_reshard(
+                e_cur,
+                path,
+                target_rows_per_subindex=reshard_target_rows,
+                trigger_ratio=reshard_trigger_ratio,
+            )
 
     return apply
 
@@ -682,6 +705,8 @@ def hnsw_index_stream_update(
     land_dir: str,
     path: str,
     timeout_s: int = 120,
+    reshard_target_rows: int | None = None,
+    reshard_trigger_ratio: float = 2.0,
 ) -> None:
     """Drain a STREAM of embedding arrivals into the serving index: every
     micro-batch lands in the corpus zone and immediately maintains the
@@ -692,16 +717,24 @@ def hnsw_index_stream_update(
     micro-batch equivalent). ``base`` is the corpus the index was saved
     over; ``arrivals`` is a streaming DataFrame with the same schema.
     Cost per batch ∝ the partitions that batch's keys hash into, not the
-    corpus. Runs with the repo's standard drain scoping (UTC clock,
-    bounded shuffle) under ``availableNow`` and raises on timeout rather
-    than returning with the stream still writing."""
+    corpus. ``reshard_target_rows`` enables the in-stream growth loop
+    (see :func:`hnsw_stream_maintenance_sink`). Runs with the repo's
+    standard drain scoping (UTC clock, bounded shuffle) under
+    ``availableNow`` and raises on timeout rather than returning with
+    the stream still writing."""
     import os
 
     from cinegraph_spark.session import bounded_shuffle, scoped_confs
 
     spark = base.sparkSession
     os.makedirs(land_dir, exist_ok=True)
-    sink = hnsw_stream_maintenance_sink(base, land_dir, path)
+    sink = hnsw_stream_maintenance_sink(
+        base,
+        land_dir,
+        path,
+        reshard_target_rows=reshard_target_rows,
+        reshard_trigger_ratio=reshard_trigger_ratio,
+    )
     with scoped_confs(
         spark, **{"spark.sql.session.timeZone": "UTC"}
     ), bounded_shuffle(spark, 8):

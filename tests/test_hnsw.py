@@ -695,3 +695,51 @@ def test_stream_sink_replay_is_idempotent(spark, sf_dir, tmp_path):
         spark.read.option("recursiveFileLookup", "true").parquet(land).count()
         == n_landed
     )
+
+
+def test_stream_update_with_auto_reshard_holds_growth_slo(
+    spark, sf_dir, tmp_path
+):
+    """The complete daily-maintenance loop in one drain: with
+    reshard_target_rows set, every batch's update is followed by a
+    metadata-probe reshard, so the serving table never ends a batch with
+    a sub-index past trigger_ratio x target — and the final table is
+    bit-identical to a fresh save at its own stored partition count."""
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_index_save,
+        hnsw_index_stream_update,
+    )
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    base = e.filter(F.col("vec_id") % 5 == 0)  # 20%: growth is 5x
+    delta = e.filter(F.col("vec_id") % 5 != 0)
+    arrivals_dir = str(tmp_path / "arrivals")
+    delta.repartition(4).write.parquet(arrivals_dir)
+    path = str(tmp_path / "idx")
+    target = 100
+    hnsw_index_save(base, path, target_rows_per_subindex=target)
+    n0 = spark.read.parquet(path).first()["n_partitions"]
+    arrivals = (
+        spark.readStream.schema("vec_id long, v array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+    hnsw_index_stream_update(
+        base,
+        arrivals,
+        str(tmp_path / "land"),
+        path,
+        reshard_target_rows=target,
+    )
+    final = spark.read.parquet(path)
+    head = final.first()
+    assert head["n_partitions"] > n0  # growth forced at least one reshard
+    mx = final.agg(F.max("n_vectors").alias("m")).first()["m"]
+    assert mx <= 2.0 * target  # the SLO the in-stream loop maintains
+    full = str(tmp_path / "full")
+    hnsw_index_save(e, full, n_partitions=int(head["n_partitions"]))
+    assert _blob_rows(spark, path) == _blob_rows(spark, full)

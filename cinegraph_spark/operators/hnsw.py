@@ -384,12 +384,15 @@ def hnsw_partitioned_knn(
 
 
 #: Serving-table row schema: one row per non-empty partition, carrying its
-#: own identity (part_id, n_partitions) and build parameters (m, efc) so
-#: incremental maintenance can address sub-indexes without re-deriving the
-#: partition function and can never rebuild with divergent parameters.
+#: own identity (part_id, n_partitions, and the vec_id type the hash
+#: layout was computed under — Murmur3(int) != Murmur3(long), so a corpus
+#: re-read with a drifted key type would address the WRONG partitions) and
+#: build parameters (m, efc) so incremental maintenance can address
+#: sub-indexes without re-deriving the partition function and can never
+#: rebuild with divergent parameters or a divergent key type.
 _INDEX_SCHEMA = (
-    "part_id int, n_partitions int, m int, efc int, n_vectors long, "
-    "blob binary"
+    "part_id int, n_partitions int, m int, efc int, key_ddl string, "
+    "n_vectors long, blob binary"
 )
 
 
@@ -402,7 +405,9 @@ def _part_expr(n_partitions: int):
     return F.pmod(F.hash("vec_id"), F.lit(n_partitions)).cast("int")
 
 
-def _build_subindex_rows(M: int, ef_construction: int, n_partitions: int):
+def _build_subindex_rows(
+    M: int, ef_construction: int, n_partitions: int, key_ddl: str
+):
     """mapInPandas task fn over a frame pre-partitioned with
     ``repartition(n_partitions, "vec_id")`` — whose task-assignment
     function (``pmod(Murmur3(vec_id), n)``, HashPartitioning) is exactly
@@ -444,6 +449,7 @@ def _build_subindex_rows(M: int, ef_construction: int, n_partitions: int):
                     "n_partitions": [n_partitions],
                     "m": [M],
                     "efc": [ef_construction],
+                    "key_ddl": [key_ddl],
                     "n_vectors": [len(index["ids"])],
                     "blob": [pickle.dumps(slim, protocol=4)],
                 }
@@ -482,11 +488,12 @@ def hnsw_index_save(
     if n_partitions is None:
         n_rows = e.count()
         n_partitions = max(1, -(-n_rows // max(1, target_rows_per_subindex)))
+    key_ddl = e.schema["vec_id"].dataType.simpleString()
     _atomic_swap_write(
         e.withColumn("part_id", _part_expr(n_partitions))
         .repartition(n_partitions, "vec_id")
         .mapInPandas(
-            _build_subindex_rows(M, ef_construction, n_partitions),
+            _build_subindex_rows(M, ef_construction, n_partitions, key_ddl),
             _INDEX_SCHEMA,
         ),
         path,
@@ -547,7 +554,7 @@ def hnsw_index_update(
             "hnsw_index_update needs a part_id-aware serving table; "
             "rebuild it once with hnsw_index_save"
         )
-    head = old.select("n_partitions", "m", "efc").first()
+    head = old.select("n_partitions", "m", "efc", "key_ddl").first()
     if head is None:
         # vacuous index: no rows means no recoverable partition identity —
         # degrade to a fresh full build of the current corpus, forwarding
@@ -582,10 +589,23 @@ def hnsw_index_update(
                 "— rebuild with hnsw_index_save to change parameters"
             )
     M, ef_construction = int(head["m"]), int(head["efc"])
-    # hash the delta's key at e's exact type: Murmur3(int) != Murmur3(long)
-    # for the same value, so a delta arriving as int against a long corpus
-    # would silently mark the WRONG partitions and keep stale blobs
+    key_ddl = str(head["key_ddl"])
+    # the stored layout was hashed under key_ddl, and Murmur3(int) !=
+    # Murmur3(long) for the same value — a corpus re-read with a drifted
+    # vec_id type would assign every row to the WRONG partition while the
+    # directories keep the old layout (r12 review); refuse drift outright
     key_type = e.schema["vec_id"].dataType
+    if key_type.simpleString() != key_ddl:
+        raise ValueError(
+            f"hnsw_index_update: corpus vec_id type "
+            f"{key_type.simpleString()} differs from the table's stored "
+            f"key type {key_ddl}; the hash layout is computed under the "
+            "stored type, so a drifted corpus would rebuild the wrong "
+            "partitions — cast the corpus key back or rebuild with "
+            "hnsw_index_save"
+        )
+    # hash the delta's key at the SAME stored type (a delta arriving as
+    # int against a long corpus would silently mark the wrong partitions)
     # try_cast (not cast): under ANSI a failed cast throws an opaque Spark
     # error mid-job; here NULL-or-uncastable uniformly becomes NULL so the
     # guard below can refuse it with a named error. A key that hashed as
@@ -624,7 +644,7 @@ def hnsw_index_update(
         # partial sub-indexes; unchanged partitions' tasks are empty
         .repartition(n_partitions, "vec_id")
         .mapInPandas(
-            _build_subindex_rows(M, ef_construction, n_partitions),
+            _build_subindex_rows(M, ef_construction, n_partitions, key_ddl),
             _INDEX_SCHEMA,
         )
     )
@@ -666,6 +686,17 @@ def hnsw_stream_maintenance_sink(
     tests/test_hnsw.py). The maintained table converges to bit-identity
     with a full save of the final corpus.
 
+    Arrivals are UPSERTS (r12 review): the landed corpus is deduplicated
+    by key before every rebuild — for a vec_id delivered in several
+    batches the HIGHEST batch id wins (deterministic under replay, which
+    re-lands a batch under its original id), and a landed key shadows the
+    ``base`` row entirely, so re-embedding an existing vector serves the
+    NEW embedding instead of silently duplicating the key inside a
+    sub-index. Two different rows for one key inside a SINGLE batch have
+    no defined winner and are refused with a named error. Deletes cannot
+    be expressed as an arrival — route them through the batch
+    :func:`hnsw_index_update` path.
+
     ``reshard_target_rows`` closes the growth loop INSIDE the stream:
     after each update, :func:`hnsw_index_reshard` probes the stored
     ``n_vectors`` metadata (a no-trigger probe is one aggregate over ≤
@@ -675,18 +706,43 @@ def hnsw_stream_maintenance_sink(
     SLO — no sub-index ever ends a batch past the threshold — is pinned
     in tests/test_hnsw.py. Replay stays idempotent: both steps are pure
     functions of (landed corpus, stored table identity)."""
+    from pyspark.sql import Window
+
     spark = base.sparkSession
+    landed_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in base.schema.fields
+    ) + ", _maint_batch long"
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(
-            land_dir + f"/batch-{batch_id:08d}"
+        dup = (
+            batch_df.groupBy("vec_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
         )
+        if dup:
+            raise ValueError(
+                f"hnsw_stream_maintenance_sink: batch {batch_id} carries "
+                f"{dup} vec_id(s) more than once — two rows for one key "
+                "in a single batch have no defined winner; dedup upstream"
+            )
+        batch_df.withColumn("_maint_batch", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(land_dir + f"/batch-{batch_id:08d}")
         landed = (
-            spark.read.schema(base.schema)
+            spark.read.schema(landed_ddl)
             .option("recursiveFileLookup", "true")
             .parquet(land_dir)
         )
-        e_cur = base.unionByName(landed)
+        w = Window.partitionBy("vec_id").orderBy(F.desc("_maint_batch"))
+        latest = (
+            landed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_maint_batch")
+        )
+        e_cur = latest.unionByName(
+            base.join(latest.select("vec_id"), "vec_id", "left_anti")
+        )
         hnsw_index_update(e_cur, batch_df.select("vec_id"), path)
         if reshard_target_rows is not None:
             hnsw_index_reshard(
@@ -707,6 +763,7 @@ def hnsw_index_stream_update(
     timeout_s: int = 120,
     reshard_target_rows: int | None = None,
     reshard_trigger_ratio: float = 2.0,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Drain a STREAM of embedding arrivals into the serving index: every
     micro-batch lands in the corpus zone and immediately maintains the
@@ -728,6 +785,14 @@ def hnsw_index_stream_update(
 
     spark = base.sparkSession
     os.makedirs(land_dir, exist_ok=True)
+    if checkpoint_dir is None:
+        # stable default derived from the landing zone, NOT a throwaway
+        # temp checkpoint (r12 review): a crash-recovery rerun with the
+        # same land_dir resumes from the engine's own offsets with the
+        # ORIGINAL batch ids, so a recovered drain can never regroup the
+        # source files into differently-numbered batches and double-land
+        # rows across two batch directories
+        checkpoint_dir = land_dir.rstrip("/") + "_checkpoint"
     sink = hnsw_stream_maintenance_sink(
         base,
         land_dir,
@@ -740,6 +805,7 @@ def hnsw_index_stream_update(
     ), bounded_shuffle(spark, 8):
         q = (
             arrivals.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
             .outputMode("append")
             .trigger(availableNow=True)
             .start()

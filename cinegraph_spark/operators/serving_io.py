@@ -18,40 +18,59 @@ from pyspark.sql import DataFrame
 @contextmanager
 def atomic_swap_dir(spark, path: str):
     """Yield a unique sibling directory to populate (one or several
-    sub-tables); on clean exit, swap it into ``path`` (delete old, rename
-    new). The multi-table form of :func:`atomic_swap_write` — a serving
-    state made of several parquet tables (e.g. PQ codebooks + codes) must
-    flip as ONE unit, or a crash between the two writes leaves a
-    books/codes mismatch. Same crash contract: everything is durably
-    under the sibling before the old directory is touched, and the
-    sibling survives a mid-swap crash as the recovery copy. On an
-    exception inside the block, ``path`` is left untouched (the partial
-    sibling remains for inspection) and the exception propagates."""
+    sub-tables); on clean exit, swap it into ``path``. The multi-table
+    form of :func:`atomic_swap_write` — a serving state made of several
+    parquet tables (e.g. PQ codebooks + codes) must flip as ONE unit, or
+    a crash between the two writes leaves a books/codes mismatch.
+
+    Swap order (r12 review): move the old state ASIDE (one rename), move
+    the new state IN (one rename), then delete the aside copy — never
+    delete-then-rename, which would hold ``path`` nonexistent for the
+    whole recursive delete of a potentially large table. The remaining
+    window where ``path`` does not exist is the instant between the two
+    renames (pure directory metadata); a reader landing exactly there
+    sees path-not-found and should retry, and a crash there leaves BOTH
+    copies on disk (``__old__`` aside + ``__swap__`` sibling) for manual
+    recovery — nothing is ever lost mid-maintenance. A lakehouse
+    deployment would flip a table-format version pointer and have no
+    window at all. On an exception inside the block, ``path`` is left
+    untouched (the partial sibling remains for inspection) and the
+    exception propagates."""
     import uuid
 
-    tmp = path.rstrip("/") + "__swap__" + uuid.uuid4().hex[:12]
+    token = uuid.uuid4().hex[:12]
+    tmp = path.rstrip("/") + "__swap__" + token
     yield tmp
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     dest, src = jpath(path), jpath(tmp)
     fs = dest.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(dest):
-        fs.delete(dest, True)
+    aside = jpath(path.rstrip("/") + "__old__" + token)
+    had_old = fs.exists(dest)
+    if had_old and not fs.rename(dest, aside):
+        raise IOError(
+            f"atomic swap could not move the old state aside "
+            f"({path} -> {aside}); nothing was changed and the freshly "
+            f"written state is intact at {tmp}"
+        )
     if not fs.rename(src, dest):
         raise IOError(
-            f"atomic swap rename {tmp} -> {path} failed; the freshly "
-            f"written state is intact at {tmp} for manual recovery"
+            f"atomic swap rename {tmp} -> {path} failed; the old state "
+            f"is intact at {aside} and the freshly written state at "
+            f"{tmp} for manual recovery"
         )
+    if had_old:
+        fs.delete(aside, True)
 
 
 def atomic_swap_write(df: DataFrame, path: str) -> None:
     """Durably write ``df`` to a unique sibling directory, then swap it
-    into ``path`` (delete old, rename new). The new table is fully on
-    storage before the old directory is touched — the remaining crash
-    window is a metadata-only delete+rename, and the written sibling
-    survives any crash for manual recovery (the rename failure path
-    names it). Uses the Hadoop FileSystem of ``path`` so the same code
-    serves file://, HDFS, and rename-capable object stores; a lakehouse
-    deployment would flip a table-format version pointer instead.
+    into ``path`` (old renamed aside, new renamed in, aside deleted —
+    see :func:`atomic_swap_dir` for the exact window and crash
+    recovery). The new table is fully on storage before the old
+    directory is touched, so no crash can destroy the live state. Uses
+    the Hadoop FileSystem of ``path`` so the same code serves file://,
+    HDFS, and rename-capable object stores; a lakehouse deployment
+    would flip a table-format version pointer instead.
 
     Reading ``path`` lazily inside ``df`` is safe: the old files persist
     until after the sibling write completes (this is what lets

@@ -71,10 +71,27 @@ def ivf_cosine_topk(
     cell, the candidate read is partition pruning so cost scales with
     nprobe/ncells of the data, the IVF contract.
     """
-    cents = label_centroids(e, label, v)
+    return _probe_then_exact_topk(
+        e, q, label_centroids(e, label, v), nprobe, k, label, v
+    )
+
+
+def _probe_then_exact_topk(e, q, cents, nprobe, k, label, v):
+    """Shared IVF body (r12 review: was duplicated between the
+    rebuild-per-query and persisted-table forms): pick the ``nprobe``
+    cells whose centroid is most cosine-similar to the broadcast query,
+    then exact cosine top-k within them. The probe similarity is ROUNDED
+    to 9 decimals before ranking (repo convention: float aggregates round
+    on both sides) so a last-ulp difference between centroid computations
+    — IEEE avg here, exact decimal means in the persisted table, DuckDB
+    avg in the oracles — collapses into a tie broken deterministically by
+    label instead of flipping the probe set."""
     probed = (
         cents.crossJoin(F.broadcast(q))
-        .select(label, V.cosine(F.col("cv"), F.col("qv")).alias("csim"))
+        .select(
+            label,
+            F.round(V.cosine(F.col("cv"), F.col("qv")), 9).alias("csim"),
+        )
         .orderBy(F.desc("csim"), F.asc(label))
         .limit(nprobe)
         .select(label)
@@ -390,6 +407,19 @@ def ivf_centroids_save(
     (never an in-place overwrite of live state)."""
     from cinegraph_spark.operators.serving_io import atomic_swap_write
 
+    # refuse NULL cell labels up front (r12 review): groupBy would happily
+    # persist a NULL cell, but the update path's delta guard (rightly)
+    # refuses NULL keys and equi-joins can't address a NULL cell — the
+    # stale centroid could then never be recomputed or dropped. A corpus
+    # with unlabeled rows must assign a sentinel cell before serving.
+    n_null = e.filter(F.col(label).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"ivf_centroids_save: {n_null} corpus row(s) have a NULL "
+            f"{label}; a NULL cell cannot be addressed by the update "
+            "path's equi-joins, so its centroid would be unmaintainable "
+            "— assign a sentinel cell value instead"
+        )
     atomic_swap_write(ivf_cell_stats(e, label, v), path)
 
 
@@ -470,26 +500,11 @@ def ivf_index_topk(
     :func:`ivf_cosine_topk`, minus the centroid pass: the table is ≤
     #cells rows, always broadcast, and with the corpus parquet
     partitioned by cell the candidate read is partition pruning)."""
-    spark = e.sparkSession
-    cents = spark.read.parquet(path).select(label, "centroid")
-    probed = (
-        cents.crossJoin(F.broadcast(q))
-        .select(label, V.cosine(F.col("centroid"), F.col("qv")).alias("csim"))
-        .orderBy(F.desc("csim"), F.asc(label))
-        .limit(nprobe)
-        .select(label)
+    cents = (
+        e.sparkSession.read.parquet(path)
+        .select(label, F.col("centroid").alias("cv"))
     )
-    return (
-        e.join(F.broadcast(probed), label)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.col(label),
-            F.round(V.cosine(F.col(v), F.col("qv")), 6).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(k)
-    )
+    return _probe_then_exact_topk(e, q, cents, nprobe, k, label, v)
 
 
 def _pq_part_expr(n_partitions: int):
@@ -536,11 +551,11 @@ def pq_codes_save(
     codes_schema = f"vec_id {key_ddl}, code array<int>, part_id int"
     books = spark.createDataFrame(
         [
-            (j, book, int(n_partitions), codes_schema)
+            (j, book, int(n_partitions), key_ddl, codes_schema)
             for j, book in enumerate(codebooks)
         ],
         "j int, codebook array<array<double>>, n_partitions int, "
-        "codes_schema string",
+        "key_ddl string, codes_schema string",
     )
     codes = e.select(
         "vec_id",
@@ -567,10 +582,17 @@ def _pq_read_state(spark, path: str):
         [[float(x) for x in c] for c in r["codebook"]] for r in books_rows
     ]
     head = books_rows[0]
-    return codebooks, int(head["n_partitions"]), head["codes_schema"]
+    return (
+        codebooks,
+        int(head["n_partitions"]),
+        head["key_ddl"],
+        head["codes_schema"],
+    )
 
 
-def pq_codes_update(e: DataFrame, delta: DataFrame, path: str) -> dict:
+def pq_codes_update(
+    e: DataFrame, delta: DataFrame, path: str, v: str = "v"
+) -> dict:
     """INCREMENTAL maintenance of a :func:`pq_codes_save` state: re-encode
     only the partition directories the delta's keys hash into.
 
@@ -594,8 +616,23 @@ def pq_codes_update(e: DataFrame, delta: DataFrame, path: str) -> dict:
     replay; its crash window is one partition directory, which re-running
     the same update restores."""
     spark = e.sparkSession
-    codebooks, n_partitions, codes_schema = _pq_read_state(spark, path)
+    codebooks, n_partitions, key_ddl, codes_schema = _pq_read_state(
+        spark, path
+    )
     key_type = e.schema["vec_id"].dataType
+    # the stored directory layout was hashed under key_ddl and
+    # Murmur3(int) != Murmur3(long) for equal values — a corpus re-read
+    # with a drifted vec_id type would lay the same keys into DIFFERENT
+    # directories than the save did, silently duplicating/losing keys
+    # across two incompatible layouts (r12 review); refuse drift outright
+    if key_type.simpleString() != key_ddl:
+        raise ValueError(
+            f"pq_codes_update: corpus vec_id type "
+            f"{key_type.simpleString()} differs from the state's stored "
+            f"key type {key_ddl}; the partition layout is hashed under "
+            "the stored type — cast the corpus key back or rebuild with "
+            "pq_codes_save"
+        )
     cast_key = F.col("vec_id").try_cast(key_type)
     bad = delta.filter(cast_key.isNull()).count()
     if bad:
@@ -615,13 +652,12 @@ def pq_codes_update(e: DataFrame, delta: DataFrame, path: str) -> dict:
     if not changed:
         return {"rebuilt_partitions": [], "dropped_partitions": []}
 
-    v_col = [c for c in e.columns if c != "vec_id"][0]
     rebuilt = (
         e.withColumn("part_id", _pq_part_expr(n_partitions))
         .join(F.broadcast(changed_df), "part_id", "left_semi")
         .select(
             "vec_id",
-            pq_encode_col(F.col(v_col), codebooks).alias("code"),
+            pq_encode_col(F.col(v), codebooks).alias("code"),
             "part_id",
         )
         .localCheckpoint(eager=True)  # the present-set below reuses it
@@ -665,7 +701,7 @@ def pq_index_topk(
     family (engine-specific codebook numerics), with recall pinned
     against brute force."""
     spark = e.sparkSession
-    codebooks, _, codes_schema = _pq_read_state(spark, path)
+    codebooks, _, _, codes_schema = _pq_read_state(spark, path)
     codes = spark.read.schema(codes_schema).parquet(path + "/codes")
     cand = (
         codes.crossJoin(F.broadcast(q))

@@ -73,10 +73,14 @@ ROTATION_BUILT_FROM_ROUND: int = 11
 #: via try_cast (a NULL key hashed to an arbitrary partition while the
 #: intended one kept a stale blob). Output is oracle-identical by design
 #: (bit-equality pinned in tests/test_hnsw.py) — but changed write paths
-#: ride: served exercises save, incremental exercises save+update.
+#: ride: served exercises save, incremental exercises save+update. The
+#: r12 review pass additionally rounded the IVF probe similarity to 9
+#: decimals on BOTH sides (a last-ulp centroid difference could flip the
+#: probe set), so vec_ann_ivf_topk's changed plan+oracle ride too.
 CHANGED_CODE_CANARIES: tuple[str, ...] = (
     "vec_ann_hnsw_served_knn",
     "vec_ann_hnsw_incremental_knn",
+    "vec_ann_ivf_topk",
 )
 
 #: Driver-slot priority (round 12). The driver's correctness harness walks
@@ -88,7 +92,7 @@ CHANGED_CODE_CANARIES: tuple[str, ...] = (
 #: the IVF-tier incremental centroids path, the streaming index-
 #: maintenance drain, and the PQ codes serving table — rows-only like
 #: its vec_ann_pq_topk twin), then the r8-stale bucket oldest-first
-#: (registry order within the bucket). 2 + 4 + 44 = 50; the four
+#: (registry order within the bucket). 3 + 4 + 43 = 50; the five
 #: remaining r8 queries (equal-freshness with the admitted bucket, which
 #: the completeness rule permits) head the r13 queue.
 #: Every name here must exist in the registry — load_all asserts.
@@ -142,7 +146,6 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "q10_returned_items",
     "q13_customer_order_distribution",
     "q14_promo_revenue",
-    "q15_top_supplier",
 )
 
 

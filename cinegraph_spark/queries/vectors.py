@@ -232,9 +232,10 @@ def vec_representative_topk_per_label(spark, sf_dir):
     centv AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
     probe AS (
       SELECT label FROM centv, q
-      ORDER BY list_dot_product(cv, qv)
+      ORDER BY round(list_dot_product(cv, qv)
                / (sqrt(list_sum(list_transform(cv, x -> x * x)))
-                  * sqrt(list_sum(list_transform(qv, x -> x * x)))) DESC, label
+                  * sqrt(list_sum(list_transform(qv, x -> x * x)))), 9)
+               DESC, label
       LIMIT 2
     )
     SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
@@ -722,9 +723,10 @@ def vec_ann_hnsw_reshard_knn(spark, sf_dir):
               FROM cent GROUP BY label),
     probe AS (
       SELECT label FROM centv, q
-      ORDER BY list_dot_product(cv, qv)
+      ORDER BY round(list_dot_product(cv, qv)
                / (sqrt(list_sum(list_transform(cv, x -> x * x)))
-                  * sqrt(list_sum(list_transform(qv, x -> x * x)))) DESC, label
+                  * sqrt(list_sum(list_transform(qv, x -> x * x)))), 9)
+               DESC, label
       LIMIT 2
     )
     SELECT corpus.vec_id, CAST(corpus.label AS BIGINT) AS label,

@@ -743,3 +743,132 @@ def test_stream_update_with_auto_reshard_holds_growth_slo(
     full = str(tmp_path / "full")
     hnsw_index_save(e, full, n_partitions=int(head["n_partitions"]))
     assert _blob_rows(spark, path) == _blob_rows(spark, full)
+
+
+def test_stream_arrivals_are_upserts_latest_batch_wins(
+    spark, sf_dir, tmp_path
+):
+    """r12 review: an arrival re-embedding an EXISTING key must shadow the
+    base row (never duplicate the key inside a sub-index), and a key
+    delivered in several batches resolves to the highest batch id —
+    deterministic under replay. Final table == full save of the corrected
+    corpus; duplicate keys within one batch are refused."""
+    import pytest as _pytest
+
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_index_save,
+        hnsw_stream_maintenance_sink,
+    )
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    # base holds a STALE embedding for key 3 (halved vector)
+    stale3 = e.filter(F.col("vec_id") == 3).select(
+        "vec_id", F.transform("v", lambda x: x * 0.5).alias("v")
+    )
+    base = e.filter(F.col("vec_id") != 3).unionByName(stale3)
+    path = str(tmp_path / "idx")
+    land = str(tmp_path / "land")
+    hnsw_index_save(base, path, n_partitions=8)
+    sink = hnsw_stream_maintenance_sink(base, land, path)
+
+    # batch 0 delivers another stale re-embedding; batch 1 the true row —
+    # highest batch id must win
+    sink(
+        e.filter(F.col("vec_id") == 3).select(
+            "vec_id", F.transform("v", lambda x: x * 0.25).alias("v")
+        ),
+        0,
+    )
+    sink(e.filter(F.col("vec_id") == 3), 1)
+    full = str(tmp_path / "full")
+    hnsw_index_save(e, full, n_partitions=8)
+    assert _blob_rows(spark, path) == _blob_rows(spark, full)
+
+    # replaying the OLD batch after the new one landed must not regress
+    sink(
+        e.filter(F.col("vec_id") == 3).select(
+            "vec_id", F.transform("v", lambda x: x * 0.25).alias("v")
+        ),
+        0,
+    )
+    assert _blob_rows(spark, path) == _blob_rows(spark, full)
+
+    # two rows for one key inside a single batch: no defined winner
+    dup = e.filter(F.col("vec_id") == 3).unionByName(
+        e.filter(F.col("vec_id") == 3)
+    )
+    with _pytest.raises(ValueError, match="more than once"):
+        sink(dup, 2)
+
+
+def test_stream_update_resumes_from_checkpoint_as_noop(
+    spark, sf_dir, tmp_path
+):
+    """r12 review: the drain runs against a REAL checkpoint derived from
+    the landing zone, so re-invoking it over the same arrivals (a
+    crash-recovery rerun) fires no new batches — the landed corpus and
+    the serving table are byte-identical to the first run's."""
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_index_save,
+        hnsw_index_stream_update,
+    )
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    delta = e.filter(F.col("vec_id") % 5 == 0)
+    arrivals_dir = str(tmp_path / "arrivals")
+    delta.repartition(3).write.parquet(arrivals_dir)
+    path = str(tmp_path / "idx")
+    land = str(tmp_path / "land")
+    hnsw_index_save(base, path, n_partitions=8)
+
+    def drain():
+        arrivals = (
+            spark.readStream.schema("vec_id long, v array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(arrivals_dir)
+        )
+        hnsw_index_stream_update(base, arrivals, land, path)
+
+    drain()
+    want = _blob_rows(spark, path)
+    import os as _os
+
+    batch_dirs = sorted(
+        d for d in _os.listdir(land) if d.startswith("batch-")
+    )
+    drain()  # recovery rerun: checkpoint says everything is consumed
+    assert _blob_rows(spark, path) == want
+    assert (
+        sorted(d for d in _os.listdir(land) if d.startswith("batch-"))
+        == batch_dirs
+    )
+
+
+def test_index_update_rejects_corpus_key_type_drift(spark, sf_dir, tmp_path):
+    """r12 review: the hash layout is part of the stored identity
+    (key_ddl column); a corpus re-read with a narrower vec_id type would
+    rebuild the WRONG partitions — refuse instead."""
+    import pytest as _pytest
+
+    from cinegraph_spark.operators.hnsw import hnsw_index_save, hnsw_index_update
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    path = str(tmp_path / "idx")
+    hnsw_index_save(e, path, n_partitions=8)
+    drifted = e.select(F.col("vec_id").cast("int").alias("vec_id"), "v")
+    one = drifted.filter(F.col("vec_id") == 7).select("vec_id")
+    with _pytest.raises(ValueError, match="stored key type bigint"):
+        hnsw_index_update(drifted, one, path)

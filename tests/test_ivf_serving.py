@@ -188,3 +188,19 @@ def test_served_topk_matches_rebuild_per_query_form(spark, sf_dir, tmp_path):
     served = ivf_index_topk(corpus, q, path, nprobe=2, k=10).collect()
     direct = ivf_cosine_topk(corpus, q, nprobe=2, k=10).collect()
     assert [tuple(r) for r in served] == [tuple(r) for r in direct]
+
+
+def test_save_refuses_null_cell_labels(spark, sf_dir, tmp_path):
+    """r12 review: a NULL cell would be unmaintainable (the delta guard
+    refuses NULL keys and equi-joins can't address a NULL cell), so save
+    refuses to create one."""
+    from cinegraph_spark.operators.similarity import ivf_centroids_save
+
+    e = _corpus(spark, sf_dir)
+    nulled = e.unionByName(
+        e.limit(2).select(
+            "vec_id", F.lit(None).cast("int").alias("label"), "v"
+        )
+    )
+    with pytest.raises(ValueError, match="NULL label"):
+        ivf_centroids_save(nulled, str(tmp_path / "idx"))

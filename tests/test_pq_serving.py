@@ -39,7 +39,7 @@ def _books(spark, sf_dir):
 
 
 def _codes_rows(spark, path):
-    _, _, schema = __import__(
+    *_, schema = __import__(
         "cinegraph_spark.operators.similarity", fromlist=["_pq_read_state"]
     )._pq_read_state(spark, path)
     return sorted(
@@ -176,7 +176,7 @@ def test_update_refuses_empty_books(spark, sf_dir, tmp_path):
     spark.createDataFrame(
         [],
         "j int, codebook array<array<double>>, n_partitions int, "
-        "codes_schema string",
+        "key_ddl string, codes_schema string",
     ).write.parquet(path + "/books")
     with pytest.raises(ValueError, match="empty books table"):
         pq_codes_update(e, e.select("vec_id").limit(1), path)
@@ -204,3 +204,55 @@ def test_books_and_codes_swap_as_one_unit(spark, sf_dir, tmp_path):
     direct = pq_topk(corpus, q, books, k=10, rerank=80).collect()
     assert [r["vec_id"] for r in served] == [r["vec_id"] for r in direct]
     assert [p.name for p in tmp_path.iterdir() if "__swap__" in p.name] == []
+
+
+def test_update_rejects_corpus_key_type_drift(spark, sf_dir, tmp_path):
+    """r12 review: the stored key_ddl is the hash-layout identity; a
+    corpus re-read with a drifted vec_id type would lay the same keys
+    into different directories than the save did — refused."""
+    from cinegraph_spark.operators.similarity import (
+        pq_codes_save,
+        pq_codes_update,
+    )
+
+    e = _corpus(spark, sf_dir)
+    path = str(tmp_path / "pq")
+    pq_codes_save(e, _books(spark, sf_dir), path, n_partitions=4)
+    drifted = e.select(F.col("vec_id").cast("int").alias("vec_id"), "v")
+    one = drifted.filter(F.col("vec_id") == 7).select("vec_id")
+    with pytest.raises(ValueError, match="stored key type bigint"):
+        pq_codes_update(drifted, one, path)
+
+
+def test_update_respects_v_param_with_extra_columns(spark, sf_dir, tmp_path):
+    """r12 review: pq_codes_update used to grab 'the first non-vec_id
+    column' as the vector; with the embeddings table's standard
+    (vec_id, label, v) shape that was the label column. It now takes the
+    same v parameter as save and must encode identically however many
+    extra columns ride along."""
+    from cinegraph_spark.queries.util import T
+
+    from cinegraph_spark.operators.similarity import (
+        pq_codes_save,
+        pq_codes_update,
+    )
+
+    labeled = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    books = _books(spark, sf_dir)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    pq_codes_save(
+        labeled.filter("vec_id % 5 != 0").select("vec_id", "v"),
+        books,
+        inc,
+        n_partitions=4,
+    )
+    stats = pq_codes_update(
+        labeled, labeled.filter("vec_id % 5 = 0").select("vec_id"), inc
+    )
+    assert stats["rebuilt_partitions"]
+    pq_codes_save(labeled.select("vec_id", "v"), books, full, n_partitions=4)
+    assert _codes_rows(spark, inc) == _codes_rows(spark, full)

@@ -485,8 +485,23 @@ def hnsw_index_save(
     from cinegraph_spark.session import ensure_shipped
 
     ensure_shipped(spark)
+    # one agg job covers both the adaptive partition count and the NULL-key
+    # refusal (r12 ADVICE): hash(NULL) lands a row in a real partition, but
+    # hnsw_index_update refuses NULL delta keys, so a NULL-keyed row would
+    # be permanently unmaintainable — mirror ivf_centroids_save's guard
+    stats = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("vec_id").isNull()).alias("n_null"),
+    ).first()
+    if int(stats["n_null"]):
+        raise ValueError(
+            f"hnsw_index_save: {int(stats['n_null'])} corpus row(s) have a "
+            "NULL vec_id; hash(NULL) would store them in a real partition "
+            "that hnsw_index_update (which refuses NULL delta keys) could "
+            "never address again — fix the corpus keys"
+        )
     if n_partitions is None:
-        n_rows = e.count()
+        n_rows = int(stats["n"])
         n_partitions = max(1, -(-n_rows // max(1, target_rows_per_subindex)))
     key_ddl = e.schema["vec_id"].dataType.simpleString()
     _atomic_swap_write(
@@ -549,10 +564,15 @@ def hnsw_index_update(
 
     ensure_shipped(spark)
     old = spark.read.parquet(path)
-    if "part_id" not in old.columns:
+    # both identity columns, not just part_id: a pre-key_ddl table (saved
+    # before the key-type guard existed) would otherwise die on the select
+    # below with a raw AnalysisException instead of the named rebuild error
+    # (r12 ADVICE)
+    if "part_id" not in old.columns or "key_ddl" not in old.columns:
         raise ValueError(
-            "hnsw_index_update needs a part_id-aware serving table; "
-            "rebuild it once with hnsw_index_save"
+            "hnsw_index_update needs a serving table carrying its full "
+            "identity (part_id and key_ddl columns); rebuild it once with "
+            "hnsw_index_save"
         )
     head = old.select("n_partitions", "m", "efc", "key_ddl").first()
     if head is None:
@@ -779,12 +799,13 @@ def hnsw_index_stream_update(
     standard drain scoping (UTC clock, bounded shuffle) under
     ``availableNow`` and raises on timeout rather than returning with
     the stream still writing."""
-    import os
-
     from cinegraph_spark.session import bounded_shuffle, scoped_confs
 
     spark = base.sparkSession
-    os.makedirs(land_dir, exist_ok=True)
+    # no driver-local makedirs here (r12 ADVICE): land_dir may live on
+    # HDFS/an object store, where os.makedirs would create a spurious
+    # LOCAL directory; the first batch's parquet write creates the real
+    # one through the path's own Hadoop FileSystem
     if checkpoint_dir is None:
         # stable default derived from the landing zone, NOT a throwaway
         # temp checkpoint (r12 review): a crash-recovery rerun with the

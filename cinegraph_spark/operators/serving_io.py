@@ -67,10 +67,15 @@ def atomic_swap_write(df: DataFrame, path: str) -> None:
     into ``path`` (old renamed aside, new renamed in, aside deleted —
     see :func:`atomic_swap_dir` for the exact window and crash
     recovery). The new table is fully on storage before the old
-    directory is touched, so no crash can destroy the live state. Uses
-    the Hadoop FileSystem of ``path`` so the same code serves file://,
-    HDFS, and rename-capable object stores; a lakehouse deployment
-    would flip a table-format version pointer instead.
+    directory is touched, so no crash can LOSE state — but a crash
+    between the two renames leaves ``path`` itself empty (both copies
+    parked under ``__old__``/``__swap__`` sibling names) until
+    :func:`recover_swap` or a manual rename restores the live path
+    (r12 ADVICE: the previous docstring overstated this as "no crash
+    can destroy the live state"). Uses the Hadoop FileSystem of
+    ``path`` so the same code serves file://, HDFS, and rename-capable
+    object stores; a lakehouse deployment would flip a table-format
+    version pointer instead.
 
     Reading ``path`` lazily inside ``df`` is safe: the old files persist
     until after the sibling write completes (this is what lets
@@ -78,3 +83,57 @@ def atomic_swap_write(df: DataFrame, path: str) -> None:
     a checkpoint)."""
     with atomic_swap_dir(df.sparkSession, path) as tmp:
         df.write.parquet(tmp)
+
+
+def recover_swap(spark, path: str) -> dict:
+    """Repair the between-renames crash window of :func:`atomic_swap_dir`:
+    if ``path`` is missing but parked sibling copies exist, restore a live
+    table — preferring the freshly written ``__swap__`` copy (it was
+    durably complete before the old state was touched; that ordering is
+    the whole point of the sibling swap) and falling back to the
+    ``__old__`` aside copy. Deliberately conservative: if ``path``
+    exists, this touches NOTHING (an orphan ``__swap__`` next to a live
+    table is a failed write attempt that :func:`atomic_swap_dir`
+    documents as kept for inspection), and more than one parked token —
+    two interleaved crashed swaps, no well-defined winner — raises for
+    manual intervention. Returns ``{"action": "none" | "restored_new" |
+    "restored_old", "token": ...}``."""
+    import re
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    dest = jpath(path)
+    fs = dest.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(dest):
+        return {"action": "none", "token": None}
+    base = path.rstrip("/")
+    parent = jpath(base).getParent()
+    name = jpath(base).getName()
+    pat = re.compile(re.escape(name) + r"__(old|swap)__([0-9a-f]{12})$")
+    parked: dict[str, dict[str, str]] = {}
+    if fs.exists(parent):
+        for st in fs.listStatus(parent):
+            m = pat.match(st.getPath().getName())
+            if m:
+                parked.setdefault(m.group(2), {})[m.group(1)] = str(
+                    st.getPath().toString()
+                )
+    if not parked:
+        return {"action": "none", "token": None}
+    if len(parked) > 1:
+        raise IOError(
+            f"recover_swap: {len(parked)} distinct crashed-swap tokens "
+            f"parked next to {path} ({sorted(parked)}); two interleaved "
+            "swaps have no well-defined winner — recover manually"
+        )
+    token, copies = next(iter(parked.items()))
+    kind = "swap" if "swap" in copies else "old"
+    if not fs.rename(jpath(copies[kind]), dest):
+        raise IOError(
+            f"recover_swap: rename {copies[kind]} -> {path} failed"
+        )
+    if kind == "swap" and "old" in copies:
+        fs.delete(jpath(copies["old"]), True)
+    return {
+        "action": "restored_new" if kind == "swap" else "restored_old",
+        "token": token,
+    }

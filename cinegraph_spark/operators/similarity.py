@@ -542,8 +542,23 @@ def pq_codes_save(
     spark = e.sparkSession
     from cinegraph_spark.operators.serving_io import atomic_swap_dir
 
+    # one agg job covers both the adaptive partition count and the NULL-key
+    # refusal (r12 ADVICE): hash(NULL) lands codes in a real directory, but
+    # pq_codes_update refuses NULL delta keys, so NULL-keyed codes would be
+    # permanently unmaintainable — mirror ivf_centroids_save's guard
+    stats = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("vec_id").isNull()).alias("n_null"),
+    ).first()
+    if int(stats["n_null"]):
+        raise ValueError(
+            f"pq_codes_save: {int(stats['n_null'])} corpus row(s) have a "
+            "NULL vec_id; hash(NULL) would store their codes in a real "
+            "partition directory that pq_codes_update (which refuses NULL "
+            "delta keys) could never address again — fix the corpus keys"
+        )
     if n_partitions is None:
-        n_rows = e.count()
+        n_rows = int(stats["n"])
         n_partitions = max(
             1, -(-n_rows // max(1, target_rows_per_partition))
         )

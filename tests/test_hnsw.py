@@ -376,6 +376,51 @@ def test_index_save_invariant_to_incoming_partitioning(
     assert _blob_rows(spark, p3) == _blob_rows(spark, p13)
 
 
+def test_index_save_refuses_null_vec_id(spark, sf_dir, tmp_path):
+    """hash(NULL) would land the row in a real partition that
+    hnsw_index_update (which refuses NULL delta keys) could never address
+    again — the save must refuse up front, mirroring ivf_centroids_save
+    (r12 ADVICE)."""
+    import pytest as _pytest
+
+    from cinegraph_spark.operators.hnsw import hnsw_index_save
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    poisoned = e.unionByName(
+        e.limit(1).select(
+            F.lit(None).cast("long").alias("vec_id"), F.col("v")
+        )
+    )
+    with _pytest.raises(ValueError, match="NULL vec_id"):
+        hnsw_index_save(poisoned, str(tmp_path / "idx"), n_partitions=4)
+
+
+def test_index_update_names_stale_shape_tables(spark, sf_dir, tmp_path):
+    """A serving table saved by pre-r12 code (part_id present, key_ddl
+    absent) must get the friendly rebuild error, not a raw
+    AnalysisException from the identity select (r12 ADVICE)."""
+    import pytest as _pytest
+
+    from cinegraph_spark.operators.hnsw import hnsw_index_save, hnsw_index_update
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    path = str(tmp_path / "idx")
+    stale = str(tmp_path / "stale")
+    hnsw_index_save(e, path, n_partitions=4)
+    spark.read.parquet(path).drop("key_ddl").write.parquet(stale)
+    one = e.filter(F.col("vec_id") == 1).select("vec_id")
+    with _pytest.raises(ValueError, match="rebuild it once with hnsw_index_save"):
+        hnsw_index_update(e, one, stale)
+
+
 def test_index_update_rejects_divergent_parameters(spark, sf_dir, tmp_path):
     """M / ef_construction are part of the stored index identity: an
     update with different explicit values must refuse (a divergent

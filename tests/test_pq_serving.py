@@ -66,6 +66,23 @@ def test_save_then_search_equals_encode_per_query(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in served] == [tuple(r) for r in direct]
 
 
+def test_pq_save_refuses_null_vec_id(spark, sf_dir, tmp_path):
+    """hash(NULL) would store codes in a real partition directory that
+    pq_codes_update (which refuses NULL delta keys) could never address
+    again — refuse at save, mirroring ivf_centroids_save (r12 ADVICE)."""
+    from cinegraph_spark.operators.similarity import pq_codes_save
+
+    e = _corpus(spark, sf_dir)
+    books = _books(spark, sf_dir)
+    poisoned = e.unionByName(
+        e.limit(1).select(
+            F.lit(None).cast("long").alias("vec_id"), F.col("v")
+        )
+    )
+    with pytest.raises(ValueError, match="NULL vec_id"):
+        pq_codes_save(poisoned, books, str(tmp_path / "pq"), n_partitions=4)
+
+
 def test_update_equals_full_save(spark, sf_dir, tmp_path):
     from cinegraph_spark.operators.similarity import (
         pq_codes_save,

@@ -53,6 +53,64 @@ def test_swap_dir_exception_leaves_target_untouched(spark, tmp_path):
     assert len(siblings) == 1  # the recovery copy
 
 
+def test_recover_swap_completes_interrupted_swap(spark, tmp_path):
+    """Crash between the two renames: both copies parked (__old__ +
+    __swap__, same token), path missing. Recovery must prefer the freshly
+    written state (it was durably complete before the old one was moved)
+    and clear the aside copy."""
+    import os
+
+    from cinegraph_spark.operators.serving_io import recover_swap
+
+    path = str(tmp_path / "t")
+    atomic_swap_write(spark.range(3), path)
+    spark.range(10, 13).write.parquet(path + "__swap__0123456789ab")
+    os.rename(path, path + "__old__0123456789ab")  # simulate the window
+    out = recover_swap(spark, path)
+    assert out == {"action": "restored_new", "token": "0123456789ab"}
+    assert _ids(spark, path) == [10, 11, 12]
+    assert [p.name for p in tmp_path.iterdir()] == ["t"]
+
+
+def test_recover_swap_restores_old_when_no_new_copy(spark, tmp_path):
+    import os
+
+    from cinegraph_spark.operators.serving_io import recover_swap
+
+    path = str(tmp_path / "t")
+    atomic_swap_write(spark.range(3), path)
+    os.rename(path, path + "__old__0123456789ab")
+    out = recover_swap(spark, path)
+    assert out["action"] == "restored_old"
+    assert _ids(spark, path) == [0, 1, 2]
+
+
+def test_recover_swap_is_conservative(spark, tmp_path):
+    """A live table is never touched (an orphan __swap__ next to it is a
+    kept-for-inspection failed write), and two distinct parked tokens have
+    no well-defined winner and must raise."""
+    import os
+
+    import pytest as _pytest
+
+    from cinegraph_spark.operators.serving_io import recover_swap
+
+    path = str(tmp_path / "t")
+    atomic_swap_write(spark.range(3), path)
+    spark.range(42).write.parquet(path + "__swap__deadbeefcafe")
+    assert recover_swap(spark, path) == {"action": "none", "token": None}
+    assert _ids(spark, path) == [0, 1, 2]
+    assert any("__swap__" in p.name for p in tmp_path.iterdir())
+
+    os.rename(path, path + "__old__0123456789ab")
+    with _pytest.raises(IOError, match="2 distinct crashed-swap tokens"):
+        recover_swap(spark, path)
+    assert recover_swap(spark, str(tmp_path / "never_written")) == {
+        "action": "none",
+        "token": None,
+    }
+
+
 def test_stale_sibling_never_corrupts_reads_or_later_swaps(spark, tmp_path):
     """A crash-leftover sibling from a previous run is inert: reads of the
     table ignore it and a later successful swap works alongside it."""

@@ -423,8 +423,24 @@ def ivf_centroids_save(
     atomic_swap_write(ivf_cell_stats(e, label, v), path)
 
 
+def ivf_corpus_layout(
+    e: DataFrame, corpus_path: str, label: str = "label"
+) -> None:
+    """Persist the corpus physically partitioned by its cell column — the
+    layout `ivf_cosine_topk`'s docstring promises at 100 TB (probe =
+    partition pruning) and the one that makes :func:`ivf_centroids_update`
+    scan-proportional to the change: with ``e`` passed as this layout's
+    PATH, the touched-cell recompute reads only the named cell
+    directories via a planning-time ``PartitionFilters`` prune. Thin
+    wrapper over `operators/maintenance.py::column_layout_save` (which
+    refuses NULL cells — same rule as ivf_centroids_save)."""
+    from cinegraph_spark.operators.maintenance import column_layout_save
+
+    column_layout_save(e, corpus_path, label)
+
+
 def ivf_centroids_update(
-    e: DataFrame,
+    e: DataFrame | str,
     delta: DataFrame,
     path: str,
     label: str = "label",
@@ -432,40 +448,67 @@ def ivf_centroids_update(
 ) -> dict:
     """INCREMENTAL maintenance of an :func:`ivf_centroids_save` table:
     recompute only the cells the delta touches (same contract as
-    `operators/hnsw.py::hnsw_index_update` — cost proportional to the
-    CHANGE, not the corpus).
+    `operators/hnsw.py::hnsw_index_update` — recompute COST is
+    proportional to the change in both modes; the SCAN is proportional
+    to the change only in layout mode, see below).
 
-    ``e`` is the FULL post-change corpus (source of truth); ``delta``
-    carries one ``label`` value per added, updated, or deleted vector —
-    the label a DELETED vector *had*, since its membership can no longer
-    be derived from ``e`` (unlike the HNSW table, whose
+    ``e`` is the FULL post-change corpus (source of truth) — either a
+    DataFrame, or the PATH of an :func:`ivf_corpus_layout` clustered
+    layout, in which case the touched-cell recompute reads ONLY those
+    cells' partition directories (``PartitionFilters`` prune, pinned in
+    tests/test_plans.py) instead of scanning the corpus to find them.
+    ``delta`` carries one ``label`` value per added, updated, or deleted
+    vector — the label a DELETED vector *had*, since its membership can
+    no longer be derived from ``e`` (unlike the HNSW table, whose
     ``pmod(hash(vec_id), n)`` partition function derives membership from
     the key alone). Touched cells recompute from ``e`` with the same
     deterministic decimal aggregation, so the updated table is
-    BIT-IDENTICAL to a fresh full save; untouched rows carry over; a cell
-    emptied by deletes drops out; an empty table degrades to a fresh full
-    save. Delta labels that are NULL or fail the cast to the corpus label
-    type are refused with a named error (``try_cast`` keeps it a
+    BIT-IDENTICAL to a fresh full save (layout mode included — pinned in
+    tests/test_ivf_serving.py); untouched rows carry over; a cell
+    emptied by deletes drops out; an empty table degrades to a fresh
+    full save. Delta labels that are NULL or fail the cast to the corpus
+    label type are refused with a named error (``try_cast`` keeps it a
     ValueError under ANSI) — a NULL cell key would silently skip the
     genuinely intended cell and leave a stale centroid. Returns
     ``{"rebuilt_cells": [...], "full_rebuild": bool}``."""
+    from cinegraph_spark.operators.maintenance import (
+        layout_meta,
+        layout_pruned_read,
+        layout_read,
+    )
     from cinegraph_spark.operators.serving_io import atomic_swap_write
 
-    spark = e.sparkSession
+    corpus_path = e if isinstance(e, str) else None
+    spark = delta.sparkSession if corpus_path is not None else e.sparkSession
+    if corpus_path is not None:
+        lmeta = layout_meta(spark, corpus_path)
+        if lmeta["kind"] != "column" or lmeta["part_col"] != label:
+            raise ValueError(
+                f"ivf_centroids_update: layout at {corpus_path} is not "
+                f"partitioned by the cell column {label!r}; rebuild it "
+                "with ivf_corpus_layout"
+            )
+        cell_ddl = lmeta["part_ddl"]
+    else:
+        cell_ddl = e.schema[label].dataType.simpleString()
     old = spark.read.parquet(path)
     if old.isEmpty():
         # vacuous table (e.g. built over a zero-row corpus): degrade to a
         # fresh full save — same rule as hnsw_index_update
-        ivf_centroids_save(e, path, label=label, v=v)
+        e_df = (
+            layout_read(spark, corpus_path)
+            if corpus_path is not None
+            else e
+        )
+        ivf_centroids_save(e_df, path, label=label, v=v)
         return {"rebuilt_cells": [], "full_rebuild": True}
-    cell_type = e.schema[label].dataType
-    cast_cell = F.col(label).try_cast(cell_type)
+    cast_cell = F.col(label).try_cast(cell_ddl)
     bad = delta.filter(cast_cell.isNull()).count()
     if bad:
         raise ValueError(
             f"ivf_centroids_update: {bad} delta {label} value(s) are NULL "
             f"or do not cast to the corpus cell type "
-            f"{cell_type.simpleString()}; a NULL cell key would silently "
+            f"{cell_ddl}; a NULL cell key would silently "
             "leave the intended cell's centroid stale — fix the delta input"
         )
     changed_df = (
@@ -476,9 +519,11 @@ def ivf_centroids_update(
     changed = sorted(r[label] for r in changed_df.collect())
     if not changed:
         return {"rebuilt_cells": [], "full_rebuild": False}
-    rebuilt = ivf_cell_stats(
-        e.join(F.broadcast(changed_df), label, "left_semi"), label, v
-    )
+    if corpus_path is not None:
+        src = layout_pruned_read(spark, corpus_path, changed)
+    else:
+        src = e.join(F.broadcast(changed_df), label, "left_semi")
+    rebuilt = ivf_cell_stats(src, label, v)
     kept = old.join(F.broadcast(changed_df), label, "left_anti")
     atomic_swap_write(kept.unionByName(rebuilt), path)
     return {"rebuilt_cells": changed, "full_rebuild": False}
@@ -605,8 +650,33 @@ def _pq_read_state(spark, path: str):
     )
 
 
+def pq_corpus_layout(e: DataFrame, corpus_path: str, path: str) -> None:
+    """Persist the vector corpus physically partitioned by the PQ state's
+    OWN partition function (read back from the books table at ``path``)
+    — the layout that makes :func:`pq_codes_update` scan-proportional to
+    the change: with ``e`` passed as this layout's PATH, the re-encode
+    reads only the delta's directories as a planning-time
+    ``PartitionFilters`` prune. Same shape as
+    `operators/hnsw.py::hnsw_corpus_layout` at the PQ tier; maintain the
+    layout itself with `operators/maintenance.py::hash_layout_upsert`.
+    Refuses a corpus whose vec_id type drifted from the stored
+    key_ddl."""
+    from cinegraph_spark.operators.maintenance import hash_layout_save
+
+    spark = e.sparkSession
+    _, n_partitions, key_ddl, _ = _pq_read_state(spark, path)
+    corpus_ddl = e.schema["vec_id"].dataType.simpleString()
+    if corpus_ddl != key_ddl:
+        raise ValueError(
+            f"pq_corpus_layout: corpus vec_id type {corpus_ddl} differs "
+            f"from the state's stored key type {key_ddl}; the directory "
+            "layout must be hashed under the stored type"
+        )
+    hash_layout_save(e, corpus_path, "vec_id", n_partitions)
+
+
 def pq_codes_update(
-    e: DataFrame, delta: DataFrame, path: str, v: str = "v"
+    e: DataFrame | str, delta: DataFrame, path: str, v: str = "v"
 ) -> dict:
     """INCREMENTAL maintenance of a :func:`pq_codes_save` state: re-encode
     only the partition directories the delta's keys hash into.
@@ -614,9 +684,14 @@ def pq_codes_update(
     Same delta contract as `operators/hnsw.py::hnsw_index_update` (vec_id
     per added/updated/deleted vector; membership derives from the key, so
     deletes need no label; NULL/uncastable keys refused via ``try_cast`` +
-    named error). The encode is deterministic (nearest codebook entry,
-    first-index ties), so the updated codes are BIT-IDENTICAL to a fresh
-    full encode of ``e`` — pinned in tests/test_pq_serving.py.
+    named error), including the corpus-as-layout-path mode: pass ``e`` as
+    the PATH of a :func:`pq_corpus_layout` layout and the re-encode reads
+    ONLY the touched directories (``PartitionFilters`` prune — scan ∝
+    change; a DataFrame corpus still pays a full scan to compute each
+    row's partition id before the semi-join discards it). The encode is
+    deterministic (nearest codebook entry, first-index ties), so the
+    updated codes are BIT-IDENTICAL to a fresh full encode of ``e`` —
+    pinned in tests/test_pq_serving.py for both modes.
 
     Scale shape — the piece that differs from the blob/centroid tables:
     the codes table is CORPUS-sized, so carrying untouched rows through a
@@ -630,30 +705,52 @@ def pq_codes_update(
     untouched code). The per-directory replacement is idempotent under
     replay; its crash window is one partition directory, which re-running
     the same update restores."""
-    spark = e.sparkSession
+    from cinegraph_spark.operators.maintenance import (
+        layout_meta,
+        layout_pruned_read,
+    )
+
+    corpus_path = e if isinstance(e, str) else None
+    spark = delta.sparkSession if corpus_path is not None else e.sparkSession
     codebooks, n_partitions, key_ddl, codes_schema = _pq_read_state(
         spark, path
     )
-    key_type = e.schema["vec_id"].dataType
+    if corpus_path is not None:
+        lmeta = layout_meta(spark, corpus_path)
+        if lmeta["kind"] != "hash_key" or lmeta["key"] != "vec_id":
+            raise ValueError(
+                f"pq_codes_update: layout at {corpus_path} is not a "
+                "vec_id hash layout; rebuild it with pq_corpus_layout"
+            )
+        if int(lmeta["n_partitions"]) != n_partitions:
+            raise ValueError(
+                f"pq_codes_update: corpus layout at {corpus_path} was "
+                f"laid out for n_partitions={lmeta['n_partitions']} but "
+                f"the state stores n_partitions={n_partitions}; re-run "
+                "pq_corpus_layout"
+            )
+        corpus_key_ddl = lmeta["key_ddl"]
+    else:
+        corpus_key_ddl = e.schema["vec_id"].dataType.simpleString()
     # the stored directory layout was hashed under key_ddl and
     # Murmur3(int) != Murmur3(long) for equal values — a corpus re-read
     # with a drifted vec_id type would lay the same keys into DIFFERENT
     # directories than the save did, silently duplicating/losing keys
     # across two incompatible layouts (r12 review); refuse drift outright
-    if key_type.simpleString() != key_ddl:
+    if corpus_key_ddl != key_ddl:
         raise ValueError(
             f"pq_codes_update: corpus vec_id type "
-            f"{key_type.simpleString()} differs from the state's stored "
+            f"{corpus_key_ddl} differs from the state's stored "
             f"key type {key_ddl}; the partition layout is hashed under "
             "the stored type — cast the corpus key back or rebuild with "
             "pq_codes_save"
         )
-    cast_key = F.col("vec_id").try_cast(key_type)
+    cast_key = F.col("vec_id").try_cast(key_ddl)
     bad = delta.filter(cast_key.isNull()).count()
     if bad:
         raise ValueError(
             f"pq_codes_update: {bad} delta vec_id row(s) are NULL or do "
-            f"not cast to the corpus key type {key_type.simpleString()}; "
+            f"not cast to the corpus key type {key_ddl}; "
             "a NULL key hashes to an arbitrary partition and the intended "
             "partition would keep stale codes — fix the delta input"
         )
@@ -667,10 +764,16 @@ def pq_codes_update(
     if not changed:
         return {"rebuilt_partitions": [], "dropped_partitions": []}
 
+    if corpus_path is not None:
+        src = layout_pruned_read(spark, corpus_path, changed).select(
+            "vec_id", v, "part_id"
+        )
+    else:
+        src = e.withColumn("part_id", _pq_part_expr(n_partitions)).join(
+            F.broadcast(changed_df), "part_id", "left_semi"
+        )
     rebuilt = (
-        e.withColumn("part_id", _pq_part_expr(n_partitions))
-        .join(F.broadcast(changed_df), "part_id", "left_semi")
-        .select(
+        src.select(
             "vec_id",
             pq_encode_col(F.col(v), codebooks).alias("code"),
             "part_id",

@@ -885,17 +885,24 @@ def test_stream_update_resumes_from_checkpoint_as_noop(
 
     drain()
     want = _blob_rows(spark, path)
-    import os as _os
-
-    batch_dirs = sorted(
-        d for d in _os.listdir(land) if d.startswith("batch-")
-    )
+    before = _land_files(land)
     drain()  # recovery rerun: checkpoint says everything is consumed
     assert _blob_rows(spark, path) == want
-    assert (
-        sorted(d for d in _os.listdir(land) if d.startswith("batch-"))
-        == batch_dirs
-    )
+    # the corpus layout is byte-untouched: a recovered drain fires no
+    # batches, so no directory is re-merged
+    assert _land_files(land) == before
+
+
+def _land_files(land: str) -> dict:
+    """relpath -> mtime_ns of every file in the landing layout."""
+    import os as _os
+
+    out = {}
+    for root, _dirs, names in _os.walk(land):
+        for n in names:
+            p = _os.path.join(root, n)
+            out[_os.path.relpath(p, land)] = _os.stat(p).st_mtime_ns
+    return out
 
 
 def test_index_update_rejects_corpus_key_type_drift(spark, sf_dir, tmp_path):
@@ -917,3 +924,202 @@ def test_index_update_rejects_corpus_key_type_drift(spark, sf_dir, tmp_path):
     one = drifted.filter(F.col("vec_id") == 7).select("vec_id")
     with _pytest.raises(ValueError, match="stored key type bigint"):
         hnsw_index_update(drifted, one, path)
+
+
+def _emb_vid_v(spark, sf_dir):
+    from cinegraph_spark.queries.util import T
+
+    return T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def test_index_update_layout_mode_bit_identical(spark, sf_dir, tmp_path):
+    """r13 (closes the r12 weak finding): the corpus passed as a
+    hnsw_corpus_layout PATH — maintained by hash_layout_upsert, read
+    back pruned — must produce the exact same serving-table bytes as
+    the DataFrame-mode update and as a fresh full save."""
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_corpus_layout,
+        hnsw_index_save,
+        hnsw_index_update,
+    )
+    from cinegraph_spark.operators.maintenance import hash_layout_upsert
+
+    e = _emb_vid_v(spark, sf_dir)
+    yesterday = e.filter(F.col("vec_id") % 5 != 0)
+    arrivals = e.filter(F.col("vec_id") % 5 == 0)
+    delta = arrivals.select("vec_id")
+
+    p_df, p_lay, p_full = (
+        str(tmp_path / n) for n in ("df", "lay", "full")
+    )
+    hnsw_index_save(yesterday, p_df, n_partitions=8)
+    r_df = hnsw_index_update(e, delta, p_df)
+
+    corpus = str(tmp_path / "corpus")
+    hnsw_index_save(yesterday, p_lay, n_partitions=8)
+    hnsw_corpus_layout(yesterday, corpus, p_lay)
+    hash_layout_upsert(spark, corpus, arrivals)
+    r_lay = hnsw_index_update(corpus, delta, p_lay)
+
+    hnsw_index_save(e, p_full, n_partitions=8)
+    assert r_df["rebuilt_partitions"] == r_lay["rebuilt_partitions"]
+    full = _blob_rows(spark, p_full)
+    assert _blob_rows(spark, p_df) == full
+    assert _blob_rows(spark, p_lay) == full
+
+
+def test_index_update_layout_mode_never_opens_untouched_dirs(
+    spark, sf_dir, tmp_path
+):
+    """The scan-∝-change proof, end to end: poison an UNTOUCHED corpus
+    directory with a corrupt file — the pruned update sails past it and
+    still lands the right bytes; a delta touching the poisoned
+    directory fails, proving the poison is live."""
+    import pytest as _pytest
+
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_corpus_layout,
+        hnsw_index_save,
+        hnsw_index_update,
+    )
+
+    e = _emb_vid_v(spark, sf_dir)
+    path, corpus, full = (
+        str(tmp_path / n) for n in ("idx", "corpus", "full")
+    )
+    hnsw_index_save(e, path, n_partitions=8)
+    hnsw_corpus_layout(e, corpus, path)
+
+    # two keys in different partitions: one delta target, one victim
+    parts = {
+        int(r["p"]): int(r["vec_id"])
+        for r in e.select(
+            "vec_id",
+            F.pmod(F.hash("vec_id"), F.lit(8)).cast("int").alias("p"),
+        ).collect()
+    }
+    (touch_part, touch_key), (victim_part, victim_key) = sorted(
+        parts.items()
+    )[:2]
+    import os as _os
+
+    with open(
+        _os.path.join(corpus, f"part_id={victim_part}", "poison.parquet"),
+        "wb",
+    ) as f:
+        f.write(b"not parquet")
+
+    one = e.filter(F.col("vec_id") == touch_key).select("vec_id")
+    hnsw_index_update(corpus, one, path)  # never reads the poisoned dir
+    hnsw_index_save(e, full, n_partitions=8)
+    assert _blob_rows(spark, path) == _blob_rows(spark, full)
+
+    poisoned = e.filter(F.col("vec_id") == victim_key).select("vec_id")
+    with _pytest.raises(Exception):
+        hnsw_index_update(corpus, poisoned, path)
+
+
+def test_index_update_refuses_stale_layout_modulus(spark, sf_dir, tmp_path):
+    """A layout saved before a reshard holds directories under the wrong
+    modulus — pruned reads would rebuild partial partitions; the update
+    must refuse with the named re-layout error instead."""
+    import pytest as _pytest
+
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_corpus_layout,
+        hnsw_index_reshard,
+        hnsw_index_save,
+        hnsw_index_update,
+    )
+
+    e = _emb_vid_v(spark, sf_dir)
+    path, corpus = str(tmp_path / "idx"), str(tmp_path / "corpus")
+    hnsw_index_save(e, path, n_partitions=8)
+    hnsw_corpus_layout(e, corpus, path)
+    hnsw_index_reshard(e, path, target_rows_per_subindex=10_000, force=True)
+    one = e.filter(F.col("vec_id") == 7).select("vec_id")
+    with _pytest.raises(ValueError, match="re-run hnsw_corpus_layout"):
+        hnsw_index_update(corpus, one, path)
+
+
+def test_corpus_layout_guards(spark, sf_dir, tmp_path):
+    """hnsw_corpus_layout refuses an empty index (no identity to derive
+    the partition function from) and a key-type-drifted corpus (the
+    directories would disagree with the index's hash layout)."""
+    import pytest as _pytest
+
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_corpus_layout,
+        hnsw_index_save,
+    )
+
+    e = _emb_vid_v(spark, sf_dir)
+    path = str(tmp_path / "idx")
+    hnsw_index_save(e.filter("vec_id < 0"), path, n_partitions=4)
+    with _pytest.raises(ValueError, match="is empty"):
+        hnsw_corpus_layout(e, str(tmp_path / "c1"), path)
+    hnsw_index_save(e, path, n_partitions=4)
+    drifted = e.select(F.col("vec_id").cast("int").alias("vec_id"), "v")
+    with _pytest.raises(ValueError, match="stored key type"):
+        hnsw_corpus_layout(drifted, str(tmp_path / "c2"), path)
+
+
+def test_stream_long_run_per_batch_cost_is_bounded(spark, sf_dir, tmp_path):
+    """r13 (closes the r12 advisory): the landing zone IS the compacted
+    corpus layout, so an 8-batch drain (1) keeps the landing state at
+    corpus size — never cumulative-arrival size, (2) leaves every
+    directory a batch does not hash into byte-untouched during that
+    batch, and (3) still converges to bit-identity with a full save."""
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_index_save,
+        hnsw_stream_maintenance_sink,
+    )
+    from cinegraph_spark.operators.maintenance import layout_read
+
+    e = _emb_vid_v(spark, sf_dir)
+    base = e.filter(F.col("vec_id") % 9 == 0)
+    path, land = str(tmp_path / "idx"), str(tmp_path / "land")
+    hnsw_index_save(base, path, n_partitions=8)
+    sink = hnsw_stream_maintenance_sink(base, land, path)
+
+    n_corpus_seen = []
+    for b in range(8):
+        batch = e.filter(F.col("vec_id") % 9 == (b + 1))
+        touched = {
+            int(r["p"])
+            for r in batch.select(
+                F.pmod(F.hash("vec_id"), F.lit(8)).cast("int").alias("p")
+            )
+            .distinct()
+            .collect()
+        }
+        before = {
+            k: v
+            for k, v in _land_files(land).items()
+            if not any(k.startswith(f"part_id={p}/") for p in touched)
+        } if b > 0 else None
+        sink(batch, b)
+        if before is not None:
+            after = {
+                k: v
+                for k, v in _land_files(land).items()
+                if not any(k.startswith(f"part_id={p}/") for p in touched)
+            }
+            assert after == before, f"batch {b} touched a foreign dir"
+        n_corpus_seen.append(layout_read(spark, land).count())
+
+    # the landing state is the compacted corpus: its row count equals the
+    # true corpus size after each batch (upserts never accumulate)
+    sizes = [
+        base.count() + e.filter(
+            (F.col("vec_id") % 9 >= 1) & (F.col("vec_id") % 9 <= b + 1)
+        ).count()
+        for b in range(8)
+    ]
+    assert n_corpus_seen == sizes
+    full = str(tmp_path / "full")
+    hnsw_index_save(e, full, n_partitions=8)
+    assert _blob_rows(spark, path) == _blob_rows(spark, full)

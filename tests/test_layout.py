@@ -1,0 +1,252 @@
+"""Clustered corpus layouts (operators/maintenance.py, r13) — the
+partition-directory machinery that makes serving-table maintenance reads
+scan-proportional to the CHANGE instead of the corpus (the r12 verdict's
+one `weak` finding).
+
+Load-bearing claims pinned here:
+- a pruned read is a PLANNING-time directory prune (``PartitionFilters``
+  in the physical plan), and files in untouched directories are never
+  opened — proven by poisoning an untouched directory with a corrupt
+  file and reading around it;
+- `hash_layout_upsert` replaces ONLY the touched directories (untouched
+  files' mtimes unchanged), drops emptied directories, and its
+  latest-wins mode is replay-safe even out of order;
+- identity guards: NULL keys, key-type drift, versioned/unversioned
+  mode mismatches are refused with named errors.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cinegraph_spark.operators.maintenance import (
+    LAYOUT_VERSION_COL,
+    column_layout_save,
+    hash_layout_save,
+    hash_layout_upsert,
+    layout_meta,
+    layout_pruned_read,
+    layout_read,
+)
+
+
+def _mk(spark, n=100):
+    return spark.range(0, n).select(
+        F.col("id").alias("vec_id"), (F.col("id") * 2).alias("x")
+    )
+
+
+def _rows(spark, path):
+    return sorted(
+        (r["vec_id"], r["x"]) for r in layout_read(spark, path).collect()
+    )
+
+
+def _dir_mtimes(path, skip_parts=()):
+    """relpath -> mtime_ns for every data file outside the skipped
+    partition directories."""
+    out = {}
+    skip = {f"part_id={p}" for p in skip_parts}
+    for root, _dirs, names in os.walk(path):
+        if os.path.basename(root) in skip:
+            continue
+        for n in names:
+            if n.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, n)
+            out[os.path.relpath(p, path)] = os.stat(p).st_mtime_ns
+    return out
+
+
+def _parts_of(spark, df, n):
+    return {
+        int(r["p"])
+        for r in df.select(
+            F.pmod(F.hash("vec_id"), F.lit(n)).cast("int").alias("p")
+        )
+        .distinct()
+        .collect()
+    }
+
+
+def test_hash_layout_roundtrip_meta_and_identity_guards(spark, tmp_path):
+    e = _mk(spark)
+    p = str(tmp_path / "layout")
+    hash_layout_save(e, p, "vec_id", 8)
+    meta = layout_meta(spark, p)
+    assert meta["kind"] == "hash_key" and meta["n_partitions"] == 8
+    assert meta["key"] == "vec_id" and meta["key_ddl"] == "bigint"
+    assert _rows(spark, p) == sorted(
+        (r["vec_id"], r["x"]) for r in e.collect()
+    )
+    # the manifest is part of the swap unit: present after a save
+    assert os.path.exists(os.path.join(p, "_LAYOUT.json"))
+    # NULL keys refused (hash(NULL) would land in an unaddressable dir)
+    bad = spark.createDataFrame([(None, 1)], "vec_id long, x long")
+    with pytest.raises(ValueError, match="NULL vec_id"):
+        hash_layout_save(bad, str(tmp_path / "bad"), "vec_id", 4)
+    # the layout owns the part_id name
+    with pytest.raises(ValueError, match="part_id"):
+        hash_layout_save(
+            e.withColumn("part_id", F.lit(1)),
+            str(tmp_path / "bad2"),
+            "vec_id",
+            4,
+        )
+    # a non-layout directory is refused with a named error, never scanned
+    plain = str(tmp_path / "plain")
+    e.write.parquet(plain)
+    with pytest.raises(FileNotFoundError, match="not a clustered layout"):
+        layout_meta(spark, plain)
+
+
+def test_pruned_read_is_planning_time_directory_prune(spark, tmp_path):
+    """The filter must land as PartitionFilters (directories skipped at
+    planning) — and to prove files outside the pruned set are never
+    OPENED, an untouched directory is poisoned with a corrupt file: the
+    pruned read sails past it, a full read chokes on it."""
+    from cinegraph_spark.plans import formatted_plan
+
+    e = _mk(spark)
+    p = str(tmp_path / "layout")
+    hash_layout_save(e, p, "vec_id", 8)
+
+    pruned = layout_pruned_read(spark, p, [2, 5])
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "part_id" in pf and "2,5" in pf.replace(" ", "")
+
+    # poison an untouched directory (part_id=0 is non-empty at n=8 over
+    # 0..99); the explicit-manifest-schema read must not even open it
+    victim = os.path.join(p, "part_id=0", "poison.parquet")
+    with open(victim, "wb") as f:
+        f.write(b"this is not parquet")
+    want = {
+        r["vec_id"]
+        for r in e.filter(
+            F.pmod(F.hash("vec_id"), F.lit(8)).isin([2, 5])
+        ).collect()
+    }
+    got = {
+        r["vec_id"]
+        for r in layout_pruned_read(spark, p, [2, 5]).collect()
+    }
+    assert got == want
+    with pytest.raises(Exception):
+        layout_read(spark, p).count()  # the full read DOES hit the poison
+
+
+def test_unversioned_upsert_touches_only_named_directories(
+    spark, tmp_path
+):
+    e = _mk(spark)
+    p = str(tmp_path / "layout")
+    hash_layout_save(e, p, "vec_id", 8)
+    ups = spark.createDataFrame(
+        [(1, 999), (100, 200)], "vec_id long, x long"
+    )
+    dels = spark.createDataFrame([(2,)], "vec_id long")
+    touched = _parts_of(spark, ups.unionByName(dels, allowMissingColumns=True).select("vec_id"), 8)
+    before = _dir_mtimes(p, skip_parts=touched)
+    res = hash_layout_upsert(spark, p, ups, deletes=dels)
+    assert set(res["touched_partitions"]) == touched
+    # untouched directories: identical file set, identical mtimes
+    assert _dir_mtimes(p, skip_parts=touched) == before
+    rows = dict(_rows(spark, p))
+    assert rows[1] == 999 and rows[100] == 200 and 2 not in rows
+    assert len(rows) == 100  # 100 original - 1 delete + 1 insert
+
+
+def test_upsert_drops_emptied_directory(spark, tmp_path):
+    e = _mk(spark, 40)
+    p = str(tmp_path / "layout")
+    hash_layout_save(e, p, "vec_id", 8)
+    # delete every key of one partition
+    victim = sorted(_parts_of(spark, e.select("vec_id"), 8))[0]
+    doomed = e.filter(
+        F.pmod(F.hash("vec_id"), F.lit(8)).cast("int") == victim
+    ).select("vec_id")
+    empty_ups = e.filter("vec_id < 0").select("vec_id", "x")
+    res = hash_layout_upsert(spark, p, empty_ups, deletes=doomed)
+    assert victim in res["dropped_partitions"]
+    assert not os.path.exists(os.path.join(p, f"part_id={victim}"))
+    assert len(_rows(spark, p)) == 40 - doomed.count()
+
+
+def test_versioned_upsert_latest_wins_under_out_of_order_replay(
+    spark, tmp_path
+):
+    e = _mk(spark).withColumn(LAYOUT_VERSION_COL, F.lit(-1).cast("long"))
+    p = str(tmp_path / "layout")
+    hash_layout_save(e, p, "vec_id", 8)
+    u_old = spark.createDataFrame([(1, 111)], "vec_id long, x long")
+    u_new = spark.createDataFrame([(1, 222)], "vec_id long, x long")
+    hash_layout_upsert(spark, p, u_old, version=0)
+    hash_layout_upsert(spark, p, u_new, version=1)
+    want = _rows(spark, p)
+    assert dict(want)[1] == 222
+    # replay of the OLD version after the new one landed: no regression,
+    # layout byte-stable in content terms
+    hash_layout_upsert(spark, p, u_old, version=0)
+    assert _rows(spark, p) == want
+    # immediate replay of the newest version: idempotent
+    hash_layout_upsert(spark, p, u_new, version=1)
+    assert _rows(spark, p) == want
+
+
+def test_upsert_mode_and_key_guards(spark, tmp_path):
+    e = _mk(spark, 20)
+    plain = str(tmp_path / "plain")
+    versioned = str(tmp_path / "versioned")
+    hash_layout_save(e, plain, "vec_id", 4)
+    hash_layout_save(
+        e.withColumn(LAYOUT_VERSION_COL, F.lit(-1).cast("long")),
+        versioned,
+        "vec_id",
+        4,
+    )
+    ups = spark.createDataFrame([(1, 9)], "vec_id long, x long")
+    with pytest.raises(ValueError, match="no _layout_version"):
+        hash_layout_upsert(spark, plain, ups, version=3)
+    with pytest.raises(ValueError, match="is versioned"):
+        hash_layout_upsert(spark, versioned, ups)
+    with pytest.raises(ValueError, match="no defined version semantics"):
+        hash_layout_upsert(
+            spark,
+            versioned,
+            ups,
+            deletes=ups.select("vec_id"),
+            version=3,
+        )
+    null_ups = spark.createDataFrame([(None, 9)], "vec_id long, x long")
+    with pytest.raises(ValueError, match="NULL or do not cast"):
+        hash_layout_upsert(spark, plain, null_ups)
+
+
+def test_column_layout_roundtrip_and_cell_type_restored(spark, tmp_path):
+    e = spark.range(0, 30).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 4).cast("int").alias("label"),
+        (F.col("id") * 3).alias("x"),
+    )
+    p = str(tmp_path / "cells")
+    column_layout_save(e, p, "label")
+    meta = layout_meta(spark, p)
+    assert meta["kind"] == "column" and meta["part_col"] == "label"
+    assert meta["part_ddl"] == "int"
+    back = layout_read(spark, p)
+    # directory names erase the declared type; the manifest restores it
+    assert back.schema["label"].dataType.simpleString() == "int"
+    assert back.count() == 30
+    assert layout_pruned_read(spark, p, [1, 3]).count() == e.filter(
+        F.col("label").isin([1, 3])
+    ).count()
+    withnull = e.withColumn(
+        "label", F.when(F.col("vec_id") == 0, None).otherwise(F.col("label"))
+    )
+    with pytest.raises(ValueError, match="NULL label"):
+        column_layout_save(withnull, str(tmp_path / "bad"), "label")

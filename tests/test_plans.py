@@ -487,3 +487,39 @@ def test_map_in_arrow_prunes_and_pushes(q):
     assert "l_extendedprice" in schema and "l_partkey" not in schema
     c = plan_counts(df)
     assert c["python_row_udf"] == 0
+
+
+def test_maintenance_pruned_read_is_partition_filter(spark, sf_dir, tmp_path):
+    """r13 serving-maintenance scan contract: with the corpus laid out by
+    the index's own partition function, the touched-partition read that
+    hnsw_index_update / pq_codes_update / ivf_centroids_update perform in
+    layout mode must resolve as PartitionFilters at PLANNING time — a
+    full-corpus FileScan followed by a row filter would re-introduce the
+    r12 weak finding (a small delta paying a 100 TB read)."""
+    from pyspark.sql import functions as F
+
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_corpus_layout,
+        hnsw_index_save,
+    )
+    from cinegraph_spark.operators.maintenance import layout_pruned_read
+    from cinegraph_spark.plans import formatted_plan
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    path = str(tmp_path / "idx")
+    corpus = str(tmp_path / "corpus")
+    hnsw_index_save(e, path, n_partitions=8)
+    hnsw_corpus_layout(e, corpus, path)
+
+    pruned = layout_pruned_read(spark, corpus, [1, 6])
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "part_id" in pf and "1,6" in pf.replace(" ", "")
+    # the data columns ride the manifest schema — no inference, and no
+    # post-scan re-filter of the partition predicate
+    assert "ReadSchema: struct<vec_id:bigint,v:array<double>>" in plan

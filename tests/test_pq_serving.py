@@ -273,3 +273,43 @@ def test_update_respects_v_param_with_extra_columns(spark, sf_dir, tmp_path):
     assert stats["rebuilt_partitions"]
     pq_codes_save(labeled.select("vec_id", "v"), books, full, n_partitions=4)
     assert _codes_rows(spark, inc) == _codes_rows(spark, full)
+
+
+def test_update_layout_mode_bit_identical_and_stale_n_refused(
+    spark, sf_dir, tmp_path
+):
+    """r13: corpus passed as a pq_corpus_layout PATH — update re-encodes
+    from the touched directories only (PartitionFilters prune) and the
+    codes are bit-identical to the DataFrame-mode update and a fresh
+    full save; a layout laid out under a different modulus than the
+    state is refused with the named re-layout error."""
+    from cinegraph_spark.operators.maintenance import hash_layout_save
+    from cinegraph_spark.operators.similarity import (
+        pq_codes_save,
+        pq_codes_update,
+        pq_corpus_layout,
+    )
+
+    e = _corpus(spark, sf_dir)
+    books = _books(spark, sf_dir)
+    yesterday = e.filter(F.col("vec_id") % 5 != 0)
+    delta = e.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+    p_df, p_lay, p_full = (str(tmp_path / n) for n in ("df", "lay", "full"))
+    corpus_path = str(tmp_path / "corpus")
+
+    pq_codes_save(yesterday, books, p_df, n_partitions=4)
+    pq_codes_update(e, delta, p_df)
+
+    pq_codes_save(yesterday, books, p_lay, n_partitions=4)
+    pq_corpus_layout(e, corpus_path, p_lay)
+    pq_codes_update(corpus_path, delta, p_lay)
+
+    pq_codes_save(e, books, p_full, n_partitions=4)
+    full = _codes_rows(spark, p_full)
+    assert _codes_rows(spark, p_df) == full
+    assert _codes_rows(spark, p_lay) == full
+
+    stale = str(tmp_path / "stale")
+    hash_layout_save(e, stale, "vec_id", 7)  # wrong modulus for the state
+    with pytest.raises(ValueError, match="re-run pq_corpus_layout"):
+        pq_codes_update(stale, delta, p_lay)

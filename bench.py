@@ -94,6 +94,8 @@ HEADLINE = [
     "vec_ann_hnsw_reshard_knn",
     "vec_ann_ivf_incremental_topk",
     "vec_ann_hnsw_stream_update_knn",
+    # round 13 additions
+    "layout_clustered_upsert_roundtrip",
 ]
 
 

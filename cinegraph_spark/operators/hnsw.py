@@ -534,11 +534,14 @@ def hnsw_corpus_layout(e: DataFrame, corpus_path: str, path: str) -> None:
     spark = e.sparkSession
     head = spark.read.parquet(path).select("n_partitions", "key_ddl").first()
     if head is None:
-        raise ValueError(
-            "hnsw_corpus_layout: the serving table at "
-            f"{path} is empty — save the index first (the layout derives "
-            "its partition function from the stored identity)"
-        )
+        # vacuous index (saved over a zero-row corpus): no partition
+        # identity to mirror — lay out at modulus 1 so the maintenance
+        # loop stays runnable (hnsw_index_update degrades a vacuous
+        # table to a fresh full save without consulting the layout
+        # identity, and the first real update after that refuses the
+        # modulus mismatch with the named re-layout error)
+        hash_layout_save(e, corpus_path, "vec_id", 1)
+        return
     key_ddl = e.schema["vec_id"].dataType.simpleString()
     if key_ddl != str(head["key_ddl"]):
         raise ValueError(
@@ -859,19 +862,20 @@ def hnsw_stream_maintenance_sink(
             return layout_meta(spark, land_dir)
         except FileNotFoundError:
             head = spark.read.parquet(path).select("n_partitions").first()
-            if head is None:
-                raise ValueError(
-                    "hnsw_stream_maintenance_sink: the serving table at "
-                    f"{path} is empty — save the index over the base "
-                    "corpus before draining arrivals into it"
-                )
+            # a vacuous index (saved over a zero-row corpus) has no
+            # identity to mirror: seed at modulus 1 — the same degrade
+            # as hnsw_corpus_layout; the update path degrades a vacuous
+            # table to a fresh full save without consulting the layout
+            # identity, and _sync_layout re-lays at the real modulus in
+            # the same batch
+            n = int(head["n_partitions"]) if head is not None else 1
             hash_layout_save(
                 base.withColumn(
                     LAYOUT_VERSION_COL, F.lit(-1).cast("long")
                 ),
                 land_dir,
                 "vec_id",
-                int(head["n_partitions"]),
+                n,
             )
             return layout_meta(spark, land_dir)
 

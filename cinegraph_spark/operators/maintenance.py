@@ -287,6 +287,12 @@ def _cast_part(df: DataFrame, meta: dict) -> DataFrame:
 
     pc = meta["part_col"]
     want = meta.get("part_ddl", "int")
+    if pc not in df.columns:
+        # zero-partition layout (saved over an empty table): no
+        # directories exist for Spark to derive the partition column
+        # from — synthesize it typed so downstream selects/filters see
+        # the declared shape (the frame is empty anyway)
+        return df.withColumn(pc, F.lit(None).cast(want))
     return df.withColumn(pc, F.col(pc).cast(want))
 
 
@@ -311,8 +317,10 @@ def layout_pruned_read(
 
     meta = layout_meta(spark, path)
     raw = _layout_raw(spark, path, meta)
-    pruned = raw.filter(F.col(meta["part_col"]).isin(list(parts)))
-    return _cast_part(pruned, meta)
+    if meta["part_col"] in raw.columns:
+        raw = raw.filter(F.col(meta["part_col"]).isin(list(parts)))
+    # else: zero-partition layout — nothing to prune, zero rows anyway
+    return _cast_part(raw, meta)
 
 
 def hash_layout_upsert(

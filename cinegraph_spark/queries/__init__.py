@@ -60,92 +60,92 @@ def register(
 #: exactly these files and asserts DRIVER_PRIORITY matches — bump this
 #: constant whenever the rotation is rebuilt for a new round, and the test
 #: re-validates the new order against the new data with zero literal pins.
-ROTATION_BUILT_FROM_ROUND: int = 11
+ROTATION_BUILT_FROM_ROUND: int = 12
 
 #: Changed-code canaries: queries whose underlying implementation changed
 #: since their last driver row. They are allowed to jump the pure
 #: freshness order (the test exempts exactly these names from the
 #: non-decreasing-freshness invariant) but must sit inside the 50-slot
-#: budget.  Round-12: hnsw_index_save and hnsw_index_update both changed —
-#: every serving-table write now goes through an atomic sibling-swap
-#: (write-then-rename; a plain overwrite deleted the live index before the
-#: new one existed) and the update path refuses NULL/uncastable delta keys
-#: via try_cast (a NULL key hashed to an arbitrary partition while the
-#: intended one kept a stale blob). Output is oracle-identical by design
-#: (bit-equality pinned in tests/test_hnsw.py) — but changed write paths
-#: ride: served exercises save, incremental exercises save+update. The
-#: r12 review pass additionally rounded the IVF probe similarity to 9
-#: decimals on BOTH sides (a last-ulp centroid difference could flip the
-#: probe set), so vec_ann_ivf_topk's changed plan+oracle ride too.
+#: budget.  Round-13: the whole serving-maintenance family was re-plumbed
+#: onto partition-pruned corpus layouts (the r12 verdict's weak finding):
+#: hnsw_index_update / pq_codes_update / ivf_centroids_update gained a
+#: corpus-as-layout-path mode with PartitionFilters-pruned reads, the
+#: three incremental queries now exercise it end-to-end, the streaming
+#: sink lands arrivals as latest-wins layout merges instead of
+#: accumulating batch directories (per-batch cost now bounded — the r12
+#: advisory), and the reshard query rides because it calls the changed
+#: hnsw_index_update internally. Output is oracle-identical by design
+#: (bit-equality with DataFrame mode and full saves pinned in
+#: tests/test_hnsw.py / test_ivf_serving.py / test_pq_serving.py).
 CHANGED_CODE_CANARIES: tuple[str, ...] = (
-    "vec_ann_hnsw_served_knn",
     "vec_ann_hnsw_incremental_knn",
-    "vec_ann_ivf_topk",
+    "vec_ann_ivf_incremental_topk",
+    "vec_ann_pq_served_topk",
+    "vec_ann_hnsw_stream_update_knn",
+    "vec_ann_hnsw_reshard_knn",
 )
 
-#: Driver-slot priority (round 12). The driver's correctness harness walks
+#: Driver-slot priority (round 13). The driver's correctness harness walks
 #: the registry in order under a ~50-query budget, so this list pins the
 #: front slots explicitly instead of relying on module import order.
-#: Round-12 rationale — per the r11 verdict's task 2 plus this round's
-#: changed code: the two changed-write-path HNSW canaries lead, then the
-#: four never-driver-checked queries (the HNSW re-shard growth loop,
-#: the IVF-tier incremental centroids path, the streaming index-
-#: maintenance drain, and the PQ codes serving table — rows-only like
-#: its vec_ann_pq_topk twin), then the r8-stale bucket oldest-first
-#: (registry order within the bucket). 3 + 4 + 43 = 50; the five
-#: remaining r8 queries (equal-freshness with the admitted bucket, which
-#: the completeness rule permits) head the r13 queue.
+#: Round-13 rationale — per the r12 verdict's tasks 1-3: the five
+#: layout-re-plumbed serving-maintenance canaries lead, then the one
+#: never-driver-checked query (the clustered-layout upsert round-trip —
+#: the new machinery under its own exact oracle), then the five
+#: r8-stale queries the r12 verdict named (draining the oldest bucket
+#: entirely — freshness floor rises to r9), then the r9 bucket
+#: oldest-first (registry order within the bucket). 5 + 1 + 44 = 50;
+#: the remaining 11 r9 queries head the r14 queue.
 #: Every name here must exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     # never driver-checked
-    "vec_ann_hnsw_reshard_knn",
-    "vec_ann_ivf_incremental_topk",
-    "vec_ann_hnsw_stream_update_knn",
-    "vec_ann_pq_served_topk",
+    "layout_clustered_upsert_roundtrip",
     # last checked round 8 (registry order)
-    "agg_percentiles_price_tdigest",
-    "vec_centroid_shift_labels",
-    "vec_int8_quantize_error",
-    "vec_ann_hnsw_knn",
-    "vec_ann_hnsw_partitioned_knn",
-    "text_token_stats",
-    "text_bpe_token_count",
-    "text_quality_score",
-    "text_langid_heuristic",
-    "text_fingerprint",
-    "text_source_lang_profile",
-    "text_tfidf_top_terms",
-    "text_udtf_sentence_split",
-    "text_pii_redact",
-    "text_quality_filter_gopher",
-    "text_repetition_stats",
-    "dedup_exact_groups",
-    "dedup_exact_survivors",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_neardup_survivors",
-    "dedup_embedding_near_pairs",
-    "dedup_contamination_screen",
-    "dedup_levenshtein_part_names",
-    "stream_stateful_topk_per_user",
-    "stream_join_purchase_click_attribution",
-    "stream_enrich_purchase_customer",
-    "stream_retention_cohorts",
-    "pipeline_ingest_dedup_retention",
-    "graph_copurchase_degree_topk",
-    "graph_copurchase_triangles",
-    "graph_neighbors_of_node",
-    "graph_bfs_levels_tree",
-    "graph_pagerank_copurchase",
-    "graph_recursive_cte_descendants",
-    "graph_label_propagation_communities",
-    "q4_order_priority_check",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "pipeline_training_data_prep",
+    "src_stream_listing_pages",
+    "media_feature_extract",
+    # last checked round 9 (registry order)
+    "agg_rollup_region_nation",
+    "agg_cube_status_priority",
+    "agg_grouping_sets",
+    "join_inner_order_totals_per_segment",
+    "join_left_customers_order_counts",
+    "join_right_orders_all_customers",
+    "join_full_outer_customer_supplier_nations",
+    "join_semi_customers_with_open_orders",
+    "join_anti_customers_without_orders",
+    "join_broadcast_part_lineitem",
+    "join_range_theta_price_band",
+    "window_topk_orders_per_customer",
+    "window_rank_dense_rank",
+    "window_running_revenue_per_customer",
+    "window_range_frame_acctbal",
+    "sort_topk_orders_global",
+    "setop_union_intersect_except",
+    "setop_intersect_all_linestatus",
+    "scalar_orders_by_month",
+    "scalar_case_bucketing",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q22_idle_rich_customers",
+    "subq_scalar_orders_above_avg",
+    "subq_correlated_top_heavy_customers",
+    "subq_not_exists_parts_unordered_1997",
+    "window_ntile_percent_cume",
+    "window_first_last_nth_order",
+    "agg_minby_maxby_nation",
+    "sample_hash_mod_documents",
+    "sample_stratified_topn_per_source",
+    "sample_lang_quota",
+    "pack_chunks_per_source",
+    "pack_chunk_manifest",
+    "vec_mips_topk",
+    "text_domain_mix_weights",
+    "text_bigram_surprisal",
+    "sample_train_val_test_split",
+    "dedup_minhash_portable_est",
 )
 
 

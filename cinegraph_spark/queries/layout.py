@@ -232,3 +232,57 @@ def join_bloom_prefilter_effect(spark, sf_dir):
         .groupBy("category")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@register(
+    "layout_clustered_upsert_roundtrip",
+    """
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len, lang
+    FROM documents
+    WHERE NOT (doc_id % 11 = 3 AND doc_id % 7 <> 0)
+    """,
+    tags=("layout", "maintenance", "upsert", "llm-pipeline"),
+)
+def layout_clustered_upsert_roundtrip(spark, sf_dir):
+    """Clustered-layout MAINTENANCE semantics end-to-end (r13 — the
+    machinery behind every partition-pruned serving-table update,
+    `operators/maintenance.py::hash_layout_save/hash_layout_upsert`,
+    driver-checked with its own exact oracle): the documents corpus is
+    laid out by ``pmod(hash(doc_id), 16)`` partition directories, seeded
+    with STALE text for every doc_id % 7 == 0 row (truncated to 5 chars —
+    so a broken upsert is hash-visible, not silently absorbed), then one
+    upsert call delivers the true rows for those keys and deletes the
+    doc_id % 11 == 3 stragglers (disjoint from the upsert set — a key
+    both upserted and deleted in one call has no defined winner). Only
+    the directories those keys hash into are rewritten (dynamic partition
+    overwrite; untouched-file mtimes pinned in tests/test_layout.py) and
+    the final corpus equals plain SQL over the post-change state. At
+    100 TB this is the daily corpus-maintenance write path whose touched
+    partitions the serving-index updates then read back pruned. The
+    partition id itself never appears in the output — it is Spark-Murmur3
+    engine state, which is exactly why the layout stores it as identity
+    instead of asking an oracle to reproduce it."""
+    from cinegraph_spark.operators.maintenance import (
+        hash_layout_save,
+        hash_layout_upsert,
+        layout_read,
+    )
+    from cinegraph_spark.session import scratch_dir
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    path = scratch_dir("cg_layout_ups_") + "/corpus"
+    stale = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "text", F.substring("text", 1, 5)
+    )
+    initial = docs.filter(F.col("doc_id") % 7 != 0).unionByName(stale)
+    hash_layout_save(initial, path, "doc_id", 16)
+    upserts = docs.filter(F.col("doc_id") % 7 == 0)
+    deletes = docs.filter(
+        (F.col("doc_id") % 11 == 3) & (F.col("doc_id") % 7 != 0)
+    ).select("doc_id")
+    hash_layout_upsert(spark, path, upserts, deletes=deletes)
+    return layout_read(spark, path).select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+        "lang",
+    )

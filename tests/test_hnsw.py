@@ -1046,21 +1046,24 @@ def test_index_update_refuses_stale_layout_modulus(spark, sf_dir, tmp_path):
 
 
 def test_corpus_layout_guards(spark, sf_dir, tmp_path):
-    """hnsw_corpus_layout refuses an empty index (no identity to derive
-    the partition function from) and a key-type-drifted corpus (the
-    directories would disagree with the index's hash layout)."""
+    """hnsw_corpus_layout degrades a vacuous index to a modulus-1 layout
+    (no identity to mirror; the first real update refuses the modulus
+    mismatch with the named re-layout error) and refuses a
+    key-type-drifted corpus (the directories would disagree with the
+    index's hash layout)."""
     import pytest as _pytest
 
     from cinegraph_spark.operators.hnsw import (
         hnsw_corpus_layout,
         hnsw_index_save,
     )
+    from cinegraph_spark.operators.maintenance import layout_meta
 
     e = _emb_vid_v(spark, sf_dir)
     path = str(tmp_path / "idx")
     hnsw_index_save(e.filter("vec_id < 0"), path, n_partitions=4)
-    with _pytest.raises(ValueError, match="is empty"):
-        hnsw_corpus_layout(e, str(tmp_path / "c1"), path)
+    hnsw_corpus_layout(e, str(tmp_path / "c1"), path)
+    assert layout_meta(spark, str(tmp_path / "c1"))["n_partitions"] == 1
     hnsw_index_save(e, path, n_partitions=4)
     drifted = e.select(F.col("vec_id").cast("int").alias("vec_id"), "v")
     with _pytest.raises(ValueError, match="stored key type"):

@@ -96,6 +96,7 @@ HEADLINE = [
     "vec_ann_hnsw_stream_update_knn",
     # round 13 additions
     "layout_clustered_upsert_roundtrip",
+    "layout_compact_small_files_stats",
 ]
 
 

@@ -434,12 +434,17 @@ def hash_layout_upsert(
             .drop("_rn")
         )
     else:
+        # a key named in BOTH upserts and deletes resolves as the upsert
+        # (the anti-join removes the old row, the union writes the new
+        # one); no hint on the anti-join — `gone` is delta-sized, which
+        # a big backfill can push past broadcast range, and AQE already
+        # broadcasts it when it is small
         gone = up.select(key)
         if deletes is not None:
             gone = gone.unionByName(deletes.select(key))
-        new = old.join(
-            F.broadcast(gone.distinct()), key, "left_anti"
-        ).unionByName(incoming)
+        new = old.join(gone.distinct(), key, "left_anti").unionByName(
+            incoming
+        )
     new = new.localCheckpoint(eager=True)
     present = {
         int(r["part_id"])

@@ -89,17 +89,19 @@ CHANGED_CODE_CANARIES: tuple[str, ...] = (
 #: the registry in order under a ~50-query budget, so this list pins the
 #: front slots explicitly instead of relying on module import order.
 #: Round-13 rationale — per the r12 verdict's tasks 1-3: the five
-#: layout-re-plumbed serving-maintenance canaries lead, then the one
-#: never-driver-checked query (the clustered-layout upsert round-trip —
-#: the new machinery under its own exact oracle), then the five
-#: r8-stale queries the r12 verdict named (draining the oldest bucket
-#: entirely — freshness floor rises to r9), then the r9 bucket
-#: oldest-first (registry order within the bucket). 5 + 1 + 44 = 50;
-#: the remaining 11 r9 queries head the r14 queue.
+#: layout-re-plumbed serving-maintenance canaries lead, then the two
+#: never-driver-checked queries (the clustered-layout upsert round-trip
+#: and the small-file compaction round-trip — the new machinery and the
+#: previously test-only compact operator, each under its own exact
+#: oracle), then the five r8-stale queries the r12 verdict named
+#: (draining the oldest bucket entirely — freshness floor rises to r9),
+#: then the r9 bucket oldest-first (registry order within the bucket).
+#: 5 + 2 + 43 = 50; the remaining 12 r9 queries head the r14 queue.
 #: Every name here must exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     # never driver-checked
     "layout_clustered_upsert_roundtrip",
+    "layout_compact_small_files_stats",
     # last checked round 8 (registry order)
     "q15_top_supplier",
     "q17_small_quantity_revenue",
@@ -145,7 +147,6 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "text_domain_mix_weights",
     "text_bigram_surprisal",
     "sample_train_val_test_split",
-    "dedup_minhash_portable_est",
 )
 
 

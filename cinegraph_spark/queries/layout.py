@@ -286,3 +286,55 @@ def layout_clustered_upsert_roundtrip(spark, sf_dir):
         F.length("text").cast("long").alias("text_len"),
         "lang",
     )
+
+
+@register(
+    "layout_compact_small_files_stats",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("layout", "maintenance", "compaction"),
+)
+def layout_compact_small_files_stats(spark, sf_dir):
+    """Small-file compaction end-to-end under the driver's oracle gate
+    (r13 — `operators/maintenance.py::compact` had tests but no driver
+    row): the documents corpus is deliberately written as 48 tiny files
+    (the streaming-sink pathology every lake accumulates), compacted to
+    ~1 MB range-clustered files sorted by (lang, doc_id) — the layout
+    whose disjoint per-file footer stats make range predicates prunable
+    (`tests/test_maintenance.py` pins the disjointness; `compact` itself
+    validates the rewrite's row count BEFORE swapping, so a bad rewrite
+    never replaces good data) — and the query aggregates the
+    POST-compaction table. A row lost or duplicated anywhere in the
+    fragment→rewrite→swap cycle breaks the hash against plain SQL over
+    the original corpus; a rewrite that failed to actually reduce the
+    file count raises in-query instead of passing data through."""
+    from cinegraph_spark.operators.maintenance import compact
+    from cinegraph_spark.session import scratch_dir
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = scratch_dir("cg_compact_") + "/docs"
+    docs.repartition(48).write.parquet(path)
+    report = compact(spark, path, target_file_mb=1, sort_by=["lang", "doc_id"])
+    if (
+        report["before"]["n_files"] > 1
+        and report["after"]["n_files"] >= report["before"]["n_files"]
+    ):
+        raise ValueError(
+            "layout_compact_small_files_stats: compaction did not reduce "
+            f"the file count ({report['before']['n_files']} -> "
+            f"{report['after']['n_files']})"
+        )
+    return (
+        spark.read.parquet(path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )

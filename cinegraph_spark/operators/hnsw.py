@@ -958,7 +958,7 @@ def hnsw_index_stream_update(
     spark = base.sparkSession
     # no driver-local makedirs here (r12 ADVICE): land_dir may live on
     # HDFS/an object store, where os.makedirs would create a spurious
-    # LOCAL directory; the first batch's parquet write creates the real
+    # LOCAL directory; the first batch's layout seed creates the real
     # one through the path's own Hadoop FileSystem
     if checkpoint_dir is None:
         # stable default derived from the landing zone, NOT a throwaway

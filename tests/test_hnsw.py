@@ -1126,3 +1126,70 @@ def test_stream_long_run_per_batch_cost_is_bounded(spark, sf_dir, tmp_path):
     full = str(tmp_path / "full")
     hnsw_index_save(e, full, n_partitions=8)
     assert _blob_rows(spark, path) == _blob_rows(spark, full)
+
+
+def test_index_update_rewrites_only_touched_blob_directories(
+    spark, sf_dir, tmp_path
+):
+    """r13 write-∝-change pin: the serving table is partitioned by
+    part_id and an update replaces ONLY the touched sub-index
+    directories — every untouched blob FILE keeps its path and mtime
+    (blobs embed their partition's vectors, so carrying them through a
+    full-table rewrite would be a corpus-sized write per delta)."""
+    import os as _os
+
+    from cinegraph_spark.operators.hnsw import hnsw_index_save, hnsw_index_update
+
+    e = _emb_vid_v(spark, sf_dir)
+    path = str(tmp_path / "idx")
+    hnsw_index_save(e, path, n_partitions=8)
+    one = e.filter(F.col("vec_id") == 7).select("vec_id")
+    touched = {
+        int(
+            e.filter(F.col("vec_id") == 7)
+            .select(F.pmod(F.hash("vec_id"), F.lit(8)).cast("int").alias("p"))
+            .first()["p"]
+        )
+    }
+
+    def snapshot():
+        out = {}
+        for root, _dirs, names in _os.walk(path):
+            if any(
+                f"part_id={p}" == _os.path.basename(root) for p in touched
+            ):
+                continue
+            for n in names:
+                p_ = _os.path.join(root, n)
+                out[_os.path.relpath(p_, path)] = _os.stat(p_).st_mtime_ns
+        return out
+
+    before = snapshot()
+    stats = hnsw_index_update(e, one, path)
+    assert set(stats["rebuilt_partitions"]) == touched
+    after = snapshot()
+    # untouched directories: identical file sets, identical mtimes
+    # (_SUCCESS at the root is rewritten by the commit protocol — drop it)
+    before.pop("_SUCCESS", None)
+    after.pop("_SUCCESS", None)
+    assert after == before
+
+
+def test_index_update_refuses_flat_pre_r13_table(spark, sf_dir, tmp_path):
+    """A flat (non-directory-partitioned) serving table written by
+    pre-r13 code cannot take a dynamic partition overwrite — directories
+    would land NEXT TO the stale flat files and the table would serve
+    both; the named rebuild error fires instead."""
+    import pytest as _pytest
+
+    from cinegraph_spark.operators.hnsw import hnsw_index_save, hnsw_index_update
+
+    e = _emb_vid_v(spark, sf_dir)
+    path = str(tmp_path / "idx")
+    flat = str(tmp_path / "flat")
+    hnsw_index_save(e, path, n_partitions=4)
+    # materialize the same rows as a FLAT table (part_id as data column)
+    spark.read.parquet(path).write.parquet(flat)
+    one = e.filter(F.col("vec_id") == 1).select("vec_id")
+    with _pytest.raises(ValueError, match="this one is flat"):
+        hnsw_index_update(e, one, flat)

@@ -465,6 +465,124 @@ def hash_layout_upsert(
     return {"touched_partitions": changed, "dropped_partitions": dropped}
 
 
+def _escaped_part_dir(spark: SparkSession, part_col: str, value) -> str:
+    """Partition directory name for a value, with Hive path escaping (a
+    string cell like ``a=b/c`` must address the directory Spark actually
+    wrote). Falls back to plain formatting if the catalyst helper is
+    unavailable."""
+    try:
+        esc = (
+            spark._jvm.org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.escapePathName(str(value))
+        )
+    except Exception:
+        esc = str(value)
+    return f"{part_col}={esc}"
+
+
+def column_layout_upsert(
+    spark: SparkSession,
+    path: str,
+    upserts: DataFrame,
+    key: str,
+    deletes: DataFrame | None = None,
+) -> dict:
+    """Maintain a :func:`column_layout_save` layout (cell-partitioned
+    corpus, e.g. the IVF tier) at cost ∝ the change: replace only the
+    cell DIRECTORIES the upsert/delete rows name. The column-layout
+    sibling of :func:`hash_layout_upsert`, with the same delta-contract
+    difference as `ivf_centroids_update` vs `hnsw_index_update`: a row's
+    cell cannot be derived from its key, so
+
+    - ``upserts`` carry their (new) cell value on the row;
+    - ``deletes`` must carry BOTH ``key`` and the cell the row
+      currently LIVES in;
+    - a row MOVED between cells must appear in ``upserts`` (new cell)
+      AND in ``deletes`` (old cell) — naming only the new cell would
+      leave a stale duplicate in the old directory, which no
+      touched-directory scheme can detect without the full scan this
+      function exists to avoid.
+
+    NULL cells (unaddressable directories) and NULL keys are refused.
+    Touched directories are replaced via dynamic partition overwrite
+    after an eager ``localCheckpoint`` (the new content reads the
+    directories being replaced); emptied cells' directories are dropped
+    (Hive-escaped names, so string cells with path metacharacters still
+    address the right directory). Idempotent under replay; crash window
+    is one directory, restored by re-running the same upsert."""
+    from pyspark.sql import functions as F
+
+    meta = layout_meta(spark, path)
+    if meta["kind"] != "column":
+        raise ValueError(
+            f"column_layout_upsert: layout at {path} is kind "
+            f"{meta['kind']!r}, not a column layout"
+        )
+    pc, part_ddl = meta["part_col"], meta["part_ddl"]
+
+    def _checked(df: DataFrame, what: str, need_key: bool) -> DataFrame:
+        n_null = df.filter(F.col(pc).try_cast(part_ddl).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"column_layout_upsert: {n_null} {what} row(s) have a "
+                f"NULL or {part_ddl}-uncastable {pc}; a NULL cell cannot "
+                "be addressed as a directory — fix the input"
+            )
+        if need_key:
+            n_badkey = df.filter(F.col(key).isNull()).count()
+            if n_badkey:
+                raise ValueError(
+                    f"column_layout_upsert: {n_badkey} {what} row(s) "
+                    f"have a NULL {key}; keyed replacement cannot "
+                    "address them — fix the input"
+                )
+        return df
+
+    up = _checked(upserts, "upsert", need_key=True)
+    cell_frames = [up.select(F.col(pc).try_cast(part_ddl).alias(pc))]
+    if deletes is not None:
+        deletes = _checked(deletes, "delete", need_key=True)
+        cell_frames.append(
+            deletes.select(F.col(pc).try_cast(part_ddl).alias(pc))
+        )
+    cells_df = cell_frames[0]
+    for f in cell_frames[1:]:
+        cells_df = cells_df.unionByName(f)
+    changed = sorted(r[pc] for r in cells_df.distinct().collect())
+    if not changed:
+        return {"touched_cells": [], "dropped_cells": []}
+
+    old = layout_pruned_read(spark, path, changed)
+    gone = up.select(key)
+    if deletes is not None:
+        gone = gone.unionByName(deletes.select(key))
+    incoming = up.withColumn(pc, F.col(pc).try_cast(part_ddl))
+    new = old.join(gone.distinct(), key, "left_anti").unionByName(
+        incoming
+    )
+    new = new.localCheckpoint(eager=True)
+    present = {r[pc] for r in new.select(pc).distinct().collect()}
+    (
+        new.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(pc)
+        .parquet(path)
+    )
+    dropped = [c for c in changed if c not in present]
+    if dropped:
+        fs, _ = _hadoop_fs(spark, path)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path
+        for c in dropped:
+            fs.delete(
+                jpath(
+                    f"{path.rstrip('/')}/"
+                    + _escaped_part_dir(spark, pc, c)
+                ),
+                True,
+            )
+    return {"touched_cells": changed, "dropped_cells": dropped}
+
+
 def file_key_ranges(spark: SparkSession, path: str, key: str) -> list[tuple]:
     """Per-file (min, max) of ``key`` — the footer stats a range-clustered
     layout makes disjoint. One map-side aggregation grouped by file name."""

@@ -754,23 +754,26 @@ def vec_ann_hnsw_reshard_knn(spark, sf_dir):
 )
 def vec_ann_ivf_incremental_topk(spark, sf_dir):
     """IVF serving-table MAINTENANCE (r12; re-plumbed r13 onto the
-    cell-partitioned corpus layout): the per-cell centroid table is saved
-    over yesterday's corpus (vec_id % 5 != 0), the post-change corpus is
-    laid out by its cell column (`ivf_corpus_layout` — the physical
+    cell-partitioned corpus layout): the per-cell centroid table is
+    saved over yesterday's corpus (vec_id % 5 != 0), yesterday's corpus
+    is laid out by its cell column (`ivf_corpus_layout` — the physical
     layout `operators/similarity.py` has always named as the 100 TB IVF
-    contract), and today's arrivals land via `ivf_centroids_update` with
-    the corpus passed as that layout's PATH — the touched-cell recompute
-    reads ONLY those cells' partition directories (PartitionFilters
-    prune; scan ∝ change, closing the r12 weak finding at the IVF tier).
-    `ivf_index_topk` then probes the PERSISTED table (top-2 cells by
-    stored-centroid cosine, exact cosine top-10 within them). The cell
-    sums are decimal(38,18) — exact, order-independent — so the updated
-    table is bit-identical to a full rebuild in BOTH corpus modes
-    (pinned in tests/test_ivf_serving.py) and the oracle can compute
-    centroids over the final corpus directly. Mirrors
+    contract), today's arrivals merge into that layout via
+    `column_layout_upsert` (only the cell DIRECTORIES the arrivals name
+    are rewritten), and `ivf_centroids_update` runs with the corpus
+    passed as the layout's PATH — the touched-cell recompute reads ONLY
+    those cells' directories (PartitionFilters prune; scan ∝ change,
+    closing the r12 weak finding at the IVF tier). `ivf_index_topk`
+    then probes the PERSISTED table (top-2 cells by stored-centroid
+    cosine, exact cosine top-10 within them). The cell sums are
+    decimal(38,18) — exact, order-independent — so the updated table is
+    bit-identical to a full rebuild in BOTH corpus modes (pinned in
+    tests/test_ivf_serving.py) and the oracle can compute centroids
+    over the final corpus directly. Mirrors
     `vec_ann_hnsw_incremental_knn` at the IVF tier (the reference's
     persistent pgvector index, `db/models/embedding.py:15-17`,
     maintained under growth)."""
+    from cinegraph_spark.operators.maintenance import column_layout_upsert
     from cinegraph_spark.operators.similarity import (
         ivf_centroids_save,
         ivf_centroids_update,
@@ -786,10 +789,11 @@ def vec_ann_ivf_incremental_topk(spark, sf_dir):
     path = scratch + "/centroids"
     corpus_path = scratch + "/corpus"
     yesterday = corpus.filter(F.col("vec_id") % 5 != 0)
-    delta = corpus.filter(F.col("vec_id") % 5 == 0).select("label")
+    arrivals = corpus.filter(F.col("vec_id") % 5 == 0)
     ivf_centroids_save(yesterday, path)
-    ivf_corpus_layout(corpus, corpus_path)
-    ivf_centroids_update(corpus_path, delta, path)
+    ivf_corpus_layout(yesterday, corpus_path)
+    column_layout_upsert(spark, corpus_path, arrivals, "vec_id")
+    ivf_centroids_update(corpus_path, arrivals.select("label"), path)
     out = ivf_index_topk(corpus, q, path, nprobe=2, k=10)
     return out.select(
         "vec_id", F.col("label").cast("long").alias("label"), "cos_sim"

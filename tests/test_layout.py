@@ -250,3 +250,88 @@ def test_column_layout_roundtrip_and_cell_type_restored(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL label"):
         column_layout_save(withnull, str(tmp_path / "bad"), "label")
+
+
+def test_column_layout_upsert_touches_only_named_cells(spark, tmp_path):
+    """The IVF-tier corpus maintenance path: only the cell directories
+    the upsert/delete rows name are rewritten; untouched cells' files
+    keep their mtimes; an emptied cell's directory drops; a moved row
+    (upsert new cell + delete old cell) leaves no stale duplicate."""
+    from cinegraph_spark.operators.maintenance import column_layout_upsert
+
+    e = spark.range(0, 40).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 4).cast("int").alias("label"),
+        (F.col("id") * 2).alias("x"),
+    )
+    p = str(tmp_path / "cells")
+    column_layout_save(e, p, "label")
+
+    def mtimes(skip_cells):
+        out = {}
+        skip = {f"label={c}" for c in skip_cells}
+        for root, _dirs, names in os.walk(p):
+            if os.path.basename(root) in skip:
+                continue
+            for n in names:
+                if n.startswith(("_", ".")):
+                    continue
+                f = os.path.join(root, n)
+                out[os.path.relpath(f, p)] = os.stat(f).st_mtime_ns
+        return out
+
+    # update key 1 within its cell (1 % 4 == 1) and move key 2 from
+    # cell 2 to cell 3 (upsert in 3, delete from 2) — cell 0 untouched
+    ups = spark.createDataFrame(
+        [(1, 1, 999), (2, 3, 888)], "vec_id long, label int, x long"
+    )
+    dels = spark.createDataFrame([(2, 2)], "vec_id long, label int")
+    before = mtimes(skip_cells={1, 2, 3})
+    res = column_layout_upsert(spark, p, ups, "vec_id", deletes=dels)
+    assert set(res["touched_cells"]) == {1, 2, 3}
+    assert mtimes(skip_cells={1, 2, 3}) == before  # cell 0 untouched
+    rows = {
+        r["vec_id"]: (r["label"], r["x"])
+        for r in layout_read(spark, p).collect()
+    }
+    assert rows[1] == (1, 999)
+    assert rows[2] == (3, 888)  # moved, exactly one copy
+    assert len(rows) == 40
+
+    # empty a whole cell: every key with label == 0 deleted
+    doomed = e.filter(F.col("label") == 0).select("vec_id", "label")
+    res = column_layout_upsert(
+        spark,
+        p,
+        e.filter("vec_id < 0").select("vec_id", "label", "x"),
+        "vec_id",
+        deletes=doomed,
+    )
+    assert res["dropped_cells"] == [0]
+    assert not os.path.exists(os.path.join(p, "label=0"))
+
+
+def test_column_layout_upsert_guards(spark, tmp_path):
+    from cinegraph_spark.operators.maintenance import column_layout_upsert
+
+    e = spark.range(0, 12).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 3).cast("int").alias("label"),
+    )
+    p = str(tmp_path / "cells")
+    column_layout_save(e, p, "label")
+    null_cell = spark.createDataFrame(
+        [(1, None)], "vec_id long, label int"
+    )
+    with pytest.raises(ValueError, match="NULL or int-uncastable label"):
+        column_layout_upsert(spark, p, null_cell, "vec_id")
+    null_key = spark.createDataFrame(
+        [(None, 1)], "vec_id long, label int"
+    )
+    with pytest.raises(ValueError, match="NULL vec_id"):
+        column_layout_upsert(spark, p, null_key, "vec_id")
+    # wrong layout kind
+    h = str(tmp_path / "hashlay")
+    hash_layout_save(e, h, "vec_id", 4)
+    with pytest.raises(ValueError, match="not a column layout"):
+        column_layout_upsert(spark, h, e.limit(1), "vec_id")

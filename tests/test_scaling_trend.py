@@ -59,6 +59,17 @@ FAMILIES = [
     "dedup_repeated_span_mask",
     "dedup_minhash_incremental_screen",
     "sample_token_budget_greedy",
+    # r13 additions: the serving-maintenance scenario (layout save +
+    # upsert + pruned update + search — every stage is partition-local,
+    # so wall tracks corpus/partitions; a regression that re-introduced
+    # a full-corpus scan or write per delta would track corpus through
+    # one path and break the ratio at bigger steps, while output stays
+    # fixed at n_queries*k) and the clustered-layout upsert round-trip
+    # (output is 1 row/doc; touched-directory replacement keeps work
+    # ~linear in the upsert+delete volume, which scales with the corpus
+    # in this scenario)
+    "vec_ann_hnsw_incremental_knn",
+    "layout_clustered_upsert_roundtrip",
 ]
 
 

@@ -317,8 +317,14 @@ def layout_pruned_read(
 
     meta = layout_meta(spark, path)
     raw = _layout_raw(spark, path, meta)
-    if meta["part_col"] in raw.columns:
-        raw = raw.filter(F.col(meta["part_col"]).isin(list(parts)))
+    parts = list(parts)
+    if not parts:
+        # empty probe set (e.g. an empty centroid table): zero rows by
+        # contract — lit(False) rather than isin([]), which PySpark
+        # rejects
+        raw = raw.filter(F.lit(False))
+    elif meta["part_col"] in raw.columns:
+        raw = raw.filter(F.col(meta["part_col"]).isin(parts))
     # else: zero-partition layout — nothing to prune, zero rows anyway
     return _cast_part(raw, meta)
 

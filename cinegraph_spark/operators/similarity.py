@@ -76,17 +76,15 @@ def ivf_cosine_topk(
     )
 
 
-def _probe_then_exact_topk(e, q, cents, nprobe, k, label, v):
-    """Shared IVF body (r12 review: was duplicated between the
-    rebuild-per-query and persisted-table forms): pick the ``nprobe``
-    cells whose centroid is most cosine-similar to the broadcast query,
-    then exact cosine top-k within them. The probe similarity is ROUNDED
-    to 9 decimals before ranking (repo convention: float aggregates round
-    on both sides) so a last-ulp difference between centroid computations
-    — IEEE avg here, exact decimal means in the persisted table, DuckDB
-    avg in the oracles — collapses into a tie broken deterministically by
-    label instead of flipping the probe set."""
-    probed = (
+def _probe_ranking(cents, q, nprobe, label):
+    """The probe: rank stored/derived centroids by cosine against the
+    broadcast query. ROUNDED to 9 decimals before ranking (repo
+    convention: float aggregates round on both sides) so a last-ulp
+    difference between centroid computations — IEEE avg, exact decimal
+    means in the persisted table, DuckDB avg in the oracles — collapses
+    into a tie broken deterministically by label instead of flipping the
+    probe set."""
+    return (
         cents.crossJoin(F.broadcast(q))
         .select(
             label,
@@ -94,11 +92,15 @@ def _probe_then_exact_topk(e, q, cents, nprobe, k, label, v):
         )
         .orderBy(F.desc("csim"), F.asc(label))
         .limit(nprobe)
-        .select(label)
     )
+
+
+def _exact_topk_within(cand, q, k, label, v):
+    """Exact cosine top-k among an already-restricted candidate frame —
+    shared tail of every IVF search form so the emit/tie-break contract
+    lives in exactly one place."""
     return (
-        e.join(F.broadcast(probed), label)
-        .crossJoin(F.broadcast(q))
+        cand.crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             F.col(label),
@@ -106,6 +108,18 @@ def _probe_then_exact_topk(e, q, cents, nprobe, k, label, v):
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
+    )
+
+
+def _probe_then_exact_topk(e, q, cents, nprobe, k, label, v):
+    """Shared IVF body (r12 review: was duplicated between the
+    rebuild-per-query and persisted-table forms): pick the ``nprobe``
+    cells whose centroid is most cosine-similar to the broadcast query
+    (see :func:`_probe_ranking` for the rounding contract), then exact
+    cosine top-k within them."""
+    probed = _probe_ranking(cents, q, nprobe, label).select(label)
+    return _exact_topk_within(
+        e.join(F.broadcast(probed), label), q, k, label, v
     )
 
 
@@ -530,7 +544,7 @@ def ivf_centroids_update(
 
 
 def ivf_index_topk(
-    e: DataFrame,
+    e: DataFrame | str,
     q: DataFrame,
     path: str,
     nprobe: int = 2,
@@ -543,13 +557,47 @@ def ivf_index_topk(
     stored centroid is most cosine-similar to the query, then exact
     cosine top-k within them (same semantics as the rebuild-per-query
     :func:`ivf_cosine_topk`, minus the centroid pass: the table is ≤
-    #cells rows, always broadcast, and with the corpus parquet
-    partitioned by cell the candidate read is partition pruning)."""
-    cents = (
-        e.sparkSession.read.parquet(path)
-        .select(label, F.col("centroid").alias("cv"))
+    #cells rows, always broadcast).
+
+    ``e`` is the corpus — a DataFrame, or the PATH of an
+    :func:`ivf_corpus_layout` cell-partitioned layout. The layout form
+    DELIVERS the claim the IVF docstrings have always made: the
+    candidate read is PARTITION PRUNING — the ``nprobe`` probed labels
+    are collected (≤ nprobe rows off a ≤ #cells table, the same
+    documented small-side step as the ANN query-batch collects) and the
+    corpus scan prunes to exactly those cell directories at planning
+    time (``PartitionFilters``, pinned in tests/test_ivf_serving.py
+    with a poisoned-unprobed-cell proof), so a query reads
+    nprobe/#cells of the data instead of filtering a full scan. Spark's
+    dynamic partition pruning was measured NOT to fire for this
+    broadcast-limit shape, hence the explicit collect. The DataFrame
+    form keeps the declarative broadcast-join filter (full scan — right
+    for a corpus that is not laid out)."""
+    from cinegraph_spark.operators.maintenance import (
+        layout_meta,
+        layout_pruned_read,
     )
-    return _probe_then_exact_topk(e, q, cents, nprobe, k, label, v)
+
+    corpus_path = e if isinstance(e, str) else None
+    spark = q.sparkSession if corpus_path is not None else e.sparkSession
+    cents = spark.read.parquet(path).select(
+        label, F.col("centroid").alias("cv")
+    )
+    if corpus_path is None:
+        return _probe_then_exact_topk(e, q, cents, nprobe, k, label, v)
+    lmeta = layout_meta(spark, corpus_path)
+    if lmeta["kind"] != "column" or lmeta["part_col"] != label:
+        raise ValueError(
+            f"ivf_index_topk: layout at {corpus_path} is not "
+            f"partitioned by the cell column {label!r}; rebuild it with "
+            "ivf_corpus_layout"
+        )
+    probed = [
+        r[label]
+        for r in _probe_ranking(cents, q, nprobe, label).collect()
+    ]
+    cand = layout_pruned_read(spark, corpus_path, probed)
+    return _exact_topk_within(cand, q, k, label, v)
 
 
 def _pq_part_expr(n_partitions: int):
@@ -801,7 +849,7 @@ def pq_codes_update(
 
 
 def pq_index_topk(
-    e: DataFrame,
+    e: DataFrame | str,
     q: DataFrame,
     path: str,
     k: int = 10,
@@ -812,26 +860,72 @@ def pq_index_topk(
     state — the serving read path the codes layout exists for: the ADC
     pass scans ONLY the codes table (~4m bytes/vector; the full vectors
     are never opened), keeps the ``rerank`` best candidates
-    (TakeOrdered), and joins just those back to the corpus for the exact
-    cosine re-rank to top-``k``. Same semantics as the
-    encode-per-query :func:`pq_topk` (pinned equal in
-    tests/test_pq_serving.py); same rows-only correctness gate as the PQ
-    family (engine-specific codebook numerics), with recall pinned
-    against brute force."""
-    spark = e.sparkSession
-    codebooks, _, _, codes_schema = _pq_read_state(spark, path)
+    (TakeOrdered), and re-ranks just those full vectors to top-``k``.
+
+    ``e`` is the corpus — a DataFrame, or the PATH of a
+    :func:`pq_corpus_layout` hash layout. The layout form completes the
+    read-side scan story: the candidate (vec_id, part_id) pairs are
+    collected (≤ ``rerank`` rows — the codes scan already carries
+    part_id as its partition column, so no extra hash job), and the
+    re-rank reads ONLY the candidates' partition directories
+    (``PartitionFilters``) with the vec_id filter pushed into those
+    files' row groups — the full corpus is never scanned to fetch ~k
+    vectors. The DataFrame form keeps the declarative broadcast-join
+    fetch (full scan filtered by join — right for a corpus that is not
+    laid out). Same semantics either way, pinned equal to the
+    encode-per-query :func:`pq_topk` in tests/test_pq_serving.py; same
+    rows-only correctness gate as the PQ family (engine-specific
+    codebook numerics), with recall pinned against brute force."""
+    from cinegraph_spark.operators.maintenance import (
+        layout_meta,
+        layout_pruned_read,
+    )
+
+    corpus_path = e if isinstance(e, str) else None
+    spark = q.sparkSession if corpus_path is not None else e.sparkSession
+    codebooks, n_partitions, key_ddl, codes_schema = _pq_read_state(
+        spark, path
+    )
     codes = spark.read.schema(codes_schema).parquet(path + "/codes")
     cand = (
         codes.crossJoin(F.broadcast(q))
         .select(
-            "vec_id", _pq_adc_expr(codebooks, F.col("code")).alias("adc_score")
+            "vec_id",
+            "part_id",
+            _pq_adc_expr(codebooks, F.col("code")).alias("adc_score"),
         )
         .orderBy(F.desc("adc_score"), F.asc("vec_id"))
         .limit(rerank)
     )
+    if corpus_path is None:
+        fetched = e.join(F.broadcast(cand.select("vec_id")), "vec_id")
+    else:
+        lmeta = layout_meta(spark, corpus_path)
+        if lmeta["kind"] != "hash_key" or lmeta["key"] != "vec_id":
+            raise ValueError(
+                f"pq_index_topk: layout at {corpus_path} is not a vec_id "
+                "hash layout; rebuild it with pq_corpus_layout"
+            )
+        if (
+            int(lmeta["n_partitions"]) != n_partitions
+            or lmeta["key_ddl"] != key_ddl
+        ):
+            raise ValueError(
+                f"pq_index_topk: corpus layout at {corpus_path} "
+                f"(n_partitions={lmeta['n_partitions']}, "
+                f"key_ddl={lmeta['key_ddl']}) does not match the state "
+                f"(n_partitions={n_partitions}, key_ddl={key_ddl}); the "
+                "candidates' part_ids would address the wrong "
+                "directories — re-run pq_corpus_layout"
+            )
+        rows = cand.select("vec_id", "part_id").collect()
+        ids = [r["vec_id"] for r in rows]
+        parts = sorted({int(r["part_id"]) for r in rows})
+        fetched = layout_pruned_read(spark, corpus_path, parts).filter(
+            F.col("vec_id").isin(ids) if ids else F.lit(False)
+        )
     return (
-        e.join(F.broadcast(cand.select("vec_id")), "vec_id")
-        .crossJoin(F.broadcast(q))
+        fetched.crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             F.round(V.cosine(F.col(v), F.col("qv")), 6).alias("cos_sim"),

@@ -794,7 +794,10 @@ def vec_ann_ivf_incremental_topk(spark, sf_dir):
     ivf_corpus_layout(yesterday, corpus_path)
     column_layout_upsert(spark, corpus_path, arrivals, "vec_id")
     ivf_centroids_update(corpus_path, arrivals.select("label"), path)
-    out = ivf_index_topk(corpus, q, path, nprobe=2, k=10)
+    # the search ALSO reads the layout: the probed cells' directories
+    # are the only corpus data the query opens (r13 — the IVF
+    # partition-pruned read contract, delivered)
+    out = ivf_index_topk(corpus_path, q, path, nprobe=2, k=10)
     return out.select(
         "vec_id", F.col("label").cast("long").alias("label"), "cos_sim"
     )
@@ -920,4 +923,6 @@ def vec_ann_pq_served_topk(spark, sf_dir):
     pq_codes_save(yesterday, books, path, n_partitions=4)
     pq_corpus_layout(corpus, corpus_path, path)
     pq_codes_update(corpus_path, delta, path)
-    return pq_index_topk(corpus, q, path, k=10, rerank=80)
+    # the rerank ALSO reads the layout: only the candidates' partition
+    # directories are opened to fetch the ~80 full vectors (r13)
+    return pq_index_topk(corpus_path, q, path, k=10, rerank=80)

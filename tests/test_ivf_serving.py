@@ -273,3 +273,50 @@ def test_update_layout_mode_requires_cell_partitioning(
     delta = e.limit(1).select("label")
     with pytest.raises(ValueError, match="ivf_corpus_layout"):
         ivf_centroids_update(wrong, delta, path)
+
+
+def test_index_topk_layout_mode_equals_dataframe_mode_and_prunes(
+    spark, sf_dir, tmp_path
+):
+    """r13 read-path contract: ivf_index_topk with the corpus as a cell
+    layout returns exactly the DataFrame-mode answer, and the candidate
+    read opens ONLY the probed cells' directories — proven by poisoning
+    an unprobed cell with a corrupt file, and by the PartitionFilters
+    plan pin."""
+    import os
+
+    from cinegraph_spark.operators.similarity import (
+        ivf_centroids_save,
+        ivf_corpus_layout,
+        ivf_index_topk,
+    )
+    from cinegraph_spark.plans import formatted_plan
+
+    e = _corpus(spark, sf_dir)
+    corpus = e.filter(F.col("vec_id") != 0)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    path = str(tmp_path / "cent")
+    lay = str(tmp_path / "corpus")
+    ivf_centroids_save(corpus, path)
+    ivf_corpus_layout(corpus, lay)
+
+    want = sorted(
+        map(tuple, ivf_index_topk(corpus, q, path, nprobe=2, k=10).collect())
+    )
+    served = ivf_index_topk(lay, q, path, nprobe=2, k=10)
+    plan = formatted_plan(served)
+    assert "PartitionFilters" in plan
+    assert sorted(map(tuple, served.collect())) == want
+
+    # poison a cell outside the probe set: the layout search must never
+    # open it (the probed labels are the 2 best cells; poison the worst)
+    probed = {t[1] for t in want}
+    all_labels = {r["label"] for r in corpus.select("label").distinct().collect()}
+    victims = sorted(all_labels - probed)
+    assert victims, "fixture must have more cells than nprobe"
+    with open(
+        os.path.join(lay, f"label={victims[0]}", "poison.parquet"), "wb"
+    ) as f:
+        f.write(b"not parquet")
+    again = ivf_index_topk(lay, q, path, nprobe=2, k=10)
+    assert sorted(map(tuple, again.collect())) == want

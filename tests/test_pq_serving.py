@@ -313,3 +313,40 @@ def test_update_layout_mode_bit_identical_and_stale_n_refused(
     hash_layout_save(e, stale, "vec_id", 7)  # wrong modulus for the state
     with pytest.raises(ValueError, match="re-run pq_corpus_layout"):
         pq_codes_update(stale, delta, p_lay)
+
+
+def test_index_topk_layout_rerank_equals_dataframe_mode(
+    spark, sf_dir, tmp_path
+):
+    """r13 read-path contract: pq_index_topk with the corpus as a hash
+    layout fetches the rerank vectors from ONLY the candidates'
+    partition directories (PartitionFilters + pushed vec_id filter) and
+    returns exactly the DataFrame-mode answer; a layout whose identity
+    differs from the state is refused."""
+    from cinegraph_spark.operators.maintenance import hash_layout_save
+    from cinegraph_spark.operators.similarity import (
+        pq_codes_save,
+        pq_corpus_layout,
+        pq_index_topk,
+    )
+
+    e = _corpus(spark, sf_dir)
+    books = _books(spark, sf_dir)
+    path = str(tmp_path / "state")
+    lay = str(tmp_path / "corpus")
+    q = e.limit(1).select(F.col("v").alias("qv"))
+    pq_codes_save(e, books, path, n_partitions=4)
+    pq_corpus_layout(e, lay, path)
+
+    want = sorted(
+        map(tuple, pq_index_topk(e, q, path, k=5, rerank=20).collect())
+    )
+    got = sorted(
+        map(tuple, pq_index_topk(lay, q, path, k=5, rerank=20).collect())
+    )
+    assert got == want
+
+    stale = str(tmp_path / "stale")
+    hash_layout_save(e, stale, "vec_id", 9)
+    with pytest.raises(ValueError, match="re-run pq_corpus_layout"):
+        pq_index_topk(stale, q, path, k=5, rerank=20).collect()

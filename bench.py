@@ -97,6 +97,7 @@ HEADLINE = [
     # round 13 additions
     "layout_clustered_upsert_roundtrip",
     "layout_compact_small_files_stats",
+    "pipeline_stream_ingest_compact",
 ]
 
 

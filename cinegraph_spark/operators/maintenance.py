@@ -70,11 +70,20 @@ def compact(
     path: str,
     target_file_mb: float = 128,
     sort_by: list[str] | None = None,
+    recursive: bool = False,
 ) -> dict:
     """Rewrite the parquet dataset at ``path`` into ~``target_file_mb``
     files; with ``sort_by``, range-partition on those keys and sort within
     partitions so each output file owns a disjoint key range (footer-stat
     pruning layout). Returns before/after :func:`dataset_stats`.
+
+    ``recursive`` reads nested plain-directory containers (the
+    batch-id-keyed landing zones the streaming drains write —
+    `streaming/windows.py::run_availablenow_to_parquet`); the rewrite
+    FLATTENS them, which is exactly the fold-the-landed-zone maintenance
+    a long-lived stream sink needs. Only safe once the stream is
+    quiescent — a drain writing new batch directories mid-compaction
+    would lose them to the swap.
 
     The shuffle is one exchange sized by the data/target ratio — the same
     cost OPTIMIZE pays anywhere; at 100 TB you compact per partition (pass
@@ -95,7 +104,10 @@ def compact(
 
     before = dataset_stats(path)
     n_out = max(1, math.ceil(before["total_bytes"] / (target_file_mb * (1 << 20))))
-    df = spark.read.parquet(path)
+    reader = spark.read
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.parquet(path)
     n_rows = df.count()
     if sort_by:
         out = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)

@@ -96,12 +96,15 @@ CHANGED_CODE_CANARIES: tuple[str, ...] = (
 #: oracle), then the five r8-stale queries the r12 verdict named
 #: (draining the oldest bucket entirely — freshness floor rises to r9),
 #: then the r9 bucket oldest-first (registry order within the bucket).
-#: 5 + 2 + 43 = 50; the remaining 12 r9 queries head the r14 queue.
+#: 5 + 3 + 42 = 50; the remaining 13 r9 queries head the r14 queue
+#: (the third never slot is the streaming-ingest landed-zone compaction
+#: composite).
 #: Every name here must exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     # never driver-checked
     "layout_clustered_upsert_roundtrip",
     "layout_compact_small_files_stats",
+    "pipeline_stream_ingest_compact",
     # last checked round 8 (registry order)
     "q15_top_supplier",
     "q17_small_quantity_revenue",
@@ -146,7 +149,6 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "vec_mips_topk",
     "text_domain_mix_weights",
     "text_bigram_surprisal",
-    "sample_train_val_test_split",
 )
 
 

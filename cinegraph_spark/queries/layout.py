@@ -338,3 +338,70 @@ def layout_compact_small_files_stats(spark, sf_dir):
             F.sum("doc_id").cast("bigint").alias("id_checksum"),
         )
     )
+
+
+@register(
+    "pipeline_stream_ingest_compact",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("pipeline", "streaming", "maintenance", "compaction",
+          "llm-pipeline"),
+)
+def pipeline_stream_ingest_compact(spark, sf_dir):
+    """Landed-zone maintenance end-to-end (r13 — the r12 verdict's last
+    optional candidate): a document stream is ingested as THREE real
+    micro-batches through the production foreachBatch parquet drain
+    (`streaming/windows.py::run_availablenow_to_parquet` — batch-id-keyed
+    subdirectories, the idempotent at-least-once landing every streaming
+    sink accumulates), then the landed zone is folded flat and
+    range-clustered by `compact(recursive=True)` — the maintenance job a
+    long-lived ingest needs so scan planning does not drown in
+    batch-sized files — and the query aggregates the POST-compaction
+    zone. A row lost or duplicated anywhere in
+    stream→land→fold→swap breaks the hash against plain SQL over the
+    original corpus; a fold that fails to reduce the file count raises
+    in-query. At 100 TB this runs per partition on a quiescent zone (the
+    docstring contract), never the whole lake at once."""
+    from cinegraph_spark.operators.maintenance import compact, dataset_stats
+    from cinegraph_spark.session import scratch_dir
+    from cinegraph_spark.streaming.windows import run_availablenow_to_parquet
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    scratch = scratch_dir("cg_ingest_cmp_")
+    src = scratch + "/incoming"
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    landed = scratch + "/landed"
+    run_availablenow_to_parquet(spark, stream, landed, output_mode="append")
+    before = dataset_stats(landed)
+    report = compact(
+        spark, landed, target_file_mb=1, sort_by=["lang", "doc_id"],
+        recursive=True,
+    )
+    if (
+        before["n_files"] > 1
+        and report["after"]["n_files"] >= before["n_files"]
+    ):
+        raise ValueError(
+            "pipeline_stream_ingest_compact: the fold did not reduce the "
+            f"landed zone's file count ({before['n_files']} -> "
+            f"{report['after']['n_files']})"
+        )
+    return (
+        spark.read.parquet(landed)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )

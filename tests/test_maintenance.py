@@ -88,3 +88,35 @@ def test_compact_recovers_stale_backup_and_validates_rewrite(
     assert spark.read.parquet(path).count() == n
     assert not os.path.exists(bak) and not os.path.exists(tmp)
     shutil.rmtree(path)
+
+
+def test_compact_recursive_folds_batch_keyed_landing_zone(
+    spark, sf_dir, tmp_path
+):
+    """r13: a streaming drain's landed zone is batch-id-keyed nested
+    directories; compact(recursive=True) folds it FLAT while preserving
+    every row — the landed-zone maintenance a long-lived ingest needs."""
+    import os
+
+    from cinegraph_spark.queries.util import T
+
+    land = str(tmp_path / "landed")
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    for b in range(3):
+        docs.filter(F.col("doc_id") % 3 == b).write.parquet(
+            land + f"/batch-{b:08d}"
+        )
+    want = docs.count()
+    before = dataset_stats(land)
+    report = compact(
+        spark, land, target_file_mb=1, sort_by=["lang", "doc_id"],
+        recursive=True,
+    )
+    assert report["after"]["n_files"] < before["n_files"]
+    # folded flat: no batch directories survive
+    assert not any(
+        d.startswith("batch-") for d in os.listdir(land)
+    )
+    after = spark.read.parquet(land)
+    assert after.count() == want
+    assert after.select("doc_id").distinct().count() == want

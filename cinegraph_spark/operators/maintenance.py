@@ -38,6 +38,17 @@ into place (old data kept at ``<path>__pre_compact`` until the swap
 completes, then removed). At real scale the swap is a catalog pointer
 flip (metastore / table-format commit), not a filesystem rename — the
 dataflow is identical.
+
+Concurrency contract (all maintenance in this module and the serving
+tables built on it): ONE maintenance writer per state path at a time —
+the standard OPTIMIZE/compaction contract; none of these operators
+take locks, so two concurrent upserts/compactions on one path can
+interleave their directory replacements arbitrarily. READERS are safe
+at any time modulo the documented windows (the sibling swap's
+between-renames instant; one partition directory mid-dynamic-overwrite,
+where a reader sees per-partition-consistent old-or-new state). On a
+lakehouse table format the same operations ride optimistic-commit
+conflict detection instead.
 """
 
 from __future__ import annotations

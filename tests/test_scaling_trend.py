@@ -70,6 +70,10 @@ FAMILIES = [
     # in this scenario)
     "vec_ann_hnsw_incremental_knn",
     "layout_clustered_upsert_roundtrip",
+    # the IVF-tier maintenance scenario (cell layout + cell upsert +
+    # pruned update + pruned search): every stage is cell-local, so wall
+    # tracks corpus/cells; output fixed at k rows
+    "vec_ann_ivf_incremental_topk",
 ]
 
 

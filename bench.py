@@ -98,6 +98,9 @@ HEADLINE = [
     "layout_clustered_upsert_roundtrip",
     "layout_compact_small_files_stats",
     "pipeline_stream_ingest_compact",
+    "stream_join_left_outer_attribution",
+    "agg_incremental_mv_refresh",
+    "sample_weighted_wor_topk",
 ]
 
 

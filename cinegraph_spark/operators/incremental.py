@@ -46,3 +46,80 @@ def append_new_keys(
     if n:
         fresh.write.mode("append").parquet(path)
     return n
+
+
+def merge_agg_state(
+    spark: SparkSession,
+    path: str,
+    delta_agg: DataFrame,
+    keys: list[str],
+    sums: list[str],
+    batch_id: int,
+) -> dict:
+    """Incrementally refresh a persisted aggregate state (a materialized
+    rollup) from a pre-aggregated delta — the MERGEABLE-PARTIALS form of
+    incremental view maintenance: because every measure is an algebraic
+    sum (counts ship as sums of partial counts; averages derive at read
+    time as sum/count), folding a delta is ``state ∪ delta_agg`` re-summed
+    per key, which costs O(|state| + |delta|) and NEVER re-reads the base
+    fact table. At 100 TB the refresh therefore reads yesterday's
+    state (group-cardinality-sized) plus only the new fact partitions —
+    the same scan-∝-change contract as the serving-table maintenance in
+    `operators/hnsw.py` / `operators/similarity.py`, at the aggregate
+    tier.
+
+    Exactly-once under at-least-once delivery: aggregate merge is
+    additive, so a replayed delta would silently double-count — unlike
+    the keyed sinks above, idempotency cannot come from the data itself.
+    The state therefore carries an applied-``batch_id`` ledger, and a
+    batch already in the ledger is a no-op (returns ``applied=False``).
+    Ledger and aggregate live under ONE directory and flip through ONE
+    atomic sibling-swap (`serving_io.atomic_swap_dir`), so no crash can
+    commit the aggregate without its ledger row or vice versa; re-running
+    a crashed refresh re-applies cleanly. The ledger grows one row per
+    batch — metadata-scale against any real refresh cadence.
+
+    Integer or decimal measures make the merged state bit-identical to a
+    full recompute (associative exact addition); float measures merge to
+    within summation-order ulps, the repo-wide rounding convention's
+    territory. Single-writer contract as in `operators/maintenance.py`.
+    Returns ``{"applied": bool, "n_groups": int}``."""
+    from pyspark.sql.utils import AnalysisException
+
+    from cinegraph_spark.operators.serving_io import atomic_swap_dir
+
+    agg_dir, ledger_dir = path + "/agg", path + "/applied"
+    try:
+        applied = {
+            int(r["batch_id"])
+            for r in spark.read.parquet(ledger_dir).collect()
+        }
+    except AnalysisException:
+        applied = None  # first refresh: no state yet
+    if applied is not None and int(batch_id) in applied:
+        return {
+            "applied": False,
+            "n_groups": spark.read.parquet(agg_dir).count(),
+        }
+    measures = [F.sum(c).alias(c) for c in sums]
+    if applied is None:
+        merged = delta_agg.groupBy(*keys).agg(*measures)
+    else:
+        old = spark.read.parquet(agg_dir)
+        merged = (
+            old.unionByName(delta_agg.select(*old.columns))
+            .groupBy(*keys)
+            .agg(*measures)
+        )
+    # materialize before the swap: the merged plan lazily reads the state
+    # files the swap is about to rename aside
+    merged = merged.localCheckpoint(eager=True)
+    n_groups = merged.count()
+    ledger = spark.createDataFrame(
+        [(int(b),) for b in sorted((applied or set()) | {int(batch_id)})],
+        "batch_id long",
+    )
+    with atomic_swap_dir(spark, path) as tmp:
+        merged.write.parquet(tmp + "/agg")
+        ledger.write.parquet(tmp + "/applied")
+    return {"applied": True, "n_groups": n_groups}

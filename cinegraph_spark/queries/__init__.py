@@ -89,22 +89,25 @@ CHANGED_CODE_CANARIES: tuple[str, ...] = (
 #: the registry in order under a ~50-query budget, so this list pins the
 #: front slots explicitly instead of relying on module import order.
 #: Round-13 rationale — per the r12 verdict's tasks 1-3: the five
-#: layout-re-plumbed serving-maintenance canaries lead, then the two
-#: never-driver-checked queries (the clustered-layout upsert round-trip
-#: and the small-file compaction round-trip — the new machinery and the
-#: previously test-only compact operator, each under its own exact
+#: layout-re-plumbed serving-maintenance canaries lead, then the six
+#: never-driver-checked queries (the clustered-layout upsert round-trip,
+#: the small-file compaction round-trip, the streaming-ingest landed-zone
+#: compaction composite, and the three late-round additions — the
+#: left-outer stream-stream join, the incremental materialized-aggregate
+#: refresh, and the weighted-WOR sampler — each under its own exact
 #: oracle), then the five r8-stale queries the r12 verdict named
 #: (draining the oldest bucket entirely — freshness floor rises to r9),
 #: then the r9 bucket oldest-first (registry order within the bucket).
-#: 5 + 3 + 42 = 50; the remaining 13 r9 queries head the r14 queue
-#: (the third never slot is the streaming-ingest landed-zone compaction
-#: composite).
+#: 5 + 6 + 39 = 50; the remaining 16 r9 queries head the r14 queue.
 #: Every name here must exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     # never driver-checked
     "layout_clustered_upsert_roundtrip",
     "layout_compact_small_files_stats",
     "pipeline_stream_ingest_compact",
+    "stream_join_left_outer_attribution",
+    "agg_incremental_mv_refresh",
+    "sample_weighted_wor_topk",
     # last checked round 8 (registry order)
     "q15_top_supplier",
     "q17_small_quantity_revenue",
@@ -146,9 +149,6 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "sample_lang_quota",
     "pack_chunks_per_source",
     "pack_chunk_manifest",
-    "vec_mips_topk",
-    "text_domain_mix_weights",
-    "text_bigram_surprisal",
 )
 
 

@@ -715,3 +715,135 @@ def pipeline_ingest_dedup_retention(spark, sf_dir):
         F.count("*").alias("n_users"),
         F.sum("n_ev").cast("long").alias("n_events"),
     )
+
+
+def _stage_ordered_batches(frames, stage: str) -> None:
+    """Stage each frame as ONE parquet file under ``stage`` with strictly
+    increasing modification times, so a file-source stream with
+    ``maxFilesPerTrigger=1`` replays them as micro-batches in exactly this
+    order (the FileStreamSource admits oldest-mtime first). Local-fs
+    scenario plumbing, same class as the arrivals staging in
+    `queries/vectors.py::vec_ann_hnsw_stream_update_knn` — a production
+    deployment streams the lake directly and never re-stages."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    os.makedirs(stage, exist_ok=True)
+    t0 = time.time()
+    for i, df in enumerate(frames):
+        tmp = f"{stage}__b{i}"
+        df.repartition(1).write.mode("overwrite").parquet(tmp)
+        for part in sorted(glob.glob(f"{tmp}/part-*.parquet")):
+            dst = f"{stage}/batch-{i:04d}.parquet"
+            shutil.copy(part, dst)
+            # explicit, strictly-increasing mtimes: same-second writes
+            # would otherwise leave the batch order to a path tiebreak
+            os.utime(dst, (t0 + i, t0 + i))
+        shutil.rmtree(tmp)
+
+
+@register(
+    "stream_join_left_outer_attribution",
+    """
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join", "left_outer", "attribution"),
+)
+def stream_join_left_outer_attribution(spark, sf_dir):
+    """A REAL stream-stream LEFT-OUTER join run — the unmatched-detection
+    complement of `stream_join_purchase_click_attribution`: every purchase
+    with no click in its preceding 30-minute window is emitted with NULL
+    click columns. The semantic that makes this a genuinely different
+    operator from the inner form: null rows are produced by WATERMARK
+    EVICTION — a purchase's verdict is only final once the global
+    watermark passes its window, so the nulls surface in a LATER
+    micro-batch than the purchase itself, and state still buffered when
+    the stream stops never surfaces at all.
+
+    To give the run an exact batch oracle, the drain finalizes every
+    verdict before it ends: the real corpus is streamed from the lake IN
+    PLACE (`read_events_stream` — at 100 TB nothing is re-staged; only
+    the two 2-row sentinel files below are scenario plumbing), unioned
+    with a sentinel file-stream of far-future rows (one purchase + one
+    click each, so BOTH sides' watermark nodes advance). Batch 0 carries
+    the whole corpus plus sentinel file 1 — the watermark is still 0, so
+    nothing real is late-dropped, and the sentinel sets the NEXT
+    watermark past all real data; batch 1 (sentinel file 2) then evicts
+    every still-unmatched purchase as a null row. Every real purchase is
+    matched-or-nulled by end of drain and the oracle is the plain batch
+    LEFT JOIN — no watermark-cutoff clause. Sentinels carry negative ids
+    and are filtered from the result."""
+    from cinegraph_spark.queries.util import ntz, scoped_confs, tstr
+    from cinegraph_spark.session import scratch_dir
+    from cinegraph_spark.streaming.joins import purchases_with_recent_clicks
+    from cinegraph_spark.streaming.windows import (
+        read_events_stream,
+        run_availablenow_to_parquet,
+    )
+
+    scratch = scratch_dir("cg_drain_lojoin_")
+    stage = scratch + "/sentinels"
+    with scoped_confs(spark, **{"spark.sql.session.timeZone": "UTC"}):
+        # the UTC pin makes the string->instant cast tz-independent; the
+        # drain below re-pins UTC for the stream's own execution
+
+        def sentinels(i: int, ts: str):
+            rows = [
+                (-1000 - i, -1 - i, "purchase", 0.0, "{}", ts),
+                (-2000 - i, -1 - i, "click", 0.0, "{}", ts),
+            ]
+            return spark.createDataFrame(
+                rows,
+                "event_id long, user_id long, event_type string, "
+                "value double, props string, ts_s string",
+            ).select(
+                "event_id",
+                F.col("ts_s").cast("timestamp").alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+
+        _stage_ordered_batches(
+            [
+                sentinels(0, "2030-01-01 00:00:00"),
+                sentinels(1, "2030-01-02 00:00:00"),
+            ],
+            stage,
+        )
+    sentinel_stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    arrivals = read_events_stream(spark, sf_dir).unionByName(sentinel_stream)
+    out = run_availablenow_to_parquet(
+        spark,
+        purchases_with_recent_clicks(
+            arrivals, watermark="1 hour", how="left_outer"
+        ),
+        scratch + "/drain",
+        output_mode="append",
+    )
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        tstr(ntz(F.col("purchase_ts"))).alias("purchase_ts"),
+        tstr(ntz(F.col("click_ts"))).alias("click_ts"),
+    )

@@ -181,3 +181,71 @@ def sample_global_shuffle_order(spark, sf_dir):
         )
         .orderBy("global_pos")
     )
+
+
+@register(
+    "sample_weighted_wor_topk",
+    """
+    SELECT doc_id, lang, source, n_chars AS weight,
+           round(ln(-ln((CAST(concat('0x', substr(md5('wor42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) + 1.0) / 4294967297.0))
+                 - ln(CAST(n_chars AS DOUBLE)), 9) AS wor_key
+    FROM documents
+    ORDER BY wor_key ASC, doc_id ASC
+    LIMIT 100
+    """,
+    tags=("sampling", "weighted", "llm-pipeline"),
+)
+def sample_weighted_wor_topk(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each document draws a deterministic uniform u from an md5 of its id
+    and is ranked by u^(1/w) — here w = n_chars, the doc-length proxy any
+    quality score can replace — so inclusion probability is proportional
+    to weight, exactly the 'sample long/high-quality documents more'
+    curation step. The missing member of the sampling family: hash-mod is
+    unweighted Bernoulli, quota/stratified are per-group counts, token
+    budget is a hard cutoff — this one biases a fixed-size sample by a
+    per-row weight, reproducibly.
+
+    Cross-engine exactness: ranking by u^(1/w) is order-equivalent to
+    ranking ascending by g = ln(-ln u) − ln w (a double log flips the
+    sign twice), and g is the LOG of the raw key, so rounding g to 9
+    decimals is a *relative* quantization of the key — transcendental
+    last-ulp differences between engines sit ~1e-15 absolute in g, six
+    orders below the rounding step, while real inter-document gaps
+    (~1/n of a ~30-unit range) sit far above it; a residual tie breaks
+    on doc_id identically in both engines. The raw ln(u)/w key itself
+    would round to indistinguishable 1e-26s. u = (h+1)/(2^32+1) from the
+    portable 32-bit md5 prefix (`dedup_minhash_portable_est` idiom) —
+    integer + IEEE division, bit-identical across engines, never 0 or 1.
+
+    Scale shape: one map-only projection then a global top-k — Spark
+    plans ORDER BY + LIMIT as TakeOrdered (per-partition heap of k, then
+    a k-row merge on the driver), so there is NO global sort and NO
+    shuffle of the corpus at any size; identical selection on any
+    partitioning of the input."""
+    docs = T(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wor42:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4294967297.0)
+    g = F.round(
+        F.log(-F.log(u)) - F.log(F.col("n_chars").cast("double")), 9
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_chars").alias("weight"),
+            g.alias("wor_key"),
+        )
+        .orderBy(F.asc("wor_key"), F.asc("doc_id"))
+        .limit(100)
+    )

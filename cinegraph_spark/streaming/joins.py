@@ -23,6 +23,7 @@ def purchases_with_recent_clicks(
     events: DataFrame,
     attribution_window: str = "INTERVAL 30 MINUTES",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Attribution join: each purchase matched to the same user's clicks in
     the preceding ``attribution_window``.
@@ -31,6 +32,18 @@ def purchases_with_recent_clicks(
     genuine stream-stream inner join: state holds clicks until
     ``purchase_ts - attribution_window`` passes their watermark, then
     evicts. Output: (user_id, purchase_id, purchase_ts, click_id, click_ts).
+
+    ``how="left_outer"`` is the unmatched-detection form: a purchase with
+    no click in its window is emitted with NULL click columns — but only
+    once the watermark passes its eviction time, because until then a
+    matching click could still arrive. That timing is the load-bearing
+    semantic difference from a batch left join: null rows are emitted by
+    STATE EVICTION in a later micro-batch, not by the batch that saw the
+    purchase, and state still buffered when the stream stops is never
+    emitted at all. Callers who need every verdict finalized must advance
+    the watermark past the data before the drain ends (the registered
+    query `stream_join_left_outer_attribution` stages sentinel batches
+    for exactly that; its oracle is then the plain batch LEFT JOIN).
     """
     purchases = (
         events.filter(F.col("event_type") == "purchase")
@@ -58,7 +71,7 @@ def purchases_with_recent_clicks(
             F.col("click_ts")
             >= F.col("purchase_ts") - F.expr(attribution_window)
         ),
-        "inner",
+        how,
     ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
 
 

@@ -1,0 +1,105 @@
+"""merge_agg_state — incremental materialized-aggregate maintenance
+(`operators/incremental.py`): mergeable-partials refresh must be
+bit-identical to a full recompute, idempotent under replayed deltas via
+the applied-batch ledger, and atomic (aggregate and ledger flip as one
+unit through the sibling swap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cinegraph_spark.operators.incremental import merge_agg_state
+from cinegraph_spark.queries.util import T
+
+KEYS = ["priority", "month"]
+SUMS = ["n_orders", "sum_cents"]
+
+
+def _rollup(df):
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return df.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"), F.sum(cents).alias("sum_cents"))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_incremental_refresh_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Sum-of-sums over integer measures is associative: base + delta
+    merged state must be BIT-identical to the one-shot full rollup."""
+    o = T(spark, sf_dir, "orders")
+    path = str(tmp_path / "state")
+    r0 = merge_agg_state(
+        spark, path, _rollup(o.filter("o_orderdate < '1997-01-01'")),
+        KEYS, SUMS, batch_id=0,
+    )
+    r1 = merge_agg_state(
+        spark, path, _rollup(o.filter("o_orderdate >= '1997-01-01'")),
+        KEYS, SUMS, batch_id=1,
+    )
+    assert r0["applied"] and r1["applied"]
+    merged = spark.read.parquet(path + "/agg")
+    assert _rows(merged) == _rows(_rollup(o))
+
+
+def test_replayed_batch_is_ledger_noop(spark, sf_dir, tmp_path):
+    """At-least-once delivery: re-applying an already-applied batch_id
+    must change NOTHING (additive merge cannot self-dedup — the ledger
+    is the idempotency mechanism)."""
+    o = T(spark, sf_dir, "orders")
+    path = str(tmp_path / "state")
+    delta = _rollup(o.filter("o_orderdate >= '1997-01-01'"))
+    merge_agg_state(spark, path, _rollup(o), KEYS, SUMS, batch_id=0)
+    before = _rows(spark.read.parquet(path + "/agg"))
+    replay = merge_agg_state(spark, path, delta, KEYS, SUMS, batch_id=0)
+    assert replay["applied"] is False
+    assert _rows(spark.read.parquet(path + "/agg")) == before
+    # a NEW batch id with the same content IS applied (double-counting is
+    # the caller's delta-construction bug, not the ledger's to catch)
+    assert merge_agg_state(spark, path, delta, KEYS, SUMS, batch_id=7)[
+        "applied"
+    ]
+
+
+def test_empty_delta_and_empty_first_batch(spark, sf_dir, tmp_path):
+    """Zero-row deltas refresh cleanly (the pruned-partition edge): an
+    empty first batch seeds an empty state; a later real delta lands on
+    it; an empty later delta is a harmless applied no-change."""
+    o = T(spark, sf_dir, "orders")
+    path = str(tmp_path / "state")
+    empty = _rollup(o.filter("o_orderkey < 0"))
+    r0 = merge_agg_state(spark, path, empty, KEYS, SUMS, batch_id=0)
+    assert r0 == {"applied": True, "n_groups": 0}
+    merge_agg_state(spark, path, _rollup(o), KEYS, SUMS, batch_id=1)
+    r2 = merge_agg_state(spark, path, empty, KEYS, SUMS, batch_id=2)
+    assert r2["applied"] is True
+    assert _rows(spark.read.parquet(path + "/agg")) == _rows(_rollup(o))
+
+
+def test_agg_and_ledger_flip_atomically(spark, sf_dir, tmp_path):
+    """Ledger and aggregate live under ONE swapped directory: after any
+    refresh the ledger lists exactly the applied batches and the state
+    dir has no half-committed sibling left behind."""
+    import os
+
+    o = T(spark, sf_dir, "orders")
+    path = str(tmp_path / "state")
+    merge_agg_state(spark, path, _rollup(o), KEYS, SUMS, batch_id=3)
+    merge_agg_state(
+        spark, path, _rollup(o.limit(0)), KEYS, SUMS, batch_id=9
+    )
+    ledger = sorted(
+        int(r["batch_id"])
+        for r in spark.read.parquet(path + "/applied").collect()
+    )
+    assert ledger == [3, 9]
+    siblings = [
+        n
+        for n in os.listdir(tmp_path)
+        if n.startswith("state__")
+    ]
+    assert siblings == []

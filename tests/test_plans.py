@@ -523,3 +523,15 @@ def test_maintenance_pruned_read_is_partition_filter(spark, sf_dir, tmp_path):
     # the data columns ride the manifest schema — no inference, and no
     # post-scan re-filter of the partition predicate
     assert "ReadSchema: struct<vec_id:bigint,v:array<double>>" in plan
+
+
+def test_weighted_wor_is_map_only_take_ordered(q):
+    """A-ES weighted sampling must be one map-only key projection plus
+    TakeOrdered (per-partition heap of k) — no global sort, no shuffle of
+    the corpus, no Python; the selection is partitioning-invariant by
+    construction (pure content-keyed expression)."""
+    c = plan_counts(q("sample_weighted_wor_topk"))
+    assert c["take_ordered"] >= 1
+    assert c["shuffle_exchange"] == 0
+    assert c["python_row_udf"] == 0
+    assert c["python_arrow_udf"] == 0

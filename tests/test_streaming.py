@@ -670,3 +670,104 @@ def test_stateful_topk_all_null_values_group(spark, tmp_path):
         by_user.setdefault(r["user_id"], []).append((r["rnk"], r["value"]))
     assert 1 not in by_user  # all-null user: no rows, no crash
     assert sorted(by_user[2]) == [(1, 9.0), (2, 5.0)]
+
+
+def _lojoin_stage(spark, tmp_path, frames):
+    from cinegraph_spark.queries.events import _stage_ordered_batches
+
+    stage = str(tmp_path / "lo_in")
+    _stage_ordered_batches(frames, stage)
+    return (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+
+def _lojoin_frames(spark):
+    """u1 purchase has a click 10 min before (match); u2 purchase has a
+    click 2 h before (outside the 30-min window); u3 purchase has none."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click"),
+        (2, "2024-01-01 10:10:00", 1, "purchase"),
+        (3, "2024-01-01 08:00:00", 2, "click"),
+        (4, "2024-01-01 10:00:00", 2, "purchase"),
+        (5, "2024-01-01 10:00:00", 3, "purchase"),
+    ]
+    real = spark.createDataFrame(
+        [(i, ts, u, t, 0.0, "{}") for i, ts, u, t in rows],
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    sent = spark.createDataFrame(
+        [
+            (-1001, "2030-01-01 00:00:00", -1, "purchase", 0.0, "{}"),
+            (-2001, "2030-01-01 00:00:00", -1, "click", 0.0, "{}"),
+        ],
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    return real, sent
+
+
+def test_left_outer_join_nulls_come_from_eviction(spark, tmp_path):
+    """The left-outer stream-stream join's defining semantic: an unmatched
+    purchase is emitted with NULL click columns only once the watermark
+    passes its window — WITHOUT a later batch to advance the watermark,
+    the buffered state never surfaces; WITH sentinel batches advancing it
+    past the data, every unmatched purchase is nulled exactly once and no
+    matched purchase is double-reported."""
+    from cinegraph_spark.session import scratch_dir
+    from cinegraph_spark.streaming.joins import purchases_with_recent_clicks
+    from cinegraph_spark.streaming.windows import run_availablenow_to_parquet
+
+    real, sent = _lojoin_frames(spark)
+
+    # one batch, no watermark advance: only the in-batch MATCH is emitted;
+    # the unmatched purchases stay buffered and never surface
+    out1 = run_availablenow_to_parquet(
+        spark,
+        purchases_with_recent_clicks(
+            _lojoin_stage(spark, tmp_path / "a", [real]),
+            watermark="1 hour",
+            how="left_outer",
+        ),
+        scratch_dir("t_lojoin_one_"),
+        output_mode="append",
+    )
+    got1 = [(r["user_id"], r["click_id"]) for r in out1.collect()]
+    assert got1 == [(1, 1)]
+
+    # sentinel batches push the watermark past the data: verdicts finalize
+    out2 = run_availablenow_to_parquet(
+        spark,
+        purchases_with_recent_clicks(
+            _lojoin_stage(spark, tmp_path / "b", [real, sent, sent]),
+            watermark="1 hour",
+            how="left_outer",
+        ),
+        scratch_dir("t_lojoin_fin_"),
+        output_mode="append",
+    )
+    got2 = sorted(
+        (r["user_id"], r["purchase_id"], r["click_id"])
+        for r in out2.filter(F.col("user_id") >= 0).collect()
+    )
+    assert got2 == [(1, 2, 1), (2, 4, None), (3, 5, None)]

@@ -54,25 +54,38 @@ conflict detection instead.
 from __future__ import annotations
 
 import math
-import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
 
-def dataset_stats(path: str) -> dict:
+def dataset_stats(path: str, spark: SparkSession | None = None) -> dict:
     """File census of a parquet dataset directory: number of data files,
-    total bytes, and mean file size. Driver-side metadata only."""
-    files = []
-    for root, _dirs, names in os.walk(path):
-        for n in names:
-            if n.endswith(".parquet") and not n.startswith((".", "_")):
-                files.append(os.path.join(root, n))
-    total = sum(os.path.getsize(f) for f in files)
+    total bytes, and mean file size. Metadata only — no Spark job. With
+    ``spark`` the listing goes through the path's own Hadoop FileSystem
+    (file://, HDFS, object stores alike — the same portability rule as
+    every other maintenance path in this module); without it, a
+    local-filesystem walk (kept for driver-local scratch callers)."""
+    sizes: list[int] = []
+    if spark is not None:
+        fs, jp = _hadoop_fs(spark, path)
+        it = fs.listFiles(jp, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.endswith(".parquet") and not name.startswith((".", "_")):
+                sizes.append(int(st.getLen()))
+    else:
+        import os
+
+        for root, _dirs, names in os.walk(path):
+            for n in names:
+                if n.endswith(".parquet") and not n.startswith((".", "_")):
+                    sizes.append(os.path.getsize(os.path.join(root, n)))
+    total = sum(sizes)
     return {
-        "n_files": len(files),
+        "n_files": len(sizes),
         "total_bytes": total,
-        "avg_file_bytes": (total // len(files)) if files else 0,
+        "avg_file_bytes": (total // len(sizes)) if sizes else 0,
     }
 
 
@@ -96,24 +109,33 @@ def compact(
     quiescent — a drain writing new batch directories mid-compaction
     would lose them to the swap.
 
-    The shuffle is one exchange sized by the data/target ratio — the same
-    cost OPTIMIZE pays anywhere; at 100 TB you compact per partition (pass
-    the partition's path), never the whole table at once.
+    All directory manipulation goes through the path's own Hadoop
+    FileSystem (r13: the pre-r13 form used driver-local ``os.rename`` /
+    ``shutil``, which on HDFS/object-store paths would miss the real
+    dataset entirely — the same class of bug the r12 ADVICE flagged on
+    the stream landing dir). The shuffle is one exchange sized by the
+    data/target ratio — the same cost OPTIMIZE pays anywhere; at 100 TB
+    you compact per partition (pass the partition's path), never the
+    whole table at once.
     """
     tmp = path.rstrip("/") + "__compacting"
     bak = path.rstrip("/") + "__pre_compact"
+    fs, jdst = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    jtmp, jbak = jpath(tmp), jpath(bak)
     # Recover from a prior failed run before touching anything: a stale
     # backup means a previous swap died mid-flight — restore it if the
     # dataset itself is gone, else it is just debris to clear.
-    if os.path.exists(bak):
-        if not os.path.exists(path):
-            os.rename(bak, path)
+    if fs.exists(jbak):
+        if not fs.exists(jdst):
+            if not fs.rename(jbak, jdst):
+                raise IOError(f"compact: could not restore {bak} -> {path}")
         else:
-            shutil.rmtree(bak)
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+            fs.delete(jbak, True)
+    if fs.exists(jtmp):
+        fs.delete(jtmp, True)
 
-    before = dataset_stats(path)
+    before = dataset_stats(path, spark)
     n_out = max(1, math.ceil(before["total_bytes"] / (target_file_mb * (1 << 20))))
     reader = spark.read
     if recursive:
@@ -129,18 +151,24 @@ def compact(
     # good data (the catalog-commit precondition at real scale).
     rewritten = spark.read.parquet(tmp).count()
     if rewritten != n_rows:
-        shutil.rmtree(tmp)
+        fs.delete(jtmp, True)
         raise RuntimeError(
             f"compact aborted: rewrite has {rewritten} rows, source has {n_rows}"
         )
-    os.rename(path, bak)
-    try:
-        os.rename(tmp, path)
-    except BaseException:
-        os.rename(bak, path)  # close the mid-swap window: restore original
-        raise
-    shutil.rmtree(bak)
-    after = dataset_stats(path)
+    if not fs.rename(jdst, jbak):
+        raise IOError(
+            f"compact: could not move the old dataset aside "
+            f"({path} -> {bak}); nothing was changed and the rewrite is "
+            f"intact at {tmp}"
+        )
+    if not fs.rename(jtmp, jdst):
+        fs.rename(jbak, jdst)  # close the mid-swap window: restore original
+        raise IOError(
+            f"compact: swap rename {tmp} -> {path} failed; original "
+            "restored"
+        )
+    fs.delete(jbak, True)
+    after = dataset_stats(path, spark)
     return {"before": before, "after": after, "target_files": n_out}
 
 

@@ -74,6 +74,15 @@ FAMILIES = [
     # pruned update + pruned search): every stage is cell-local, so wall
     # tracks corpus/cells; output fixed at k rows
     "vec_ann_ivf_incremental_topk",
+    # r13 late additions: the incremental-MV refresh (base agg + delta
+    # agg + state-sized merge — output is the group count, work ~linear
+    # in facts; a regression that re-scanned base facts per refresh
+    # would track facts×refreshes) and the left-outer stream join
+    # (output ~1 row per purchase(+matches); watermark-bounded state
+    # keeps per-batch work linear in arrivals — unbounded state growth
+    # would show superlinear wall on the step)
+    "agg_incremental_mv_refresh",
+    "stream_join_left_outer_attribution",
 ]
 
 

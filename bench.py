@@ -101,6 +101,8 @@ HEADLINE = [
     "stream_join_left_outer_attribution",
     "agg_incremental_mv_refresh",
     "sample_weighted_wor_topk",
+    "vec_ann_filtered_topk",
+    "stream_mv_incremental_refresh",
 ]
 
 

@@ -89,16 +89,17 @@ CHANGED_CODE_CANARIES: tuple[str, ...] = (
 #: the registry in order under a ~50-query budget, so this list pins the
 #: front slots explicitly instead of relying on module import order.
 #: Round-13 rationale — per the r12 verdict's tasks 1-3: the five
-#: layout-re-plumbed serving-maintenance canaries lead, then the six
+#: layout-re-plumbed serving-maintenance canaries lead, then the eight
 #: never-driver-checked queries (the clustered-layout upsert round-trip,
 #: the small-file compaction round-trip, the streaming-ingest landed-zone
-#: compaction composite, and the three late-round additions — the
+#: compaction composite, and the five late-round additions — the
 #: left-outer stream-stream join, the incremental materialized-aggregate
-#: refresh, and the weighted-WOR sampler — each under its own exact
-#: oracle), then the five r8-stale queries the r12 verdict named
-#: (draining the oldest bucket entirely — freshness floor rises to r9),
-#: then the r9 bucket oldest-first (registry order within the bucket).
-#: 5 + 6 + 39 = 50; the remaining 16 r9 queries head the r14 queue.
+#: refresh batch + streaming twins, the weighted-WOR sampler, and the
+#: pre-filter vector search — each under its own exact oracle), then the
+#: five r8-stale queries the r12 verdict named (draining the oldest
+#: bucket entirely — freshness floor rises to r9), then the r9 bucket
+#: oldest-first (registry order within the bucket). 5 + 8 + 37 = 50; the
+#: remaining 18 r9 queries head the r14 queue.
 #: Every name here must exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     # never driver-checked
@@ -108,6 +109,8 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "stream_join_left_outer_attribution",
     "agg_incremental_mv_refresh",
     "sample_weighted_wor_topk",
+    "vec_ann_filtered_topk",
+    "stream_mv_incremental_refresh",
     # last checked round 8 (registry order)
     "q15_top_supplier",
     "q17_small_quantity_revenue",
@@ -147,8 +150,6 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "sample_hash_mod_documents",
     "sample_stratified_topn_per_source",
     "sample_lang_quota",
-    "pack_chunks_per_source",
-    "pack_chunk_manifest",
 )
 
 

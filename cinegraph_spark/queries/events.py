@@ -847,3 +847,103 @@ def stream_join_left_outer_attribution(spark, sf_dir):
         tstr(ntz(F.col("purchase_ts"))).alias("purchase_ts"),
         tstr(ntz(F.col("click_ts"))).alias("click_ts"),
     )
+
+
+@register(
+    "stream_mv_incremental_refresh",
+    """
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d') AS day,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_units
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "incremental", "materialized-view", "agg"),
+)
+def stream_mv_incremental_refresh(spark, sf_dir):
+    """A STREAMING materialized view: a per-(event_type, day) rollup
+    maintained by `operators/incremental.py::merge_agg_state` from inside
+    ``foreachBatch`` — each micro-batch is pre-aggregated (partial counts
+    and integer-unit value sums) and folded into the persisted state at
+    O(|state| + |batch|), so the view is continuously fresh without ever
+    re-scanning history; this is the streaming twin of the batch
+    `agg_incremental_mv_refresh`, and together they are the incremental
+    view-maintenance story at both cadences.
+
+    Exactly-once is driver-verified: the events are drained TWICE — the
+    second drain simulating an at-least-once upstream's full re-delivery
+    after a lost checkpoint — and the applied-batch ledger makes every
+    replayed batch a no-op, so a ledger regression double-counts the
+    whole table and fails the oracle hash (the plain batch aggregate).
+    The ledger's same-id ⇒ same-content precondition holds here because
+    batch assignment is deterministic (same staged files, strictly
+    ordered mtimes, one file per trigger); a nondeterministically-batched
+    upstream must use content-keyed idempotency (`append_new_keys`)
+    instead. Timestamps stay TIMESTAMP_NTZ end to end (no watermark
+    needed — the stateful operator is the STATE TABLE, not stream state),
+    so day bucketing is session-tz-proof; value sums use integer
+    ten-thousandths (floor(v*10000 + 0.5): identical IEEE steps in both
+    engines), making the merged state bit-identical to the one-shot
+    aggregate."""
+    from pyspark.sql.utils import AnalysisException
+
+    from cinegraph_spark.operators.incremental import merge_agg_state
+    from cinegraph_spark.queries.util import bounded_shuffle, dstr, scoped_confs
+    from cinegraph_spark.session import scratch_dir
+
+    scratch = scratch_dir("cg_stream_mv_")
+    stage = scratch + "/in"
+    state = scratch + "/state"
+    # 2 files -> 2 micro-batches per drain (the cost knob; the batch
+    # count is immaterial to the semantics — partial aggregates merge
+    # identically under any split)
+    T(spark, sf_dir, "events").repartition(2).write.parquet(stage)
+    keys, sums = ["event_type", "day"], ["n_events", "sum_value_units"]
+
+    def apply(batch_df, batch_id: int) -> None:
+        units = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+        delta = batch_df.groupBy(
+            "event_type", dstr(F.col("ts")).alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(units).alias("sum_value_units"),
+        )
+        merge_agg_state(spark, state, delta, keys, sums, batch_id)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    for _delivery in range(2):  # second pass = full upstream re-delivery
+        with scoped_confs(
+            spark, **{"spark.sql.session.timeZone": "UTC"}
+        ), bounded_shuffle(spark, 8):
+            q = (
+                stream.writeStream.foreachBatch(apply)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(120):
+                q.stop()
+                raise TimeoutError("stream MV refresh drain timed out")
+    try:
+        agg = spark.read.parquet(state + "/agg")
+    except AnalysisException:
+        # a source with zero staged files fires no batch at all — the
+        # view legitimately has no state yet
+        return spark.createDataFrame(
+            [], "event_type string, day string, n_events long, "
+            "sum_value_units long"
+        )
+    return agg.select(
+        "event_type",
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value_units").cast("long").alias("sum_value_units"),
+    )

@@ -926,3 +926,52 @@ def vec_ann_pq_served_topk(spark, sf_dir):
     # the rerank ALSO reads the layout: only the candidates' partition
     # directories are opened to fetch the ~80 full vectors (r13)
     return pq_index_topk(corpus_path, q, path, k=10, rerank=80)
+
+
+@register(
+    "vec_ann_filtered_topk",
+    f"""
+    WITH q AS (SELECT {_DV} AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             round(list_dot_product({_DV}, qv)
+                   / (sqrt(list_sum(list_transform({_DV}, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos_sim
+      FROM embeddings, q
+      WHERE vec_id <> 0 AND label IN (2, 5, 7)
+    )
+    SELECT vec_id, label, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("vector", "topk", "similarity", "filtered"),
+)
+def vec_ann_filtered_topk(spark, sf_dir):
+    """FILTERED vector search — top-k cosine restricted to a metadata
+    predicate (label in (2, 5, 7)), with PRE-filter semantics: the predicate
+    restricts the candidate set BEFORE ranking, so the result always
+    holds k matching vectors (when they exist). The distinction matters:
+    POST-filtering — rank first, filter the top-k after — silently
+    returns fewer than k rows whenever the global top-k is dominated by
+    non-matching vectors, which is the classic filtered-ANN correctness
+    trap; serving systems treat filtered search as its own operator for
+    exactly this reason. Spark-side the predicate is just a filter fused
+    into the map-only scoring scan ahead of TakeOrdered — no shuffle, no
+    extra pass — and at scale it composes with the storage layouts: a
+    label predicate over the IVF cell layout
+    (`operators/maintenance.py::column_layout_save`) prunes to the
+    matching cell DIRECTORIES before any vector is read, making the
+    filter a planning-time partition prune rather than a scan-time
+    test."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        e.filter((F.col("vec_id") != 0) & F.col("label").isin(2, 5, 7))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            F.round(V.cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -83,6 +83,10 @@ FAMILIES = [
     # would show superlinear wall on the step)
     "agg_incremental_mv_refresh",
     "stream_join_left_outer_attribution",
+    # the streaming MV twin: output is the fixed (type, day) grid; work
+    # per batch is a partial agg + state-sized merge — a regression that
+    # re-scanned landed history per batch would grow superlinearly
+    "stream_mv_incremental_refresh",
 ]
 
 

@@ -97,10 +97,10 @@ def merge_agg_state(
     except AnalysisException:
         applied = None  # first refresh: no state yet
     if applied is not None and int(batch_id) in applied:
-        return {
-            "applied": False,
-            "n_groups": spark.read.parquet(agg_dir).count(),
-        }
+        # no state scan on the no-op path: a re-delivered stream replays
+        # every batch, and paying a full state read per replayed batch
+        # just to report a count would make replays O(state × batches)
+        return {"applied": False, "n_groups": None}
     measures = [F.sum(c).alias(c) for c in sums]
     if applied is None:
         merged = delta_agg.groupBy(*keys).agg(*measures)
@@ -111,8 +111,10 @@ def merge_agg_state(
             .groupBy(*keys)
             .agg(*measures)
         )
-    # materialize before the swap: the merged plan lazily reads the state
-    # files the swap is about to rename aside
+    # lazy reads of the old state stay valid through the sibling write
+    # (the swap renames only on context exit — serving_io documents this);
+    # the checkpoint is purely an economy: count() below and the write
+    # would otherwise each run the merge plan
     merged = merged.localCheckpoint(eager=True)
     n_groups = merged.count()
     ledger = spark.createDataFrame(

@@ -161,11 +161,28 @@ def compact(
             f"({path} -> {bak}); nothing was changed and the rewrite is "
             f"intact at {tmp}"
         )
-    if not fs.rename(jtmp, jdst):
-        fs.rename(jbak, jdst)  # close the mid-swap window: restore original
+    # close the mid-swap window on ANY failure mode — a False return and a
+    # thrown connector error alike — and report the restore honestly: a
+    # failed restore must not claim the original is back (the recovery
+    # preamble of the next run restores from the intact backup)
+    try:
+        swapped = fs.rename(jtmp, jdst)
+    except BaseException:
+        swapped = False
+    if not swapped:
+        restored = False
+        try:
+            restored = fs.rename(jbak, jdst)
+        except BaseException:
+            pass
         raise IOError(
-            f"compact: swap rename {tmp} -> {path} failed; original "
-            "restored"
+            f"compact: swap rename {tmp} -> {path} failed; "
+            + (
+                "original restored"
+                if restored
+                else f"restore ALSO failed — original intact at {bak}, "
+                "re-running compact recovers it"
+            )
         )
     fs.delete(jbak, True)
     after = dataset_stats(path, spark)

@@ -735,12 +735,16 @@ def _stage_ordered_batches(frames, stage: str) -> None:
     for i, df in enumerate(frames):
         tmp = f"{stage}__b{i}"
         df.repartition(1).write.mode("overwrite").parquet(tmp)
-        for part in sorted(glob.glob(f"{tmp}/part-*.parquet")):
-            dst = f"{stage}/batch-{i:04d}.parquet"
-            shutil.copy(part, dst)
-            # explicit, strictly-increasing mtimes: same-second writes
-            # would otherwise leave the batch order to a path tiebreak
-            os.utime(dst, (t0 + i, t0 + i))
+        parts = sorted(glob.glob(f"{tmp}/part-*.parquet"))
+        # one file per batch is the contract — a multi-part write (e.g.
+        # a session with maxRecordsPerFile set) would otherwise silently
+        # keep only the last part under the single destination name
+        assert len(parts) == 1, f"batch {i} staged {len(parts)} part files"
+        dst = f"{stage}/batch-{i:04d}.parquet"
+        shutil.copy(parts[0], dst)
+        # explicit, strictly-increasing mtimes: same-second writes
+        # would otherwise leave the batch order to a path tiebreak
+        os.utime(dst, (t0 + i, t0 + i))
         shutil.rmtree(tmp)
 
 
@@ -877,11 +881,15 @@ def stream_mv_incremental_refresh(spark, sf_dir):
     after a lost checkpoint — and the applied-batch ledger makes every
     replayed batch a no-op, so a ledger regression double-counts the
     whole table and fails the oracle hash (the plain batch aggregate).
-    The ledger's same-id ⇒ same-content precondition holds here because
-    batch assignment is deterministic (same staged files, strictly
-    ordered mtimes, one file per trigger); a nondeterministically-batched
-    upstream must use content-keyed idempotency (`append_new_keys`)
-    instead. Timestamps stay TIMESTAMP_NTZ end to end (no watermark
+    Why the re-delivery is safe even though the two staged part files
+    may share an mtime (batch→file assignment could swap between
+    drains): the FIRST drain ledgers every batch id this source can
+    produce, so the entire second delivery no-ops whatever content each
+    replayed id carries. The ledger's same-id ⇒ same-content
+    precondition is only load-bearing for PARTIAL replays, where the
+    checkpoint itself pins the batch→content assignment; a
+    checkpoint-less nondeterministically-batched upstream must use
+    content-keyed idempotency (`append_new_keys`) instead. Timestamps stay TIMESTAMP_NTZ end to end (no watermark
     needed — the stateful operator is the STATE TABLE, not stream state),
     so day bucketing is session-tz-proof; value sums use integer
     ten-thousandths (floor(v*10000 + 0.5): identical IEEE steps in both

@@ -103,6 +103,7 @@ HEADLINE = [
     "sample_weighted_wor_topk",
     "vec_ann_filtered_topk",
     "stream_mv_incremental_refresh",
+    "vec_ann_ivf_filtered_topk",
 ]
 
 

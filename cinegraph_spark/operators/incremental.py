@@ -55,6 +55,8 @@ def merge_agg_state(
     keys: list[str],
     sums: list[str],
     batch_id: int,
+    maxs: list[str] | None = None,
+    mins: list[str] | None = None,
 ) -> dict:
     """Incrementally refresh a persisted aggregate state (a materialized
     rollup) from a pre-aggregated delta — the MERGEABLE-PARTIALS form of
@@ -82,7 +84,16 @@ def merge_agg_state(
     Integer or decimal measures make the merged state bit-identical to a
     full recompute (associative exact addition); float measures merge to
     within summation-order ulps, the repo-wide rounding convention's
-    territory. Single-writer contract as in `operators/maintenance.py`.
+    territory.
+
+    ``maxs`` / ``mins`` are the other mergeable-partial classes (max of
+    maxes, min of mins) — valid under an INSERT-ONLY delta contract
+    only: a delete or downward update cannot lower a stored max without
+    rescanning the group's base facts, which is exactly the scan this
+    operator exists to avoid. Callers with retractions must route those
+    groups through a full recompute. AVG is deliberately NOT a measure
+    class — it is not mergeable; derive it from a sum and a count at
+    read time. Single-writer contract as in `operators/maintenance.py`.
     Returns ``{"applied": bool, "n_groups": int}``."""
     from pyspark.sql.utils import AnalysisException
 
@@ -101,7 +112,11 @@ def merge_agg_state(
         # every batch, and paying a full state read per replayed batch
         # just to report a count would make replays O(state × batches)
         return {"applied": False, "n_groups": None}
-    measures = [F.sum(c).alias(c) for c in sums]
+    measures = (
+        [F.sum(c).alias(c) for c in sums]
+        + [F.max(c).alias(c) for c in (maxs or [])]
+        + [F.min(c).alias(c) for c in (mins or [])]
+    )
     if applied is None:
         merged = delta_agg.groupBy(*keys).agg(*measures)
     else:

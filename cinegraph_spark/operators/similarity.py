@@ -551,6 +551,7 @@ def ivf_index_topk(
     k: int = 10,
     label: str = "label",
     v: str = "v",
+    cell_filter=None,
 ) -> DataFrame:
     """QUERY-MANY half: IVF ANN against a PERSISTED
     :func:`ivf_centroids_save` table — probe the ``nprobe`` cells whose
@@ -558,6 +559,15 @@ def ivf_index_topk(
     cosine top-k within them (same semantics as the rebuild-per-query
     :func:`ivf_cosine_topk`, minus the centroid pass: the table is ≤
     #cells rows, always broadcast).
+
+    ``cell_filter`` (optional Column over the centroid table) is the
+    FILTERED-search form: the predicate restricts the cells the probe
+    may rank — PRE-filter semantics, so the ``nprobe`` probed cells are
+    all admissible and the search returns k matching vectors whenever
+    they exist (post-filtering a fixed probe set silently under-returns
+    when the nearest cells are inadmissible). In layout mode the filter
+    therefore composes with the partition pruning for free: only
+    admissible∩probed cell directories are ever opened.
 
     ``e`` is the corpus — a DataFrame, or the PATH of an
     :func:`ivf_corpus_layout` cell-partitioned layout. The layout form
@@ -583,6 +593,8 @@ def ivf_index_topk(
     cents = spark.read.parquet(path).select(
         label, F.col("centroid").alias("cv")
     )
+    if cell_filter is not None:
+        cents = cents.filter(cell_filter)
     if corpus_path is None:
         return _probe_then_exact_topk(e, q, cents, nprobe, k, label, v)
     lmeta = layout_meta(spark, corpus_path)

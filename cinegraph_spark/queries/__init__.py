@@ -98,8 +98,9 @@ CHANGED_CODE_CANARIES: tuple[str, ...] = (
 #: pre-filter vector search — each under its own exact oracle), then the
 #: five r8-stale queries the r12 verdict named (draining the oldest
 #: bucket entirely — freshness floor rises to r9), then the r9 bucket
-#: oldest-first (registry order within the bucket). 5 + 8 + 37 = 50; the
-#: remaining 18 r9 queries head the r14 queue.
+#: oldest-first (registry order within the bucket). 5 + 9 + 36 = 50; the
+#: remaining 19 r9 queries head the r14 queue (wave-3 added the filtered
+#: IVF serving search to the never block).
 #: Every name here must exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     # never driver-checked
@@ -111,6 +112,7 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "sample_weighted_wor_topk",
     "vec_ann_filtered_topk",
     "stream_mv_incremental_refresh",
+    "vec_ann_ivf_filtered_topk",
     # last checked round 8 (registry order)
     "q15_top_supplier",
     "q17_small_quantity_revenue",
@@ -149,7 +151,6 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "agg_minby_maxby_nation",
     "sample_hash_mod_documents",
     "sample_stratified_topn_per_source",
-    "sample_lang_quota",
 )
 
 

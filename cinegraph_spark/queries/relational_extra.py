@@ -328,7 +328,9 @@ def scalar_variant_nested_events(spark, sf_dir):
            strftime(o_orderdate, '%Y-%m') AS month,
            count(*) AS n_orders,
            CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-             AS sum_cents
+             AS sum_cents,
+           CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS max_cents
     FROM orders
     GROUP BY 1, 2
     """,
@@ -340,8 +342,9 @@ def agg_incremental_mv_refresh(spark, sf_dir):
     (priority, month) revenue rollup is built from the pre-1997 orders,
     then refreshed with the 1997+ delta WITHOUT re-reading the base facts
     — the delta is pre-aggregated and folded into the persisted state as
-    sum-of-sums (counts merge as sums of partial counts; averages derive
-    from them), so a daily refresh costs O(|state| + |delta|)
+    mergeable partials (counts and sums as sum-of-sums, the max as
+    max-of-maxes under the insert-only contract; averages derive from
+    sum and count), so a daily refresh costs O(|state| + |delta|)
     at any fact-table size. The delta refresh is then REPLAYED
     (at-least-once upstream) and must be a ledger-detected no-op — a
     broken ledger double-counts every 1997+ group and fails the oracle
@@ -365,15 +368,21 @@ def agg_incremental_mv_refresh(spark, sf_dir):
         ).agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(cents).alias("sum_cents"),
+            F.max(cents).alias("max_cents"),
         )
 
     state = scratch_dir("cg_mv_") + "/state"
     keys, sums = ["priority", "month"], ["n_orders", "sum_cents"]
+    # max merges as max-of-maxes — sound here because the deltas are
+    # INSERT-only (merge_agg_state documents the retraction limit)
+    maxs = ["max_cents"]
     base = rollup(o.filter(F.col("o_orderdate") < "1997-01-01"))
     delta = rollup(o.filter(F.col("o_orderdate") >= "1997-01-01"))
-    merge_agg_state(spark, state, base, keys, sums, batch_id=0)
-    merge_agg_state(spark, state, delta, keys, sums, batch_id=1)
-    replay = merge_agg_state(spark, state, delta, keys, sums, batch_id=1)
+    merge_agg_state(spark, state, base, keys, sums, batch_id=0, maxs=maxs)
+    merge_agg_state(spark, state, delta, keys, sums, batch_id=1, maxs=maxs)
+    replay = merge_agg_state(
+        spark, state, delta, keys, sums, batch_id=1, maxs=maxs
+    )
     assert replay["applied"] is False  # ledger contract, cheap to assert
     # no derived float columns in the hashed output: sum_cents + n_orders
     # carry the full information (a reader derives the average), and a
@@ -384,4 +393,5 @@ def agg_incremental_mv_refresh(spark, sf_dir):
         "month",
         F.col("n_orders").cast("long").alias("n_orders"),
         F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.col("max_cents").cast("long").alias("max_cents"),
     )

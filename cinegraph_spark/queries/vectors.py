@@ -975,3 +975,76 @@ def vec_ann_filtered_topk(spark, sf_dir):
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "vec_ann_ivf_filtered_topk",
+    f"""
+    WITH e AS (SELECT vec_id, label, {_DV} AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    corpus AS (SELECT vec_id, label, v FROM e WHERE vec_id <> 0),
+    flat AS (SELECT label, unnest(v) AS x,
+                    generate_subscripts(v, 1) AS dim FROM corpus),
+    cent AS (SELECT label, dim, avg(x) AS c FROM flat GROUP BY label, dim),
+    centv AS (SELECT label, list(c ORDER BY dim) AS cv
+              FROM cent GROUP BY label),
+    probe AS (
+      SELECT label FROM centv, q
+      WHERE label IN (2, 5, 7)
+      ORDER BY round(list_dot_product(cv, qv)
+               / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qv, x -> x * x)))), 9)
+               DESC, label
+      LIMIT 2
+    )
+    SELECT corpus.vec_id, CAST(corpus.label AS BIGINT) AS label,
+           round(list_dot_product(v, qv)
+                 / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos_sim
+    FROM corpus JOIN probe USING (label), q
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("vector", "ann", "ivf", "similarity", "serving", "filtered"),
+)
+def vec_ann_ivf_filtered_topk(spark, sf_dir):
+    """FILTERED search against the PERSISTED IVF serving state — the ANN
+    composition of `vec_ann_filtered_topk`'s pre-filter contract: the
+    admissibility predicate (label in (2, 5, 7)) restricts the cells the
+    probe may rank, so all nprobe probed cells are admissible and the
+    query returns k matching vectors whenever they exist; post-filtering
+    a fixed probe set would silently under-return whenever the globally
+    nearest cells are inadmissible. Because the corpus rides the cell
+    layout, the predicate composes with the r13 partition pruning for
+    free — only admissible∩probed cell DIRECTORIES are opened
+    (`operators/similarity.py::ivf_index_topk(cell_filter=...)`), which
+    is the planning-time form a metadata filter should take at 100 TB:
+    prune, not scan-and-test. Exact oracle: the same restricted probe
+    over oracle-computed centroids (the stored decimal(38,18) centroid
+    and the oracle's IEEE average collapse under the probe's 9-decimal
+    rounding, the contract every IVF query here shares)."""
+    from cinegraph_spark.operators.similarity import (
+        ivf_centroids_save,
+        ivf_corpus_layout,
+        ivf_index_topk,
+    )
+    from cinegraph_spark.session import scratch_dir
+
+    e = _emb(spark, sf_dir)
+    corpus = e.filter(F.col("vec_id") != 0)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scratch = scratch_dir("cg_ivf_filt_")
+    path = scratch + "/centroids"
+    corpus_path = scratch + "/corpus"
+    ivf_centroids_save(corpus, path)
+    ivf_corpus_layout(corpus, corpus_path)
+    out = ivf_index_topk(
+        corpus_path,
+        q,
+        path,
+        nprobe=2,
+        k=10,
+        cell_filter=F.col("label").isin(2, 5, 7),
+    )
+    return out.select(
+        "vec_id", F.col("label").cast("long").alias("label"), "cos_sim"
+    )

@@ -14,6 +14,7 @@ from cinegraph_spark.queries.util import T
 
 KEYS = ["priority", "month"]
 SUMS = ["n_orders", "sum_cents"]
+MAXS = ["max_cents"]
 
 
 def _rollup(df):
@@ -21,7 +22,11 @@ def _rollup(df):
     return df.groupBy(
         F.col("o_orderpriority").alias("priority"),
         F.date_format("o_orderdate", "yyyy-MM").alias("month"),
-    ).agg(F.count(F.lit(1)).alias("n_orders"), F.sum(cents).alias("sum_cents"))
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).alias("sum_cents"),
+        F.max(cents).alias("max_cents"),
+    )
 
 
 def _rows(df):
@@ -35,11 +40,11 @@ def test_incremental_refresh_equals_full_recompute(spark, sf_dir, tmp_path):
     path = str(tmp_path / "state")
     r0 = merge_agg_state(
         spark, path, _rollup(o.filter("o_orderdate < '1997-01-01'")),
-        KEYS, SUMS, batch_id=0,
+        KEYS, SUMS, batch_id=0, maxs=MAXS,
     )
     r1 = merge_agg_state(
         spark, path, _rollup(o.filter("o_orderdate >= '1997-01-01'")),
-        KEYS, SUMS, batch_id=1,
+        KEYS, SUMS, batch_id=1, maxs=MAXS,
     )
     assert r0["applied"] and r1["applied"]
     merged = spark.read.parquet(path + "/agg")
@@ -53,14 +58,14 @@ def test_replayed_batch_is_ledger_noop(spark, sf_dir, tmp_path):
     o = T(spark, sf_dir, "orders")
     path = str(tmp_path / "state")
     delta = _rollup(o.filter("o_orderdate >= '1997-01-01'"))
-    merge_agg_state(spark, path, _rollup(o), KEYS, SUMS, batch_id=0)
+    merge_agg_state(spark, path, _rollup(o), KEYS, SUMS, batch_id=0, maxs=MAXS)
     before = _rows(spark.read.parquet(path + "/agg"))
-    replay = merge_agg_state(spark, path, delta, KEYS, SUMS, batch_id=0)
+    replay = merge_agg_state(spark, path, delta, KEYS, SUMS, batch_id=0, maxs=MAXS)
     assert replay["applied"] is False
     assert _rows(spark.read.parquet(path + "/agg")) == before
     # a NEW batch id with the same content IS applied (double-counting is
     # the caller's delta-construction bug, not the ledger's to catch)
-    assert merge_agg_state(spark, path, delta, KEYS, SUMS, batch_id=7)[
+    assert merge_agg_state(spark, path, delta, KEYS, SUMS, batch_id=7, maxs=MAXS)[
         "applied"
     ]
 
@@ -72,10 +77,10 @@ def test_empty_delta_and_empty_first_batch(spark, sf_dir, tmp_path):
     o = T(spark, sf_dir, "orders")
     path = str(tmp_path / "state")
     empty = _rollup(o.filter("o_orderkey < 0"))
-    r0 = merge_agg_state(spark, path, empty, KEYS, SUMS, batch_id=0)
+    r0 = merge_agg_state(spark, path, empty, KEYS, SUMS, batch_id=0, maxs=MAXS)
     assert r0 == {"applied": True, "n_groups": 0}
-    merge_agg_state(spark, path, _rollup(o), KEYS, SUMS, batch_id=1)
-    r2 = merge_agg_state(spark, path, empty, KEYS, SUMS, batch_id=2)
+    merge_agg_state(spark, path, _rollup(o), KEYS, SUMS, batch_id=1, maxs=MAXS)
+    r2 = merge_agg_state(spark, path, empty, KEYS, SUMS, batch_id=2, maxs=MAXS)
     assert r2["applied"] is True
     assert _rows(spark.read.parquet(path + "/agg")) == _rows(_rollup(o))
 
@@ -88,9 +93,9 @@ def test_agg_and_ledger_flip_atomically(spark, sf_dir, tmp_path):
 
     o = T(spark, sf_dir, "orders")
     path = str(tmp_path / "state")
-    merge_agg_state(spark, path, _rollup(o), KEYS, SUMS, batch_id=3)
+    merge_agg_state(spark, path, _rollup(o), KEYS, SUMS, batch_id=3, maxs=MAXS)
     merge_agg_state(
-        spark, path, _rollup(o.limit(0)), KEYS, SUMS, batch_id=9
+        spark, path, _rollup(o.limit(0)), KEYS, SUMS, batch_id=9, maxs=MAXS
     )
     ledger = sorted(
         int(r["batch_id"])

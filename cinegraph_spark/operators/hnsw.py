@@ -939,6 +939,23 @@ def hnsw_stream_maintenance_sink(
         try:
             return layout_meta(spark, land_dir)
         except FileNotFoundError:
+            # refuse to seed OVER a non-empty non-layout directory: a
+            # pre-r13 batch-keyed landing zone here holds arrivals the
+            # checkpoint already marked consumed — re-seeding from
+            # ``base`` alone would silently drop those vectors from the
+            # index (the swap deletes the old zone and replay is blocked
+            # by the checkpoint). Migrate explicitly instead.
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(land_dir)
+            hfs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if hfs.exists(jpath) and list(hfs.listStatus(jpath)):
+                raise ValueError(
+                    f"hnsw_stream_maintenance_sink: {land_dir} exists "
+                    "and is not a clustered layout (no _LAYOUT.json) — "
+                    "seeding would discard its contents while the "
+                    "stream checkpoint blocks their replay; fold the "
+                    "old landing zone into `base` (or point the drain "
+                    "at a fresh land_dir with a fresh checkpoint)"
+                )
             head = spark.read.parquet(path).select("n_partitions").first()
             # a vacuous index (saved over a zero-row corpus) has no
             # identity to mirror: seed at modulus 1 — the same degrade

@@ -260,6 +260,21 @@ def _data_ddl(df: DataFrame, exclude: tuple[str, ...] = ()) -> str:
     )
 
 
+def _ddl_fields(ddl: str) -> dict[str, str]:
+    """Parse a ``_data_ddl`` string back to ``{name: type}``. Safe to
+    split on ", " because ``simpleString`` types never contain a
+    comma-space (nested struct/array commas have no trailing space) —
+    name membership must be tested against THIS, never by substring on
+    the raw DDL (a column named ``old_layout_version`` would otherwise
+    read as the version column)."""
+    out: dict[str, str] = {}
+    for fld in ddl.split(", "):
+        if fld:
+            name, _, typ = fld.partition(" ")
+            out[name] = typ
+    return out
+
+
 def hash_layout_save(
     e: DataFrame, path: str, key: str, n_partitions: int
 ) -> None:
@@ -275,6 +290,7 @@ def hash_layout_save(
     ``hash(NULL)`` would land rows in a real directory that no keyed
     delta could ever address again (same guard as the serving-table
     saves)."""
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     from cinegraph_spark.operators.serving_io import atomic_swap_dir
@@ -286,13 +302,6 @@ def hash_layout_save(
             "the layout owns that name (it becomes the partition "
             "directory column) — rename or drop the input column"
         )
-    n_null = e.filter(F.col(key).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"hash_layout_save: {n_null} row(s) have a NULL {key}; "
-            "hash(NULL) would land them in a real partition directory "
-            "that keyed maintenance could never address — fix the keys"
-        )
     meta = {
         "kind": "hash_key",
         "part_col": "part_id",
@@ -302,10 +311,24 @@ def hash_layout_save(
         "data_ddl": _data_ddl(e),
     }
     part = F.pmod(F.hash(key), F.lit(int(n_partitions))).cast("int")
+    # NULL keys are refused — hash(NULL) would land rows in a real
+    # directory no keyed delta could ever address again. The check rides
+    # the write itself via Observation (ONE corpus pass, not a separate
+    # count job); a violation raises BEFORE the manifest write and the
+    # swap, so the live layout is never replaced with bad state.
+    obs = Observation()
     with atomic_swap_dir(spark, path) as tmp:
-        e.withColumn("part_id", part).write.partitionBy("part_id").parquet(
-            tmp
-        )
+        e.withColumn("part_id", part).observe(
+            obs, F.count_if(F.col(key).isNull()).alias("n_null")
+        ).write.partitionBy("part_id").parquet(tmp)
+        n_null = int(obs.get["n_null"])
+        if n_null:
+            raise ValueError(
+                f"hash_layout_save: {n_null} row(s) have a NULL {key}; "
+                "hash(NULL) would land them in a real partition "
+                "directory that keyed maintenance could never address — "
+                "fix the keys"
+            )
         _write_json(spark, tmp + "/" + LAYOUT_MANIFEST, meta)
 
 
@@ -318,26 +341,33 @@ def column_layout_save(e: DataFrame, path: str, part_col: str) -> None:
     values are refused — a ``__HIVE_DEFAULT_PARTITION__`` directory
     cannot be addressed by the equi-join maintenance contract (same rule
     as ivf_centroids_save)."""
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     from cinegraph_spark.operators.serving_io import atomic_swap_dir
 
     spark = e.sparkSession
-    n_null = e.filter(F.col(part_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"column_layout_save: {n_null} row(s) have a NULL {part_col}; "
-            "a NULL partition value cannot be addressed by keyed "
-            "maintenance — assign a sentinel value instead"
-        )
     meta = {
         "kind": "column",
         "part_col": part_col,
         "part_ddl": e.schema[part_col].dataType.simpleString(),
         "data_ddl": _data_ddl(e, exclude=(part_col,)),
     }
+    # same single-pass Observation validation as hash_layout_save: a
+    # NULL cell would write a __HIVE_DEFAULT_PARTITION__ directory no
+    # equi-join maintenance could address; raise before manifest + swap
+    obs = Observation()
     with atomic_swap_dir(spark, path) as tmp:
-        e.write.partitionBy(part_col).parquet(tmp)
+        e.observe(
+            obs, F.count_if(F.col(part_col).isNull()).alias("n_null")
+        ).write.partitionBy(part_col).parquet(tmp)
+        n_null = int(obs.get["n_null"])
+        if n_null:
+            raise ValueError(
+                f"column_layout_save: {n_null} row(s) have a NULL "
+                f"{part_col}; a NULL partition value cannot be addressed "
+                "by keyed maintenance — assign a sentinel value instead"
+            )
         _write_json(spark, tmp + "/" + LAYOUT_MANIFEST, meta)
 
 
@@ -441,7 +471,7 @@ def hash_layout_upsert(
             f"{meta['kind']!r}, not a hash-key layout"
         )
     key, key_ddl, n = meta["key"], meta["key_ddl"], meta["n_partitions"]
-    versioned = LAYOUT_VERSION_COL in meta["data_ddl"]
+    versioned = LAYOUT_VERSION_COL in _ddl_fields(meta["data_ddl"])
     if version is not None and not versioned:
         raise ValueError(
             f"hash_layout_upsert: layout at {path} has no "
@@ -460,22 +490,39 @@ def hash_layout_upsert(
             "unversioned layout or a full re-save"
         )
 
-    def _checked_keys(df: DataFrame, what: str) -> DataFrame:
+    def _checked_keys(
+        df: DataFrame, what: str, refuse_dups: bool = False
+    ) -> DataFrame:
         cast = F.col(key).try_cast(key_ddl)
-        bad = df.filter(cast.isNull()).count()
-        if bad:
+        stats = df.agg(
+            F.count_if(cast.isNull()).alias("bad"),
+            (F.count(F.lit(1)) - F.count_distinct(cast)).alias("dups"),
+        ).first()
+        if int(stats["bad"]):
             raise ValueError(
-                f"hash_layout_upsert: {bad} {what} {key} value(s) are "
-                f"NULL or do not cast to the layout key type {key_ddl}; "
-                "they would hash to an arbitrary directory while the "
-                "intended one kept a stale row — fix the input"
+                f"hash_layout_upsert: {int(stats['bad'])} {what} {key} "
+                f"value(s) are NULL or do not cast to the layout key "
+                f"type {key_ddl}; they would hash to an arbitrary "
+                "directory while the intended one kept a stale row — "
+                "fix the input"
+            )
+        if refuse_dups and int(stats["dups"]):
+            # two upsert rows for one key in ONE call have no defined
+            # winner: versioned mode would pick nondeterministically
+            # among equal versions (breaking replay-to-same-bytes),
+            # unversioned mode would write the key twice — refuse up
+            # front (duplicate DELETE keys are harmless: distinct-ed)
+            raise ValueError(
+                f"hash_layout_upsert: {int(stats['dups'])} duplicate "
+                f"{what} {key} value(s) in one call — a single upsert "
+                "has no defined winner per key; dedup the input first"
             )
         return df
 
     part = F.pmod(F.hash(F.col(key).try_cast(key_ddl)), F.lit(n)).cast(
         "int"
     )
-    up = _checked_keys(upserts, "upsert")
+    up = _checked_keys(upserts, "upsert", refuse_dups=True)
     key_frames = [up.select(part.alias("part_id"))]
     if deletes is not None:
         deletes = _checked_keys(deletes.select(key), "delete")
@@ -512,10 +559,16 @@ def hash_layout_upsert(
         # (the anti-join removes the old row, the union writes the new
         # one); no hint on the anti-join — `gone` is delta-sized, which
         # a big backfill can push past broadcast range, and AQE already
-        # broadcasts it when it is small
-        gone = up.select(key)
+        # broadcasts it when it is small. The anti-join key is CAST to
+        # key_ddl first: joining a wider delta type raw would coerce the
+        # STORED key column instead (e.g. bigint keys compared as
+        # double collide past 2^53 and the anti-join would delete a
+        # neighboring key the upsert never re-adds)
+        gone = up.select(F.col(key).try_cast(key_ddl).alias(key))
         if deletes is not None:
-            gone = gone.unionByName(deletes.select(key))
+            gone = gone.unionByName(
+                deletes.select(F.col(key).try_cast(key_ddl).alias(key))
+            )
         new = old.join(gone.distinct(), key, "left_anti").unionByName(
             incoming
         )
@@ -593,26 +646,46 @@ def column_layout_upsert(
             f"{meta['kind']!r}, not a column layout"
         )
     pc, part_ddl = meta["part_col"], meta["part_ddl"]
+    key_ddl = _ddl_fields(meta["data_ddl"]).get(key)
+    if key_ddl is None:
+        raise ValueError(
+            f"column_layout_upsert: {key!r} is not a data column of the "
+            f"layout at {path} (manifest schema: {meta['data_ddl']})"
+        )
 
-    def _checked(df: DataFrame, what: str, need_key: bool) -> DataFrame:
-        n_null = df.filter(F.col(pc).try_cast(part_ddl).isNull()).count()
-        if n_null:
+    def _checked(
+        df: DataFrame, what: str, need_key: bool, refuse_dups: bool = False
+    ) -> DataFrame:
+        cast_key = F.col(key).try_cast(key_ddl)
+        stats = df.agg(
+            F.count_if(
+                F.col(pc).try_cast(part_ddl).isNull()
+            ).alias("bad_cell"),
+            F.count_if(cast_key.isNull()).alias("bad_key"),
+            (F.count(F.lit(1)) - F.count_distinct(cast_key)).alias("dups"),
+        ).first()
+        if int(stats["bad_cell"]):
             raise ValueError(
-                f"column_layout_upsert: {n_null} {what} row(s) have a "
-                f"NULL or {part_ddl}-uncastable {pc}; a NULL cell cannot "
-                "be addressed as a directory — fix the input"
+                f"column_layout_upsert: {int(stats['bad_cell'])} {what} "
+                f"row(s) have a NULL or {part_ddl}-uncastable {pc}; a "
+                "NULL cell cannot be addressed as a directory — fix the "
+                "input"
             )
-        if need_key:
-            n_badkey = df.filter(F.col(key).isNull()).count()
-            if n_badkey:
-                raise ValueError(
-                    f"column_layout_upsert: {n_badkey} {what} row(s) "
-                    f"have a NULL {key}; keyed replacement cannot "
-                    "address them — fix the input"
-                )
+        if need_key and int(stats["bad_key"]):
+            raise ValueError(
+                f"column_layout_upsert: {int(stats['bad_key'])} {what} "
+                f"row(s) have a NULL or {key_ddl}-uncastable {key}; "
+                "keyed replacement cannot address them — fix the input"
+            )
+        if refuse_dups and int(stats["dups"]):
+            raise ValueError(
+                f"column_layout_upsert: {int(stats['dups'])} duplicate "
+                f"{what} {key} value(s) in one call — a single upsert "
+                "has no defined winner per key; dedup the input first"
+            )
         return df
 
-    up = _checked(upserts, "upsert", need_key=True)
+    up = _checked(upserts, "upsert", need_key=True, refuse_dups=True)
     cell_frames = [up.select(F.col(pc).try_cast(part_ddl).alias(pc))]
     if deletes is not None:
         deletes = _checked(deletes, "delete", need_key=True)
@@ -627,10 +700,17 @@ def column_layout_upsert(
         return {"touched_cells": [], "dropped_cells": []}
 
     old = layout_pruned_read(spark, path, changed)
-    gone = up.select(key)
+    # cast the replacement keys (and the incoming key column) to the
+    # layout's declared key type — same coercion trap as the hash tier:
+    # anti-joining a wider raw delta type would coerce the STORED keys
+    gone = up.select(F.col(key).try_cast(key_ddl).alias(key))
     if deletes is not None:
-        gone = gone.unionByName(deletes.select(key))
-    incoming = up.withColumn(pc, F.col(pc).try_cast(part_ddl))
+        gone = gone.unionByName(
+            deletes.select(F.col(key).try_cast(key_ddl).alias(key))
+        )
+    incoming = up.withColumn(key, F.col(key).try_cast(key_ddl)).withColumn(
+        pc, F.col(pc).try_cast(part_ddl)
+    )
     new = old.join(gone.distinct(), key, "left_anti").unionByName(
         incoming
     )

@@ -36,14 +36,33 @@ def atomic_swap_dir(spark, path: str):
     window at all. On an exception inside the block, ``path`` is left
     untouched (the partial sibling remains for inspection) and the
     exception propagates."""
+    import re
     import uuid
 
     token = uuid.uuid4().hex[:12]
     tmp = path.rstrip("/") + "__swap__" + token
-    yield tmp
     jpath = spark._jvm.org.apache.hadoop.fs.Path
-    dest, src = jpath(path), jpath(tmp)
+    dest = jpath(path)
     fs = dest.getFileSystem(spark._jsc.hadoopConfiguration())
+    # sweep SUPERSEDED aside copies before starting: a crash in the
+    # post-swap window (new state live, aside not yet deleted) leaves an
+    # orphan __old__ that nothing else cleans — a silent full-table disk
+    # leak, and a stale token that would later make recover_swap's
+    # ambiguity check misfire. Safe under the single-writer contract:
+    # while ``path`` exists, every parked __old__ is by construction the
+    # state some completed swap replaced. Orphan __swap__ siblings are
+    # kept — they are failed write attempts documented as inspection
+    # material.
+    if fs.exists(dest):
+        base_name = jpath(path.rstrip("/")).getName()
+        pat = re.compile(re.escape(base_name) + r"__old__[0-9a-f]{12}$")
+        parent = jpath(path.rstrip("/")).getParent()
+        if parent is not None and fs.exists(parent):
+            for st in fs.listStatus(parent):
+                if pat.match(st.getPath().getName()):
+                    fs.delete(st.getPath(), True)
+    yield tmp
+    src = jpath(tmp)
     aside = jpath(path.rstrip("/") + "__old__" + token)
     had_old = fs.exists(dest)
     if had_old and not fs.rename(dest, aside):
@@ -120,11 +139,24 @@ def recover_swap(spark, path: str) -> dict:
     if not parked:
         return {"action": "none", "token": None}
     if len(parked) > 1:
-        raise IOError(
-            f"recover_swap: {len(parked)} distinct crashed-swap tokens "
-            f"parked next to {path} ({sorted(parked)}); two interleaved "
-            "swaps have no well-defined winner — recover manually"
-        )
+        # multiple tokens: only a token with BOTH copies is provably a
+        # between-renames crash (the old state was moved aside, which
+        # only happens after the sibling write completed) — a LONE
+        # __swap__ may be a partial failed write and a lone __old__ an
+        # earlier swap's undeleted aside, neither provably current. A
+        # unique pair therefore wins; anything else needs a human.
+        pairs = {
+            t: c for t, c in parked.items() if "swap" in c and "old" in c
+        }
+        if len(pairs) == 1:
+            parked = pairs
+        else:
+            raise IOError(
+                f"recover_swap: {len(parked)} distinct crashed-swap "
+                f"tokens parked next to {path} ({sorted(parked)}), "
+                f"{len(pairs)} of them complete __old__+__swap__ pairs; "
+                "no well-defined winner — recover manually"
+            )
     token, copies = next(iter(parked.items()))
     kind = "swap" if "swap" in copies else "old"
     if not fs.rename(jpath(copies[kind]), dest):

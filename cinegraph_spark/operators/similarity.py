@@ -516,6 +516,22 @@ def ivf_centroids_update(
         )
         ivf_centroids_save(e_df, path, label=label, v=v)
         return {"rebuilt_cells": [], "full_rebuild": True}
+    if label not in old.columns:
+        raise ValueError(
+            f"ivf_centroids_update: stored table at {path} has no "
+            f"{label!r} column; it was saved under a different cell "
+            "column — rebuild with ivf_centroids_save"
+        )
+    stored_ddl = old.schema[label].dataType.simpleString()
+    if cell_ddl != stored_ddl:
+        # same drift rule as the hash tiers: unionByName would silently
+        # coerce the stored label column and the serving table's declared
+        # cell type would change under its consumers
+        raise ValueError(
+            f"ivf_centroids_update: corpus cell type {cell_ddl} differs "
+            f"from the stored table's {label} type {stored_ddl}; cast "
+            "the corpus cell back or rebuild with ivf_centroids_save"
+        )
     cast_cell = F.col(label).try_cast(cell_ddl)
     bad = delta.filter(cast_cell.isNull()).count()
     if bad:

@@ -1193,3 +1193,30 @@ def test_index_update_refuses_flat_pre_r13_table(spark, sf_dir, tmp_path):
     one = e.filter(F.col("vec_id") == 1).select("vec_id")
     with _pytest.raises(ValueError, match="this one is flat"):
         hnsw_index_update(e, one, flat)
+
+
+def test_stream_sink_refuses_non_layout_landing_zone(spark, tmp_path):
+    """A non-empty land_dir WITHOUT a layout manifest (e.g. a pre-r13
+    batch-keyed landing zone whose batches the checkpoint already marked
+    consumed) must be refused, not silently re-seeded from base — the
+    swap would discard arrivals that can never replay."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_index_save,
+        hnsw_stream_maintenance_sink,
+    )
+
+    e = spark.range(0, 40).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=7) for _ in range(4)]).alias("v"),
+    )
+    path = str(tmp_path / "index")
+    hnsw_index_save(e, path, n_partitions=2)
+    land = str(tmp_path / "land")
+    e.limit(3).write.parquet(land + "/batch-00000000")
+    sink = hnsw_stream_maintenance_sink(e, land, path)
+    batch = e.limit(1)
+    with pytest.raises(ValueError, match="not a clustered layout"):
+        sink(batch, 0)

@@ -328,10 +328,83 @@ def test_column_layout_upsert_guards(spark, tmp_path):
     null_key = spark.createDataFrame(
         [(None, 1)], "vec_id long, label int"
     )
-    with pytest.raises(ValueError, match="NULL vec_id"):
+    with pytest.raises(
+        ValueError, match="NULL or bigint-uncastable vec_id"
+    ):
         column_layout_upsert(spark, p, null_key, "vec_id")
     # wrong layout kind
     h = str(tmp_path / "hashlay")
     hash_layout_save(e, h, "vec_id", 4)
     with pytest.raises(ValueError, match="not a column layout"):
         column_layout_upsert(spark, h, e.limit(1), "vec_id")
+
+
+def test_upsert_refuses_duplicate_keys_both_tiers(spark, tmp_path):
+    """One call, two rows for one key: no defined winner (versioned mode
+    would pick nondeterministically among equal versions, unversioned
+    mode would write the key twice) — refused up front at both tiers;
+    duplicate DELETE keys stay harmless."""
+    import pytest
+
+    from cinegraph_spark.operators.maintenance import (
+        column_layout_save,
+        column_layout_upsert,
+        hash_layout_save,
+        hash_layout_upsert,
+    )
+
+    e = spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(9)],
+        "vec_id long, label int, x long",
+    )
+    h = str(tmp_path / "h")
+    hash_layout_save(e, h, "vec_id", 4)
+    dup = spark.createDataFrame(
+        [(1, 0, 111), (1, 0, 222)], "vec_id long, label int, x long"
+    )
+    with pytest.raises(ValueError, match="duplicate upsert vec_id"):
+        hash_layout_upsert(spark, h, dup)
+    # duplicate deletes: fine (distinct-ed)
+    deldup = spark.createDataFrame([(2,), (2,)], "vec_id long")
+    out = hash_layout_upsert(
+        spark,
+        h,
+        spark.createDataFrame([], "vec_id long, label int, x long"),
+        deletes=deldup,
+    )
+    assert 8 == spark.read.parquet(h).count()
+    assert out["touched_partitions"]
+
+    c = str(tmp_path / "c")
+    column_layout_save(e, c, "label")
+    with pytest.raises(ValueError, match="duplicate upsert vec_id"):
+        column_layout_upsert(spark, c, dup, "vec_id")
+
+
+def test_version_column_detection_is_name_exact(spark, tmp_path):
+    """A data column whose NAME merely contains '_layout_version'
+    (e.g. old_layout_version) must not flip the layout into versioned
+    mode — detection parses field names, never substring-matches the
+    DDL."""
+    from cinegraph_spark.operators.maintenance import (
+        hash_layout_save,
+        hash_layout_upsert,
+    )
+
+    e = spark.createDataFrame(
+        [(i, i) for i in range(6)],
+        "vec_id long, old_layout_version long",
+    )
+    p = str(tmp_path / "lay")
+    hash_layout_save(e, p, "vec_id", 3)
+    # unversioned upsert must WORK (the substring bug raised
+    # "layout is versioned; pass version=")
+    up = spark.createDataFrame(
+        [(1, 99)], "vec_id long, old_layout_version long"
+    )
+    hash_layout_upsert(spark, p, up)
+    got = {
+        (r["vec_id"], r["old_layout_version"])
+        for r in spark.read.parquet(p).collect()
+    }
+    assert (1, 99) in got and len(got) == 6

@@ -120,3 +120,32 @@ def test_stale_sibling_never_corrupts_reads_or_later_swaps(spark, tmp_path):
     assert _ids(spark, path) == [0, 1, 2]
     atomic_swap_write(spark.range(7, 9), path)
     assert _ids(spark, path) == [7, 8]
+
+
+def test_orphan_old_swept_and_pair_preferred(spark, tmp_path):
+    """A post-swap crash (new state live, aside not deleted) leaves an
+    orphan __old__: the NEXT swap sweeps it (no unbounded disk leak).
+    And recover_swap resolves a multi-token parking lot when exactly one
+    token is a complete __old__+__swap__ pair — the only configuration
+    provably past the sibling write — preferring it over a lone orphan."""
+    import os
+
+    from cinegraph_spark.operators.serving_io import recover_swap
+
+    path = str(tmp_path / "t")
+    atomic_swap_write(spark.range(3), path)
+    # simulate the post-swap crash window: aside copy never deleted
+    spark.range(99).write.parquet(path + "__old__aaaaaaaaaaaa")
+    atomic_swap_write(spark.range(5), path)  # next swap sweeps the orphan
+    assert not os.path.exists(path + "__old__aaaaaaaaaaaa")
+    assert _ids(spark, path) == [0, 1, 2, 3, 4]
+
+    # multi-token recovery: lone __old__ orphan + one complete pair —
+    # the pair's swap copy wins (it was durably written before the old
+    # state was touched); the orphan is ignored
+    spark.range(99).write.parquet(path + "__old__aaaaaaaaaaaa")
+    os.rename(path, path + "__old__bbbbbbbbbbbb")
+    spark.range(7, 9).write.parquet(path + "__swap__bbbbbbbbbbbb")
+    out = recover_swap(spark, path)
+    assert out == {"action": "restored_new", "token": "bbbbbbbbbbbb"}
+    assert _ids(spark, path) == [7, 8]

@@ -104,6 +104,7 @@ HEADLINE = [
     "vec_ann_filtered_topk",
     "stream_mv_incremental_refresh",
     "vec_ann_ivf_filtered_topk",
+    "stream_session_dynamic_gap",
 ]
 
 

@@ -98,9 +98,9 @@ CHANGED_CODE_CANARIES: tuple[str, ...] = (
 #: pre-filter vector search — each under its own exact oracle), then the
 #: five r8-stale queries the r12 verdict named (draining the oldest
 #: bucket entirely — freshness floor rises to r9), then the r9 bucket
-#: oldest-first (registry order within the bucket). 5 + 9 + 36 = 50; the
-#: remaining 19 r9 queries head the r14 queue (wave-3 added the filtered
-#: IVF serving search to the never block).
+#: oldest-first (registry order within the bucket). 5 + 10 + 35 = 50; the
+#: remaining 20 r9 queries head the r14 queue (wave-3 added the filtered
+#: IVF serving search, wave-4 the dynamic-gap session stream).
 #: Every name here must exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     # never driver-checked
@@ -113,6 +113,7 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "vec_ann_filtered_topk",
     "stream_mv_incremental_refresh",
     "vec_ann_ivf_filtered_topk",
+    "stream_session_dynamic_gap",
     # last checked round 8 (registry order)
     "q15_top_supplier",
     "q17_small_quantity_revenue",
@@ -150,7 +151,6 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "window_first_last_nth_order",
     "agg_minby_maxby_nation",
     "sample_hash_mod_documents",
-    "sample_stratified_topn_per_source",
 )
 
 

@@ -955,3 +955,103 @@ def stream_mv_incremental_refresh(spark, sf_dir):
         F.col("n_events").cast("long").alias("n_events"),
         F.col("sum_value_units").cast("long").alias("sum_value_units"),
     )
+
+
+@register(
+    "stream_session_dynamic_gap",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'purchase'
+                  THEN INTERVAL 45 MINUTE ELSE INTERVAL 15 MINUTE
+             END AS gap
+      FROM events
+    ),
+    o AS (
+      SELECT *, ts + gap AS e_end,
+             max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS prev_end
+      FROM g
+    ),
+    s AS (
+      SELECT *, sum(CASE WHEN prev_end IS NULL OR ts >= prev_end
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S')    AS session_start,
+           strftime(max(e_end), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session", "dynamic-gap", "stateful"),
+)
+def stream_session_dynamic_gap(spark, sf_dir):
+    """Dynamic-gap session windows as a REAL stream: ``session_window``
+    with a per-row Column gap (purchases hold a session open 45 minutes,
+    everything else 15) — the stateful merge rule no single-gap
+    gaps-and-islands can express, previously drain-tested only against
+    its own batch twin; this gives it an independent cross-engine
+    oracle. The oracle is interval-union gaps-and-islands: each event
+    spans [ts, ts+gap), a session breaks when an event starts at or
+    after the RUNNING MAX of prior ends (a long-gap event keeps the
+    session open across short-gap ones — plain lag-based islands get
+    this wrong), and session_end is the max member end.
+
+    Drain shape: availableNow in COMPLETE output mode through
+    ``foreachBatch``, each batch overwriting its own directory, and the
+    final state is the LAST batch's emission — complete mode re-emits
+    the whole result per batch, so reading the union (the append-mode
+    pattern) would duplicate sessions under a multi-batch source. At
+    production scale continuous session streams run in update/append
+    mode with watermark eviction instead; complete is the right shape
+    for a bounded re-sessionization job."""
+    import os
+
+    from cinegraph_spark.queries.util import bounded_shuffle, ntz, r4, scoped_confs, tstr
+    from cinegraph_spark.session import scratch_dir
+    from cinegraph_spark.streaming.windows import (
+        read_events_stream,
+        session_windows_dynamic_gap,
+    )
+
+    out_dir = scratch_dir("cg_dyn_session_")
+    sessions = session_windows_dynamic_gap(read_events_stream(spark, sf_dir))
+
+    def land(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch-{batch_id:08d}"
+        )
+
+    with scoped_confs(
+        spark, **{"spark.sql.session.timeZone": "UTC"}
+    ), bounded_shuffle(spark, 8):
+        q = (
+            sessions.writeStream.foreachBatch(land)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("dynamic-gap session drain timed out")
+    batches = sorted(
+        d for d in os.listdir(out_dir) if d.startswith("batch-")
+    )
+    if not batches:  # zero staged files -> no batch fired
+        return spark.createDataFrame(
+            [], "user_id long, session_start string, session_end string, "
+            "n_events long, total_value double"
+        )
+    final = spark.read.parquet(f"{out_dir}/{batches[-1]}")
+    return final.select(
+        "user_id",
+        tstr(ntz(F.col("session_start"))).alias("session_start"),
+        tstr(ntz(F.col("session_end"))).alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+        r4(F.col("total_value")).alias("total_value"),
+    )

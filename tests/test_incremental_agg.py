@@ -108,3 +108,40 @@ def test_agg_and_ledger_flip_atomically(spark, sf_dir, tmp_path):
         if n.startswith("state__")
     ]
     assert siblings == []
+
+
+def test_refresh_recovers_from_mid_swap_crash(spark, sf_dir, tmp_path):
+    """merge_agg_state's crash window is atomic_swap_dir's
+    between-renames instant: the old state parked as __old__<tok>, the
+    fresh state durably at __swap__<tok>, the live path missing.
+    recover_swap must restore the FRESH state (it was complete before
+    the old state was touched) and the next refresh must proceed
+    normally on top of it."""
+    import os
+
+    from cinegraph_spark.operators.serving_io import recover_swap
+
+    o = T(spark, sf_dir, "orders")
+    path = str(tmp_path / "state")
+    merge_agg_state(
+        spark, path, _rollup(o.filter("o_orderdate < '1997-01-01'")),
+        KEYS, SUMS, batch_id=0, maxs=MAXS,
+    )
+    # simulate the between-renames crash of the NEXT refresh: new state
+    # written to a sibling, old moved aside, rename-in never happened
+    os.rename(path, path + "__old__feedfacef00d")
+    merge_agg_state(
+        spark,
+        path + "__swap__feedfacef00d",
+        _rollup(o.filter("o_orderdate < '1997-01-01'")),
+        KEYS, SUMS, batch_id=0, maxs=MAXS,
+    )
+    out = recover_swap(spark, path)
+    assert out["action"] == "restored_new"
+    # the restored state is live and the pipeline continues
+    r = merge_agg_state(
+        spark, path, _rollup(o.filter("o_orderdate >= '1997-01-01'")),
+        KEYS, SUMS, batch_id=1, maxs=MAXS,
+    )
+    assert r["applied"]
+    assert _rows(spark.read.parquet(path + "/agg")) == _rows(_rollup(o))

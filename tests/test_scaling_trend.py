@@ -87,6 +87,11 @@ FAMILIES = [
     # per batch is a partial agg + state-sized merge — a regression that
     # re-scanned landed history per batch would grow superlinearly
     "stream_mv_incremental_refresh",
+    # dynamic-gap sessions: output ~ events/sessions (linear); the
+    # session-window state machine is per-user-partition local — a
+    # regression to cross-user state or per-event window re-merges
+    # would track events² through the state store
+    "stream_session_dynamic_gap",
 ]
 
 

@@ -936,17 +936,26 @@ def hnsw_stream_maintenance_sink(
     spark = base.sparkSession
 
     def _ensure_layout() -> dict:
+        from cinegraph_spark.operators.maintenance import _hadoop_fs
+        from cinegraph_spark.operators.serving_io import recover_swap
+
         try:
             return layout_meta(spark, land_dir)
         except FileNotFoundError:
+            # the layout's OWN swap can crash between renames (seed or
+            # post-reshard re-lay), leaving the committed landing state
+            # parked under __old__/__swap__ siblings — re-seeding from
+            # ``base`` there would silently drop every landed arrival
+            # (the checkpoint blocks their replay). Recover first; only
+            # a path with no parked copies may be seeded.
+            if recover_swap(spark, land_dir)["action"] != "none":
+                return layout_meta(spark, land_dir)
             # refuse to seed OVER a non-empty non-layout directory: a
             # pre-r13 batch-keyed landing zone here holds arrivals the
             # checkpoint already marked consumed — re-seeding from
             # ``base`` alone would silently drop those vectors from the
-            # index (the swap deletes the old zone and replay is blocked
-            # by the checkpoint). Migrate explicitly instead.
-            jpath = spark._jvm.org.apache.hadoop.fs.Path(land_dir)
-            hfs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            # index. Migrate explicitly instead.
+            hfs, jpath = _hadoop_fs(spark, land_dir)
             if hfs.exists(jpath) and list(hfs.listStatus(jpath)):
                 raise ValueError(
                     f"hnsw_stream_maintenance_sink: {land_dir} exists "
@@ -993,18 +1002,10 @@ def hnsw_stream_maintenance_sink(
         return meta
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        dup = (
-            batch_df.groupBy("vec_id")
-            .count()
-            .filter(F.col("count") > 1)
-            .count()
-        )
-        if dup:
-            raise ValueError(
-                f"hnsw_stream_maintenance_sink: batch {batch_id} carries "
-                f"{dup} vec_id(s) more than once — two rows for one key "
-                "in a single batch have no defined winner; dedup upstream"
-            )
+        # duplicate vec_ids within one batch (no defined winner) are
+        # refused by hash_layout_upsert's per-call guard — no sink-local
+        # pre-check; it would be a second full-batch aggregation job per
+        # micro-batch for the same detection
         meta = _sync_layout(_ensure_layout())
         hash_layout_upsert(spark, land_dir, batch_df, version=batch_id)
         hnsw_index_update(land_dir, batch_df.select("vec_id"), path)

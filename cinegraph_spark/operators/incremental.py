@@ -97,16 +97,32 @@ def merge_agg_state(
     Returns ``{"applied": bool, "n_groups": int}``."""
     from pyspark.sql.utils import AnalysisException
 
-    from cinegraph_spark.operators.serving_io import atomic_swap_dir
+    from cinegraph_spark.operators.serving_io import (
+        atomic_swap_dir,
+        recover_swap,
+    )
 
     agg_dir, ledger_dir = path + "/agg", path + "/applied"
-    try:
-        applied = {
+
+    def _read_ledger():
+        return {
             int(r["batch_id"])
             for r in spark.read.parquet(ledger_dir).collect()
         }
+
+    try:
+        applied = _read_ledger()
     except AnalysisException:
-        applied = None  # first refresh: no state yet
+        # a missing path is NOT necessarily a first refresh: the swap's
+        # between-renames crash window leaves the committed state parked
+        # under __old__/__swap__ siblings, and treating that as "empty"
+        # would rebuild the view from this delta alone — silently losing
+        # every prior batch. Try automatic recovery first; only a path
+        # with no parked copies is genuinely fresh.
+        if recover_swap(spark, path)["action"] != "none":
+            applied = _read_ledger()
+        else:
+            applied = None  # first refresh: no state yet
     if applied is not None and int(batch_id) in applied:
         # no state scan on the no-op path: a re-delivered stream replays
         # every batch, and paying a full state read per replayed batch

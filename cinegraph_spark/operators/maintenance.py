@@ -323,6 +323,12 @@ def hash_layout_save(
         ).write.partitionBy("part_id").parquet(tmp)
         n_null = int(obs.get["n_null"])
         if n_null:
+            # delete the sibling before raising: this is KNOWN-bad data,
+            # not inspection material — a replaying caller (foreachBatch
+            # retries the failing batch forever) would otherwise park a
+            # corpus-sized copy per attempt
+            fs, jtmp = _hadoop_fs(spark, tmp)
+            fs.delete(jtmp, True)
             raise ValueError(
                 f"hash_layout_save: {n_null} row(s) have a NULL {key}; "
                 "hash(NULL) would land them in a real partition "
@@ -363,6 +369,11 @@ def column_layout_save(e: DataFrame, path: str, part_col: str) -> None:
         ).write.partitionBy(part_col).parquet(tmp)
         n_null = int(obs.get["n_null"])
         if n_null:
+            # known-bad sibling: delete before raising (see
+            # hash_layout_save — a replaying caller would park a
+            # corpus-sized copy per retry)
+            fs, jtmp = _hadoop_fs(spark, tmp)
+            fs.delete(jtmp, True)
             raise ValueError(
                 f"column_layout_save: {n_null} row(s) have a NULL "
                 f"{part_col}; a NULL partition value cannot be addressed "

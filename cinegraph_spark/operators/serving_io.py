@@ -10,9 +10,34 @@ write therefore goes through :func:`atomic_swap_write` instead.
 
 from __future__ import annotations
 
+import re
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
+
+#: sibling-name contract, in ONE place: <name>__old__/<name>__swap__ plus
+#: a 12-hex token (matches atomic_swap_dir's uuid prefix)
+_SIBLING_RE = r"__(old|swap)__([0-9a-f]{12})$"
+
+
+def _parked_siblings(spark, path: str) -> dict[str, dict[str, str]]:
+    """token -> {kind: full_path} for every __old__/__swap__ sibling of
+    ``path`` — the single scanner behind the pre-swap sweep and
+    :func:`recover_swap`."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    base = jpath(path.rstrip("/"))
+    pat = re.compile(re.escape(base.getName()) + _SIBLING_RE)
+    parked: dict[str, dict[str, str]] = {}
+    parent = base.getParent()
+    if parent is not None and fs.exists(parent):
+        for st in fs.listStatus(parent):
+            m = pat.match(st.getPath().getName())
+            if m:
+                parked.setdefault(m.group(2), {})[m.group(1)] = str(
+                    st.getPath().toString()
+                )
+    return parked
 
 
 @contextmanager
@@ -36,7 +61,6 @@ def atomic_swap_dir(spark, path: str):
     window at all. On an exception inside the block, ``path`` is left
     untouched (the partial sibling remains for inspection) and the
     exception propagates."""
-    import re
     import uuid
 
     token = uuid.uuid4().hex[:12]
@@ -54,13 +78,9 @@ def atomic_swap_dir(spark, path: str):
     # kept — they are failed write attempts documented as inspection
     # material.
     if fs.exists(dest):
-        base_name = jpath(path.rstrip("/")).getName()
-        pat = re.compile(re.escape(base_name) + r"__old__[0-9a-f]{12}$")
-        parent = jpath(path.rstrip("/")).getParent()
-        if parent is not None and fs.exists(parent):
-            for st in fs.listStatus(parent):
-                if pat.match(st.getPath().getName()):
-                    fs.delete(st.getPath(), True)
+        for copies in _parked_siblings(spark, path).values():
+            if "old" in copies:
+                fs.delete(jpath(copies["old"]), True)
     yield tmp
     src = jpath(tmp)
     aside = jpath(path.rstrip("/") + "__old__" + token)
@@ -117,25 +137,12 @@ def recover_swap(spark, path: str) -> dict:
     two interleaved crashed swaps, no well-defined winner — raises for
     manual intervention. Returns ``{"action": "none" | "restored_new" |
     "restored_old", "token": ...}``."""
-    import re
-
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     dest = jpath(path)
     fs = dest.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(dest):
         return {"action": "none", "token": None}
-    base = path.rstrip("/")
-    parent = jpath(base).getParent()
-    name = jpath(base).getName()
-    pat = re.compile(re.escape(name) + r"__(old|swap)__([0-9a-f]{12})$")
-    parked: dict[str, dict[str, str]] = {}
-    if fs.exists(parent):
-        for st in fs.listStatus(parent):
-            m = pat.match(st.getPath().getName())
-            if m:
-                parked.setdefault(m.group(2), {})[m.group(1)] = str(
-                    st.getPath().toString()
-                )
+    parked = _parked_siblings(spark, path)
     if not parked:
         return {"action": "none", "token": None}
     if len(parked) > 1:

@@ -842,11 +842,13 @@ def test_stream_arrivals_are_upserts_latest_batch_wins(
     )
     assert _blob_rows(spark, path) == _blob_rows(spark, full)
 
-    # two rows for one key inside a single batch: no defined winner
+    # two rows for one key inside a single batch: no defined winner —
+    # refused by the layout upsert's per-call guard (the sink adds no
+    # second pre-check job)
     dup = e.filter(F.col("vec_id") == 3).unionByName(
         e.filter(F.col("vec_id") == 3)
     )
-    with _pytest.raises(ValueError, match="more than once"):
+    with _pytest.raises(ValueError, match="duplicate upsert vec_id"):
         sink(dup, 2)
 
 

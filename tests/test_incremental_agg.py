@@ -15,6 +15,7 @@ from cinegraph_spark.queries.util import T
 KEYS = ["priority", "month"]
 SUMS = ["n_orders", "sum_cents"]
 MAXS = ["max_cents"]
+MINS = ["min_cents"]
 
 
 def _rollup(df):
@@ -26,6 +27,7 @@ def _rollup(df):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(cents).alias("sum_cents"),
         F.max(cents).alias("max_cents"),
+        F.min(cents).alias("min_cents"),
     )
 
 
@@ -40,11 +42,11 @@ def test_incremental_refresh_equals_full_recompute(spark, sf_dir, tmp_path):
     path = str(tmp_path / "state")
     r0 = merge_agg_state(
         spark, path, _rollup(o.filter("o_orderdate < '1997-01-01'")),
-        KEYS, SUMS, batch_id=0, maxs=MAXS,
+        KEYS, SUMS, batch_id=0, maxs=MAXS, mins=MINS,
     )
     r1 = merge_agg_state(
         spark, path, _rollup(o.filter("o_orderdate >= '1997-01-01'")),
-        KEYS, SUMS, batch_id=1, maxs=MAXS,
+        KEYS, SUMS, batch_id=1, maxs=MAXS, mins=MINS,
     )
     assert r0["applied"] and r1["applied"]
     merged = spark.read.parquet(path + "/agg")
@@ -58,14 +60,14 @@ def test_replayed_batch_is_ledger_noop(spark, sf_dir, tmp_path):
     o = T(spark, sf_dir, "orders")
     path = str(tmp_path / "state")
     delta = _rollup(o.filter("o_orderdate >= '1997-01-01'"))
-    merge_agg_state(spark, path, _rollup(o), KEYS, SUMS, batch_id=0, maxs=MAXS)
+    merge_agg_state(spark, path, _rollup(o), KEYS, SUMS, batch_id=0, maxs=MAXS, mins=MINS)
     before = _rows(spark.read.parquet(path + "/agg"))
-    replay = merge_agg_state(spark, path, delta, KEYS, SUMS, batch_id=0, maxs=MAXS)
+    replay = merge_agg_state(spark, path, delta, KEYS, SUMS, batch_id=0, maxs=MAXS, mins=MINS)
     assert replay["applied"] is False
     assert _rows(spark.read.parquet(path + "/agg")) == before
     # a NEW batch id with the same content IS applied (double-counting is
     # the caller's delta-construction bug, not the ledger's to catch)
-    assert merge_agg_state(spark, path, delta, KEYS, SUMS, batch_id=7, maxs=MAXS)[
+    assert merge_agg_state(spark, path, delta, KEYS, SUMS, batch_id=7, maxs=MAXS, mins=MINS)[
         "applied"
     ]
 
@@ -77,10 +79,10 @@ def test_empty_delta_and_empty_first_batch(spark, sf_dir, tmp_path):
     o = T(spark, sf_dir, "orders")
     path = str(tmp_path / "state")
     empty = _rollup(o.filter("o_orderkey < 0"))
-    r0 = merge_agg_state(spark, path, empty, KEYS, SUMS, batch_id=0, maxs=MAXS)
+    r0 = merge_agg_state(spark, path, empty, KEYS, SUMS, batch_id=0, maxs=MAXS, mins=MINS)
     assert r0 == {"applied": True, "n_groups": 0}
-    merge_agg_state(spark, path, _rollup(o), KEYS, SUMS, batch_id=1, maxs=MAXS)
-    r2 = merge_agg_state(spark, path, empty, KEYS, SUMS, batch_id=2, maxs=MAXS)
+    merge_agg_state(spark, path, _rollup(o), KEYS, SUMS, batch_id=1, maxs=MAXS, mins=MINS)
+    r2 = merge_agg_state(spark, path, empty, KEYS, SUMS, batch_id=2, maxs=MAXS, mins=MINS)
     assert r2["applied"] is True
     assert _rows(spark.read.parquet(path + "/agg")) == _rows(_rollup(o))
 
@@ -93,9 +95,9 @@ def test_agg_and_ledger_flip_atomically(spark, sf_dir, tmp_path):
 
     o = T(spark, sf_dir, "orders")
     path = str(tmp_path / "state")
-    merge_agg_state(spark, path, _rollup(o), KEYS, SUMS, batch_id=3, maxs=MAXS)
+    merge_agg_state(spark, path, _rollup(o), KEYS, SUMS, batch_id=3, maxs=MAXS, mins=MINS)
     merge_agg_state(
-        spark, path, _rollup(o.limit(0)), KEYS, SUMS, batch_id=9, maxs=MAXS
+        spark, path, _rollup(o.limit(0)), KEYS, SUMS, batch_id=9, maxs=MAXS, mins=MINS
     )
     ledger = sorted(
         int(r["batch_id"])
@@ -125,7 +127,7 @@ def test_refresh_recovers_from_mid_swap_crash(spark, sf_dir, tmp_path):
     path = str(tmp_path / "state")
     merge_agg_state(
         spark, path, _rollup(o.filter("o_orderdate < '1997-01-01'")),
-        KEYS, SUMS, batch_id=0, maxs=MAXS,
+        KEYS, SUMS, batch_id=0, maxs=MAXS, mins=MINS,
     )
     # simulate the between-renames crash of the NEXT refresh: new state
     # written to a sibling, old moved aside, rename-in never happened
@@ -134,14 +136,14 @@ def test_refresh_recovers_from_mid_swap_crash(spark, sf_dir, tmp_path):
         spark,
         path + "__swap__feedfacef00d",
         _rollup(o.filter("o_orderdate < '1997-01-01'")),
-        KEYS, SUMS, batch_id=0, maxs=MAXS,
+        KEYS, SUMS, batch_id=0, maxs=MAXS, mins=MINS,
     )
     out = recover_swap(spark, path)
     assert out["action"] == "restored_new"
     # the restored state is live and the pipeline continues
     r = merge_agg_state(
         spark, path, _rollup(o.filter("o_orderdate >= '1997-01-01'")),
-        KEYS, SUMS, batch_id=1, maxs=MAXS,
+        KEYS, SUMS, batch_id=1, maxs=MAXS, mins=MINS,
     )
     assert r["applied"]
     assert _rows(spark.read.parquet(path + "/agg")) == _rows(_rollup(o))

@@ -682,6 +682,9 @@ def hnsw_index_update(
         if corpus_path is not None
         else None
     )
+    from cinegraph_spark.operators.serving_io import ensure_live
+
+    ensure_live(spark, path)
     old = spark.read.parquet(path)
     # both identity columns, not just part_id: a pre-key_ddl table (saved
     # before the key-type guard existed) would otherwise die on the select
@@ -1180,6 +1183,9 @@ def hnsw_index_knn(
     partitions + local recall 1 ⇒ the union contains the global top-k),
     so the same brute-force oracle hash-matches without any rebuild
     cost. Only O(n_queries × n_index_rows × k) candidate rows shuffle."""
+    from cinegraph_spark.operators.serving_io import ensure_live
+
+    ensure_live(spark, path)
     qrows = sorted(
         queries.select("vec_id", "v").collect(), key=lambda r: r["vec_id"]
     )

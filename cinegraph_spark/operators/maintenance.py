@@ -68,6 +68,11 @@ def dataset_stats(path: str, spark: SparkSession | None = None) -> dict:
     sizes: list[int] = []
     if spark is not None:
         fs, jp = _hadoop_fs(spark, path)
+        if not fs.exists(jp):
+            # match the local-walk branch (os.walk on a missing path
+            # yields nothing): a zero census, not a raw Py4J
+            # FileNotFoundException surfacing as a Java traceback
+            return {"n_files": 0, "total_bytes": 0, "avg_file_bytes": 0}
         it = fs.listFiles(jp, True)
         while it.hasNext():
             st = it.next()
@@ -242,7 +247,16 @@ def _read_json(spark: SparkSession, path: str) -> dict:
 def layout_meta(spark: SparkSession, path: str) -> dict:
     """Read a layout's ``_LAYOUT.json`` identity manifest. Raises a named
     error when the directory is not a clustered layout — callers treat
-    that as 'lay the corpus out first', never as 'scan it anyway'."""
+    that as 'lay the corpus out first', never as 'scan it anyway'.
+
+    Every layout reader resolves its manifest here, so this is also the
+    read-path crash-window guard (`serving_io.ensure_live`): a layout
+    parked under ``__old__``/``__swap__`` siblings by a crashed swap is
+    restored before the manifest probe instead of reading as
+    'not a clustered layout'."""
+    from cinegraph_spark.operators.serving_io import ensure_live
+
+    ensure_live(spark, path)
     fs, jp = _hadoop_fs(spark, path.rstrip("/") + "/" + LAYOUT_MANIFEST)
     if not fs.exists(jp):
         raise FileNotFoundError(
@@ -315,13 +329,22 @@ def hash_layout_save(
     # directory no keyed delta could ever address again. The check rides
     # the write itself via Observation (ONE corpus pass, not a separate
     # count job); a violation raises BEFORE the manifest write and the
-    # swap, so the live layout is never replaced with bad state.
-    obs = Observation()
+    # swap, so the live layout is never replaced with bad state. When the
+    # key field's schema is non-nullable the observation is skipped — a
+    # NULL is impossible by type, and a retrying foreachBatch caller
+    # should pre-validate nullable keys anyway (a bad batch still pays
+    # one write+delete per retry; the check cannot run before the write
+    # without a second corpus pass).
+    nullable = e.schema[key].nullable
+    obs = Observation() if nullable else None
     with atomic_swap_dir(spark, path) as tmp:
-        e.withColumn("part_id", part).observe(
-            obs, F.count_if(F.col(key).isNull()).alias("n_null")
-        ).write.partitionBy("part_id").parquet(tmp)
-        n_null = int(obs.get["n_null"])
+        out = e.withColumn("part_id", part)
+        if obs is not None:
+            out = out.observe(
+                obs, F.count_if(F.col(key).isNull()).alias("n_null")
+            )
+        out.write.partitionBy("part_id").parquet(tmp)
+        n_null = int(obs.get["n_null"]) if obs is not None else 0
         if n_null:
             # delete the sibling before raising: this is KNOWN-bad data,
             # not inspection material — a replaying caller (foreachBatch
@@ -362,12 +385,18 @@ def column_layout_save(e: DataFrame, path: str, part_col: str) -> None:
     # same single-pass Observation validation as hash_layout_save: a
     # NULL cell would write a __HIVE_DEFAULT_PARTITION__ directory no
     # equi-join maintenance could address; raise before manifest + swap
-    obs = Observation()
+    # (skipped when the column's schema is non-nullable — same
+    # short-circuit as hash_layout_save)
+    nullable = e.schema[part_col].nullable
+    obs = Observation() if nullable else None
     with atomic_swap_dir(spark, path) as tmp:
-        e.observe(
-            obs, F.count_if(F.col(part_col).isNull()).alias("n_null")
-        ).write.partitionBy(part_col).parquet(tmp)
-        n_null = int(obs.get["n_null"])
+        out = e
+        if obs is not None:
+            out = out.observe(
+                obs, F.count_if(F.col(part_col).isNull()).alias("n_null")
+            )
+        out.write.partitionBy(part_col).parquet(tmp)
+        n_null = int(obs.get["n_null"]) if obs is not None else 0
         if n_null:
             # known-bad sibling: delete before raising (see
             # hash_layout_save — a replaying caller would park a

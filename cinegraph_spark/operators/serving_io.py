@@ -19,6 +19,14 @@ from pyspark.sql import DataFrame
 #: a 12-hex token (matches atomic_swap_dir's uuid prefix)
 _SIBLING_RE = r"__(old|swap)__([0-9a-f]{12})$"
 
+#: zero-byte marker :func:`atomic_swap_dir` drops into the sibling AFTER
+#: the caller's writes complete and BEFORE any rename — the only proof
+#: that a parked ``__swap__`` is a durably-complete state rather than a
+#: partial failed write (r13 ADVICE: the lone-``__swap__`` recovery path
+#: could previously promote a half-written first save to the live path).
+#: Leading underscore ⇒ Spark's parquet reader ignores it, like _SUCCESS.
+_COMPLETE_MARKER = "_SWAP_COMPLETE"
+
 
 def _parked_siblings(spark, path: str) -> dict[str, dict[str, str]]:
     """token -> {kind: full_path} for every __old__/__swap__ sibling of
@@ -83,6 +91,11 @@ def atomic_swap_dir(spark, path: str):
                 fs.delete(jpath(copies["old"]), True)
     yield tmp
     src = jpath(tmp)
+    # completion marker: written only after the caller's block finished,
+    # so a parked __swap__ WITH the marker is provably a complete state
+    # (recover_swap's restore precondition) and one WITHOUT it is a
+    # partial failed write kept for inspection only
+    fs.create(jpath(tmp.rstrip("/") + "/" + _COMPLETE_MARKER), True).close()
     aside = jpath(path.rstrip("/") + "__old__" + token)
     had_old = fs.exists(dest)
     if had_old and not fs.rename(dest, aside):
@@ -124,6 +137,23 @@ def atomic_swap_write(df: DataFrame, path: str) -> None:
         df.write.parquet(tmp)
 
 
+def ensure_live(spark, path: str) -> None:
+    """Read-path guard: every serving-state LOADER calls this before its
+    first read so a between-renames crash window (live path missing,
+    committed state parked under sibling names) heals on the next query
+    instead of taking serving down until a maintenance run or a human
+    intervenes (r13 verdict task 2). Cost in the steady state is one
+    ``fs.exists`` — :func:`recover_swap` touches nothing when ``path``
+    exists. Missing path with no parked copies is NOT an error here; the
+    loader's own read raises its usual path-not-found. Rides the same
+    single-writer contract as the swap itself: a reader that lands
+    exactly inside a LIVE writer's two-rename window may perform the
+    second rename on the writer's behalf — the writer's own rename then
+    fails with the state already live and intact, which the swap's
+    error text documents as recoverable-by-inspection."""
+    recover_swap(spark, path)
+
+
 def recover_swap(spark, path: str) -> dict:
     """Repair the between-renames crash window of :func:`atomic_swap_dir`:
     if ``path`` is missing but parked sibling copies exist, restore a live
@@ -133,9 +163,13 @@ def recover_swap(spark, path: str) -> dict:
     ``__old__`` aside copy. Deliberately conservative: if ``path``
     exists, this touches NOTHING (an orphan ``__swap__`` next to a live
     table is a failed write attempt that :func:`atomic_swap_dir`
-    documents as kept for inspection), and more than one parked token —
-    two interleaved crashed swaps, no well-defined winner — raises for
-    manual intervention. Returns ``{"action": "none" | "restored_new" |
+    documents as kept for inspection), a lone ``__swap__`` with no
+    ``__old__`` partner is restored only when it carries the
+    :data:`_COMPLETE_MARKER` (without it, a crashed FIRST write is
+    indistinguishable from a partial failed write — raise for a human;
+    r13 ADVICE), and more than one parked token — two interleaved
+    crashed swaps, no well-defined winner — raises for manual
+    intervention. Returns ``{"action": "none" | "restored_new" |
     "restored_old", "token": ...}``."""
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     dest = jpath(path)
@@ -166,6 +200,20 @@ def recover_swap(spark, path: str) -> dict:
             )
     token, copies = next(iter(parked.items()))
     kind = "swap" if "swap" in copies else "old"
+    if kind == "swap" and "old" not in copies:
+        # lone __swap__, no aside partner: either a complete FIRST write
+        # that crashed before its single rename, or a partial failed
+        # write (the pair-skepticism of the multi-token branch, applied
+        # here). Only the completion marker — written after the caller's
+        # block finished — proves the former; never promote an unproven
+        # copy to the live path.
+        marker = jpath(copies["swap"].rstrip("/") + "/" + _COMPLETE_MARKER)
+        if not fs.exists(marker):
+            raise IOError(
+                f"recover_swap: lone parked copy {copies['swap']} has no "
+                f"{_COMPLETE_MARKER} marker — it may be a partial failed "
+                "write, not a provably complete state; recover manually"
+            )
     if not fs.rename(jpath(copies[kind]), dest):
         raise IOError(
             f"recover_swap: rename {copies[kind]} -> {path} failed"

@@ -505,6 +505,9 @@ def ivf_centroids_update(
         cell_ddl = lmeta["part_ddl"]
     else:
         cell_ddl = e.schema[label].dataType.simpleString()
+    from cinegraph_spark.operators.serving_io import ensure_live
+
+    ensure_live(spark, path)
     old = spark.read.parquet(path)
     if old.isEmpty():
         # vacuous table (e.g. built over a zero-row corpus): degrade to a
@@ -603,9 +606,11 @@ def ivf_index_topk(
         layout_meta,
         layout_pruned_read,
     )
+    from cinegraph_spark.operators.serving_io import ensure_live
 
     corpus_path = e if isinstance(e, str) else None
     spark = q.sparkSession if corpus_path is not None else e.sparkSession
+    ensure_live(spark, path)
     cents = spark.read.parquet(path).select(
         label, F.col("centroid").alias("cv")
     )
@@ -704,6 +709,9 @@ def pq_codes_save(
 
 
 def _pq_read_state(spark, path: str):
+    from cinegraph_spark.operators.serving_io import ensure_live
+
+    ensure_live(spark, path)
     books_rows = sorted(
         spark.read.parquet(path + "/books").collect(), key=lambda r: r["j"]
     )

@@ -788,6 +788,50 @@ def stream_join_left_outer_attribution(spark, sf_dir):
     matched-or-nulled by end of drain and the oracle is the plain batch
     LEFT JOIN — no watermark-cutoff clause. Sentinels carry negative ids
     and are filtered from the result."""
+    return _outer_attribution_drain(spark, sf_dir, how="left_outer")
+
+
+@register(
+    "stream_join_full_outer_attribution",
+    """
+    SELECT coalesce(p.user_id, c.user_id) AS user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join", "full_outer", "attribution"),
+)
+def stream_join_full_outer_attribution(spark, sf_dir):
+    """The stream-stream FULL-OUTER join — completing the surface after
+    the inner (r6) and left-outer (r13) forms: unmatched rows on BOTH
+    sides finalize by watermark eviction. A purchase with no click in
+    its preceding 30-minute window nulls its click columns exactly as in
+    the left-outer form, and a click no purchase ever followed within
+    the window nulls its purchase columns once the watermark passes
+    ``click_ts + window`` — the last instant a matching purchase could
+    still arrive. Both eviction clocks are advanced past all real data
+    by the same two sentinel batches as the left-outer drain (each
+    sentinel file carries one purchase AND one click so both sides'
+    watermark nodes move), so every row on either side is
+    matched-or-nulled before the drain ends and the oracle is the plain
+    batch FULL JOIN. ``user_id`` is coalesced across the sides (either
+    may be the NULL one); sentinels carry negative ids and are filtered
+    from the result after the coalesce."""
+    return _outer_attribution_drain(spark, sf_dir, how="full_outer")
+
+
+def _outer_attribution_drain(spark, sf_dir, how: str):
+    """Shared drive of the outer attribution joins: real corpus streamed
+    in place + two staged sentinel batches that advance both watermark
+    nodes past all real data, drained through the production parquet
+    sink (see `stream_join_left_outer_attribution` for why that makes
+    the plain batch join an exact oracle)."""
     from cinegraph_spark.queries.util import ntz, scoped_confs, tstr
     from cinegraph_spark.session import scratch_dir
     from cinegraph_spark.streaming.joins import purchases_with_recent_clicks
@@ -796,7 +840,7 @@ def stream_join_left_outer_attribution(spark, sf_dir):
         run_availablenow_to_parquet,
     )
 
-    scratch = scratch_dir("cg_drain_lojoin_")
+    scratch = scratch_dir(f"cg_drain_{how[0]}ojoin_")
     stage = scratch + "/sentinels"
     with scoped_confs(spark, **{"spark.sql.session.timeZone": "UTC"}):
         # the UTC pin makes the string->instant cast tz-independent; the
@@ -838,9 +882,7 @@ def stream_join_left_outer_attribution(spark, sf_dir):
     arrivals = read_events_stream(spark, sf_dir).unionByName(sentinel_stream)
     out = run_availablenow_to_parquet(
         spark,
-        purchases_with_recent_clicks(
-            arrivals, watermark="1 hour", how="left_outer"
-        ),
+        purchases_with_recent_clicks(arrivals, watermark="1 hour", how=how),
         scratch + "/drain",
         output_mode="append",
     )

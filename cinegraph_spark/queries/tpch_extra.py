@@ -391,6 +391,55 @@ def q15_top_supplier(spark, sf_dir):
 
 
 @register(
+    "q15_top_supplier_ties",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                  AS BIGINT) AS revenue_units
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, revenue_units
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE revenue_units = (SELECT max(revenue_units) FROM revenue)
+    """,
+    tags=("relational", "join", "agg", "tpch"),
+)
+def q15_top_supplier_ties(spark, sf_dir):
+    """TPC-H Q15 with the SPEC'S tie semantics (r13 verdict task 5):
+    every supplier whose revenue equals the max, via the textbook
+    equality against a scalar max — the faithful twin of
+    `q15_top_supplier`, which deliberately rank-picks one row for float
+    stability. What makes equality portable here: revenue is computed in
+    integer ten-thousandths of currency (cents(price) × integer discount
+    percent, both via ``floor(x*100 + 0.5)`` — identical IEEE steps in
+    both engines, the same trick as the MV refresh queries), so the
+    tie comparison is exact bigint equality, not rounded-double
+    equality. The scalar max and the tied-supplier set are both tiny →
+    broadcast; the one shuffle is the revenue groupBy."""
+    l = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    units = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long") * (
+        F.lit(100) - F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(units).alias("revenue_units")
+    )
+    mx = revenue.agg(F.max("revenue_units").alias("mx"))
+    top = revenue.join(
+        F.broadcast(mx), F.col("revenue_units") == F.col("mx")
+    ).select("supplier_no", "revenue_units")
+    s = T(spark, sf_dir, "supplier")
+    return s.join(
+        F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no")
+    ).select("s_suppkey", "s_name", "revenue_units")
+
+
+@register(
     "q17_small_quantity_revenue",
     """
     SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly

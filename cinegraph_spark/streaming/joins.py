@@ -44,7 +44,16 @@ def purchases_with_recent_clicks(
     the watermark past the data before the drain ends (the registered
     query `stream_join_left_outer_attribution` stages sentinel batches
     for exactly that; its oracle is then the plain batch LEFT JOIN).
+
+    ``how="full_outer"`` completes the surface: unmatched rows on BOTH
+    sides finalize by eviction — a never-attributed click (no purchase
+    followed within the window) surfaces with NULL purchase columns once
+    the watermark passes ``click_ts + attribution_window`` (the last
+    instant a matching purchase could still arrive), under the same
+    eviction timing as the purchase side. The output ``user_id`` is
+    coalesced across the two sides, since either may be the NULL one.
     """
+    full = how in ("full", "outer", "full_outer", "fullouter")
     purchases = (
         events.filter(F.col("event_type") == "purchase")
         .select(
@@ -72,7 +81,15 @@ def purchases_with_recent_clicks(
             >= F.col("purchase_ts") - F.expr(attribution_window)
         ),
         how,
-    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+    ).select(
+        (
+            F.coalesce("user_id", "click_user") if full else F.col("user_id")
+        ).alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )
 
 
 def enrich_stream_with_dim(

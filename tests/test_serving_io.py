@@ -149,3 +149,127 @@ def test_orphan_old_swept_and_pair_preferred(spark, tmp_path):
     out = recover_swap(spark, path)
     assert out == {"action": "restored_new", "token": "bbbbbbbbbbbb"}
     assert _ids(spark, path) == [7, 8]
+
+
+def _window(spark, path: str, token: str = "feedfacef00d") -> None:
+    """Turn the LIVE state at ``path`` into the between-renames crash
+    window: the committed state parked as the complete ``__swap__``
+    sibling (it carries the _SWAP_COMPLETE marker from its own save),
+    a prior state parked aside under the same token, live path gone."""
+    import os
+
+    spark.range(1).write.parquet(path + "__old__" + token)
+    os.rename(path, path + "__swap__" + token)
+
+
+def test_every_serving_read_path_auto_recovers(spark, sf_dir, tmp_path):
+    """r13 verdict task 2: a between-renames crash must not take serving
+    down — every serving-state LOADER (hnsw_index_knn, ivf_index_topk,
+    pq_index_topk via _pq_read_state, layout_read via layout_meta) heals
+    the window itself on its next read, answering exactly what the
+    uncrashed state would have answered."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_index_knn,
+        hnsw_index_save,
+    )
+    from cinegraph_spark.operators.maintenance import (
+        hash_layout_save,
+        layout_read,
+    )
+    from cinegraph_spark.operators.similarity import (
+        ivf_centroids_save,
+        ivf_index_topk,
+        pq_codes_save,
+        pq_index_topk,
+        pq_train,
+    )
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = e.filter(F.col("vec_id") < 3).select("vec_id", "v")
+    q1 = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    # HNSW blob table
+    hp = str(tmp_path / "hnsw")
+    hnsw_index_save(e.select("vec_id", "v"), hp, target_rows_per_subindex=256)
+    want = rows(hnsw_index_knn(spark, hp, q, k=3))
+    _window(spark, hp)
+    assert rows(hnsw_index_knn(spark, hp, q, k=3)) == want
+    assert os.path.exists(hp)  # healed, not just answered
+
+    # IVF centroid table
+    ip = str(tmp_path / "ivf")
+    ivf_centroids_save(e, ip)
+    want = rows(ivf_index_topk(e, q1, ip, nprobe=2, k=5))
+    _window(spark, ip)
+    assert rows(ivf_index_topk(e, q1, ip, nprobe=2, k=5)) == want
+    assert os.path.exists(ip)
+
+    # PQ books+codes state (multi-table swap root)
+    pp = str(tmp_path / "pq")
+    books = pq_train(e.select("vec_id", "v"), m=8, k=16)
+    pq_codes_save(e.select("vec_id", "v"), books, pp)
+    want = rows(pq_index_topk(e.select("vec_id", "v"), q1, pp, k=5))
+    _window(spark, pp)
+    assert rows(pq_index_topk(e.select("vec_id", "v"), q1, pp, k=5)) == want
+    assert os.path.exists(pp)
+
+    # clustered layout (layout_meta is the shared loader entry)
+    lp = str(tmp_path / "layout")
+    hash_layout_save(e.select("vec_id", "v"), lp, "vec_id", 4)
+    want_n = layout_read(spark, lp).count()
+    _window(spark, lp)
+    assert layout_read(spark, lp).count() == want_n
+    assert os.path.exists(lp)
+
+
+def test_lone_unmarked_swap_is_never_promoted(spark, tmp_path):
+    """r13 ADVICE: a lone __swap__ WITHOUT the completion marker (a
+    partial failed FIRST write) must raise for a human, not silently
+    become the live table; with the marker (a complete first write that
+    crashed before its single rename) it restores."""
+    import pytest as _pytest
+
+    from cinegraph_spark.operators.serving_io import recover_swap
+
+    path = str(tmp_path / "t")
+    spark.range(5).write.parquet(path + "__swap__aaaaaaaaaaaa")
+    with _pytest.raises(IOError, match="no _SWAP_COMPLETE marker"):
+        recover_swap(spark, path)
+
+    # same copy with the marker: provably complete, restore it
+    (tmp_path / "t__swap__aaaaaaaaaaaa" / "_SWAP_COMPLETE").touch()
+    out = recover_swap(spark, path)
+    assert out == {"action": "restored_new", "token": "aaaaaaaaaaaa"}
+    assert _ids(spark, path) == [0, 1, 2, 3, 4]
+
+
+def test_read_path_propagates_ambiguous_window(spark, tmp_path):
+    """Multi-token ambiguity still raises through a read path instead of
+    guessing a winner."""
+    import os
+
+    import pytest as _pytest
+
+    from cinegraph_spark.operators.maintenance import (
+        hash_layout_save,
+        layout_read,
+    )
+
+    path = str(tmp_path / "t")
+    hash_layout_save(spark.range(10).withColumnRenamed("id", "k"), path, "k", 2)
+    os.rename(path, path + "__old__aaaaaaaaaaaa")
+    spark.range(3).write.parquet(path + "__old__bbbbbbbbbbbb")
+    with _pytest.raises(IOError, match="distinct crashed-swap tokens"):
+        layout_read(spark, path)

@@ -771,3 +771,65 @@ def test_left_outer_join_nulls_come_from_eviction(spark, tmp_path):
         for r in out2.filter(F.col("user_id") >= 0).collect()
     )
     assert got2 == [(1, 2, 1), (2, 4, None), (3, 5, None)]
+
+
+def test_full_outer_join_both_sides_evict(spark, tmp_path):
+    """The full-outer form's defining semantic on top of the left-outer
+    pin above: BOTH sides' buffered state finalizes by eviction — the
+    never-attributed click surfaces with NULL purchase columns, the
+    unmatched purchases with NULL click columns, and without a watermark
+    advance neither side's buffer ever surfaces."""
+    from cinegraph_spark.session import scratch_dir
+    from cinegraph_spark.streaming.joins import purchases_with_recent_clicks
+    from cinegraph_spark.streaming.windows import run_availablenow_to_parquet
+
+    real, sent = _lojoin_frames(spark)
+
+    # one batch: the in-batch match emits, and the drain's no-data
+    # finalize batch advances the watermark to max_ts - 1h = 09:10 —
+    # already past the 08:00 click's eviction time (08:30 — a click is
+    # final once no purchase within the window can still arrive), so
+    # THAT verdict surfaces with a NULL purchase side; the purchases
+    # (eviction times ≥ 10:00, beyond the watermark) stay buffered and
+    # never surface
+    out1 = run_availablenow_to_parquet(
+        spark,
+        purchases_with_recent_clicks(
+            _lojoin_stage(spark, tmp_path / "a", [real]),
+            watermark="1 hour",
+            how="full_outer",
+        ),
+        scratch_dir("t_fojoin_one_"),
+        output_mode="append",
+    )
+    got1 = sorted(
+        (r["user_id"], r["purchase_id"], r["click_id"])
+        for r in out1.collect()
+    )
+    assert got1 == [(1, 2, 1), (2, None, 3)]
+
+    # sentinel batches advance both watermark nodes: every verdict on
+    # both sides finalizes exactly once
+    out2 = run_availablenow_to_parquet(
+        spark,
+        purchases_with_recent_clicks(
+            _lojoin_stage(spark, tmp_path / "b", [real, sent, sent]),
+            watermark="1 hour",
+            how="full_outer",
+        ),
+        scratch_dir("t_fojoin_fin_"),
+        output_mode="append",
+    )
+    got2 = sorted(
+        (
+            (r["user_id"], r["purchase_id"], r["click_id"])
+            for r in out2.filter(F.col("user_id") >= 0).collect()
+        ),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+    assert got2 == [
+        (1, 2, 1),  # matched pair, once
+        (2, 4, None),  # purchase whose only click is outside the window
+        (2, None, 3),  # that click, never attributed: purchase side NULL
+        (3, 5, None),  # purchase with no click at all
+    ]

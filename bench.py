@@ -105,7 +105,39 @@ HEADLINE = [
     "stream_mv_incremental_refresh",
     "vec_ann_ivf_filtered_topk",
     "stream_session_dynamic_gap",
+    # round 14 additions
+    "stream_join_full_outer_attribution",
+    "q15_top_supplier_ties",
 ]
+
+#: Serving/maintenance tier (r13 verdict task 4): scenario queries whose
+#: wall time is dominated by BUILDING or MAINTAINING persisted state —
+#: ANN serving tables, clustered layouts, compaction, incremental-MV
+#: state — rather than by a query plan. They stay in the headline (their
+#: ceilings still gate regressions) but are reported as a separate
+#: ``serving`` subtotal so the ``core`` subtotal is the apples-to-apples
+#: round-over-round comparison: the serving tier is where new scenarios
+#: accumulate (r11: 1, r12: 3, r13: 6), and folding their fixed
+#: state-build overhead into one growing total was drowning the signal.
+#: Membership is by what dominates the clock, not by query family —
+#: rebuild-per-query ANN searches (vec_ann_ivf_topk,
+#: vec_ann_hnsw_partitioned_knn, vec_ann_filtered_topk) are CORE because
+#: their cost IS the query plan.
+SERVING = frozenset(
+    [
+        "vec_ann_hnsw_served_knn",
+        "vec_ann_hnsw_incremental_knn",
+        "vec_ann_hnsw_reshard_knn",
+        "vec_ann_hnsw_stream_update_knn",
+        "vec_ann_ivf_incremental_topk",
+        "vec_ann_ivf_filtered_topk",
+        "layout_clustered_upsert_roundtrip",
+        "layout_compact_small_files_stats",
+        "pipeline_stream_ingest_compact",
+        "agg_incremental_mv_refresh",
+        "stream_mv_incremental_refresh",
+    ]
+)
 
 
 def compress_result(result: dict, headline: list[str]) -> tuple[str, dict]:
@@ -209,6 +241,14 @@ def main() -> None:
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
+        # fixed-core vs serving-tier subtotals (see SERVING): compare
+        # rounds on "core"; "serving" absorbs the state-build scenarios
+        "core": round(
+            sum(v for k, v in times.items() if k not in SERVING), 3
+        ),
+        "serving": round(
+            sum(v for k, v in times.items() if k in SERVING), 3
+        ),
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "over_budget": over,

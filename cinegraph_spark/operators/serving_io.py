@@ -224,3 +224,57 @@ def recover_swap(spark, path: str) -> dict:
         "action": "restored_new" if kind == "swap" else "restored_old",
         "token": token,
     }
+
+
+def vacuum_parked_siblings(
+    spark, path: str, older_than_hours: float = 24.0, dry_run: bool = False
+) -> dict:
+    """Age-bounded retention cleanup for a swap-maintained serving table
+    (r13 verdict task 7): delete parked ``__swap__``/``__old__`` siblings
+    older than ``older_than_hours``. :func:`atomic_swap_dir` keeps failed
+    write attempts next to the live table as inspection material and only
+    sweeps SUPERSEDED aside copies, so on a busy writer inspected-and-
+    forgotten debris otherwise accumulates forever — each piece a full
+    table copy of disk.
+
+    Safety rules, in order:
+
+    - If ``path`` itself is missing, this touches NOTHING and raises:
+      every parked copy is then potential recovery material for the
+      crash window — run :func:`recover_swap` first. Vacuum only ever
+      removes siblings of a LIVE table, which by the swap's ordering are
+      failed/uncommitted attempts (lone ``__swap__`` without its rename)
+      or already-superseded asides — never the only copy of state.
+    - Age is the sibling's own modification time, so a write still in
+      flight (young sibling) is never swept out from under its writer —
+      pick a retention comfortably above the longest maintenance write.
+    - ``dry_run`` lists without deleting.
+
+    Returns ``{"deleted": [...], "kept": [...]}`` (full paths). The same
+    single-writer contract as the swap applies: don't vacuum
+    concurrently with a maintenance write whose sibling is older than
+    the retention (only plausible with a retention shorter than a
+    write's duration)."""
+    import time
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    dest = jpath(path)
+    fs = dest.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(dest):
+        raise IOError(
+            f"vacuum_parked_siblings: live path {path} is missing — parked "
+            "siblings may be the crash-window recovery material; run "
+            "recover_swap first"
+        )
+    cutoff_ms = (time.time() - older_than_hours * 3600.0) * 1000.0
+    deleted: list[str] = []
+    kept: list[str] = []
+    for copies in _parked_siblings(spark, path).values():
+        for p in copies.values():
+            if fs.getFileStatus(jpath(p)).getModificationTime() < cutoff_ms:
+                if not dry_run:
+                    fs.delete(jpath(p), True)
+                deleted.append(p)
+            else:
+                kept.append(p)
+    return {"deleted": sorted(deleted), "kept": sorted(kept)}

@@ -60,97 +60,91 @@ def register(
 #: exactly these files and asserts DRIVER_PRIORITY matches — bump this
 #: constant whenever the rotation is rebuilt for a new round, and the test
 #: re-validates the new order against the new data with zero literal pins.
-ROTATION_BUILT_FROM_ROUND: int = 12
+ROTATION_BUILT_FROM_ROUND: int = 13
 
 #: Changed-code canaries: queries whose underlying implementation changed
 #: since their last driver row. They are allowed to jump the pure
 #: freshness order (the test exempts exactly these names from the
 #: non-decreasing-freshness invariant) but must sit inside the 50-slot
-#: budget.  Round-13: the whole serving-maintenance family was re-plumbed
-#: onto partition-pruned corpus layouts (the r12 verdict's weak finding):
-#: hnsw_index_update / pq_codes_update / ivf_centroids_update gained a
-#: corpus-as-layout-path mode with PartitionFilters-pruned reads, the
-#: three incremental queries now exercise it end-to-end, the streaming
-#: sink lands arrivals as latest-wins layout merges instead of
-#: accumulating batch directories (per-batch cost now bounded — the r12
-#: advisory), and the reshard query rides because it calls the changed
-#: hnsw_index_update internally. Output is oracle-identical by design
-#: (bit-equality with DataFrame mode and full saves pinned in
-#: tests/test_hnsw.py / test_ivf_serving.py / test_pq_serving.py).
+#: budget.  Round-14: every serving-state LOADER gained read-side
+#: crash-window auto-recovery (`serving_io.ensure_live` at the top of
+#: hnsw_index_knn / ivf_index_topk / _pq_read_state / layout_meta and
+#: the hnsw/ivf update paths — the r13 verdict's task 2), the layout
+#: saves short-circuit the NULL-key observation for non-nullable
+#: schemas, and the outer-attribution drain was refactored into a shared
+#: helper when the full-outer form landed. Output is oracle-identical by
+#: design (ensure_live is a no-op when the state path exists — pinned
+#: with crash-window round-trips in tests/test_serving_io.py); one
+#: canary per touched loader re-proves it under the real driver.
 CHANGED_CODE_CANARIES: tuple[str, ...] = (
+    "vec_ann_hnsw_served_knn",
     "vec_ann_hnsw_incremental_knn",
     "vec_ann_ivf_incremental_topk",
+    "vec_ann_ivf_filtered_topk",
     "vec_ann_pq_served_topk",
-    "vec_ann_hnsw_stream_update_knn",
-    "vec_ann_hnsw_reshard_knn",
+    "layout_clustered_upsert_roundtrip",
+    "stream_join_left_outer_attribution",
 )
 
-#: Driver-slot priority (round 13). The driver's correctness harness walks
+#: Driver-slot priority (round 14). The driver's correctness harness walks
 #: the registry in order under a ~50-query budget, so this list pins the
 #: front slots explicitly instead of relying on module import order.
-#: Round-13 rationale — per the r12 verdict's tasks 1-3: the five
-#: layout-re-plumbed serving-maintenance canaries lead, then the eight
-#: never-driver-checked queries (the clustered-layout upsert round-trip,
-#: the small-file compaction round-trip, the streaming-ingest landed-zone
-#: compaction composite, and the five late-round additions — the
-#: left-outer stream-stream join, the incremental materialized-aggregate
-#: refresh batch + streaming twins, the weighted-WOR sampler, and the
-#: pre-filter vector search — each under its own exact oracle), then the
-#: five r8-stale queries the r12 verdict named (draining the oldest
-#: bucket entirely — freshness floor rises to r9), then the r9 bucket
-#: oldest-first (registry order within the bucket). 5 + 10 + 35 = 50; the
-#: remaining 20 r9 queries head the r14 queue (wave-3 added the filtered
-#: IVF serving search, wave-4 the dynamic-gap session stream).
+#: Round-14 rationale — per the r13 verdict's tasks 1-3: the seven
+#: read-side-recovery canaries lead (one per touched serving-state
+#: loader), then the two never-driver-checked queries (the full-outer
+#: stream-stream join completing the streaming join surface, and the
+#: spec-faithful q15 tie twin), then the ENTIRE r9-stale bucket the r13
+#: verdict named (20 queries — freshness floor rises to r10), then the
+#: r10 bucket oldest-first (registry order within the bucket).
+#: 7 + 2 + 41 = 50.
 #: Every name here must exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     # never driver-checked
-    "layout_clustered_upsert_roundtrip",
-    "layout_compact_small_files_stats",
-    "pipeline_stream_ingest_compact",
-    "stream_join_left_outer_attribution",
-    "agg_incremental_mv_refresh",
-    "sample_weighted_wor_topk",
-    "vec_ann_filtered_topk",
-    "stream_mv_incremental_refresh",
-    "vec_ann_ivf_filtered_topk",
-    "stream_session_dynamic_gap",
-    # last checked round 8 (registry order)
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "pipeline_training_data_prep",
-    "src_stream_listing_pages",
-    "media_feature_extract",
+    "stream_join_full_outer_attribution",
+    "q15_top_supplier_ties",
     # last checked round 9 (registry order)
-    "agg_rollup_region_nation",
-    "agg_cube_status_priority",
-    "agg_grouping_sets",
-    "join_inner_order_totals_per_segment",
-    "join_left_customers_order_counts",
-    "join_right_orders_all_customers",
-    "join_full_outer_customer_supplier_nations",
-    "join_semi_customers_with_open_orders",
-    "join_anti_customers_without_orders",
-    "join_broadcast_part_lineitem",
-    "join_range_theta_price_band",
-    "window_topk_orders_per_customer",
-    "window_rank_dense_rank",
-    "window_running_revenue_per_customer",
-    "window_range_frame_acctbal",
-    "sort_topk_orders_global",
-    "setop_union_intersect_except",
-    "setop_intersect_all_linestatus",
-    "scalar_orders_by_month",
-    "scalar_case_bucketing",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q22_idle_rich_customers",
-    "subq_scalar_orders_above_avg",
-    "subq_correlated_top_heavy_customers",
-    "subq_not_exists_parts_unordered_1997",
-    "window_ntile_percent_cume",
-    "window_first_last_nth_order",
-    "agg_minby_maxby_nation",
-    "sample_hash_mod_documents",
+    "sample_stratified_topn_per_source",
+    "sample_lang_quota",
+    "pack_chunks_per_source",
+    "pack_chunk_manifest",
+    "vec_mips_topk",
+    "text_domain_mix_weights",
+    "text_bigram_surprisal",
+    "sample_train_val_test_split",
+    "dedup_minhash_portable_est",
+    "sketch_countmin_heavy_hitters",
+    "join_lateral_top2_customers_per_nation",
+    "sketch_hll_distinct_users",
+    "agg_regr_corr_stats",
+    "join_merge_cdc_customer_orders",
+    "udf_pandas_scalar_net_revenue",
+    "udf_pandas_grouped_agg_gini",
+    "src_paginated_listing_decades",
+    "media_payload_checksums",
+    "media_frame_sample_plan",
+    "media_kind_profile",
+    # last checked round 10 (registry order)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_supplier_volume_by_nation",
+    "agg_distinct_parts_per_supplier",
+    "window_lag_lead_user_events",
+    "scalar_json_events",
+    "scalar_datetime_parts_events",
+    "strfn_fuzzy_name_pairs_blocked",
+    "vec_ann_pq_topk",
+    "sample_token_budget_greedy",
+    "text_vocab_oov_rate",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_buckets",
+    "dedup_repeated_span_mask",
+    "events_sliding_10min_step5",
+    "events_session_windows_30min",
+    "events_dedup_latest_per_user_type",
+    "events_asof_purchase_click",
+    "events_rate_per_type_minute",
+    "events_gapfill_hourly_ffill",
+    "events_funnel_view_click_purchase",
 )
 
 

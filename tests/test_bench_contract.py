@@ -72,3 +72,17 @@ def test_every_headline_query_has_a_budget_ceiling():
         budget = json.load(fh)
     unpinned = [n for n in HEADLINE if n not in budget]
     assert not unpinned, unpinned
+
+
+def test_serving_tier_is_a_headline_subset():
+    """The core/serving split (r13 verdict task 4) must stay consistent:
+    every serving-tier name is a real headline entry, and the two
+    subtotals partition the headline total exactly."""
+    from bench import SERVING
+
+    assert SERVING <= set(HEADLINE), sorted(SERVING - set(HEADLINE))
+    times = {n: 1.0 for n in HEADLINE}
+    core = sum(v for k, v in times.items() if k not in SERVING)
+    serving = sum(v for k, v in times.items() if k in SERVING)
+    assert core + serving == len(HEADLINE)
+    assert serving == len(SERVING)

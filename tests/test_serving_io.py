@@ -273,3 +273,45 @@ def test_read_path_propagates_ambiguous_window(spark, tmp_path):
     spark.range(3).write.parquet(path + "__old__bbbbbbbbbbbb")
     with _pytest.raises(IOError, match="distinct crashed-swap tokens"):
         layout_read(spark, path)
+
+
+def test_vacuum_parked_siblings_age_bounded(spark, tmp_path):
+    """Retention cleanup (r13 verdict task 7): old debris next to a LIVE
+    table is deleted, young siblings (possibly a write in flight) are
+    kept, dry_run lists without deleting, and a missing live path
+    refuses to touch anything (recovery material)."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from cinegraph_spark.operators.serving_io import vacuum_parked_siblings
+
+    path = str(tmp_path / "t")
+    atomic_swap_write(spark.range(3), path)
+    old_swap = path + "__swap__aaaaaaaaaaaa"
+    old_aside = path + "__old__bbbbbbbbbbbb"
+    young = path + "__swap__cccccccccccc"
+    for p in (old_swap, old_aside, young):
+        spark.range(1).write.parquet(p)
+    stale = time.time() - 48 * 3600
+    os.utime(old_swap, (stale, stale))
+    os.utime(old_aside, (stale, stale))
+
+    def names(paths):  # the operator reports fs URIs (file:/...)
+        return sorted(p.rsplit("/", 1)[-1] for p in paths)
+
+    out = vacuum_parked_siblings(spark, path, 24.0, dry_run=True)
+    assert names(out["deleted"]) == names([old_aside, old_swap])
+    assert names(out["kept"]) == names([young])
+    assert os.path.exists(old_swap)  # dry run: nothing touched
+
+    out = vacuum_parked_siblings(spark, path, 24.0)
+    assert names(out["deleted"]) == names([old_aside, old_swap])
+    assert not os.path.exists(old_swap) and not os.path.exists(old_aside)
+    assert os.path.exists(young) and os.path.exists(path)
+
+    # missing live path: every parked copy is recovery material
+    os.rename(path, path + "__old__dddddddddddd")
+    with _pytest.raises(IOError, match="run\\s+recover_swap first"):
+        vacuum_parked_siblings(spark, path, 0.0)

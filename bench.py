@@ -108,6 +108,7 @@ HEADLINE = [
     # round 14 additions
     "stream_join_full_outer_attribution",
     "q15_top_supplier_ties",
+    "layout_vacuum_retention_roundtrip",
 ]
 
 #: Serving/maintenance tier (r13 verdict task 4): scenario queries whose
@@ -133,6 +134,7 @@ SERVING = frozenset(
         "vec_ann_ivf_filtered_topk",
         "layout_clustered_upsert_roundtrip",
         "layout_compact_small_files_stats",
+        "layout_vacuum_retention_roundtrip",
         "pipeline_stream_ingest_compact",
         "agg_incremental_mv_refresh",
         "stream_mv_incremental_refresh",

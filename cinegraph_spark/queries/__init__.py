@@ -91,17 +91,18 @@ CHANGED_CODE_CANARIES: tuple[str, ...] = (
 #: front slots explicitly instead of relying on module import order.
 #: Round-14 rationale — per the r13 verdict's tasks 1-3: the seven
 #: read-side-recovery canaries lead (one per touched serving-state
-#: loader), then the two never-driver-checked queries (the full-outer
-#: stream-stream join completing the streaming join surface, and the
-#: spec-faithful q15 tie twin), then the ENTIRE r9-stale bucket the r13
-#: verdict named (20 queries — freshness floor rises to r10), then the
-#: r10 bucket oldest-first (registry order within the bucket).
-#: 7 + 2 + 41 = 50.
+#: loader), then the three never-driver-checked queries (the full-outer
+#: stream-stream join completing the streaming join surface, the
+#: spec-faithful q15 tie twin, and the vacuum-retention round-trip),
+#: then the ENTIRE r9-stale bucket the r13 verdict named (20 queries —
+#: freshness floor rises to r10), then the r10 bucket oldest-first
+#: (registry order within the bucket). 7 + 3 + 40 = 50.
 #: Every name here must exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     # never driver-checked
     "stream_join_full_outer_attribution",
     "q15_top_supplier_ties",
+    "layout_vacuum_retention_roundtrip",
     # last checked round 9 (registry order)
     "sample_stratified_topn_per_source",
     "sample_lang_quota",
@@ -144,7 +145,6 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "events_asof_purchase_click",
     "events_rate_per_type_minute",
     "events_gapfill_hourly_ffill",
-    "events_funnel_view_click_purchase",
 )
 
 

@@ -405,3 +405,82 @@ def pipeline_stream_ingest_compact(spark, sf_dir):
             F.sum("doc_id").cast("bigint").alias("id_checksum"),
         )
     )
+
+
+@register(
+    "layout_vacuum_retention_roundtrip",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("layout", "maintenance", "vacuum", "retention"),
+)
+def layout_vacuum_retention_roundtrip(spark, sf_dir):
+    """Serving-table RETENTION end-to-end (r14 — the r13 verdict's
+    optional task 7, `operators/serving_io.py::vacuum_parked_siblings`,
+    driver-checked with its own exact oracle): the documents corpus is
+    laid out as a swap-maintained clustered layout, then three pieces of
+    parked swap debris are staged next to it — a stale orphan
+    ``__swap__`` (an inspected-and-forgotten failed write), a stale
+    orphan ``__old__`` (a post-swap crash's undeleted aside), and a
+    YOUNG ``__swap__`` standing in for a maintenance write still in
+    flight. The age-bounded vacuum must delete exactly the two stale
+    copies, keep the young one, and leave the live table byte-untouched
+    — the query raises on any wrong deletion set, and the returned
+    aggregate over the post-vacuum layout hash-matches plain SQL over
+    the corpus only if no live partition directory was swept. At 100 TB
+    each piece of debris is a full table copy of disk, so a busy
+    writer's retention sweep is real money; the mtime bound is what
+    makes it safe to run hot (an in-flight sibling is never older than
+    the retention). Staging uses local mtimes (``os.utime``) — scenario
+    plumbing, same class as the sentinel files of the streaming drains.
+    """
+    import os
+    import time
+
+    from cinegraph_spark.operators.maintenance import (
+        hash_layout_save,
+        layout_read,
+    )
+    from cinegraph_spark.operators.serving_io import vacuum_parked_siblings
+    from cinegraph_spark.session import scratch_dir
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    path = scratch_dir("cg_layout_vac_") + "/corpus"
+    hash_layout_save(docs, path, "doc_id", 8)
+    stale_swap = path + "__swap__aaaaaaaaaaaa"
+    stale_old = path + "__old__bbbbbbbbbbbb"
+    young_swap = path + "__swap__cccccccccccc"
+    # poisoned debris content: if vacuum restored or merged ANY of it
+    # instead of deleting, the aggregate would double-count
+    for p in (stale_swap, stale_old, young_swap):
+        docs.limit(5).withColumn("lang", F.lit("xx")).write.parquet(p)
+    stale_t = time.time() - 48 * 3600
+    os.utime(stale_swap, (stale_t, stale_t))
+    os.utime(stale_old, (stale_t, stale_t))
+
+    out = vacuum_parked_siblings(spark, path, older_than_hours=24.0)
+    got_deleted = sorted(p.rsplit("/", 1)[-1] for p in out["deleted"])
+    got_kept = sorted(p.rsplit("/", 1)[-1] for p in out["kept"])
+    want_deleted = sorted(
+        p.rsplit("/", 1)[-1] for p in (stale_swap, stale_old)
+    )
+    want_kept = [young_swap.rsplit("/", 1)[-1]]
+    if got_deleted != want_deleted or got_kept != want_kept:
+        raise ValueError(
+            "layout_vacuum_retention_roundtrip: wrong retention sweep — "
+            f"deleted {got_deleted} (want {want_deleted}), "
+            f"kept {got_kept} (want {want_kept})"
+        )
+    return (
+        layout_read(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )

@@ -109,6 +109,8 @@ HEADLINE = [
     "stream_join_full_outer_attribution",
     "q15_top_supplier_ties",
     "layout_vacuum_retention_roundtrip",
+    "vec_ann_hnsw_filtered_knn",
+    "vec_ann_pq_filtered_topk",
 ]
 
 #: Serving/maintenance tier (r13 verdict task 4): scenario queries whose
@@ -132,6 +134,8 @@ SERVING = frozenset(
         "vec_ann_hnsw_stream_update_knn",
         "vec_ann_ivf_incremental_topk",
         "vec_ann_ivf_filtered_topk",
+        "vec_ann_hnsw_filtered_knn",
+        "vec_ann_pq_filtered_topk",
         "layout_clustered_upsert_roundtrip",
         "layout_compact_small_files_stats",
         "layout_vacuum_retention_roundtrip",

@@ -1231,3 +1231,146 @@ def hnsw_index_knn(
         .filter(F.col("rnk") <= k)
         .select("qid", "nid", "cos_sim", "rnk")
     )
+
+
+def hnsw_index_filtered_knn(
+    spark,
+    path: str,
+    queries: DataFrame,
+    admissible: DataFrame,
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """FILTERED search against a persisted :func:`hnsw_index_save` table —
+    the HNSW tier of the engine's pre-filter contract (exact:
+    `queries/vectors.py::vec_ann_filtered_topk`; IVF:
+    `operators/similarity.py::ivf_index_topk(cell_filter=...)`):
+    ``admissible`` holds the ``vec_id`` of every vector the metadata
+    predicate admits, and the search returns k ADMISSIBLE neighbors
+    whenever they exist — post-filtering a fixed unfiltered top-k would
+    silently under-return, the classic filtered-ANN trap.
+
+    Shape: the admissible ids are bucketed by the table's OWN stored
+    partition function and joined onto the blob rows as per-partition id
+    lists, so (a) sub-indexes with NO admissible vector are pruned
+    before they are even unpickled, and (b) the corpus-scale blob side
+    never moves — the id lists are the broadcast side. Inside each task
+    the admissible rows of that sub-index are scored EXACTLY (the blob
+    already embeds its vectors: numpy ranking over the admissible slice,
+    sequential-fold rescore — no graph traversal), so the result is
+    exact at every selectivity; that is the right engine choice because
+    low selectivity is the regime filtered search exists for, and there
+    a filtered graph walk degrades anyway (the graph's neighborhoods are
+    mostly inadmissible). A qdrant-style filtered traversal would trade
+    this tier's exactness contract for speed at HIGH selectivity, where
+    callers should simply run the unfiltered search.
+
+    Scale contract: broadcast volume is one id per admissible vector
+    (8 B/id) — the low-selectivity regime by construction; compute is
+    |admissible| exact scores, distributed across the touched
+    sub-indexes' tasks. Refuses an ``admissible`` frame whose vec_id
+    type drifted from the stored key_ddl (the partition hash differs by
+    type). Output (qid, nid, cos_sim, rnk), self-matches excluded —
+    identical contract to :func:`hnsw_index_knn`."""
+    from cinegraph_spark.operators.serving_io import ensure_live
+    from cinegraph_spark.session import ensure_shipped
+
+    ensure_live(spark, path)
+    ensure_shipped(spark)
+    empty = spark.createDataFrame(
+        [], "qid long, nid long, cos_sim double, rnk long"
+    )
+    idx = spark.read.parquet(path)
+    if "part_id" not in idx.columns or "key_ddl" not in idx.columns:
+        raise ValueError(
+            "hnsw_index_filtered_knn needs a serving table carrying its "
+            "full identity (part_id and key_ddl columns); rebuild it "
+            "once with hnsw_index_save"
+        )
+    head = idx.select("n_partitions", "key_ddl").first()
+    if head is None:
+        return empty  # vacuous index: nothing is admissible
+    adm_ddl = admissible.schema["vec_id"].dataType.simpleString()
+    if adm_ddl != head["key_ddl"]:
+        raise ValueError(
+            f"hnsw_index_filtered_knn: admissible vec_id type {adm_ddl} "
+            f"differs from the index's stored key type "
+            f"{head['key_ddl']}; the partition hash differs by type — "
+            "cast the admissible keys back"
+        )
+    qrows = sorted(
+        queries.select("vec_id", "v").collect(), key=lambda r: r["vec_id"]
+    )
+    if not qrows:
+        return empty
+    bq = spark.sparkContext.broadcast(
+        [(int(r["vec_id"]), [float(x) for x in r["v"]]) for r in qrows]
+    )
+    n = int(head["n_partitions"])
+    adm_lists = (
+        admissible.select("vec_id")
+        .withColumn("part_id", _part_expr(n))
+        .groupBy("part_id")
+        .agg(F.collect_set("vec_id").alias("adm_ids"))
+    )
+    joined = idx.select("part_id", "blob").join(
+        F.broadcast(adm_lists), "part_id"
+    )
+
+    def search(batches):
+        import pickle
+
+        import pandas as pd
+
+        for pdf in batches:
+            for blob, adm in zip(pdf["blob"], pdf["adm_ids"]):
+                index = pickle.loads(bytes(blob))
+                if "Xn" not in index:  # slim blob: rebuild, bit-identical
+                    index["Xn"] = _normalize(index["X"])
+                pos = {vid: i for i, vid in enumerate(index["ids"])}
+                rows_idx = [pos[a] for a in adm if a in pos]
+                if not rows_idx:
+                    continue
+                ids_adm = np.asarray(
+                    [index["ids"][i] for i in rows_idx], dtype=np.int64
+                )
+                Xn_adm = index["Xn"][rows_idx]
+                X = index["X"]
+                out = {"qid": [], "nid": [], "cos_sim": []}
+                for qid, qv in bq.value:
+                    qa = np.asarray(qv, dtype=np.float64)
+                    qn = np.linalg.norm(qa)
+                    sims = Xn_adm @ (qa / qn if qn else qa)
+                    # numpy only RANKS (ties broken by id); the kept
+                    # candidates are rescored with the sequential fold,
+                    # same contract as _score_query. The k+32 pad
+                    # absorbs last-ulp rank flips at the cut boundary.
+                    order = np.lexsort((ids_adm, -sims))[: k + 32]
+                    scored = sorted(
+                        (
+                            (
+                                round(
+                                    _seq_cos(qv, X[rows_idx[j]]), round_to
+                                ),
+                                int(ids_adm[j]),
+                            )
+                            for j in order
+                            if int(ids_adm[j]) != qid
+                        ),
+                        key=lambda t: (-t[0], t[1]),
+                    )[: k + 1]
+                    for cs, nid in scored:
+                        out["qid"].append(qid)
+                        out["nid"].append(nid)
+                        out["cos_sim"].append(cs)
+                yield pd.DataFrame(out)
+
+    from pyspark.sql import Window
+
+    cands = joined.mapInPandas(search, "qid long, nid long, cos_sim double")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        cands.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nid", "cos_sim", "rnk")
+    )

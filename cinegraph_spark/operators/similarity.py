@@ -891,6 +891,7 @@ def pq_index_topk(
     k: int = 10,
     rerank: int = 40,
     v: str = "v",
+    admissible: DataFrame | None = None,
 ) -> DataFrame:
     """QUERY-MANY half: PQ ANN against a PERSISTED :func:`pq_codes_save`
     state — the serving read path the codes layout exists for: the ADC
@@ -911,7 +912,23 @@ def pq_index_topk(
     laid out). Same semantics either way, pinned equal to the
     encode-per-query :func:`pq_topk` in tests/test_pq_serving.py; same
     rows-only correctness gate as the PQ family (engine-specific
-    codebook numerics), with recall pinned against brute force."""
+    codebook numerics), with recall pinned against brute force.
+
+    ``admissible`` (optional, DataFrame of ``vec_id``) is the FILTERED
+    form — the PQ tier of the engine's pre-filter contract (exact /
+    IVF / HNSW tiers: `queries/vectors.py::vec_ann_filtered_topk`,
+    :func:`ivf_index_topk`, `operators/hnsw.py::hnsw_index_filtered_knn`):
+    the admissibility semi-join fuses into the codes scan BEFORE the ADC
+    cut, so every kept candidate is admissible and the query returns k
+    matching vectors whenever they exist (post-filtering the unfiltered
+    ADC top-``rerank`` silently under-returns). The admissible side
+    broadcasts (one id per admissible vector — small in the
+    low-selectivity regime filtered search serves); the codes scan never
+    shuffles. Exactness regimes: with ``rerank >= |admissible|`` the ADC
+    cut keeps every admissible candidate and the exact re-rank makes the
+    result EXACT brute force over the admissible set — the regime a
+    selective filter puts you in; below that the standard PQ recall
+    contract applies, now over the admissible subset."""
     from cinegraph_spark.operators.maintenance import (
         layout_meta,
         layout_pruned_read,
@@ -923,6 +940,17 @@ def pq_index_topk(
         spark, path
     )
     codes = spark.read.schema(codes_schema).parquet(path + "/codes")
+    if admissible is not None:
+        adm_ddl = admissible.schema["vec_id"].dataType.simpleString()
+        if adm_ddl != key_ddl:
+            raise ValueError(
+                f"pq_index_topk: admissible vec_id type {adm_ddl} differs "
+                f"from the state's stored key type {key_ddl}; cast the "
+                "admissible keys back"
+            )
+        codes = codes.join(
+            F.broadcast(admissible.select("vec_id")), "vec_id", "left_semi"
+        )
     cand = (
         codes.crossJoin(F.broadcast(q))
         .select(

@@ -1048,3 +1048,105 @@ def vec_ann_ivf_filtered_topk(spark, sf_dir):
     return out.select(
         "vec_id", F.col("label").cast("long").alias("label"), "cos_sim"
     )
+
+
+@register(
+    "vec_ann_hnsw_filtered_knn",
+    f"""
+    WITH e AS (SELECT vec_id, label, {_DV} AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT qid, vec_id AS nid,
+             round(list_dot_product(v, qv)
+                   / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos_sim
+      FROM e, q WHERE vec_id <> qid AND label IN (2, 5, 7)
+    )
+    SELECT qid, nid, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, nid) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    tags=("vector", "ann", "hnsw", "knn", "similarity", "serving", "filtered"),
+)
+def vec_ann_hnsw_filtered_knn(spark, sf_dir):
+    """FILTERED search at the HNSW serving tier (r14) — completing the
+    pre-filter contract across the ANN stack (exact:
+    `vec_ann_filtered_topk`; IVF serving: `vec_ann_ivf_filtered_topk`):
+    the metadata predicate (label in (2, 5, 7)) restricts the candidate
+    set BEFORE ranking, so every query returns k admissible neighbors
+    whenever they exist. The admissible ids are bucketed by the serving
+    table's OWN stored partition function and broadcast-joined onto the
+    blob rows as per-partition lists — sub-indexes holding no admissible
+    vector are pruned before they are even unpickled, the corpus-scale
+    blob side never shuffles, and inside each task the admissible slice
+    of that sub-index is scored EXACTLY (the blob embeds its vectors),
+    so the brute-force filtered oracle hash-matches at every
+    selectivity (`operators/hnsw.py::hnsw_index_filtered_knn` documents
+    why exact-scan-of-admissible is the right engine choice in the
+    low-selectivity regime filtered search serves)."""
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_index_filtered_knn,
+        hnsw_index_save,
+    )
+    from cinegraph_spark.session import scratch_dir
+
+    e = _emb(spark, sf_dir)
+    path = scratch_dir("cg_hnsw_filt_") + "/index"
+    hnsw_index_save(e.select("vec_id", "v"), path, target_rows_per_subindex=256)
+    queries = e.filter(F.col("vec_id") < 10).select("vec_id", "v")
+    admissible = e.filter(F.col("label").isin(2, 5, 7)).select("vec_id")
+    return hnsw_index_filtered_knn(spark, path, queries, admissible, k=3)
+
+
+@register(
+    "vec_ann_pq_filtered_topk",
+    f"""
+    WITH e AS (SELECT vec_id, label, {_DV} AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+             round(list_dot_product(v, qv)
+                   / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos_sim
+      FROM e, q WHERE vec_id <> 0 AND label = 2
+    )
+    SELECT vec_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("vector", "ann", "pq", "similarity", "serving", "filtered"),
+)
+def vec_ann_pq_filtered_topk(spark, sf_dir):
+    """FILTERED search at the PQ serving tier (r14) — the last tier of
+    the pre-filter contract (exact / IVF / HNSW already covered): the
+    admissibility semi-join (label = 2, resolved to vec_ids upstream)
+    fuses into the CODES scan before the ADC cut, so every ADC candidate
+    is admissible and the query returns k matching vectors whenever they
+    exist. Run in the exact regime: ``rerank=512 >= |admissible|`` at
+    every SF (label 2 is ≤ 218 rows even at sf0.1), so the ADC stage
+    keeps all admissible candidates, the re-rank exact-scores them, and
+    the brute-force filtered oracle hash-matches — which is the regime a
+    selective filter puts you in anyway (that is the point of
+    pre-filtering); the sub-|admissible| rerank regime keeps the PQ
+    family's recall contract, now over the admissible subset
+    (tests/test_pq_serving.py). The codes table never shuffles; the
+    admissible-id side broadcasts."""
+    from cinegraph_spark.operators.similarity import pq_codes_save, pq_train
+    from cinegraph_spark.operators.similarity import pq_index_topk
+    from cinegraph_spark.session import bounded_shuffle, scratch_dir
+
+    e = _emb(spark, sf_dir)
+    corpus = e.filter(F.col("vec_id") != 0).select("vec_id", "v")
+    if sf_dir not in _PQ_BOOKS:
+        # same training frame as vec_ann_pq_topk — the two queries share
+        # the module cache, so the books must be the same either way
+        with bounded_shuffle(spark):
+            _PQ_BOOKS[sf_dir] = pq_train(e, m=8, k=16)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    path = scratch_dir("cg_pq_filt_") + "/state"
+    pq_codes_save(corpus, _PQ_BOOKS[sf_dir], path, n_partitions=4)
+    admissible = e.filter(F.col("label") == 2).select("vec_id")
+    return pq_index_topk(
+        corpus, q, path, k=10, rerank=512, admissible=admissible
+    )

@@ -1222,3 +1222,114 @@ def test_stream_sink_refuses_non_layout_landing_zone(spark, tmp_path):
     batch = e.limit(1)
     with pytest.raises(ValueError, match="not a clustered layout"):
         sink(batch, 0)
+
+
+def test_filtered_knn_exact_and_prunes_unadmissible_subindexes(
+    spark, sf_dir, tmp_path
+):
+    """hnsw_index_filtered_knn (r14): pre-filter semantics with the
+    family's exactness — k ADMISSIBLE neighbors, hash-equal to brute
+    force over the admissible set; sub-indexes holding no admissible
+    vector are pruned before they are even unpickled (proved by
+    poisoning every other partition's blob bytes); admissible-key type
+    drift is refused; an empty admissible set returns zero rows."""
+    from cinegraph_spark.operators.hnsw import (
+        _part_expr,
+        hnsw_index_filtered_knn,
+        hnsw_index_save,
+    )
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    path = str(tmp_path / "idx")
+    hnsw_index_save(e, path, target_rows_per_subindex=128)
+    q = e.filter(F.col("vec_id") < 5)
+
+    # admissible = every id hashing into ONE partition of the saved table
+    n_parts = spark.read.parquet(path).select("n_partitions").first()[0]
+    assert n_parts >= 2  # the prune claim needs something to prune
+    with_part = e.withColumn("part_id", _part_expr(int(n_parts)))
+    admissible = with_part.filter(F.col("part_id") == 0).select("vec_id")
+
+    want = sorted(
+        map(
+            tuple,
+            hnsw_index_filtered_knn(spark, path, q, admissible, k=3)
+            .collect(),
+        )
+    )
+    # brute force over the admissible set (excluding self-matches)
+    brute = sorted(
+        (r["qid"], r["nid"], r["cos_sim"], r["rnk"])
+        for r in admissible.join(e, "vec_id")
+        .select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
+        .crossJoin(
+            q.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+        )
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(nv, qv, (x, y) -> x * y), 0D, "
+                    "(a, b) -> a + b) / (sqrt(aggregate(nv, 0D, (a, b) -> "
+                    "a + b * b)) * sqrt(aggregate(qv, 0D, (a, b) -> "
+                    "a + b * b)))"
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("qid")
+                .orderBy(F.desc("cos_sim"), F.asc("nid"))
+            )
+            .cast("long"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .collect()
+    )
+    assert want == brute and len(want) > 0
+
+    # poison every OTHER partition's blob: the filtered search must not
+    # unpickle them (an opened poisoned blob raises), and still answers
+    poisoned = str(tmp_path / "poisoned")
+    spark.read.parquet(path).withColumn(
+        "blob",
+        F.when(F.col("part_id") == 0, F.col("blob")).otherwise(
+            F.lit(b"not a pickle")
+        ),
+    ).write.partitionBy("part_id").parquet(poisoned)
+    got = sorted(
+        map(
+            tuple,
+            hnsw_index_filtered_knn(spark, poisoned, q, admissible, k=3)
+            .collect(),
+        )
+    )
+    assert got == want
+
+    # empty admissible set: zero rows, no error
+    assert (
+        hnsw_index_filtered_knn(
+            spark, path, q, admissible.filter(F.lit(False)), k=3
+        ).count()
+        == 0
+    )
+
+    # key-type drift refused
+    with pytest.raises(ValueError, match="differs"):
+        hnsw_index_filtered_knn(
+            spark,
+            path,
+            q,
+            admissible.select(F.col("vec_id").cast("int").alias("vec_id")),
+            k=3,
+        )

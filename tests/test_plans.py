@@ -535,3 +535,40 @@ def test_weighted_wor_is_map_only_take_ordered(q):
     assert c["shuffle_exchange"] == 0
     assert c["python_row_udf"] == 0
     assert c["python_arrow_udf"] == 0
+
+
+def test_hnsw_filtered_blob_side_never_shuffles(q):
+    """hnsw_index_filtered_knn (r14): the corpus-scale blob table must be
+    joined to the per-partition admissible-id lists by BROADCASTING the
+    id lists — a sort-merge (or any shuffle of the blob side) would move
+    the embedded corpus to ship a filter. The plan's only exchanges are
+    the admissible groupBy and the final tiny candidate re-rank; the
+    mapInPandas search is the single Arrow boundary."""
+    c = plan_counts(q("vec_ann_hnsw_filtered_knn"))
+    assert c["broadcast_hash_join"] >= 1
+    assert c["sort_merge_join"] == 0
+    assert c["python_row_udf"] == 0
+    assert c["python_arrow_udf"] == 1  # the blob search, nothing else
+    # admissible-id groupBy + candidate window re-rank; the blob scan
+    # feeds the broadcast join unexchanged
+    assert c["shuffle_exchange"] <= 3
+
+
+def test_pq_filtered_semi_join_precedes_adc_cut(q):
+    """pq_index_topk(admissible=...) (r14): the admissibility semi-join
+    must fuse into the codes scan BEFORE the ADC TakeOrdered cut (a
+    post-cut filter under-returns — the filtered-ANN trap), with the
+    admissible ids broadcast and nothing shuffled."""
+    from cinegraph_spark.plans import formatted_plan
+
+    df = q("vec_ann_pq_filtered_topk")
+    c = plan_counts(df)
+    assert c["sort_merge_join"] == 0
+    assert c["shuffle_exchange"] == 0
+    assert c["python_row_udf"] == 0
+    assert c["take_ordered"] == 2  # ADC cut + final top-k
+    plan = formatted_plan(df)
+    # the LeftSemi admissibility join sits below the first TakeOrdered
+    semi = plan.find("LeftSemi")
+    first_cut = plan.find("TakeOrderedAndProject")
+    assert semi != -1 and first_cut != -1

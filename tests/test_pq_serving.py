@@ -350,3 +350,75 @@ def test_index_topk_layout_rerank_equals_dataframe_mode(
     hash_layout_save(e, stale, "vec_id", 9)
     with pytest.raises(ValueError, match="re-run pq_corpus_layout"):
         pq_index_topk(stale, q, path, k=5, rerank=20).collect()
+
+
+def test_filtered_search_prefilter_semantics(spark, sf_dir, tmp_path):
+    """The admissibility semi-join fuses BEFORE the ADC cut: every result
+    is admissible, k admissible results come back even when the global
+    unfiltered top-rerank is dominated by inadmissible vectors (the
+    post-filter trap), and at rerank >= |admissible| the result is exact
+    brute force over the admissible set."""
+    from cinegraph_spark.operators.similarity import (
+        pq_codes_save,
+        pq_index_topk,
+    )
+    from cinegraph_spark.queries.util import T
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    corpus = e.filter(F.col("vec_id") != 0)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    books = _books(spark, sf_dir)
+    path = str(tmp_path / "pq")
+    pq_codes_save(corpus.select("vec_id", "v"), books, path, n_partitions=4)
+    admissible = corpus.filter(F.col("label") == 2).select("vec_id")
+    n_adm = admissible.count()
+
+    # exact regime: rerank >= |admissible| -> brute force over admissible
+    got = pq_index_topk(
+        corpus.select("vec_id", "v"), q, path,
+        k=10, rerank=n_adm, admissible=admissible,
+    ).collect()
+    brute = (
+        corpus.filter(F.col("label") == 2)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                F.expr(
+                    "round(aggregate(zip_with(v, qv, (x, y) -> x * y), "
+                    "0D, (a, b) -> a + b) / (sqrt(aggregate(v, 0D, "
+                    "(a, b) -> a + b * b)) * sqrt(aggregate(qv, 0D, "
+                    "(a, b) -> a + b * b))), 6)"
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    )
+    assert [(r["vec_id"],) for r in got] == [(r["vec_id"],) for r in brute]
+
+    # pre-filter semantics below full rerank: k admissible rows come
+    # back even though the unfiltered ADC top-5 is (generically) not
+    # label-2-only — post-filtering would under-return here
+    small = pq_index_topk(
+        corpus.select("vec_id", "v"), q, path,
+        k=5, rerank=5, admissible=admissible,
+    ).collect()
+    assert len(small) == 5
+    adm_ids = {r["vec_id"] for r in admissible.collect()}
+    assert all(r["vec_id"] in adm_ids for r in small)
+
+    # type drift refused (the stored key hash differs by type)
+    with pytest.raises(ValueError, match="differs"):
+        pq_index_topk(
+            corpus.select("vec_id", "v"), q, path, k=5,
+            admissible=admissible.select(
+                F.col("vec_id").cast("int").alias("vec_id")
+            ),
+        ).collect()

@@ -1132,8 +1132,11 @@ def vec_ann_pq_filtered_topk(spark, sf_dir):
     family's recall contract, now over the admissible subset
     (tests/test_pq_serving.py). The codes table never shuffles; the
     admissible-id side broadcasts."""
-    from cinegraph_spark.operators.similarity import pq_codes_save, pq_train
-    from cinegraph_spark.operators.similarity import pq_index_topk
+    from cinegraph_spark.operators.similarity import (
+        pq_codes_save,
+        pq_index_topk,
+        pq_train,
+    )
     from cinegraph_spark.session import bounded_shuffle, scratch_dir
 
     e = _emb(spark, sf_dir)

@@ -111,6 +111,7 @@ HEADLINE = [
     "layout_vacuum_retention_roundtrip",
     "vec_ann_hnsw_filtered_knn",
     "vec_ann_pq_filtered_topk",
+    "agg_incremental_mv_retract",
 ]
 
 #: Serving/maintenance tier (r13 verdict task 4): scenario queries whose
@@ -141,6 +142,7 @@ SERVING = frozenset(
         "layout_vacuum_retention_roundtrip",
         "pipeline_stream_ingest_compact",
         "agg_incremental_mv_refresh",
+        "agg_incremental_mv_retract",
         "stream_mv_incremental_refresh",
     ]
 )

@@ -57,6 +57,7 @@ def merge_agg_state(
     batch_id: int,
     maxs: list[str] | None = None,
     mins: list[str] | None = None,
+    n_col: str | None = None,
 ) -> dict:
     """Incrementally refresh a persisted aggregate state (a materialized
     rollup) from a pre-aggregated delta — the MERGEABLE-PARTIALS form of
@@ -90,10 +91,22 @@ def merge_agg_state(
     maxes, min of mins) — valid under an INSERT-ONLY delta contract
     only: a delete or downward update cannot lower a stored max without
     rescanning the group's base facts, which is exactly the scan this
-    operator exists to avoid. Callers with retractions must route those
-    groups through a full recompute. AVG is deliberately NOT a measure
+    operator exists to avoid. AVG is deliberately NOT a measure
     class — it is not mergeable; derive it from a sum and a count at
     read time. Single-writer contract as in `operators/maintenance.py`.
+
+    ``n_col`` (r14) enables RETRACTIONS for sum-class views — the CDC
+    form of incremental maintenance: a deleted fact ships as a NEGATED
+    partial in the delta (count −1, measures negated; sum arithmetic
+    already merges it), and ``n_col`` names the live-row-count measure
+    (must be one of ``sums``) so the operator can finish the job —
+    groups whose merged count reaches zero are DROPPED from the view (a
+    recompute has no row for a factless group; leaving a zero-row would
+    diverge), and a merged count below zero raises (more retractions
+    than insertions — a corrupt or double-shipped delta must never
+    silently commit). ``n_col`` with ``maxs``/``mins`` raises up front:
+    max/min are not retractable partials, by the scan argument above —
+    route such views through a recompute of the touched groups instead.
     Returns ``{"applied": bool, "n_groups": int}``."""
     from pyspark.sql.utils import AnalysisException
 
@@ -102,6 +115,20 @@ def merge_agg_state(
         recover_swap,
     )
 
+    if n_col is not None:
+        if n_col not in sums:
+            raise ValueError(
+                f"merge_agg_state: n_col {n_col!r} must be one of the "
+                f"sum-class measures {sums} (counts ship as sums of "
+                "partial counts)"
+            )
+        if maxs or mins:
+            raise ValueError(
+                "merge_agg_state: retractions (n_col) cannot be combined "
+                "with maxs/mins — a retraction cannot lower a stored "
+                "max/min without rescanning the group's base facts; "
+                "recompute those views' touched groups instead"
+            )
     agg_dir, ledger_dir = path + "/agg", path + "/applied"
 
     def _read_ledger():
@@ -147,6 +174,20 @@ def merge_agg_state(
     # the checkpoint is purely an economy: count() below and the write
     # would otherwise each run the merge plan
     merged = merged.localCheckpoint(eager=True)
+    if n_col is not None:
+        n_neg = merged.filter(F.col(n_col) < 0).count()
+        if n_neg:
+            # raise BEFORE any write: the live state is untouched and the
+            # bad delta never commits (the ledger row would otherwise
+            # make the corruption permanent — replays no-op)
+            raise ValueError(
+                f"merge_agg_state: {n_neg} group(s) retracted below zero "
+                f"rows ({n_col} < 0) — the delta retracts facts the view "
+                "never absorbed (corrupt or double-shipped retraction); "
+                "nothing was committed"
+            )
+        # fully-retracted groups leave the view, as a recompute would
+        merged = merged.filter(F.col(n_col) != 0)
     n_groups = merged.count()
     ledger = spark.createDataFrame(
         [(int(b),) for b in sorted((applied or set()) | {int(batch_id)})],

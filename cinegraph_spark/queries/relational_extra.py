@@ -395,3 +395,75 @@ def agg_incremental_mv_refresh(spark, sf_dir):
         F.col("sum_cents").cast("long").alias("sum_cents"),
         F.col("max_cents").cast("long").alias("max_cents"),
     )
+
+
+@register(
+    "agg_incremental_mv_retract",
+    """
+    SELECT o_orderpriority AS priority,
+           strftime(o_orderdate, '%Y-%m') AS month,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y') <> '1995'
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "incremental", "materialized-view", "maintenance", "cdc"),
+)
+def agg_incremental_mv_retract(spark, sf_dir):
+    """RETRACTABLE incremental view maintenance (r14) — the CDC
+    complement of `agg_incremental_mv_refresh`'s insert-only contract:
+    the (priority, month) rollup absorbs the full orders table, then a
+    retraction batch DELETES every 1995 fact by shipping NEGATED
+    partials (count −1 per row, cents negated — sum arithmetic merges
+    them unchanged), still at O(|state| + |delta|) with no base-fact
+    rescan. What the oracle proves beyond arithmetic: every
+    1995-only (priority, month) group VANISHES from the view (12
+    months × 5 priorities of groups — a recompute has no row for a
+    factless group, and `merge_agg_state(n_col=...)` drops merged
+    zero-count groups rather than leaving divergent zero-rows), and the
+    replayed retraction batch is a ledger no-op (a broken ledger would
+    retract twice, push counts negative, and the operator would refuse
+    the commit — so the oracle hash catches both the double-count AND
+    the refusal path misfiring). Integer-cents measures keep the merged
+    state bit-identical to the plain filtered recompute the oracle
+    runs. max/min measures are deliberately absent: they are not
+    retractable partials (`merge_agg_state` refuses the combination up
+    front)."""
+    from cinegraph_spark.operators.incremental import merge_agg_state
+    from cinegraph_spark.session import scratch_dir
+
+    o = T(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    month = F.date_format(F.col("o_orderdate"), "yyyy-MM")
+
+    def rollup(df, sign=1):
+        return df.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            month.alias("month"),
+        ).agg(
+            (F.lit(sign) * F.count(F.lit(1))).alias("n_orders"),
+            (F.lit(sign) * F.sum(cents)).alias("sum_cents"),
+        )
+
+    state = scratch_dir("cg_mv_retract_") + "/state"
+    keys, sums = ["priority", "month"], ["n_orders", "sum_cents"]
+    base = rollup(o)
+    retract = rollup(
+        o.filter(F.year("o_orderdate") == 1995), sign=-1
+    )
+    merge_agg_state(spark, state, base, keys, sums, batch_id=0, n_col="n_orders")
+    merge_agg_state(
+        spark, state, retract, keys, sums, batch_id=1, n_col="n_orders"
+    )
+    replay = merge_agg_state(
+        spark, state, retract, keys, sums, batch_id=1, n_col="n_orders"
+    )
+    assert replay["applied"] is False  # ledger contract, cheap to assert
+    return spark.read.parquet(state + "/agg").select(
+        "priority",
+        "month",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    )

@@ -147,3 +147,72 @@ def test_refresh_recovers_from_mid_swap_crash(spark, sf_dir, tmp_path):
     )
     assert r["applied"]
     assert _rows(spark.read.parquet(path + "/agg")) == _rows(_rollup(o))
+
+
+def _sum_rollup(df, sign=1):
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return df.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(
+        (F.lit(sign) * F.count(F.lit(1))).alias("n_orders"),
+        (F.lit(sign) * F.sum(cents)).alias("sum_cents"),
+    )
+
+
+def test_retraction_batch_equals_filtered_recompute(spark, sf_dir, tmp_path):
+    """CDC retractions (n_col, r14): negated partials delete facts from
+    the view at O(state + delta); fully-retracted groups VANISH (a
+    recompute has no row for a factless group), and the survivors are
+    bit-identical to the filtered recompute."""
+    import pytest
+
+    o = T(spark, sf_dir, "orders")
+    path = str(tmp_path / "state")
+    merge_agg_state(
+        spark, path, _sum_rollup(o), KEYS, SUMS, batch_id=0, n_col="n_orders"
+    )
+    groups_before = spark.read.parquet(path + "/agg").count()
+    retract = _sum_rollup(o.filter(F.year("o_orderdate") == 1995), sign=-1)
+    merge_agg_state(
+        spark, path, retract, KEYS, SUMS, batch_id=1, n_col="n_orders"
+    )
+    merged = spark.read.parquet(path + "/agg")
+    want = _sum_rollup(o.filter(F.year("o_orderdate") != 1995))
+    assert _rows(merged) == _rows(want)
+    # the 1995-only months actually left the view
+    assert merged.count() < groups_before
+    assert merged.filter(F.col("month").startswith("1995")).count() == 0
+
+    # a second shipment of the same retraction under a NEW batch id would
+    # push counts negative: the operator must refuse BEFORE committing,
+    # leaving state and ledger untouched
+    with pytest.raises(ValueError, match="retracted below zero"):
+        merge_agg_state(
+            spark, path, retract, KEYS, SUMS, batch_id=2, n_col="n_orders"
+        )
+    assert _rows(spark.read.parquet(path + "/agg")) == _rows(want)
+    ledger = sorted(
+        int(r["batch_id"])
+        for r in spark.read.parquet(path + "/applied").collect()
+    )
+    assert ledger == [0, 1]  # the refused batch never entered the ledger
+
+
+def test_retraction_guards(spark, sf_dir, tmp_path):
+    """n_col must be a sum-class measure, and cannot be combined with
+    max/min measures (not retractable partials)."""
+    import pytest
+
+    o = T(spark, sf_dir, "orders").limit(10)
+    path = str(tmp_path / "state")
+    with pytest.raises(ValueError, match="must be one of the"):
+        merge_agg_state(
+            spark, path, _sum_rollup(o), KEYS, SUMS, batch_id=0,
+            n_col="not_a_measure",
+        )
+    with pytest.raises(ValueError, match="cannot be combined"):
+        merge_agg_state(
+            spark, path, _rollup(o), KEYS, SUMS, batch_id=0,
+            maxs=MAXS, n_col="n_orders",
+        )

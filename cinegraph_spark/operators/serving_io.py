@@ -245,9 +245,13 @@ def vacuum_parked_siblings(
       removes siblings of a LIVE table, which by the swap's ordering are
       failed/uncommitted attempts (lone ``__swap__`` without its rename)
       or already-superseded asides — never the only copy of state.
-    - Age is the sibling's own modification time, so a write still in
-      flight (young sibling) is never swept out from under its writer —
-      pick a retention comfortably above the longest maintenance write.
+    - Age is the NEWEST modification time found in the sibling — the
+      directory's own mtime or any file under it, whichever is later —
+      so a write still in flight (young files) is never swept out from
+      under its writer, and object stores whose "directories" carry a
+      synthetic zero mtime (S3A) still age by their files' real
+      timestamps. Pick a retention comfortably above the longest
+      maintenance write.
     - ``dry_run`` lists without deleting.
 
     Returns ``{"deleted": [...], "kept": [...]}`` (full paths). The same
@@ -269,9 +273,17 @@ def vacuum_parked_siblings(
     cutoff_ms = (time.time() - older_than_hours * 3600.0) * 1000.0
     deleted: list[str] = []
     kept: list[str] = []
+
+    def newest_mtime_ms(p: str) -> float:
+        newest = fs.getFileStatus(jpath(p)).getModificationTime()
+        it = fs.listFiles(jpath(p), True)
+        while it.hasNext():
+            newest = max(newest, it.next().getModificationTime())
+        return newest
+
     for copies in _parked_siblings(spark, path).values():
         for p in copies.values():
-            if fs.getFileStatus(jpath(p)).getModificationTime() < cutoff_ms:
+            if newest_mtime_ms(p) < cutoff_ms:
                 if not dry_run:
                     fs.delete(jpath(p), True)
                 deleted.append(p)

@@ -459,8 +459,11 @@ def layout_vacuum_retention_roundtrip(spark, sf_dir):
     for p in (stale_swap, stale_old, young_swap):
         docs.limit(5).withColumn("lang", F.lit("xx")).write.parquet(p)
     stale_t = time.time() - 48 * 3600
-    os.utime(stale_swap, (stale_t, stale_t))
-    os.utime(stale_old, (stale_t, stale_t))
+    for d in (stale_swap, stale_old):  # age dir AND files: vacuum ages
+        os.utime(d, (stale_t, stale_t))  # by the newest mtime found
+        for root, _dirs, names in os.walk(d):
+            for n in names:
+                os.utime(os.path.join(root, n), (stale_t, stale_t))
 
     out = vacuum_parked_siblings(spark, path, older_than_hours=24.0)
     got_deleted = sorted(p.rsplit("/", 1)[-1] for p in out["deleted"])

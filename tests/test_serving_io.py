@@ -295,8 +295,11 @@ def test_vacuum_parked_siblings_age_bounded(spark, tmp_path):
     for p in (old_swap, old_aside, young):
         spark.range(1).write.parquet(p)
     stale = time.time() - 48 * 3600
-    os.utime(old_swap, (stale, stale))
-    os.utime(old_aside, (stale, stale))
+    for d in (old_swap, old_aside):  # age dir AND files: vacuum ages by
+        os.utime(d, (stale, stale))  # the NEWEST mtime in the sibling
+        for root, _dirs, names in os.walk(d):
+            for n in names:
+                os.utime(os.path.join(root, n), (stale, stale))
 
     def names(paths):  # the operator reports fs URIs (file:/...)
         return sorted(p.rsplit("/", 1)[-1] for p in paths)

@@ -112,6 +112,7 @@ HEADLINE = [
     "vec_ann_hnsw_filtered_knn",
     "vec_ann_pq_filtered_topk",
     "agg_incremental_mv_retract",
+    "stream_mv_cdc_retract",
 ]
 
 #: Serving/maintenance tier (r13 verdict task 4): scenario queries whose
@@ -144,6 +145,7 @@ SERVING = frozenset(
         "agg_incremental_mv_refresh",
         "agg_incremental_mv_retract",
         "stream_mv_incremental_refresh",
+        "stream_mv_cdc_retract",
     ]
 )
 

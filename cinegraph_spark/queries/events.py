@@ -1097,3 +1097,106 @@ def stream_session_dynamic_gap(spark, sf_dir):
         F.col("n_events").cast("long").alias("n_events"),
         r4(F.col("total_value")).alias("total_value"),
     )
+
+
+@register(
+    "stream_mv_cdc_retract",
+    """
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d') AS day,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_units
+    FROM events
+    WHERE event_type <> 'view'
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "incremental", "materialized-view", "cdc", "agg"),
+)
+def stream_mv_cdc_retract(spark, sf_dir):
+    """A CDC FEED maintaining the streaming materialized view (r14) —
+    the streaming twin of `agg_incremental_mv_retract` and the
+    retraction complement of `stream_mv_incremental_refresh`: each
+    micro-batch carries an ``op`` column (I = insert, D = delete), the
+    per-batch partial aggregate signs its partials by op (a deleted
+    fact contributes count −1 and negated measures), and
+    ``merge_agg_state(n_col=...)`` folds it into the persisted view at
+    O(|state| + |batch|). Batch 1 inserts the whole corpus; batch 2
+    deletes every 'view' event — so ALL (view, day) groups must VANISH
+    from the state (zero-count drop), which the plain filtered batch
+    aggregate oracle checks directly. CDC apply is ORDER-SENSITIVE by
+    contract (a delete must follow the insert it retracts — the
+    operator refuses a commit that would push any group negative, so a
+    reordered feed fails loudly instead of corrupting); the staged
+    files pin that order via strictly increasing mtimes, exactly the
+    ordering a real CDC log gives its consumer. The whole feed is then
+    REPLAYED (at-least-once upstream): both batch ids are in the
+    ledger, so the replay no-ops — a ledger regression would re-delete
+    already-deleted facts, trip the below-zero refusal, and fail the
+    drain. TIMESTAMP_NTZ end to end; integer ten-thousandths units keep
+    the merged state bit-identical to the recompute."""
+    from cinegraph_spark.operators.incremental import merge_agg_state
+    from cinegraph_spark.queries.util import (
+        bounded_shuffle,
+        dstr,
+        scoped_confs,
+    )
+    from cinegraph_spark.session import scratch_dir
+
+    scratch = scratch_dir("cg_stream_cdc_")
+    stage = scratch + "/in"
+    state = scratch + "/state"
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    with scoped_confs(spark, **{"spark.sql.session.timeZone": "UTC"}):
+        _stage_ordered_batches(
+            [
+                ev.withColumn("op", F.lit("I")),
+                ev.filter(F.col("event_type") == "view").withColumn(
+                    "op", F.lit("D")
+                ),
+            ],
+            stage,
+        )
+    keys, sums = ["event_type", "day"], ["n_events", "sum_value_units"]
+
+    def apply(batch_df, batch_id: int) -> None:
+        sign = F.when(F.col("op") == "I", F.lit(1)).otherwise(F.lit(-1))
+        units = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+        delta = batch_df.groupBy(
+            "event_type", dstr(F.col("ts")).alias("day")
+        ).agg(
+            F.sum(sign).alias("n_events"),
+            F.sum(sign * units).alias("sum_value_units"),
+        )
+        merge_agg_state(
+            spark, state, delta, keys, sums, batch_id, n_col="n_events"
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string, op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    for _delivery in range(2):  # second pass = full upstream re-delivery
+        with scoped_confs(
+            spark, **{"spark.sql.session.timeZone": "UTC"}
+        ), bounded_shuffle(spark, 8):
+            q = (
+                stream.writeStream.foreachBatch(apply)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(120):
+                q.stop()
+                raise TimeoutError("stream CDC MV drain timed out")
+    return spark.read.parquet(state + "/agg").select(
+        "event_type",
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value_units").cast("long").alias("sum_value_units"),
+    )

@@ -92,6 +92,19 @@ FAMILIES = [
     # regression to cross-user state or per-event window re-merges
     # would track events² through the state store
     "stream_session_dynamic_gap",
+    # r14 additions: the filtered HNSW serving search (output fixed at
+    # n_queries*k; work = |admissible| exact scores across the touched
+    # sub-indexes — a regression that unpickled every blob or scored
+    # the full corpus would track corpus, not admissible share), the
+    # full-outer stream join (output ~ purchases + unmatched clicks,
+    # linear; both sides' state is watermark-bounded), and the CDC
+    # retraction MV at both cadences (output is the surviving group
+    # grid; work ~linear in facts + retracted facts — a regression that
+    # rescanned base facts per retraction would track facts×batches)
+    "vec_ann_hnsw_filtered_knn",
+    "stream_join_full_outer_attribution",
+    "agg_incremental_mv_retract",
+    "stream_mv_cdc_retract",
 ]
 
 

@@ -113,6 +113,7 @@ HEADLINE = [
     "vec_ann_pq_filtered_topk",
     "agg_incremental_mv_retract",
     "stream_mv_cdc_retract",
+    "script_trailing_quarter_report",
 ]
 
 #: Serving/maintenance tier (r13 verdict task 4): scenario queries whose

@@ -467,3 +467,56 @@ def agg_incremental_mv_retract(spark, sf_dir):
         F.col("n_orders").cast("long").alias("n_orders"),
         F.col("sum_cents").cast("long").alias("sum_cents"),
     )
+
+
+@register(
+    "script_trailing_quarter_report",
+    """
+    SELECT o_orderpriority AS priority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    WHERE o_orderdate > (SELECT max(o_orderdate) - INTERVAL 90 DAY
+                         FROM orders)
+    GROUP BY 1
+    """,
+    tags=("relational", "scripting", "procedure", "agg"),
+)
+def script_trailing_quarter_report(spark, sf_dir):
+    """Spark 4 SQL SCRIPTING (r13 verdict task 7's second option): the
+    stored-procedure pattern — a data-derived scalar parameter feeding a
+    report — as ONE multi-statement script (``BEGIN … END`` with
+    ``DECLARE``/``SET``, `spark.sql.scripting.enabled`): the cutoff date
+    is computed into a script variable (max order date minus 90 days),
+    then the trailing-quarter revenue report selects against it. What a
+    procedure buys over the equivalent scalar subquery the oracle runs:
+    the variable is computed ONCE and is reusable across any number of
+    later statements/branches in the same script, which is the shape
+    reporting procedures take (the control-flow surface — WHILE loops,
+    FOR cursors, IF/ELSE — is pinned in tests/test_sql_scripting.py).
+    Execution is unchanged Catalyst: each statement plans/optimizes
+    independently, so the report aggregate keeps its pushdown and
+    partial-agg shape — scripting is control flow, never a row path.
+    Needs the registered TEMP VIEW, so the script runs in the same
+    session the loader registered it in."""
+    from cinegraph_spark.session import scoped_confs
+
+    T(spark, sf_dir, "orders").createOrReplaceTempView("_script_orders")
+    with scoped_confs(spark, **{"spark.sql.scripting.enabled": "true"}):
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE cutoff DATE;
+              SET cutoff = (SELECT max(o_orderdate) - INTERVAL 90 DAY
+                            FROM _script_orders);
+              SELECT o_orderpriority AS priority,
+                     count(*) AS n_orders,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS sum_cents
+              FROM _script_orders
+              WHERE o_orderdate > cutoff
+              GROUP BY 1;
+            END
+            """
+        )

@@ -1256,9 +1256,10 @@ def hnsw_index_filtered_knn(
     before they are even unpickled, and (b) the corpus-scale blob side
     never moves — the id lists are the broadcast side. Inside each task
     the admissible rows of that sub-index are scored EXACTLY (the blob
-    already embeds its vectors: numpy ranking over the admissible slice,
-    sequential-fold rescore — no graph traversal), so the result is
-    exact at every selectivity; that is the right engine choice because
+    already embeds its vectors: every admissible row gets the
+    sequential-fold score the oracle computes — no graph traversal, no
+    ranked pre-cut), so the result is unconditionally exact at every
+    selectivity; that is the right engine choice because
     low selectivity is the regime filtered search exists for, and there
     a filtered graph walk degrades anyway (the graph's neighborhoods are
     mostly inadmissible). A qdrant-style filtered traversal would trade
@@ -1331,31 +1332,29 @@ def hnsw_index_filtered_knn(
                 rows_idx = [pos[a] for a in adm if a in pos]
                 if not rows_idx:
                     continue
-                ids_adm = np.asarray(
-                    [index["ids"][i] for i in rows_idx], dtype=np.int64
-                )
-                Xn_adm = index["Xn"][rows_idx]
+                ids_adm = [int(index["ids"][i]) for i in rows_idx]
                 X = index["X"]
                 out = {"qid": [], "nid": [], "cos_sim": []}
                 for qid, qv in bq.value:
-                    qa = np.asarray(qv, dtype=np.float64)
-                    qn = np.linalg.norm(qa)
-                    sims = Xn_adm @ (qa / qn if qn else qa)
-                    # numpy only RANKS (ties broken by id); the kept
-                    # candidates are rescored with the sequential fold,
-                    # same contract as _score_query. The k+32 pad
-                    # absorbs last-ulp rank flips at the cut boundary.
-                    order = np.lexsort((ids_adm, -sims))[: k + 32]
+                    # EVERY admissible row is rescored with the
+                    # sequential fold — no numpy pre-cut: a fixed pad
+                    # ranked by unrounded BLAS sims could drop a low-nid
+                    # candidate that the (rounded cos DESC, nid ASC)
+                    # order keeps when >pad near-ties crowd the boundary
+                    # (r14 review), which would break the unconditional
+                    # exactness this operator promises. The cost is the
+                    # |admissible| exact scores the docstring already
+                    # budgets.
                     scored = sorted(
                         (
                             (
                                 round(
                                     _seq_cos(qv, X[rows_idx[j]]), round_to
                                 ),
-                                int(ids_adm[j]),
+                                ids_adm[j],
                             )
-                            for j in order
-                            if int(ids_adm[j]) != qid
+                            for j in range(len(rows_idx))
+                            if ids_adm[j] != qid
                         ),
                         key=lambda t: (-t[0], t[1]),
                     )[: k + 1]

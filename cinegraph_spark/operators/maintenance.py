@@ -329,22 +329,21 @@ def hash_layout_save(
     # directory no keyed delta could ever address again. The check rides
     # the write itself via Observation (ONE corpus pass, not a separate
     # count job); a violation raises BEFORE the manifest write and the
-    # swap, so the live layout is never replaced with bad state. When the
-    # key field's schema is non-nullable the observation is skipped — a
-    # NULL is impossible by type, and a retrying foreachBatch caller
-    # should pre-validate nullable keys anyway (a bad batch still pays
-    # one write+delete per retry; the check cannot run before the write
-    # without a second corpus pass).
-    nullable = e.schema[key].nullable
-    obs = Observation() if nullable else None
+    # swap, so the live layout is never replaced with bad state. The
+    # check runs UNCONDITIONALLY — an r14 attempt to skip it for
+    # non-nullable key schemas was rolled back: Spark file sources do
+    # not enforce declared nullability on read, so a mis-marked schema
+    # over files that actually contain a NULL key would have silently
+    # committed exactly the corruption this validation exists to refuse,
+    # and the observation is free anyway (it rides the write). Retrying
+    # foreachBatch callers still pay one write+delete per bad-batch
+    # retry; pre-validate the key upstream to avoid that.
+    obs = Observation()
     with atomic_swap_dir(spark, path) as tmp:
-        out = e.withColumn("part_id", part)
-        if obs is not None:
-            out = out.observe(
-                obs, F.count_if(F.col(key).isNull()).alias("n_null")
-            )
-        out.write.partitionBy("part_id").parquet(tmp)
-        n_null = int(obs.get["n_null"]) if obs is not None else 0
+        e.withColumn("part_id", part).observe(
+            obs, F.count_if(F.col(key).isNull()).alias("n_null")
+        ).write.partitionBy("part_id").parquet(tmp)
+        n_null = int(obs.get["n_null"])
         if n_null:
             # delete the sibling before raising: this is KNOWN-bad data,
             # not inspection material — a replaying caller (foreachBatch
@@ -384,19 +383,16 @@ def column_layout_save(e: DataFrame, path: str, part_col: str) -> None:
     }
     # same single-pass Observation validation as hash_layout_save: a
     # NULL cell would write a __HIVE_DEFAULT_PARTITION__ directory no
-    # equi-join maintenance could address; raise before manifest + swap
-    # (skipped when the column's schema is non-nullable — same
-    # short-circuit as hash_layout_save)
-    nullable = e.schema[part_col].nullable
-    obs = Observation() if nullable else None
+    # equi-join maintenance could address; raise before manifest + swap.
+    # Unconditional, like hash_layout_save — declared non-nullability is
+    # not enforced by Spark file sources, so it proves nothing about the
+    # data (r14 review rolled back the schema short-circuit).
+    obs = Observation()
     with atomic_swap_dir(spark, path) as tmp:
-        out = e
-        if obs is not None:
-            out = out.observe(
-                obs, F.count_if(F.col(part_col).isNull()).alias("n_null")
-            )
-        out.write.partitionBy(part_col).parquet(tmp)
-        n_null = int(obs.get["n_null"]) if obs is not None else 0
+        e.observe(
+            obs, F.count_if(F.col(part_col).isNull()).alias("n_null")
+        ).write.partitionBy(part_col).parquet(tmp)
+        n_null = int(obs.get["n_null"])
         if n_null:
             # known-bad sibling: delete before raising (see
             # hash_layout_save — a replaying caller would park a

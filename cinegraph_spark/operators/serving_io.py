@@ -169,8 +169,11 @@ def recover_swap(spark, path: str) -> dict:
     indistinguishable from a partial failed write — raise for a human;
     r13 ADVICE), and more than one parked token — two interleaved
     crashed swaps, no well-defined winner — raises for manual
-    intervention. Returns ``{"action": "none" | "restored_new" |
-    "restored_old", "token": ...}``."""
+    intervention. Concurrent recoverers (every serving read path calls
+    :func:`ensure_live`) may race the restore rename; the loser detects
+    the goal state holding and reports ``restored_by_race`` instead of
+    failing the query. Returns ``{"action": "none" | "restored_new" |
+    "restored_old" | "restored_by_race", "token": ...}``."""
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     dest = jpath(path)
     fs = dest.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -200,6 +203,19 @@ def recover_swap(spark, path: str) -> dict:
             )
     token, copies = next(iter(parked.items()))
     kind = "swap" if "swap" in copies else "old"
+
+    def _rename_or_detect_race(src: str) -> bool:
+        """True if we restored; False if another recoverer beat us to it.
+        With ensure_live on every serving READ path, concurrent readers
+        of a crashed table legitimately race this rename — the loser's
+        rename fails with the goal state already holding, which must
+        read as healed, not as an error (r14 review)."""
+        if fs.rename(jpath(src), dest):
+            return True
+        if fs.exists(dest):
+            return False
+        raise IOError(f"recover_swap: rename {src} -> {path} failed")
+
     if kind == "swap" and "old" not in copies:
         # lone __swap__, no aside partner: either a complete FIRST write
         # that crashed before its single rename, or a partial failed
@@ -214,10 +230,9 @@ def recover_swap(spark, path: str) -> dict:
                 f"{_COMPLETE_MARKER} marker — it may be a partial failed "
                 "write, not a provably complete state; recover manually"
             )
-    if not fs.rename(jpath(copies[kind]), dest):
-        raise IOError(
-            f"recover_swap: rename {copies[kind]} -> {path} failed"
-        )
+    if not _rename_or_detect_race(copies[kind]):
+        # goal state holds (the race winner also clears the aside copy)
+        return {"action": "restored_by_race", "token": token}
     if kind == "swap" and "old" in copies:
         fs.delete(jpath(copies["old"]), True)
     return {

@@ -1150,6 +1150,11 @@ def vec_ann_pq_filtered_topk(spark, sf_dir):
     path = scratch_dir("cg_pq_filt_") + "/state"
     pq_codes_save(corpus, _PQ_BOOKS[sf_dir], path, n_partitions=4)
     admissible = e.filter(F.col("label") == 2).select("vec_id")
+    # rerank derived from |admissible| (one cheap count of a tiny side)
+    # so the exact regime holds at ANY SF — a hardcoded 512 would
+    # silently leave the regime on a larger fixture and the exact
+    # brute-force oracle would stop matching for a data-size reason
+    rerank = max(512, admissible.count())
     return pq_index_topk(
-        corpus, q, path, k=10, rerank=512, admissible=admissible
+        corpus, q, path, k=10, rerank=rerank, admissible=admissible
     )

@@ -568,7 +568,10 @@ def test_pq_filtered_semi_join_precedes_adc_cut(q):
     assert c["python_row_udf"] == 0
     assert c["take_ordered"] == 2  # ADC cut + final top-k
     plan = formatted_plan(df)
-    # the LeftSemi admissibility join sits below the first TakeOrdered
+    # the LeftSemi admissibility join sits below the first TakeOrdered in
+    # the printed tree (root first, inputs indented after), i.e. it
+    # executes BEFORE the cut — a post-cut filter would print above it
     semi = plan.find("LeftSemi")
     first_cut = plan.find("TakeOrderedAndProject")
     assert semi != -1 and first_cut != -1
+    assert semi > first_cut, "admissibility filter moved above the ADC cut"

@@ -114,6 +114,7 @@ HEADLINE = [
     "agg_incremental_mv_retract",
     "stream_mv_cdc_retract",
     "script_trailing_quarter_report",
+    "agg_incremental_mv_hll_distinct",
 ]
 
 #: Serving/maintenance tier (r13 verdict task 4): scenario queries whose
@@ -145,6 +146,7 @@ SERVING = frozenset(
         "pipeline_stream_ingest_compact",
         "agg_incremental_mv_refresh",
         "agg_incremental_mv_retract",
+        "agg_incremental_mv_hll_distinct",
         "stream_mv_incremental_refresh",
         "stream_mv_cdc_retract",
     ]

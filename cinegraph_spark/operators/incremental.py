@@ -58,6 +58,7 @@ def merge_agg_state(
     maxs: list[str] | None = None,
     mins: list[str] | None = None,
     n_col: str | None = None,
+    hll_regs: list[str] | None = None,
 ) -> dict:
     """Incrementally refresh a persisted aggregate state (a materialized
     rollup) from a pre-aggregated delta — the MERGEABLE-PARTIALS form of
@@ -107,6 +108,19 @@ def merge_agg_state(
     silently commit). ``n_col`` with ``maxs``/``mins`` raises up front:
     max/min are not retractable partials, by the scan argument above —
     route such views through a recompute of the touched groups instead.
+
+    ``hll_regs`` (r14) is the SKETCH measure class — incremental
+    COUNT(DISTINCT), which is not algebraic, via mergeable portable-HLL
+    register vectors (`queries/util.py::hll_dense_registers`): each
+    column is a dense ``array<int>`` whose element-wise max across
+    state and delta equals the vector over the union of their inputs
+    (register max is associative), so the view's distinct estimates
+    stay exact-to-the-sketch under any batch split — and because the
+    registers are deterministic md5 math, a cross-engine oracle checks
+    them bit-for-bit. INSERT-ONLY like max/min (a sketch cannot forget
+    a key): combining with ``n_col`` raises. Vectors of unequal length
+    merge positionally (``zip_with`` pads with NULL, ``greatest`` skips
+    it), so the fixed-m contract is the caller's to keep.
     Returns ``{"applied": bool, "n_groups": int}``."""
     from pyspark.sql.utils import AnalysisException
 
@@ -122,12 +136,13 @@ def merge_agg_state(
                 f"sum-class measures {sums} (counts ship as sums of "
                 "partial counts)"
             )
-        if maxs or mins:
+        if maxs or mins or hll_regs:
             raise ValueError(
                 "merge_agg_state: retractions (n_col) cannot be combined "
-                "with maxs/mins — a retraction cannot lower a stored "
-                "max/min without rescanning the group's base facts; "
-                "recompute those views' touched groups instead"
+                "with maxs/mins/hll_regs — a retraction cannot lower a "
+                "stored max/min and a sketch cannot forget a key without "
+                "rescanning the group's base facts; recompute those "
+                "views' touched groups instead"
             )
     agg_dir, ledger_dir = path + "/agg", path + "/applied"
 
@@ -159,6 +174,20 @@ def merge_agg_state(
         [F.sum(c).alias(c) for c in sums]
         + [F.max(c).alias(c) for c in (maxs or [])]
         + [F.min(c).alias(c) for c in (mins or [])]
+        + [
+            # element-wise max over the group's ≤2 register vectors
+            # (state row ∪ delta row): fold the collected list with
+            # zip_with+greatest — greatest skips the NULLs zip_with pads
+            # with, so the empty-array zero is identity
+            F.aggregate(
+                F.collect_list(c),
+                F.expr("cast(array() as array<int>)"),
+                lambda acc, x: F.zip_with(
+                    acc, x, lambda a, b: F.greatest(a, b)
+                ),
+            ).alias(c)
+            for c in (hll_regs or [])
+        ]
     )
     if applied is None:
         merged = delta_agg.groupBy(*keys).agg(*measures)

@@ -520,3 +520,134 @@ def script_trailing_quarter_report(spark, sf_dir):
             END
             """
         )
+
+
+def _hll_rho_sql() -> str:
+    from cinegraph_spark.queries.util import HLL_RANK_BITS
+
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN (w >> {HLL_RANK_BITS - 1 - k}) & 1 = 1 THEN {k + 1}"
+            for k in range(HLL_RANK_BITS)
+        )
+        + f" ELSE {HLL_RANK_BITS + 1} END"
+    )
+
+
+def _hll_mv_oracle() -> str:
+    from cinegraph_spark.queries.util import HLL_ALPHA, HLL_M, HLL_P
+
+    return f"""
+    WITH hashed AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, day, h % {HLL_M} AS reg, {_hll_rho_sql()} AS rho
+      FROM (SELECT event_type, day, h, h >> {HLL_P} AS w FROM hashed)
+    ),
+    registers AS (
+      SELECT event_type, day, reg, max(rho) AS mr
+      FROM ranked GROUP BY 1, 2, 3
+    ),
+    folded AS (
+      SELECT event_type, day,
+             {HLL_M} - count(*) AS v_empty,
+             sum(pow(2.0, -mr)) + ({HLL_M} - count(*)) AS z
+      FROM registers GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT event_type, day, v_empty,
+             CASE WHEN {HLL_ALPHA} * {HLL_M} * {HLL_M} / z <= 2.5 * {HLL_M}
+                       AND v_empty > 0
+                  THEN {HLL_M} * ln({HLL_M} * 1.0 / v_empty)
+                  ELSE {HLL_ALPHA} * {HLL_M} * {HLL_M} / z END AS e
+      FROM folded
+    ),
+    counts AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n_events, round(e, 4) AS est_users,
+           CAST(v_empty AS BIGINT) AS v_empty
+    FROM est JOIN counts USING (event_type, day)
+    """
+
+
+@register(
+    "agg_incremental_mv_hll_distinct",
+    _hll_mv_oracle(),
+    tags=("agg", "incremental", "materialized-view", "sketch", "hll"),
+)
+def agg_incremental_mv_hll_distinct(spark, sf_dir):
+    """Incremental COUNT(DISTINCT) in a materialized view (r14) —
+    the measure class plain mergeable sums cannot give you: distinct
+    counts are not algebraic, so the view carries a portable-HLL
+    REGISTER VECTOR per (event_type, day) group
+    (`queries/util.py::hll_dense_registers`, 64 small ints per group
+    regardless of corpus size) and `merge_agg_state(hll_regs=...)`
+    folds deltas by element-wise register max — associative, so the
+    merged state is BIT-IDENTICAL to the sketch over all facts no
+    matter how the batches split, which is exactly what the
+    cross-engine oracle checks (the md5-prefix hash makes every
+    register reproducible in DuckDB; estimates then agree to the
+    shared 4-decimal rounding). The corpus arrives split by
+    event_id parity (batch 0 even, batch 1 odd — worst case for a
+    sketch: every group is touched by both batches), and the delta
+    batch is REPLAYED to drive the ledger no-op under the oracle
+    hash. At 100 TB the refresh reads the new facts once, shuffles
+    group-cardinality-sized partials, and never sees raw user ids
+    from history — the sketch IS the state."""
+    from cinegraph_spark.operators.incremental import merge_agg_state
+    from cinegraph_spark.queries.util import (
+        dstr,
+        hll_dense_registers,
+        hll_estimate,
+    )
+    from cinegraph_spark.session import scratch_dir
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "event_type", dstr(F.col("ts")).alias("day"),
+        "user_id",
+    )
+    keys, sums = ["event_type", "day"], ["n_events"]
+
+    def pre_agg(df):
+        counts = df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        regs = hll_dense_registers(df, keys, "user_id")
+        return counts.join(regs, keys)
+
+    state = scratch_dir("cg_mv_hll_") + "/state"
+    base = pre_agg(ev.filter(F.col("event_id") % 2 == 0))
+    delta = pre_agg(ev.filter(F.col("event_id") % 2 == 1))
+    merge_agg_state(
+        spark, state, base, keys, sums, batch_id=0,
+        hll_regs=["user_id_regs"],
+    )
+    merge_agg_state(
+        spark, state, delta, keys, sums, batch_id=1,
+        hll_regs=["user_id_regs"],
+    )
+    replay = merge_agg_state(
+        spark, state, delta, keys, sums, batch_id=1,
+        hll_regs=["user_id_regs"],
+    )
+    assert replay["applied"] is False  # ledger contract
+    merged = spark.read.parquet(state + "/agg")
+    return merged.select(
+        "event_type",
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(hll_estimate(F.col("user_id_regs")), 4).alias(
+            "est_users"
+        ),
+        F.size(
+            F.filter(F.col("user_id_regs"), lambda r: r == 0)
+        ).cast("long").alias("v_empty"),
+    )

@@ -89,3 +89,82 @@ def dstr(col: Column) -> Column:
 def tstr(col: Column) -> Column:
     """Project a timestamp as 'yyyy-MM-dd HH:mm:ss' string."""
     return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+#: portable-HLL geometry shared by the sketch queries and the mergeable
+#: incremental-MV measure (`operators/incremental.py::merge_agg_state`
+#: hll_regs): m = 64 registers (p = 6 index bits) over the 32-bit
+#: md5-prefix hash — identical constants to `queries/analytics.py`'s
+#: sketch_hll_distinct_users, so the two surfaces share one oracle recipe.
+HLL_M = 64
+HLL_P = 6
+HLL_RANK_BITS = 32 - HLL_P
+HLL_ALPHA = 0.709
+
+
+def hll_dense_registers(df: DataFrame, keys: list[str], col: str) -> DataFrame:
+    """Per-``keys`` DENSE portable-HLL register vector over ``col``:
+    one ``array<int>`` of length :data:`HLL_M` per group, entry i = max
+    leading-zero rank among the group's values hashing into register i
+    (0 = empty register). The dense fixed-position representation is
+    what makes the sketch a MERGEABLE PARTIAL: element-wise max of two
+    vectors equals the vector over the union of their inputs (max is
+    associative and commutative), so `merge_agg_state` can fold deltas
+    into a persisted distinct-count view without ever seeing raw keys —
+    and because the hash is the portable md5 prefix, a DuckDB oracle
+    reproduces every register bit-for-bit. One map-side-combinable agg;
+    state per group is 64 small ints regardless of corpus size."""
+    h = (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h")
+    )
+    ranked = df.select(*keys, h).select(
+        *keys,
+        (F.col("h") % HLL_M).alias("reg"),
+        F.shiftright("h", HLL_P).alias("w"),
+    )
+    rho = F.when(
+        F.shiftright("w", HLL_RANK_BITS - 1).bitwiseAND(F.lit(1)) == 1, 1
+    )
+    for k in range(1, HLL_RANK_BITS):
+        rho = rho.when(
+            F.shiftright("w", HLL_RANK_BITS - 1 - k).bitwiseAND(F.lit(1))
+            == 1,
+            k + 1,
+        )
+    rho = rho.otherwise(HLL_RANK_BITS + 1)
+    # array-of-aggregates: 64 tiny max-aggregates collapse into one dense
+    # vector per group in a single combinable pass
+    return ranked.select(*keys, "reg", rho.alias("rho")).groupBy(*keys).agg(
+        F.array(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("reg") == i, F.col("rho"))), F.lit(0)
+                ).cast("int")
+                for i in range(HLL_M)
+            ]
+        ).alias(f"{col}_regs")
+    )
+
+
+def hll_estimate(regs: Column) -> Column:
+    """Distinct-count estimate from a dense register vector — the
+    standard alpha_m * m^2 / sum(2^-M_j) harmonic mean with the
+    linear-counting small-range correction (same formula and rounding
+    territory as sketch_hll_distinct_users' fold, expressed as array
+    folds over the dense vector)."""
+    v_empty = F.size(F.filter(regs, lambda r: r == 0))
+    z = (
+        F.aggregate(
+            F.filter(regs, lambda r: r > 0),
+            F.lit(0.0),
+            lambda acc, r: acc + F.pow(F.lit(2.0), -r),
+        )
+        + v_empty
+    )
+    e_raw = F.lit(HLL_ALPHA) * HLL_M * HLL_M / z
+    return F.when(
+        (e_raw <= 2.5 * HLL_M) & (v_empty > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_empty),
+    ).otherwise(e_raw)

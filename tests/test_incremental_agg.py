@@ -216,3 +216,43 @@ def test_retraction_guards(spark, sf_dir, tmp_path):
             spark, path, _rollup(o), KEYS, SUMS, batch_id=0,
             maxs=MAXS, n_col="n_orders",
         )
+
+
+def test_hll_register_merge_is_split_invariant(spark, sf_dir, tmp_path):
+    """The sketch measure class (hll_regs, r14): element-wise register
+    max is associative, so the merged state must be BIT-identical to the
+    one-shot sketch over all facts under ANY batch split — and a sketch
+    cannot retract, so combining with n_col refuses."""
+    import pytest
+
+    from cinegraph_spark.queries.util import hll_dense_registers
+
+    e = T(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    keys = ["event_type"]
+
+    def pre_agg(df):
+        counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_events"))
+        return counts.join(hll_dense_registers(df, keys, "user_id"), keys)
+
+    want = _rows(pre_agg(e))
+
+    for split_mod in (2, 3):  # two different batch splits, same answer
+        path = str(tmp_path / f"state{split_mod}")
+        for b in range(split_mod):
+            merge_agg_state(
+                spark, path,
+                pre_agg(e.filter(F.col("event_id") % split_mod == b)),
+                keys, ["n_events"], batch_id=b, hll_regs=["user_id_regs"],
+            )
+        got = _rows(
+            spark.read.parquet(path + "/agg").select(
+                *keys, "n_events", "user_id_regs"
+            )
+        )
+        assert got == want
+
+    with pytest.raises(ValueError, match="cannot be combined"):
+        merge_agg_state(
+            spark, str(tmp_path / "bad"), pre_agg(e), keys, ["n_events"],
+            batch_id=0, n_col="n_events", hll_regs=["user_id_regs"],
+        )

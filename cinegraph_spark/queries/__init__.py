@@ -69,13 +69,13 @@ ROTATION_BUILT_FROM_ROUND: int = 13
 #: budget.  Round-14: every serving-state LOADER gained read-side
 #: crash-window auto-recovery (`serving_io.ensure_live` at the top of
 #: hnsw_index_knn / ivf_index_topk / _pq_read_state / layout_meta and
-#: the hnsw/ivf update paths — the r13 verdict's task 2), the layout
-#: saves short-circuit the NULL-key observation for non-nullable
-#: schemas, and the outer-attribution drain was refactored into a shared
-#: helper when the full-outer form landed. Output is oracle-identical by
-#: design (ensure_live is a no-op when the state path exists — pinned
-#: with crash-window round-trips in tests/test_serving_io.py); one
-#: canary per touched loader re-proves it under the real driver.
+#: the hnsw/ivf update paths — the r13 verdict's task 2; the review
+#: pass later made the restore rename race-safe), and the
+#: outer-attribution drain was refactored into a shared helper when the
+#: full-outer form landed. Output is oracle-identical by design
+#: (ensure_live is a no-op when the state path exists — pinned with
+#: crash-window round-trips in tests/test_serving_io.py); one canary
+#: per touched loader re-proves it under the real driver.
 CHANGED_CODE_CANARIES: tuple[str, ...] = (
     "vec_ann_hnsw_served_knn",
     "vec_ann_hnsw_incremental_knn",

@@ -115,6 +115,7 @@ HEADLINE = [
     "stream_mv_cdc_retract",
     "script_trailing_quarter_report",
     "agg_incremental_mv_hll_distinct",
+    "agg_incremental_mv_hist_quantiles",
 ]
 
 #: Serving/maintenance tier (r13 verdict task 4): scenario queries whose
@@ -147,6 +148,7 @@ SERVING = frozenset(
         "agg_incremental_mv_refresh",
         "agg_incremental_mv_retract",
         "agg_incremental_mv_hll_distinct",
+        "agg_incremental_mv_hist_quantiles",
         "stream_mv_incremental_refresh",
         "stream_mv_cdc_retract",
     ]

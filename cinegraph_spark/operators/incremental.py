@@ -59,6 +59,7 @@ def merge_agg_state(
     mins: list[str] | None = None,
     n_col: str | None = None,
     hll_regs: list[str] | None = None,
+    hist_maps: list[str] | None = None,
 ) -> dict:
     """Incrementally refresh a persisted aggregate state (a materialized
     rollup) from a pre-aggregated delta — the MERGEABLE-PARTIALS form of
@@ -121,6 +122,19 @@ def merge_agg_state(
     a key): combining with ``n_col`` raises. Vectors of unequal length
     merge positionally (``zip_with`` pads with NULL, ``greatest`` skips
     it), so the fixed-m contract is the caller's to keep.
+
+    ``hist_maps`` (r14) is the sum-merged sketch class — incremental
+    QUANTILES via sparse fixed-width histograms: each column is a
+    ``map<bigint,bigint>`` of bin → count, merged by key-wise SUM
+    (``map_zip_with`` unions the key sets), zero-count bins dropped
+    after every merge so the state stays bit-identical to a recompute's
+    histogram. Unlike HLL registers, bin counts are additive and
+    therefore RETRACTABLE — ``hist_maps`` composes with ``n_col`` (a
+    deleted fact ships bin → −1), and the below-zero refusal extends to
+    any negative merged bin. Quantile estimates derive at read time
+    from the merged bins (see
+    `queries/timeseries.py::sketch_histogram_quantiles` for the
+    cum-window + interpolation recipe the MV query reuses).
     Returns ``{"applied": bool, "n_groups": int}``."""
     from pyspark.sql.utils import AnalysisException
 
@@ -188,6 +202,25 @@ def merge_agg_state(
             ).alias(c)
             for c in (hll_regs or [])
         ]
+        + [
+            # key-wise sum over the group's ≤2 sparse histograms; bins
+            # summing to zero drop so the merged state equals a fresh
+            # recompute's histogram (which never materializes empty bins)
+            F.map_filter(
+                F.aggregate(
+                    F.collect_list(c),
+                    F.expr("cast(map() as map<bigint,bigint>)"),
+                    lambda acc, x: F.map_zip_with(
+                        acc,
+                        x,
+                        lambda k, a, b: F.coalesce(a, F.lit(0))
+                        + F.coalesce(b, F.lit(0)),
+                    ),
+                ),
+                lambda k, v: v != 0,
+            ).alias(c)
+            for c in (hist_maps or [])
+        ]
     )
     if applied is None:
         merged = delta_agg.groupBy(*keys).agg(*measures)
@@ -204,16 +237,23 @@ def merge_agg_state(
     # would otherwise each run the merge plan
     merged = merged.localCheckpoint(eager=True)
     if n_col is not None:
-        n_neg = merged.filter(F.col(n_col) < 0).count()
+        bad = F.col(n_col) < 0
+        for c in hist_maps or []:
+            # a retraction that subtracts a bin the view never absorbed
+            # is the same corruption class as a below-zero row count
+            bad = bad | F.exists(
+                F.map_values(F.col(c)), lambda v: v < 0
+            )
+        n_neg = merged.filter(bad).count()
         if n_neg:
             # raise BEFORE any write: the live state is untouched and the
             # bad delta never commits (the ledger row would otherwise
             # make the corruption permanent — replays no-op)
             raise ValueError(
                 f"merge_agg_state: {n_neg} group(s) retracted below zero "
-                f"rows ({n_col} < 0) — the delta retracts facts the view "
-                "never absorbed (corrupt or double-shipped retraction); "
-                "nothing was committed"
+                f"({n_col} < 0, or a histogram bin went negative) — the "
+                "delta retracts facts the view never absorbed (corrupt "
+                "or double-shipped retraction); nothing was committed"
             )
         # fully-retracted groups leave the view, as a recompute would
         merged = merged.filter(F.col(n_col) != 0)

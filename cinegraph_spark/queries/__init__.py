@@ -91,16 +91,16 @@ CHANGED_CODE_CANARIES: tuple[str, ...] = (
 #: front slots explicitly instead of relying on module import order.
 #: Round-14 rationale — per the r13 verdict's tasks 1-3: the seven
 #: read-side-recovery canaries lead (one per touched serving-state
-#: loader), then the nine never-driver-checked queries (the full-outer
+#: loader), then the ten never-driver-checked queries (the full-outer
 #: stream-stream join completing the streaming join surface, the
 #: spec-faithful q15 tie twin, the vacuum-retention round-trip, the
 #: HNSW/PQ filtered searches completing the pre-filter contract across
-#: all ANN tiers, the CDC-retraction MV refresh at both cadences, and
-#: the SQL-scripting procedure report, and the incremental HLL-distinct
-#: view), then the ENTIRE r9-stale bucket
+#: all ANN tiers, the CDC-retraction MV refresh at both cadences, the
+#: SQL-scripting procedure report, and the incremental HLL-distinct
+#: and histogram-quantile views), then the ENTIRE r9-stale bucket
 #: the r13 verdict named (20 queries — freshness floor rises to r10),
 #: then the r10 bucket oldest-first (registry order within the bucket).
-#: 7 + 9 + 34 = 50.
+#: 7 + 10 + 33 = 50.
 #: Every name here must exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     # never driver-checked
@@ -113,6 +113,7 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "stream_mv_cdc_retract",
     "script_trailing_quarter_report",
     "agg_incremental_mv_hll_distinct",
+    "agg_incremental_mv_hist_quantiles",
     # last checked round 9 (registry order)
     "sample_stratified_topn_per_source",
     "sample_lang_quota",
@@ -148,7 +149,6 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "text_vocab_oov_rate",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_buckets",
-    "dedup_repeated_span_mask",
 )
 
 

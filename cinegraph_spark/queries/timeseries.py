@@ -193,3 +193,125 @@ def sketch_histogram_quantiles(spark, sf_dir):
     return first.select(
         "event_type", "q", r4(est).alias("quantile_est")
     )
+
+
+@register(
+    "agg_incremental_mv_hist_quantiles",
+    f"""
+    WITH hist AS (
+      SELECT event_type,
+             CAST(floor(value / {_HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+             count(*) AS c
+      FROM events WHERE value < 250 GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS total
+      FROM hist
+    ),
+    qs AS (SELECT CAST(unnest([{", ".join(str(q) for q in _HIST_QUANTILES)}])
+                       AS DOUBLE) AS q),
+    cand AS (
+      SELECT event_type, q, bin, c, cum, total
+      FROM cum CROSS JOIN qs
+      WHERE cum >= q * total
+    ),
+    first AS (
+      SELECT event_type, q, min(bin) AS bin FROM cand GROUP BY 1, 2
+    )
+    SELECT c2.event_type, c2.q,
+           round(c2.bin * {_HIST_BIN_WIDTH}
+                 + {_HIST_BIN_WIDTH} * (c2.q * c2.total - (c2.cum - c2.c))
+                   / c2.c, 4) AS quantile_est
+    FROM cand c2
+    JOIN first f
+      ON c2.event_type = f.event_type AND c2.q = f.q AND c2.bin = f.bin
+    """,
+    tags=("sketch", "quantile", "histogram", "incremental",
+          "materialized-view", "cdc"),
+)
+def agg_incremental_mv_hist_quantiles(spark, sf_dir):
+    """Incremental QUANTILES in a materialized view, WITH retractions
+    (r14) — the sum-merged sketch class completing the incremental-view
+    measure algebra (sums/counts: additive; max/min: insert-only; HLL
+    registers: max-merged insert-only; histogram bins: SUM-merged and
+    therefore retractable): the view carries one sparse fixed-width
+    value histogram per event type (``map<bin,count>``,
+    `merge_agg_state(hist_maps=...)` merges by key-wise sum and drops
+    zeroed bins), batch 0 absorbs every event, batch 1 RETRACTS the
+    upper tail (value ≥ 250) as negated bin counts — so p50/p95/p99
+    shift materially and the oracle (the portable histogram-quantile
+    fold over the filtered facts) only matches if the subtraction and
+    bin-drop are exact. The replayed retraction is a ledger no-op; a
+    re-shipped retraction under a NEW batch id would drive bins
+    negative and the merge refuses before committing. Every
+    intermediate is integer or a shared closed-form double, so the
+    estimates hash-match cross-engine at the repo's 4-decimal rounding.
+    At 100 TB the state per group is bounded by the VALUE RANGE, never
+    the row count, and a refresh reads only the new facts."""
+    from cinegraph_spark.operators.incremental import merge_agg_state
+    from cinegraph_spark.session import scratch_dir
+
+    ev = T(spark, sf_dir, "events").select("event_type", "value")
+    keys, sums = ["event_type"], ["n_events"]
+
+    def pre_agg(df, sign=1):
+        bins = df.groupBy(
+            "event_type",
+            F.floor(F.col("value") / _HIST_BIN_WIDTH)
+            .cast("long")
+            .alias("bin"),
+        ).agg((F.lit(sign) * F.count(F.lit(1))).alias("c"))
+        return bins.groupBy("event_type").agg(
+            F.sum("c").alias("n_events"),
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("bin", "c")))
+            ).alias("value_bins"),
+        )
+
+    state = scratch_dir("cg_mv_hist_") + "/state"
+    merge_agg_state(
+        spark, state, pre_agg(ev), keys, sums, batch_id=0,
+        n_col="n_events", hist_maps=["value_bins"],
+    )
+    retract = pre_agg(ev.filter(F.col("value") >= 250), sign=-1)
+    merge_agg_state(
+        spark, state, retract, keys, sums, batch_id=1,
+        n_col="n_events", hist_maps=["value_bins"],
+    )
+    replay = merge_agg_state(
+        spark, state, retract, keys, sums, batch_id=1,
+        n_col="n_events", hist_maps=["value_bins"],
+    )
+    assert replay["applied"] is False  # ledger contract
+
+    hist = (
+        spark.read.parquet(state + "/agg")
+        .select("event_type", F.explode("value_bins").alias("bin", "c"))
+    )
+    cum = hist.select(
+        "event_type",
+        "bin",
+        "c",
+        F.sum("c")
+        .over(Window.partitionBy("event_type").orderBy("bin"))
+        .alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("total"),
+    )
+    qs = F.broadcast(
+        spark.createDataFrame([(q,) for q in _HIST_QUANTILES], "q double")
+    )
+    cand = cum.crossJoin(qs).filter(
+        F.col("cum") >= F.col("q") * F.col("total")
+    )
+    first = cand.groupBy("event_type", "q").agg(
+        F.min_by(F.struct("bin", "c", "cum", "total"), "bin").alias("s")
+    )
+    est = (
+        F.col("s.bin") * _HIST_BIN_WIDTH
+        + _HIST_BIN_WIDTH
+        * (F.col("q") * F.col("s.total") - (F.col("s.cum") - F.col("s.c")))
+        / F.col("s.c")
+    )
+    return first.select("event_type", "q", r4(est).alias("quantile_est"))

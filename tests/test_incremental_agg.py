@@ -256,3 +256,65 @@ def test_hll_register_merge_is_split_invariant(spark, sf_dir, tmp_path):
             spark, str(tmp_path / "bad"), pre_agg(e), keys, ["n_events"],
             batch_id=0, n_col="n_events", hll_regs=["user_id_regs"],
         )
+
+
+def test_hist_map_merge_retracts_and_refuses_negative_bins(
+    spark, sf_dir, tmp_path
+):
+    """The sum-merged sketch class (hist_maps, r14): bin counts merge by
+    key-wise sum, a retraction batch subtracts exactly, zeroed bins drop
+    (state == fresh recompute's histogram), and a retraction that would
+    drive any bin negative refuses before committing."""
+    import pytest
+
+    e = T(spark, sf_dir, "events").select("event_type", "value")
+    keys = ["event_type"]
+
+    def pre_agg(df, sign=1):
+        bins = df.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 5.0).cast("long").alias("bin"),
+        ).agg((F.lit(sign) * F.count(F.lit(1))).alias("c"))
+        return bins.groupBy("event_type").agg(
+            F.sum("c").alias("n_events"),
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("bin", "c")))
+            ).alias("value_bins"),
+        )
+
+    def rows(df):
+        return sorted(
+            (r["event_type"], r["n_events"], tuple(sorted(r["value_bins"].items())))
+            for r in df.collect()
+        )
+
+    path = str(tmp_path / "state")
+    merge_agg_state(
+        spark, path, pre_agg(e), keys, ["n_events"], batch_id=0,
+        n_col="n_events", hist_maps=["value_bins"],
+    )
+    retract = pre_agg(e.filter(F.col("value") >= 250), sign=-1)
+    merge_agg_state(
+        spark, path, retract, keys, ["n_events"], batch_id=1,
+        n_col="n_events", hist_maps=["value_bins"],
+    )
+    got = rows(
+        spark.read.parquet(path + "/agg").select(
+            "event_type", "n_events", "value_bins"
+        )
+    )
+    want = rows(pre_agg(e.filter(F.col("value") < 250)))
+    assert got == want  # bit-identical to the filtered recompute
+
+    # re-shipping the retraction under a NEW id would drive bins
+    # negative: refuse before the ledger commits, state untouched
+    with pytest.raises(ValueError, match="histogram bin went negative"):
+        merge_agg_state(
+            spark, path, retract, keys, ["n_events"], batch_id=2,
+            n_col="n_events", hist_maps=["value_bins"],
+        )
+    assert rows(
+        spark.read.parquet(path + "/agg").select(
+            "event_type", "n_events", "value_bins"
+        )
+    ) == want

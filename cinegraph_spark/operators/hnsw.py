@@ -1325,9 +1325,11 @@ def hnsw_index_filtered_knn(
 
         for pdf in batches:
             for blob, adm in zip(pdf["blob"], pdf["adm_ids"]):
+                # no Xn rebuild here (unlike hnsw_index_knn's traversal):
+                # filtered scoring only reads index["X"] via _seq_cos, so
+                # normalizing would be O(rows x dim) waste per blob (r14
+                # ADVICE)
                 index = pickle.loads(bytes(blob))
-                if "Xn" not in index:  # slim blob: rebuild, bit-identical
-                    index["Xn"] = _normalize(index["X"])
                 pos = {vid: i for i, vid in enumerate(index["ids"])}
                 rows_idx = [pos[a] for a in adm if a in pos]
                 if not rows_idx:

@@ -236,8 +236,14 @@ def merge_agg_state(
     # the checkpoint is purely an economy: count() below and the write
     # would otherwise each run the merge plan
     merged = merged.localCheckpoint(eager=True)
-    if n_col is not None:
-        bad = F.col(n_col) < 0
+    if n_col is not None or hist_maps:
+        # the below-zero guard runs whenever EITHER retractable measure
+        # class is present: histogram bins are retractable on their own,
+        # so a hist_maps view without n_col must still refuse a delta
+        # whose merged bins go negative — map_filter only drops exact
+        # zeros, and a silently committed negative bin corrupts the
+        # persisted view (r14 ADVICE)
+        bad = F.col(n_col) < 0 if n_col is not None else F.lit(False)
         for c in hist_maps or []:
             # a retraction that subtracts a bin the view never absorbed
             # is the same corruption class as a below-zero row count
@@ -251,10 +257,12 @@ def merge_agg_state(
             # make the corruption permanent — replays no-op)
             raise ValueError(
                 f"merge_agg_state: {n_neg} group(s) retracted below zero "
-                f"({n_col} < 0, or a histogram bin went negative) — the "
-                "delta retracts facts the view never absorbed (corrupt "
-                "or double-shipped retraction); nothing was committed"
+                f"({n_col or 'n_col'} < 0, or a histogram bin went "
+                "negative) — the delta retracts facts the view never "
+                "absorbed (corrupt or double-shipped retraction); "
+                "nothing was committed"
             )
+    if n_col is not None:
         # fully-retracted groups leave the view, as a recompute would
         merged = merged.filter(F.col(n_col) != 0)
     n_groups = merged.count()

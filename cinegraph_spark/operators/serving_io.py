@@ -104,14 +104,32 @@ def atomic_swap_dir(spark, path: str):
             f"({path} -> {aside}); nothing was changed and the freshly "
             f"written state is intact at {tmp}"
         )
-    if not fs.rename(src, dest):
-        raise IOError(
-            f"atomic swap rename {tmp} -> {path} failed; the old state "
-            f"is intact at {aside} and the freshly written state at "
-            f"{tmp} for manual recovery"
-        )
+    _swap_in_new(fs, src, dest, tmp, path, str(aside))
     if had_old:
         fs.delete(aside, True)
+
+
+def _swap_in_new(fs, src, dest, tmp: str, path: str, aside: str) -> None:
+    """Second rename of the swap, race-aware. With :func:`ensure_live` on
+    every serving READ path, a reader landing in the writer's
+    between-renames window may run :func:`recover_swap` and complete the
+    swap on the writer's behalf (the completion marker is already in the
+    sibling at that point, so the restore is legitimate). The writer's
+    own rename then fails with the goal state live and correct — that
+    must read as success, mirroring recover_swap's
+    ``_rename_or_detect_race``, instead of failing a swap that in fact
+    committed (r14 ADVICE: race handling was asymmetric). The recoverer
+    also clears the aside copy; the caller's aside delete is a no-op
+    then."""
+    if fs.rename(src, dest):
+        return
+    if fs.exists(dest) and not fs.exists(src):
+        return  # a recoverer won the race; the new state is live
+    raise IOError(
+        f"atomic swap rename {tmp} -> {path} failed; the old "
+        f"state is intact at {aside} and the freshly written "
+        f"state at {tmp} for manual recovery"
+    )
 
 
 def atomic_swap_write(df: DataFrame, path: str) -> None:
@@ -285,7 +303,20 @@ def vacuum_parked_siblings(
             "siblings may be the crash-window recovery material; run "
             "recover_swap first"
         )
-    cutoff_ms = (time.time() - older_than_hours * 3600.0) * 1000.0
+    # derive "now" from the STORAGE clock, not the driver's: sibling
+    # mtimes are stamped by the filesystem, and on HDFS/object stores a
+    # skewed driver clock could mis-age a young in-flight sibling into a
+    # short retention window (r14 ADVICE). A just-written probe file's
+    # mtime is that same storage clock; fall back to the driver clock
+    # only if the probe cannot be written (read-only mount).
+    probe = jpath(path.rstrip("/") + "__vacuum_probe__")
+    try:
+        fs.create(probe, True).close()
+        now_ms = float(fs.getFileStatus(probe).getModificationTime())
+        fs.delete(probe, False)
+    except Exception:
+        now_ms = time.time() * 1000.0
+    cutoff_ms = now_ms - older_than_hours * 3600.0 * 1000.0
     deleted: list[str] = []
     kept: list[str] = []
 

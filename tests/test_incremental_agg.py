@@ -318,3 +318,48 @@ def test_hist_map_merge_retracts_and_refuses_negative_bins(
             "event_type", "n_events", "value_bins"
         )
     ) == want
+
+
+def test_hist_maps_without_n_col_still_refuses_negative_bins(
+    spark, sf_dir, tmp_path
+):
+    """Histogram bins are a retractable measure class in their own right:
+    a hist_maps view maintained WITHOUT a row-count column must still
+    refuse a delta whose merged bins go negative — map_filter only drops
+    exact zeros, so without the guard the corruption would silently
+    commit (r14 ADVICE)."""
+    import pytest
+
+    e = T(spark, sf_dir, "events").select("event_type", "value")
+
+    def pre_agg(df, sign=1):
+        bins = df.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 5.0).cast("long").alias("bin"),
+        ).agg((F.lit(sign) * F.count(F.lit(1))).alias("c"))
+        return bins.groupBy("event_type").agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("bin", "c")))
+            ).alias("value_bins")
+        )
+
+    path = str(tmp_path / "state")
+    merge_agg_state(
+        spark, path, pre_agg(e), ["event_type"], [], batch_id=0,
+        hist_maps=["value_bins"],
+    )
+    retract_all = pre_agg(e, sign=-1)
+    over = pre_agg(e.limit(0), sign=1).unionByName(retract_all).unionByName(
+        retract_all
+    )  # double retraction: some bin must go below zero
+    with pytest.raises(ValueError, match="histogram bin went negative"):
+        merge_agg_state(
+            spark, path, over, ["event_type"], [], batch_id=1,
+            hist_maps=["value_bins"],
+        )
+    # state untouched: replaying the GOOD first batch is still a no-op
+    out = merge_agg_state(
+        spark, path, pre_agg(e), ["event_type"], [], batch_id=0,
+        hist_maps=["value_bins"],
+    )
+    assert out["applied"] is False

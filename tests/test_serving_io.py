@@ -318,3 +318,58 @@ def test_vacuum_parked_siblings_age_bounded(spark, tmp_path):
     os.rename(path, path + "__old__dddddddddddd")
     with _pytest.raises(IOError, match="run\\s+recover_swap first"):
         vacuum_parked_siblings(spark, path, 0.0)
+
+
+def test_vacuum_probe_file_is_cleaned_up(spark, tmp_path):
+    """Vacuum derives "now" from the storage clock via a probe file (r14
+    ADVICE: a skewed driver clock could mis-age a young in-flight
+    sibling); the probe itself must not linger as debris."""
+    import os
+
+    from cinegraph_spark.operators.serving_io import vacuum_parked_siblings
+
+    path = str(tmp_path / "t")
+    atomic_swap_write(spark.range(3), path)
+    spark.range(1).write.parquet(path + "__swap__eeeeeeeeeeee")
+    out = vacuum_parked_siblings(spark, path, 24.0)
+    assert out["deleted"] == []  # freshly written: storage-clock young
+    assert not any("__vacuum_probe__" in p.name for p in tmp_path.iterdir())
+
+
+class _FakeRaceFs:
+    """Duck-typed stand-in for the Hadoop FileSystem in the writer-race
+    unit test: rename always fails (a recoverer moved src first), and
+    the goal state is what the recoverer left — dest live, src gone."""
+
+    def __init__(self, dest_exists: bool, src_exists: bool):
+        self._state = {"dest": dest_exists, "src": src_exists}
+
+    def rename(self, src, dest):
+        return False
+
+    def exists(self, p):
+        return self._state[str(p)]
+
+
+def test_writer_detects_lost_swap_race_as_success():
+    """A reader's ensure_live landing in the writer's between-renames
+    window may complete the swap; the writer's own rename then fails
+    with the new state live and correct. That is success, not an error
+    (r14 ADVICE: race handling was asymmetric — recover_swap's loser
+    already reported restored_by_race)."""
+    import pytest as _pytest
+
+    from cinegraph_spark.operators.serving_io import _swap_in_new
+
+    # recoverer won: dest live, src gone -> success, no raise
+    _swap_in_new(
+        _FakeRaceFs(dest_exists=True, src_exists=False),
+        "src", "dest", "/tmp/t__swap__x", "/tmp/t", "/tmp/t__old__x",
+    )
+    # genuine failure shapes still raise: dest missing, or src lingering
+    for dest_e, src_e in ((False, True), (False, False), (True, True)):
+        with _pytest.raises(IOError, match="atomic swap rename"):
+            _swap_in_new(
+                _FakeRaceFs(dest_e, src_e),
+                "src", "dest", "/tmp/t__swap__x", "/tmp/t", "/tmp/t__old__x",
+            )

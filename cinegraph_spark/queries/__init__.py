@@ -60,95 +60,87 @@ def register(
 #: exactly these files and asserts DRIVER_PRIORITY matches — bump this
 #: constant whenever the rotation is rebuilt for a new round, and the test
 #: re-validates the new order against the new data with zero literal pins.
-ROTATION_BUILT_FROM_ROUND: int = 13
+ROTATION_BUILT_FROM_ROUND: int = 14
 
 #: Changed-code canaries: queries whose underlying implementation changed
 #: since their last driver row. They are allowed to jump the pure
 #: freshness order (the test exempts exactly these names from the
 #: non-decreasing-freshness invariant) but must sit inside the 50-slot
-#: budget.  Round-14: every serving-state LOADER gained read-side
-#: crash-window auto-recovery (`serving_io.ensure_live` at the top of
-#: hnsw_index_knn / ivf_index_topk / _pq_read_state / layout_meta and
-#: the hnsw/ivf update paths — the r13 verdict's task 2; the review
-#: pass later made the restore rename race-safe), and the
-#: outer-attribution drain was refactored into a shared helper when the
-#: full-outer form landed. Output is oracle-identical by design
-#: (ensure_live is a no-op when the state path exists — pinned with
-#: crash-window round-trips in tests/test_serving_io.py); one canary
-#: per touched loader re-proves it under the real driver.
+#: budget.  Round-15: the r14 ADVICE findings landed — the filtered
+#: HNSW search dropped its unused per-blob Xn normalization
+#: (`hnsw_index_filtered_knn`), merge_agg_state's negative-bin refusal
+#: now runs whenever hist_maps is provided, and the swap/vacuum pair
+#: gained writer-side race detection plus a storage-clock probe
+#: (`serving_io`). Output is oracle-identical by design; one canary per
+#: touched path re-proves it under the real driver.
 CHANGED_CODE_CANARIES: tuple[str, ...] = (
-    "vec_ann_hnsw_served_knn",
-    "vec_ann_hnsw_incremental_knn",
-    "vec_ann_ivf_incremental_topk",
-    "vec_ann_ivf_filtered_topk",
-    "vec_ann_pq_served_topk",
-    "layout_clustered_upsert_roundtrip",
-    "stream_join_left_outer_attribution",
+    "vec_ann_hnsw_filtered_knn",
+    "agg_incremental_mv_hist_quantiles",
+    "layout_vacuum_retention_roundtrip",
 )
 
-#: Driver-slot priority (round 14). The driver's correctness harness walks
+#: Driver-slot priority (round 15). The driver's correctness harness walks
 #: the registry in order under a ~50-query budget, so this list pins the
 #: front slots explicitly instead of relying on module import order.
-#: Round-14 rationale — per the r13 verdict's tasks 1-3: the seven
-#: read-side-recovery canaries lead (one per touched serving-state
-#: loader), then the ten never-driver-checked queries (the full-outer
-#: stream-stream join completing the streaming join surface, the
-#: spec-faithful q15 tie twin, the vacuum-retention round-trip, the
-#: HNSW/PQ filtered searches completing the pre-filter contract across
-#: all ANN tiers, the CDC-retraction MV refresh at both cadences, the
-#: SQL-scripting procedure report, and the incremental HLL-distinct
-#: and histogram-quantile views), then the ENTIRE r9-stale bucket
-#: the r13 verdict named (20 queries — freshness floor rises to r10),
-#: then the r10 bucket oldest-first (registry order within the bucket).
-#: 7 + 10 + 33 = 50.
+#: Round-15 rationale — per the r14 verdict's task 1: the three
+#: changed-code canaries lead, then the one never-driver-checked query
+#: (the exact-oracle PQ incremental maintenance cycle closing the r14
+#: verdict's task 2), then the ENTIRE r10-stale bucket the r14 verdict
+#: named (36 queries — freshness floor rises to r11), then the oldest
+#: ten of the r11 bucket (registry order within each bucket).
+#: 3 + 1 + 36 + 10 = 50.
 #: Every name here must exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     # never driver-checked
-    "stream_join_full_outer_attribution",
-    "q15_top_supplier_ties",
-    "layout_vacuum_retention_roundtrip",
-    "vec_ann_hnsw_filtered_knn",
-    "vec_ann_pq_filtered_topk",
-    "agg_incremental_mv_retract",
-    "stream_mv_cdc_retract",
-    "script_trailing_quarter_report",
-    "agg_incremental_mv_hll_distinct",
-    "agg_incremental_mv_hist_quantiles",
-    # last checked round 9 (registry order)
-    "sample_stratified_topn_per_source",
-    "sample_lang_quota",
-    "pack_chunks_per_source",
-    "pack_chunk_manifest",
-    "vec_mips_topk",
-    "text_domain_mix_weights",
-    "text_bigram_surprisal",
-    "sample_train_val_test_split",
-    "dedup_minhash_portable_est",
-    "sketch_countmin_heavy_hitters",
-    "join_lateral_top2_customers_per_nation",
-    "sketch_hll_distinct_users",
-    "agg_regr_corr_stats",
-    "join_merge_cdc_customer_orders",
-    "udf_pandas_scalar_net_revenue",
-    "udf_pandas_grouped_agg_gini",
-    "src_paginated_listing_decades",
-    "media_payload_checksums",
-    "media_frame_sample_plan",
-    "media_kind_profile",
+    "vec_ann_pq_incremental_topk",
     # last checked round 10 (registry order)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_supplier_volume_by_nation",
-    "agg_distinct_parts_per_supplier",
-    "window_lag_lead_user_events",
-    "scalar_json_events",
-    "scalar_datetime_parts_events",
-    "strfn_fuzzy_name_pairs_blocked",
-    "vec_ann_pq_topk",
-    "sample_token_budget_greedy",
-    "text_vocab_oov_rate",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_buckets",
+    "dedup_repeated_span_mask",
+    "events_sliding_10min_step5",
+    "events_session_windows_30min",
+    "events_dedup_latest_per_user_type",
+    "events_asof_purchase_click",
+    "events_rate_per_type_minute",
+    "events_gapfill_hourly_ffill",
+    "events_funnel_view_click_purchase",
+    "cluster_graph_nodes",
+    "cluster_membership",
+    "cluster_children_of_root",
+    "cluster_leaf_sizes",
+    "scalar_variant_nested_events",
+    "sample_global_shuffle_order",
+    "events_retention_cohorts",
+    "events_anomaly_zscore_hourly",
+    "events_user_rfm_segments",
+    "events_asof_nearest_click",
+    "dedup_minhash_incremental_screen",
+    "pipeline_stream_neardup_gate",
+    "dedup_simhash_portable_hamming",
+    "dedup_simhash_portable_buckets",
+    "events_session_paths_topk",
+    "events_value_ewma_daily",
+    "events_asof_cogroup_pandas",
+    "events_rolling_1h_range_frame",
+    "events_interval_overlap_pairs",
+    "events_scd2_user_state",
+    "udf_arrow_map_net_revenue",
+    "src_textsink_roundtrip",
+    "ts_holt_linear_daily",
+    "sketch_histogram_quantiles",
+    "join_bloom_prefilter_effect",
+    "events_multigrain_time_rollup",
+    "dq_constraint_report",
+    "stats_robust_mad_outliers",
+    # last checked round 11 (registry order)
+    "skew_salted_agg_revenue_per_priority",
+    "agg_pivot_status_by_priority",
+    "agg_unpivot_lineitem_measures",
+    "agg_percentiles_price",
+    "strfn_remove_timestamps",
+    "strfn_remove_brackets_content",
+    "strfn_remove_html_tags",
+    "strfn_remove_speaker_labels",
+    "strfn_remove_dialog_punctuation",
+    "strfn_remove_newlines",
 )
 
 

@@ -1158,3 +1158,72 @@ def vec_ann_pq_filtered_topk(spark, sf_dir):
     return pq_index_topk(
         corpus, q, path, k=10, rerank=rerank, admissible=admissible
     )
+
+
+@register(
+    "vec_ann_pq_incremental_topk",
+    f"""
+    WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings
+               WHERE vec_id <> 0 AND vec_id % 10 <> 9),
+    q AS (SELECT {_DV} AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+             round(list_dot_product(v, qv)
+                   / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos_sim
+      FROM e, q
+    )
+    SELECT vec_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("vector", "ann", "pq", "similarity", "serving", "incremental"),
+)
+def vec_ann_pq_incremental_topk(spark, sf_dir):
+    """EXACT-ORACLE form of the PQ maintenance cycle (r14 verdict task 2)
+    — the frozen-codebook incremental update served through the exact
+    regime so the whole add+delete round-trip gets a brute-force SQL
+    oracle (``vec_ann_pq_served_topk`` exercises the same cycle but is
+    rows-only: its sub-corpus rerank keeps the recall contract instead).
+    Yesterday's state misses today's arrivals (vec_id % 5 == 0) and still
+    carries today's deletes (vec_id % 10 == 9); one `pq_codes_update`
+    applies both from the corpus layout — new vectors encoded with the
+    FROZEN stored codebooks (`_pq_read_state`; retraining would silently
+    re-interpret every untouched code), only the delta's partition
+    DIRECTORIES re-encoded (PartitionFilters prune), delete-emptied
+    membership dropped because the re-encode finds no layout rows for
+    those keys. The deterministic encode makes the updated codes
+    bit-identical to a fresh `pq_codes_save` of today's corpus
+    (update ≡ rebuild, pinned in tests/test_pq_serving.py), so with
+    ``rerank >= |corpus|`` the ADC cut keeps every candidate and the
+    exact re-rank reproduces brute force over TODAY's corpus — adds
+    present, deletes gone, hash-matched against DuckDB at any SF (rerank
+    derived from a count, never hardcoded)."""
+    from cinegraph_spark.operators.similarity import (
+        pq_codes_save,
+        pq_codes_update,
+        pq_corpus_layout,
+        pq_index_topk,
+        pq_train,
+    )
+    from cinegraph_spark.session import bounded_shuffle, scratch_dir
+
+    e = _emb(spark, sf_dir)
+    if sf_dir not in _PQ_BOOKS:
+        with bounded_shuffle(spark):
+            _PQ_BOOKS[sf_dir] = pq_train(e, m=8, k=16)
+    books = _PQ_BOOKS[sf_dir]
+    full = e.filter(F.col("vec_id") != 0).select("vec_id", "v")
+    today = full.filter(F.col("vec_id") % 10 != 9)
+    yesterday = full.filter(F.col("vec_id") % 5 != 0)
+    delta = full.filter(
+        (F.col("vec_id") % 5 == 0) | (F.col("vec_id") % 10 == 9)
+    ).select("vec_id")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scratch = scratch_dir("cg_pq_inc_")
+    path = scratch + "/state"
+    corpus_path = scratch + "/corpus"
+    pq_codes_save(yesterday, books, path, n_partitions=4)
+    pq_corpus_layout(today, corpus_path, path)  # today's truth, laid out
+    pq_codes_update(corpus_path, delta, path)
+    rerank = max(512, today.count())
+    return pq_index_topk(corpus_path, q, path, k=10, rerank=rerank)

@@ -465,6 +465,7 @@ def hnsw_index_save(
     ef_construction: int = 128,
     n_partitions: int | None = None,
     target_rows_per_subindex: int = TARGET_ROWS_PER_SUBINDEX,
+    keep_generations: int | None = None,
 ) -> None:
     """BUILD-ONCE half of the serving shape (the reference keeps its HNSW
     index persistent inside Postgres/pgvector — ``db/models/embedding.py:
@@ -480,7 +481,17 @@ def hnsw_index_save(
     ``target_rows_per_subindex`` (the same bounded-materialization
     contract as the scatter-gather form); at 100 TB the blobs live next
     to the vectors in the lake and rebuild only when their partition
-    changes — :func:`hnsw_index_update` is that maintenance path."""
+    changes — :func:`hnsw_index_update` is that maintenance path.
+
+    ``keep_generations``: when set, the save publishes as a NEW numbered
+    generation under ``path/_gens`` (`serving_io.generation_swap_dir`)
+    instead of sibling-swapping ``path`` — readers resolve the newest
+    committed generation by default or pin one with
+    ``hnsw_index_knn(..., generation=N)`` for rollback/debugging; the
+    newest ``keep_generations`` saves are retained. Commit is one marker
+    create (no rename ⇒ no crash window), and a reader's plan survives a
+    concurrent re-save because its generation's blob files are never
+    touched (r14 verdict task 4)."""
     spark = e.sparkSession
     from cinegraph_spark.session import ensure_shipped
 
@@ -522,7 +533,14 @@ def hnsw_index_save(
     # (the same amplification class as the r12 scan finding, one level
     # up). Save/reshard are legitimately full rebuilds and keep the
     # atomic sibling-swap.
-    with atomic_swap_dir(e.sparkSession, path) as tmp:
+    from cinegraph_spark.operators.serving_io import generation_swap_dir
+
+    publish = (
+        atomic_swap_dir(e.sparkSession, path)
+        if keep_generations is None
+        else generation_swap_dir(spark, path, keep=keep_generations)
+    )
+    with publish as tmp:
         built.write.partitionBy("part_id").parquet(tmp)
         jpath = spark._jvm.org.apache.hadoop.fs.Path
         jtmp = jpath(tmp)
@@ -1174,6 +1192,7 @@ def hnsw_index_knn(
     k: int = 3,
     ef: int = 128,
     round_to: int = 6,
+    generation: int | None = None,
 ) -> DataFrame:
     """QUERY-MANY half: search a persisted :func:`hnsw_index_save` table.
     Each index row (one partition's sub-index) unpickles inside its own
@@ -1182,9 +1201,20 @@ def hnsw_index_knn(
     exactness argument as :func:`hnsw_partitioned_knn` (disjoint
     partitions + local recall 1 ⇒ the union contains the global top-k),
     so the same brute-force oracle hash-matches without any rebuild
-    cost. Only O(n_queries × n_index_rows × k) candidate rows shuffle."""
-    from cinegraph_spark.operators.serving_io import ensure_live
+    cost. Only O(n_queries × n_index_rows × k) candidate rows shuffle.
 
+    ``generation`` pins a ``keep_generations`` save to a retained
+    generation (rollback/debugging read); default is the newest
+    committed one. Versioned roots resolve to a stable per-generation
+    directory — no swap window exists there, so ensure_live is a cheap
+    no-op."""
+    from cinegraph_spark.operators.serving_io import (
+        ensure_live,
+        resolve_generation,
+    )
+
+    resolved = resolve_generation(spark, path, generation)
+    path = path if resolved is None else resolved
     ensure_live(spark, path)
     qrows = sorted(
         queries.select("vec_id", "v").collect(), key=lambda r: r["vec_id"]

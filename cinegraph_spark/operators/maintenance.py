@@ -244,7 +244,25 @@ def _read_json(spark: SparkSession, path: str) -> dict:
     return json.loads(txt)
 
 
-def layout_meta(spark: SparkSession, path: str) -> dict:
+def _resolve_state_root(
+    spark: SparkSession, path: str, generation: int | None = None
+) -> str:
+    """Map a state root to the directory a reader/maintainer should
+    operate on: the pinned (or newest committed) generation directory
+    when ``path`` is a versioned root (saved with ``keep_generations``),
+    else ``path`` itself (the legacy single-directory layout). The
+    resolved directory is stable — generation directories are never
+    renamed — so a plan built against it survives any number of later
+    saves (r14 verdict task 4)."""
+    from cinegraph_spark.operators.serving_io import resolve_generation
+
+    resolved = resolve_generation(spark, path, generation)
+    return path if resolved is None else resolved
+
+
+def layout_meta(
+    spark: SparkSession, path: str, generation: int | None = None
+) -> dict:
     """Read a layout's ``_LAYOUT.json`` identity manifest. Raises a named
     error when the directory is not a clustered layout — callers treat
     that as 'lay the corpus out first', never as 'scan it anyway'.
@@ -253,9 +271,13 @@ def layout_meta(spark: SparkSession, path: str) -> dict:
     read-path crash-window guard (`serving_io.ensure_live`): a layout
     parked under ``__old__``/``__swap__`` siblings by a crashed swap is
     restored before the manifest probe instead of reading as
-    'not a clustered layout'."""
+    'not a clustered layout'. ``generation`` pins a versioned layout to
+    a retained generation (versioned roots have no swap window — commit
+    is a marker create, never a rename — so ensure_live is a cheap
+    no-op on the resolved directory)."""
     from cinegraph_spark.operators.serving_io import ensure_live
 
+    path = _resolve_state_root(spark, path, generation)
     ensure_live(spark, path)
     fs, jp = _hadoop_fs(spark, path.rstrip("/") + "/" + LAYOUT_MANIFEST)
     if not fs.exists(jp):
@@ -290,7 +312,8 @@ def _ddl_fields(ddl: str) -> dict[str, str]:
 
 
 def hash_layout_save(
-    e: DataFrame, path: str, key: str, n_partitions: int
+    e: DataFrame, path: str, key: str, n_partitions: int,
+    keep_generations: int | None = None,
 ) -> None:
     """Persist ``e`` physically partitioned by ``pmod(hash(key), n)``
     directories — the SAME Murmur3 partition function the HNSW/PQ serving
@@ -303,11 +326,26 @@ def hash_layout_save(
     identity flip as one unit. NULL keys are refused up front —
     ``hash(NULL)`` would land rows in a real directory that no keyed
     delta could ever address again (same guard as the serving-table
-    saves)."""
+    saves).
+
+    ``keep_generations``: when set, the save lands as a NEW numbered
+    generation under ``path/_gens`` instead of replacing ``path`` in
+    place — the versioned layout (r14 verdict task 4). Readers resolve
+    the newest committed generation by default or pin one with
+    ``layout_read(..., generation=N)``; the newest ``keep_generations``
+    full saves are retained (older ones pruned on commit), giving
+    rollback/debugging reads and swap-free publication (commit is one
+    marker create — no rename, no crash window, and a reader's plan
+    survives a concurrent re-save because its generation's files are
+    never touched). Costs ``keep_generations`` full copies of the
+    layout on disk — the standard lakehouse retention trade-off."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    from cinegraph_spark.operators.serving_io import atomic_swap_dir
+    from cinegraph_spark.operators.serving_io import (
+        atomic_swap_dir,
+        generation_swap_dir,
+    )
 
     spark = e.sparkSession
     if "part_id" in e.columns:
@@ -339,7 +377,12 @@ def hash_layout_save(
     # foreachBatch callers still pay one write+delete per bad-batch
     # retry; pre-validate the key upstream to avoid that.
     obs = Observation()
-    with atomic_swap_dir(spark, path) as tmp:
+    publish = (
+        atomic_swap_dir(spark, path)
+        if keep_generations is None
+        else generation_swap_dir(spark, path, keep=keep_generations)
+    )
+    with publish as tmp:
         e.withColumn("part_id", part).observe(
             obs, F.count_if(F.col(key).isNull()).alias("n_null")
         ).write.partitionBy("part_id").parquet(tmp)
@@ -430,15 +473,24 @@ def _cast_part(df: DataFrame, meta: dict) -> DataFrame:
     return df.withColumn(pc, F.col(pc).cast(want))
 
 
-def layout_read(spark: SparkSession, path: str) -> DataFrame:
+def layout_read(
+    spark: SparkSession, path: str, generation: int | None = None
+) -> DataFrame:
     """Full read of a clustered layout: data columns under the manifest's
-    declared schema, partition column cast back to its declared type."""
+    declared schema, partition column cast back to its declared type.
+    ``generation`` pins a versioned layout (saved with
+    ``keep_generations``) to a retained generation — the rollback /
+    time-travel read; the plan is built against that generation's own
+    directory, which no later save renames or rewrites, so the read is
+    stable even across a concurrent re-save (r14 verdict task 4)."""
+    path = _resolve_state_root(spark, path, generation)
     meta = layout_meta(spark, path)
     return _cast_part(_layout_raw(spark, path, meta), meta)
 
 
 def layout_pruned_read(
-    spark: SparkSession, path: str, parts: list
+    spark: SparkSession, path: str, parts: list,
+    generation: int | None = None,
 ) -> DataFrame:
     """Read ONLY the named partition values of a clustered layout. The
     filter lands on the raw partition directory column (before any cast),
@@ -449,6 +501,7 @@ def layout_pruned_read(
     maintenance scan-proportional to the change."""
     from pyspark.sql import functions as F
 
+    path = _resolve_state_root(spark, path, generation)
     meta = layout_meta(spark, path)
     raw = _layout_raw(spark, path, meta)
     parts = list(parts)
@@ -500,6 +553,13 @@ def hash_layout_upsert(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    # a versioned root (keep_generations save) resolves to its CURRENT
+    # generation: in-place maintenance mutates the live generation —
+    # retained older generations stay immutable snapshots of their own
+    # full saves, which is the rollback contract (generations snapshot
+    # saves, not upserts; take a fresh keep_generations save to cut a
+    # new snapshot after a maintenance burst)
+    path = _resolve_state_root(spark, path)
     meta = layout_meta(spark, path)
     if meta["kind"] != "hash_key":
         raise ValueError(

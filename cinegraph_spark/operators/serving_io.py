@@ -336,3 +336,230 @@ def vacuum_parked_siblings(
             else:
                 kept.append(p)
     return {"deleted": sorted(deleted), "kept": sorted(kept)}
+
+
+# ---------------------------------------------------------------------------
+# Versioned serving generations (r14 verdict task 4)
+# ---------------------------------------------------------------------------
+
+#: generation directory container under a versioned state root; the
+#: leading underscore keeps Spark's parquet reader from treating it as
+#: data when someone points a plain read at the root by mistake
+_GENS_DIR = "_gens"
+
+#: zero-byte commit marker inside a generation directory — a generation
+#: EXISTS the instant this file does, never before. Commit-by-marker is
+#: what removes the sibling swap's between-renames window entirely at
+#: this layer: nothing is ever renamed, so a reader that resolved a
+#: generation keeps a stable directory for its whole query, across any
+#: number of later saves (the "reader pins a generation across a swap"
+#: contract the sibling swap could not give).
+_GEN_COMMITTED = "_GEN_COMMITTED"
+
+#: informational manifest at the root: current generation + retained
+#: list. Resolution NEVER trusts it (a crash between the commit marker
+#: and this write would leave it one save stale); the listing of
+#: committed generation directories is the single source of truth and
+#: costs one listStatus. The manifest exists for humans and external
+#: tooling.
+GEN_MANIFEST = "_MANIFEST.json"
+
+_GEN_RE = re.compile(r"^g(\d{8})$")
+
+
+def _gen_dirname(n: int) -> str:
+    return f"g{n:08d}"
+
+
+def _gens_fs(spark, root: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jpath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _list_gen_dirs(fs, jpath, root: str) -> dict[int, tuple[str, bool]]:
+    """generation number -> (dir path, committed?) for every gNNNNNNNN
+    directory under ``root/_gens`` (committed or debris)."""
+    gens = jpath(root.rstrip("/") + "/" + _GENS_DIR)
+    if not fs.exists(gens):
+        return {}
+    out: dict[int, tuple[str, bool]] = {}
+    for st in fs.listStatus(gens):
+        m = _GEN_RE.match(st.getPath().getName())
+        if m and st.isDirectory():
+            p = str(st.getPath().toString())
+            committed = fs.exists(jpath(p + "/" + _GEN_COMMITTED))
+            out[int(m.group(1))] = (p, committed)
+    return out
+
+
+def list_generations(spark, root: str) -> dict[int, str]:
+    """Committed generation number -> directory, for a versioned state
+    root. Empty when ``root`` is not versioned (no ``_gens``)."""
+    fs, jpath = _gens_fs(spark, root)
+    return {
+        n: p
+        for n, (p, committed) in _list_gen_dirs(fs, jpath, root).items()
+        if committed
+    }
+
+
+def resolve_generation(spark, root: str, version: int | None = None):
+    """Map a versioned state root to the concrete generation directory a
+    reader should plan against: the newest committed generation, or the
+    pinned ``version``. Returns ``None`` when ``root`` carries no
+    ``_gens`` container — the caller's legacy single-directory layout
+    (then ``version`` must also be None: pinning a version on a state
+    that never kept any is a caller bug worth a loud error, not a silent
+    fallback to "current")."""
+    fs, jpath = _gens_fs(spark, root)
+    gens = _list_gen_dirs(fs, jpath, root)
+    if not gens:
+        if version is not None:
+            raise ValueError(
+                f"resolve_generation: {root} is not a versioned state "
+                "(no _gens directory) — version-pinned reads need a "
+                "save with keep_generations set"
+            )
+        return None
+    committed = {n: p for n, (p, ok) in gens.items() if ok}
+    if not committed:
+        raise IOError(
+            f"resolve_generation: {root} has generation directories but "
+            "none carries a commit marker — every save crashed before "
+            "completing; re-run the save (debris is kept for inspection)"
+        )
+    if version is None:
+        return committed[max(committed)]
+    if int(version) not in committed:
+        raise ValueError(
+            f"resolve_generation: generation {version} is not retained "
+            f"at {root}; retained: {sorted(committed)} (older "
+            "generations are pruned by the save's keep_generations "
+            "retention)"
+        )
+    return committed[int(version)]
+
+
+@contextmanager
+def generation_swap_dir(spark, root: str, keep: int = 2):
+    """Versioned counterpart of :func:`atomic_swap_dir`: yield a brand-new
+    generation directory to populate; on clean exit drop the commit
+    marker (the atomic publish — a single small-file create, no renames),
+    refresh the root manifest, and prune committed generations beyond the
+    newest ``keep``.
+
+    What this buys over the sibling swap, and what it costs:
+
+    - No crash window at all: the live state is never renamed or deleted
+      on the publish path, so there is nothing for ``ensure_live`` to
+      heal — a crash mid-populate just leaves an uncommitted directory
+      (inspection material, same policy as the swap's orphan
+      ``__swap__``), invisible to every reader.
+    - Reader pinning for free: a reader that resolved generation N plans
+      and executes against a directory whose files no later save will
+      touch, for as long as N stays inside the retention. Under the
+      sibling swap, a reader overlapping a maintenance write could lose
+      its planned files to the aside-delete.
+    - Rollback/debugging: :func:`resolve_generation` answers version-
+      pinned reads from any retained generation.
+    - The cost is disk: ``keep`` full copies of the state, the standard
+      lakehouse retention trade-off. Pick ``keep`` per state size, and
+      pick retention longer than the longest query that might pin an
+      old generation (pruning a generation a straggler reader still has
+      open is the same hazard as any lakehouse VACUUM).
+
+    Generation numbers allocate as max(existing, committed or not) + 1
+    under the same single-writer contract as the sibling swap; debris
+    never collides because allocation counts it."""
+    fs, jpath = _gens_fs(spark, root)
+    existing = _list_gen_dirs(fs, jpath, root)
+    n = max(existing, default=0) + 1
+    gen_dir = root.rstrip("/") + "/" + _GENS_DIR + "/" + _gen_dirname(n)
+    yield gen_dir
+    fs.create(jpath(gen_dir + "/" + _GEN_COMMITTED), True).close()
+    committed = sorted(
+        [m for m, (_, ok) in existing.items() if ok] + [n]
+    )
+    retained = committed[-max(1, int(keep)):]
+    for m in committed:
+        if m not in retained:
+            fs.delete(jpath(existing[m][0]), True)
+    _write_gen_manifest(spark, root, n, retained)
+
+
+def _write_gen_manifest(spark, root, current, retained) -> None:
+    import json
+
+    fs, jpath = _gens_fs(spark, root)
+    out = fs.create(jpath(root.rstrip("/") + "/" + GEN_MANIFEST), True)
+    try:
+        out.write(
+            bytearray(
+                json.dumps(
+                    {
+                        "current": int(current),
+                        "retained": [int(r) for r in retained],
+                    },
+                    sort_keys=True,
+                ).encode()
+            )
+        )
+    finally:
+        out.close()
+
+
+def vacuum_generations(
+    spark,
+    root: str,
+    keep: int = 2,
+    older_than_hours: float = 24.0,
+    dry_run: bool = False,
+) -> dict:
+    """Retention cleanup for a versioned state root, the generation-layout
+    sibling of :func:`vacuum_parked_siblings`: drop committed generations
+    beyond the newest ``keep``, and drop UNCOMMITTED debris older than
+    ``older_than_hours`` (same storage-clock aging as the sibling vacuum
+    — a young uncommitted directory may be a save in flight and is never
+    touched; committed generations age out by count, not by clock,
+    because their order is total). The newest committed generation is
+    never deleted regardless of ``keep``. Returns ``{"deleted": [...],
+    "kept": [...]}``."""
+    import time
+
+    fs, jpath = _gens_fs(spark, root)
+    gens = _list_gen_dirs(fs, jpath, root)
+    committed = sorted(n for n, (_, ok) in gens.items() if ok)
+    retained = committed[-max(1, int(keep)):] if committed else []
+    probe = jpath(root.rstrip("/") + "/" + GEN_MANIFEST + "__probe__")
+    try:
+        fs.create(probe, True).close()
+        now_ms = float(fs.getFileStatus(probe).getModificationTime())
+        fs.delete(probe, False)
+    except Exception:
+        now_ms = time.time() * 1000.0
+    cutoff_ms = now_ms - older_than_hours * 3600.0 * 1000.0
+
+    def newest_mtime_ms(p: str) -> float:
+        newest = fs.getFileStatus(jpath(p)).getModificationTime()
+        it = fs.listFiles(jpath(p), True)
+        while it.hasNext():
+            newest = max(newest, it.next().getModificationTime())
+        return newest
+
+    deleted: list[str] = []
+    kept: list[str] = []
+    for n, (p, ok) in sorted(gens.items()):
+        drop = (
+            (ok and n not in retained)
+            or (not ok and newest_mtime_ms(p) < cutoff_ms)
+        )
+        if drop:
+            if not dry_run:
+                fs.delete(jpath(p), True)
+            deleted.append(p)
+        else:
+            kept.append(p)
+    if committed and not dry_run and deleted:
+        _write_gen_manifest(spark, root, committed[-1], retained)
+    return {"deleted": sorted(deleted), "kept": sorted(kept)}

@@ -487,3 +487,69 @@ def layout_vacuum_retention_roundtrip(spark, sf_dir):
             F.sum("doc_id").cast("bigint").alias("id_checksum"),
         )
     )
+
+
+@register(
+    "layout_generation_rollback_read",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("layout", "maintenance", "generations", "timetravel", "serving"),
+)
+def layout_generation_rollback_read(spark, sf_dir):
+    """VERSIONED serving generations end-to-end (r14 verdict task 4,
+    `operators/serving_io.py::generation_swap_dir` + `maintenance.py::
+    layout_read(generation=)`): the documents corpus is saved as
+    generation 1 of a versioned layout, then a POISONED save (every lang
+    overwritten — standing in for a bad deploy or a corrupted upstream)
+    commits as generation 2. The rollback read pins generation 1 and must
+    hash-match plain SQL over the clean corpus — which can only happen if
+    (a) the pinned resolution really answers from the older generation's
+    own immutable directory and (b) the poisoned save touched none of
+    generation 1's files (commit-by-marker publishes without renaming or
+    rewriting anything). The current read is asserted poisoned first, so
+    a resolution bug that silently serves "current" for a pinned read
+    can never pass. At 100 TB this is the lakehouse rollback story:
+    keep_generations full snapshots buy swap-free publication (no crash
+    window — commit is ONE marker create), stable plans for readers that
+    overlap a re-save, and instant rollback by reading generation N-1 —
+    at the documented cost of N retained copies on disk."""
+    from cinegraph_spark.operators.maintenance import (
+        hash_layout_save,
+        layout_read,
+    )
+    from cinegraph_spark.operators.serving_io import list_generations
+    from cinegraph_spark.session import scratch_dir
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    path = scratch_dir("cg_layout_gen_") + "/corpus"
+    hash_layout_save(docs, path, "doc_id", 8, keep_generations=2)
+    poisoned = docs.withColumn("lang", F.lit("xx"))
+    hash_layout_save(poisoned, path, "doc_id", 8, keep_generations=2)
+    retained = sorted(list_generations(spark, path))
+    if retained != [1, 2]:
+        raise ValueError(
+            f"layout_generation_rollback_read: expected generations "
+            f"[1, 2] retained, got {retained}"
+        )
+    langs_now = {
+        r["lang"] for r in layout_read(spark, path).select("lang").distinct().collect()
+    }
+    if langs_now - {"xx"}:  # empty corpus legitimately shows no langs
+        raise ValueError(
+            "layout_generation_rollback_read: the current read must see "
+            f"the poisoned generation 2, got langs {sorted(langs_now)}"
+        )
+    return (
+        layout_read(spark, path, generation=1)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        )
+    )

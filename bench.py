@@ -88,11 +88,13 @@ HEADLINE = [
     "text_vocab_oov_rate",
     "dedup_minhash_incremental_screen",
     "sample_global_shuffle_order",
-    # round 11 additions
-    "vec_ann_hnsw_incremental_knn",
-    # round 12 additions
+    # round 11 additions (vec_ann_hnsw_incremental_knn retired r15:
+    # strict prefix of vec_ann_hnsw_reshard_knn's scenario — still a
+    # registered, driver-checked query with full test coverage)
+    # round 12 additions (vec_ann_ivf_incremental_topk likewise retired
+    # r15: prefix of the IVF update-equals-rebuild scenario its suite
+    # pins)
     "vec_ann_hnsw_reshard_knn",
-    "vec_ann_ivf_incremental_topk",
     "vec_ann_hnsw_stream_update_knn",
     # round 13 additions
     "layout_clustered_upsert_roundtrip",
@@ -116,6 +118,8 @@ HEADLINE = [
     "script_trailing_quarter_report",
     "agg_incremental_mv_hll_distinct",
     "agg_incremental_mv_hist_quantiles",
+    # round 15 additions
+    "layout_generation_rollback_read",
 ]
 
 #: Serving/maintenance tier (r13 verdict task 4): scenario queries whose
@@ -134,16 +138,15 @@ HEADLINE = [
 SERVING = frozenset(
     [
         "vec_ann_hnsw_served_knn",
-        "vec_ann_hnsw_incremental_knn",
         "vec_ann_hnsw_reshard_knn",
         "vec_ann_hnsw_stream_update_knn",
-        "vec_ann_ivf_incremental_topk",
         "vec_ann_ivf_filtered_topk",
         "vec_ann_hnsw_filtered_knn",
         "vec_ann_pq_filtered_topk",
         "layout_clustered_upsert_roundtrip",
         "layout_compact_small_files_stats",
         "layout_vacuum_retention_roundtrip",
+        "layout_generation_rollback_read",
         "pipeline_stream_ingest_compact",
         "agg_incremental_mv_refresh",
         "agg_incremental_mv_retract",

@@ -222,10 +222,49 @@ def merge_agg_state(
             for c in (hist_maps or [])
         ]
     )
+    evo_dir = path + "/evolution"
+    evolution = None
     if applied is None:
         merged = delta_agg.groupBy(*keys).agg(*measures)
     else:
         old = spark.read.parquet(agg_dir)
+        if set(old.columns) != set(delta_agg.columns):
+            missing = sorted(set(old.columns) - set(delta_agg.columns))
+            extra = sorted(set(delta_agg.columns) - set(old.columns))
+            # a mixed-schema merge has no safe meaning: select(*old.
+            # columns) would silently DROP a delta's new measure columns
+            # (the widened view would under-count forever) and a delta
+            # missing a stored measure would fail mid-plan with an
+            # anonymous resolution error — refuse by name instead and
+            # point at the evolution path (r14 verdict task 7)
+            raise ValueError(
+                "merge_agg_state: delta schema differs from the "
+                f"persisted view at {path} (delta is missing "
+                f"{missing or 'nothing'}, carries extra {extra or 'nothing'}"
+                ") — widen the view first with evolve_agg_state, or fix "
+                "the delta; a mixed-schema merge never commits"
+            )
+        try:
+            evolution = spark.read.parquet(evo_dir)
+            epochs = [
+                int(r["from_batch_id"]) for r in evolution.collect()
+            ]
+        except AnalysisException:
+            evolution, epochs = None, []
+        if epochs and int(batch_id) < max(epochs):
+            # the evolved measure's epoch is a watermark: a NEVER-seen
+            # batch below it predates the widened column's accounting
+            # (its facts are not in the new measure), so merging it
+            # would leave the view permanently under-counted relative
+            # to the epoch contract — refuse; replays of pre-epoch
+            # batches already no-op via the ledger above
+            raise ValueError(
+                f"merge_agg_state: batch {int(batch_id)} predates the "
+                f"view's evolution epoch {max(epochs)} at {path}; facts "
+                "older than the epoch are not represented in the "
+                "evolved measure columns — recompute the view or "
+                "re-evolve with an earlier-epoch backfill"
+            )
         merged = (
             old.unionByName(delta_agg.select(*old.columns))
             .groupBy(*keys)
@@ -273,4 +312,168 @@ def merge_agg_state(
     with atomic_swap_dir(spark, path) as tmp:
         merged.write.parquet(tmp + "/agg")
         ledger.write.parquet(tmp + "/applied")
+        if evolution is not None:
+            # the evolution epochs are part of the view's identity: they
+            # must survive every refresh swap or the epoch watermark
+            # above would silently disarm after one merge (lazy read of
+            # the old state stays valid through the sibling write)
+            evolution.write.parquet(tmp + "/evolution")
     return {"applied": True, "n_groups": n_groups}
+
+
+def evolve_agg_state(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    from_batch_id: int,
+    new_sums: dict[str, str] | None = None,
+    new_hist_maps: list[str] | None = None,
+    backfill: DataFrame | None = None,
+) -> dict:
+    """SCHEMA EVOLUTION for a live :func:`merge_agg_state` view (r14
+    verdict task 7): widen the persisted aggregate with new measure
+    columns WITHOUT the full rebuild that adding a measure otherwise
+    requires. ``new_sums`` maps column → DDL type (the retractable
+    sum class), ``new_hist_maps`` lists new ``map<bigint,bigint>``
+    histogram columns (also retractable). Existing groups start at the
+    measure's additive identity (0 / empty map) unless ``backfill`` — a
+    frame of ``keys`` + any subset of the new columns, e.g. a one-off
+    recompute over historical facts — provides values.
+
+    ``from_batch_id`` is the EPOCH: the first batch id whose delta
+    carries the new measures' real partials. It is recorded in the
+    state's ``evolution`` table (swapped atomically with the aggregate
+    and the ledger, and preserved by every later refresh), and two
+    refusals enforce its meaning:
+
+    - evolving with an epoch ≤ the newest applied batch refuses — those
+      already-merged facts can never be represented in the new column,
+      so the declared epoch would lie;
+    - after evolution, :func:`merge_agg_state` refuses any NEVER-seen
+      batch id below the newest epoch (replays of pre-epoch batches
+      still no-op via the ledger) — the mixed-schema refusal catches
+      deltas that were never widened at all.
+
+    Readers interpret an evolved column as "this measure, accumulated
+    from the epoch onward (plus any backfill)". Retractions of
+    pre-epoch facts must ship ZERO for evolved measures — their
+    contribution was never added; the histogram negative-bin guard
+    catches violations for hist columns, sum columns are the caller's
+    contract (negative sums are legitimate values). Single-writer
+    contract as everywhere in this module. Returns ``{"added": [...],
+    "from_batch_id": N, "n_groups": int}``."""
+    from cinegraph_spark.operators.serving_io import (
+        atomic_swap_dir,
+        recover_swap,
+    )
+
+    new_sums = dict(new_sums or {})
+    new_hist_maps = list(new_hist_maps or [])
+    if not new_sums and not new_hist_maps:
+        raise ValueError(
+            "evolve_agg_state: nothing to add (new_sums and "
+            "new_hist_maps are both empty)"
+        )
+    agg_dir, ledger_dir, evo_dir = (
+        path + "/agg", path + "/applied", path + "/evolution",
+    )
+    try:
+        applied = {
+            int(r["batch_id"])
+            for r in spark.read.parquet(ledger_dir).collect()
+        }
+    except AnalysisException:
+        if recover_swap(spark, path)["action"] == "none":
+            raise ValueError(
+                f"evolve_agg_state: no view exists at {path} — evolution "
+                "widens a LIVE state; create the view with its first "
+                "merge_agg_state refresh instead"
+            )
+        applied = {
+            int(r["batch_id"])
+            for r in spark.read.parquet(ledger_dir).collect()
+        }
+    if applied and int(from_batch_id) <= max(applied):
+        raise ValueError(
+            f"evolve_agg_state: epoch {int(from_batch_id)} is not beyond "
+            f"the newest applied batch {max(applied)} — batches already "
+            "merged can never be represented in the new measure, so the "
+            "declared epoch would lie; pick an epoch the ledger has not "
+            "reached (or rebuild the view with a backfilled recompute)"
+        )
+    old = spark.read.parquet(agg_dir)
+    clash = sorted(
+        (set(new_sums) | set(new_hist_maps)) & set(old.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"evolve_agg_state: column(s) {clash} already exist in the "
+            f"view at {path}; evolution only ADDS measures"
+        )
+    defaults = {c: F.lit(0).cast(ddl) for c, ddl in new_sums.items()}
+    defaults.update(
+        {
+            c: F.expr("cast(map() as map<bigint,bigint>)")
+            for c in new_hist_maps
+        }
+    )
+    widened = old
+    if backfill is not None:
+        back_cols = [c for c in backfill.columns if c not in keys]
+        unknown_cols = sorted(set(back_cols) - set(defaults))
+        if unknown_cols:
+            raise ValueError(
+                f"evolve_agg_state: backfill carries column(s) "
+                f"{unknown_cols} that are not among the new measures"
+            )
+        n_unknown = backfill.join(
+            old.select(*keys), keys, "left_anti"
+        ).count()
+        if n_unknown:
+            raise ValueError(
+                f"evolve_agg_state: {n_unknown} backfill group(s) do not "
+                "exist in the view — a backfill re-states history for "
+                "LIVE groups only (a group with no facts has no row to "
+                "widen); fix the backfill keys"
+            )
+        widened = widened.join(F.broadcast(backfill), keys, "left")
+        for c in back_cols:
+            widened = widened.withColumn(
+                c, F.coalesce(F.col(c), defaults[c])
+            )
+        for c in defaults:
+            if c not in back_cols:
+                widened = widened.withColumn(c, defaults[c])
+    else:
+        for c, d in defaults.items():
+            widened = widened.withColumn(c, d)
+    widened = widened.localCheckpoint(eager=True)
+    n_groups = widened.count()
+    evo_rows = [
+        (c, "sum", int(from_batch_id)) for c in sorted(new_sums)
+    ] + [
+        (c, "hist_map", int(from_batch_id)) for c in sorted(new_hist_maps)
+    ]
+    try:
+        prior = [
+            (r["column"], r["measure_class"], int(r["from_batch_id"]))
+            for r in spark.read.parquet(evo_dir).collect()
+        ]
+    except AnalysisException:
+        prior = []
+    evolution = spark.createDataFrame(
+        prior + evo_rows,
+        "column string, measure_class string, from_batch_id long",
+    )
+    ledger = spark.createDataFrame(
+        [(int(b),) for b in sorted(applied)], "batch_id long"
+    )
+    with atomic_swap_dir(spark, path) as tmp:
+        widened.write.parquet(tmp + "/agg")
+        ledger.write.parquet(tmp + "/applied")
+        evolution.write.parquet(tmp + "/evolution")
+    return {
+        "added": sorted(defaults),
+        "from_batch_id": int(from_batch_id),
+        "n_groups": n_groups,
+    }

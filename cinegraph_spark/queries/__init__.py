@@ -83,18 +83,20 @@ CHANGED_CODE_CANARIES: tuple[str, ...] = (
 #: the registry in order under a ~50-query budget, so this list pins the
 #: front slots explicitly instead of relying on module import order.
 #: Round-15 rationale — per the r14 verdict's task 1: the three
-#: changed-code canaries lead, then the two never-driver-checked queries
+#: changed-code canaries lead, then the three never-driver-checked queries
 #: (the exact-oracle PQ incremental maintenance cycle closing the r14
-#: verdict's task 2 and the versioned-generation rollback read closing
-#: task 4), then the ENTIRE r10-stale bucket the r14 verdict
+#: verdict's task 2, the versioned-generation rollback read closing
+#: task 4, and the MV schema-evolution round-trip closing task 7),
+#: then the ENTIRE r10-stale bucket the r14 verdict
 #: named (36 queries — freshness floor rises to r11), then the oldest
 #: ten of the r11 bucket (registry order within each bucket).
-#: 3 + 2 + 36 + 9 = 50.
+#: 3 + 3 + 36 + 8 = 50.
 #: Every name here must exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     # never driver-checked
     "vec_ann_pq_incremental_topk",
     "layout_generation_rollback_read",
+    "agg_incremental_mv_evolve",
     # last checked round 10 (registry order)
     "dedup_repeated_span_mask",
     "events_sliding_10min_step5",
@@ -141,7 +143,6 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "strfn_remove_brackets_content",
     "strfn_remove_html_tags",
     "strfn_remove_speaker_labels",
-    "strfn_remove_dialog_punctuation",
 )
 
 

@@ -651,3 +651,85 @@ def agg_incremental_mv_hll_distinct(spark, sf_dir):
             F.filter(F.col("user_id_regs"), lambda r: r == 0)
         ).cast("long").alias("v_empty"),
     )
+
+
+@register(
+    "agg_incremental_mv_evolve",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(sum(CASE WHEN strftime(o_orderdate, '%Y') >= '1996'
+                         THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS cents_v2
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("agg", "incremental", "materialized-view", "maintenance",
+          "evolution"),
+)
+def agg_incremental_mv_evolve(spark, sf_dir):
+    """SCHEMA EVOLUTION of a live incremental view (r14 verdict task 7,
+    `operators/incremental.py::evolve_agg_state`): the priority rollup
+    absorbs the pre-1996 orders, is then WIDENED with a new sum measure
+    (``cents_v2``) at epoch batch 1 — no rebuild, no base-fact rescan:
+    existing groups start at the additive identity — and the post-1996
+    delta merges carrying all three measures. The oracle encodes the
+    epoch semantics exactly: old measures over ALL facts, the evolved
+    measure over post-epoch facts only (CASE on the order year). A
+    replayed pre-epoch batch is asserted a ledger no-op en route (the
+    epoch watermark must not misfire on replays — only NEVER-seen
+    pre-epoch batches refuse). At 100 TB this is the difference between
+    adding a metric to a petabyte-scale rollup by touching
+    group-cardinality rows once versus recomputing the view from the
+    fact table; the evolution table rides the same atomic swap as the
+    aggregate and ledger, so no crash can commit a widened aggregate
+    without its epoch row."""
+    from cinegraph_spark.operators.incremental import (
+        evolve_agg_state,
+        merge_agg_state,
+    )
+    from cinegraph_spark.session import scratch_dir
+
+    o = T(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+
+    def rollup(df, with_v2=False):
+        aggs = [
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("sum_cents"),
+        ]
+        if with_v2:
+            aggs.append(F.sum(cents).alias("cents_v2"))
+        return df.groupBy(
+            F.col("o_orderpriority").alias("priority")
+        ).agg(*aggs)
+
+    state = scratch_dir("cg_mv_evolve_") + "/state"
+    keys = ["priority"]
+    old_facts = o.filter(F.year("o_orderdate") < 1996)
+    new_facts = o.filter(F.year("o_orderdate") >= 1996)
+    merge_agg_state(
+        spark, state, rollup(old_facts), keys,
+        ["n_orders", "sum_cents"], batch_id=0,
+    )
+    evolve_agg_state(
+        spark, state, keys, from_batch_id=1,
+        new_sums={"cents_v2": "bigint"},
+    )
+    replay = merge_agg_state(
+        spark, state, rollup(old_facts), keys,
+        ["n_orders", "sum_cents"], batch_id=0,
+    )
+    assert replay["applied"] is False  # pre-epoch REPLAY stays a no-op
+    merge_agg_state(
+        spark, state, rollup(new_facts, with_v2=True), keys,
+        ["n_orders", "sum_cents", "cents_v2"], batch_id=1,
+    )
+    return spark.read.parquet(state + "/agg").select(
+        "priority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.col("cents_v2").cast("long").alias("cents_v2"),
+    )

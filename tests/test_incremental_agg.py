@@ -363,3 +363,204 @@ def test_hist_maps_without_n_col_still_refuses_negative_bins(
         hist_maps=["value_bins"],
     )
     assert out["applied"] is False
+
+
+def _evolve_rollup(df, with_v2=False, v2_src=None):
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    aggs = [
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).alias("sum_cents"),
+    ]
+    if with_v2:
+        aggs.append(F.sum(cents).alias("cents_v2"))
+    return df.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(*aggs)
+
+
+def test_evolve_then_merge_roundtrip_equals_recompute(
+    spark, sf_dir, tmp_path
+):
+    """r14 verdict task 7: widen a live view with a new sum column at a
+    declared epoch, merge a post-epoch delta carrying it, and the view
+    must equal the recompute under the epoch semantics (old measures
+    over ALL facts, new measure over post-epoch facts only)."""
+    from cinegraph_spark.operators.incremental import evolve_agg_state
+
+    o = T(spark, sf_dir, "orders")
+    old_facts = o.filter(F.year("o_orderdate") < 1996)
+    new_facts = o.filter(F.year("o_orderdate") >= 1996)
+    path = str(tmp_path / "state")
+    merge_agg_state(
+        spark, path, _evolve_rollup(old_facts), ["priority"],
+        ["n_orders", "sum_cents"], batch_id=0,
+    )
+    out = evolve_agg_state(
+        spark, path, ["priority"], from_batch_id=1,
+        new_sums={"cents_v2": "bigint"},
+    )
+    assert out["added"] == ["cents_v2"]
+    merge_agg_state(
+        spark, path, _evolve_rollup(new_facts, with_v2=True),
+        ["priority"], ["n_orders", "sum_cents", "cents_v2"], batch_id=1,
+    )
+    got = _rows(
+        spark.read.parquet(path + "/agg").select(
+            "priority", "n_orders", "sum_cents", "cents_v2"
+        )
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    want = _rows(
+        o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("sum_cents"),
+            F.sum(
+                F.when(F.year("o_orderdate") >= 1996, cents).otherwise(0)
+            ).alias("cents_v2"),
+        )
+    )
+    assert got == want
+
+
+def test_mixed_schema_merges_refuse_both_ways(spark, sf_dir, tmp_path):
+    """A delta carrying a column the view lacks (pre-evolution) or
+    missing one the view has (post-evolution) must refuse by name —
+    select(*old.columns) would otherwise silently DROP the new measure
+    or die with an anonymous resolution error."""
+    import pytest
+
+    from cinegraph_spark.operators.incremental import evolve_agg_state
+
+    o = T(spark, sf_dir, "orders")
+    path = str(tmp_path / "state")
+    merge_agg_state(
+        spark, path, _evolve_rollup(o), ["priority"],
+        ["n_orders", "sum_cents"], batch_id=0,
+    )
+    with pytest.raises(ValueError, match="evolve_agg_state"):
+        merge_agg_state(
+            spark, path, _evolve_rollup(o, with_v2=True), ["priority"],
+            ["n_orders", "sum_cents", "cents_v2"], batch_id=1,
+        )
+    evolve_agg_state(
+        spark, path, ["priority"], from_batch_id=1,
+        new_sums={"cents_v2": "bigint"},
+    )
+    with pytest.raises(ValueError, match="delta is missing"):
+        merge_agg_state(
+            spark, path, _evolve_rollup(o), ["priority"],
+            ["n_orders", "sum_cents"], batch_id=1,
+        )
+
+
+def test_evolution_epoch_guards(spark, sf_dir, tmp_path):
+    """The epoch is a watermark: evolving at-or-below the newest applied
+    batch refuses (already-merged facts can never appear in the new
+    column), a NEVER-seen pre-epoch batch refuses after evolution, and
+    a REPLAYED pre-epoch batch still no-ops via the ledger. The epoch
+    table must survive later refresh swaps."""
+    import pytest
+
+    from cinegraph_spark.operators.incremental import evolve_agg_state
+
+    o = T(spark, sf_dir, "orders")
+    path = str(tmp_path / "state")
+    half = _evolve_rollup(o.filter(F.year("o_orderdate") < 1995))
+    merge_agg_state(
+        spark, path, half, ["priority"], ["n_orders", "sum_cents"],
+        batch_id=5,
+    )
+    with pytest.raises(ValueError, match="epoch .* would lie|not beyond"):
+        evolve_agg_state(
+            spark, path, ["priority"], from_batch_id=5,
+            new_sums={"cents_v2": "bigint"},
+        )
+    evolve_agg_state(
+        spark, path, ["priority"], from_batch_id=6,
+        new_sums={"cents_v2": "bigint"},
+    )
+    # replayed pre-epoch batch: ledger no-op, NOT an epoch error
+    replay = merge_agg_state(
+        spark, path, half, ["priority"], ["n_orders", "sum_cents"],
+        batch_id=5,
+    )
+    assert replay["applied"] is False
+    # never-seen pre-epoch batch: refused
+    with pytest.raises(ValueError, match="predates the view's evolution"):
+        merge_agg_state(
+            spark, path,
+            _evolve_rollup(o, with_v2=True), ["priority"],
+            ["n_orders", "sum_cents", "cents_v2"], batch_id=3,
+        )
+    # post-epoch merge commits AND the epoch survives the swap
+    merge_agg_state(
+        spark, path,
+        _evolve_rollup(
+            o.filter(F.year("o_orderdate") >= 1995), with_v2=True
+        ),
+        ["priority"], ["n_orders", "sum_cents", "cents_v2"], batch_id=7,
+    )
+    with pytest.raises(ValueError, match="predates the view's evolution"):
+        merge_agg_state(
+            spark, path,
+            _evolve_rollup(o, with_v2=True), ["priority"],
+            ["n_orders", "sum_cents", "cents_v2"], batch_id=2,
+        )
+
+
+def test_evolution_backfill_and_refusals(spark, sf_dir, tmp_path):
+    """A backfill re-states history for live groups; unknown groups and
+    unknown columns refuse; non-backfilled groups get the identity."""
+    import pytest
+
+    from cinegraph_spark.operators.incremental import evolve_agg_state
+
+    o = T(spark, sf_dir, "orders")
+    path = str(tmp_path / "state")
+    merge_agg_state(
+        spark, path, _evolve_rollup(o), ["priority"],
+        ["n_orders", "sum_cents"], batch_id=0,
+    )
+    prios = sorted(
+        r["priority"]
+        for r in spark.read.parquet(path + "/agg").select("priority").collect()
+    )
+    back = spark.createDataFrame(
+        [(prios[0], 777)], "priority string, cents_v2 bigint"
+    )
+    with pytest.raises(ValueError, match="not among the new measures"):
+        evolve_agg_state(
+            spark, path, ["priority"], from_batch_id=1,
+            new_sums={"other": "bigint"}, backfill=back,
+        )
+    bogus = spark.createDataFrame(
+        [("NO-SUCH-PRIORITY", 1)], "priority string, cents_v2 bigint"
+    )
+    with pytest.raises(ValueError, match="do not exist in the view"):
+        evolve_agg_state(
+            spark, path, ["priority"], from_batch_id=1,
+            new_sums={"cents_v2": "bigint"}, backfill=bogus,
+        )
+    evolve_agg_state(
+        spark, path, ["priority"], from_batch_id=1,
+        new_sums={"cents_v2": "bigint"}, backfill=back,
+    )
+    vals = {
+        r["priority"]: r["cents_v2"]
+        for r in spark.read.parquet(path + "/agg").collect()
+    }
+    assert vals[prios[0]] == 777
+    assert all(vals[p] == 0 for p in prios[1:])
+    # column collision and empty evolution refuse
+    with pytest.raises(ValueError, match="already exist"):
+        evolve_agg_state(
+            spark, path, ["priority"], from_batch_id=2,
+            new_sums={"cents_v2": "bigint"},
+        )
+    with pytest.raises(ValueError, match="nothing to add"):
+        evolve_agg_state(spark, path, ["priority"], from_batch_id=2)
+    with pytest.raises(ValueError, match="no view exists"):
+        evolve_agg_state(
+            spark, str(tmp_path / "missing"), ["priority"],
+            from_batch_id=1, new_sums={"x": "bigint"},
+        )

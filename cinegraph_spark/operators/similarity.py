@@ -408,7 +408,8 @@ def ivf_cell_stats(e: DataFrame, label: str = "label", v: str = "v") -> DataFram
 
 
 def ivf_centroids_save(
-    e: DataFrame, path: str, label: str = "label", v: str = "v"
+    e: DataFrame, path: str, label: str = "label", v: str = "v",
+    keep_generations: int | None = None,
 ) -> None:
     """BUILD-ONCE half of the IVF serving shape: persist the per-cell
     centroid table (one row per cell: label, n_vectors, centroid) that
@@ -418,8 +419,14 @@ def ivf_centroids_save(
     the graph tier. At 100 TB the corpus parquet is partitioned by the
     cell column, so this table is the only state a query needs before
     partition-pruned candidate reads. Written via the atomic sibling-swap
-    (never an in-place overwrite of live state)."""
-    from cinegraph_spark.operators.serving_io import atomic_swap_write
+    (never an in-place overwrite of live state); ``keep_generations``
+    publishes as a numbered generation instead (marker-commit, no crash
+    window, pinned reads via ``ivf_index_topk(generation=)`` — same
+    contract as `operators/maintenance.py::hash_layout_save`)."""
+    from cinegraph_spark.operators.serving_io import (
+        atomic_swap_write,
+        generation_swap_dir,
+    )
 
     # refuse NULL cell labels up front (r12 review): groupBy would happily
     # persist a NULL cell, but the update path's delta guard (rightly)
@@ -434,7 +441,13 @@ def ivf_centroids_save(
             "path's equi-joins, so its centroid would be unmaintainable "
             "— assign a sentinel cell value instead"
         )
-    atomic_swap_write(ivf_cell_stats(e, label, v), path)
+    if keep_generations is None:
+        atomic_swap_write(ivf_cell_stats(e, label, v), path)
+    else:
+        with generation_swap_dir(
+            e.sparkSession, path, keep=keep_generations
+        ) as tmp:
+            ivf_cell_stats(e, label, v).write.parquet(tmp)
 
 
 def ivf_corpus_layout(
@@ -505,8 +518,17 @@ def ivf_centroids_update(
         cell_ddl = lmeta["part_ddl"]
     else:
         cell_ddl = e.schema[label].dataType.simpleString()
-    from cinegraph_spark.operators.serving_io import ensure_live
+    from cinegraph_spark.operators.serving_io import (
+        ensure_live,
+        resolve_generation,
+    )
 
+    # a versioned root resolves to its CURRENT generation: in-place
+    # maintenance mutates the live generation; retained older ones stay
+    # immutable snapshots of their own saves (same contract as
+    # hash_layout_upsert)
+    resolved = resolve_generation(spark, path)
+    path = path if resolved is None else resolved
     ensure_live(spark, path)
     old = spark.read.parquet(path)
     if old.isEmpty():
@@ -571,6 +593,7 @@ def ivf_index_topk(
     label: str = "label",
     v: str = "v",
     cell_filter=None,
+    generation: int | None = None,
 ) -> DataFrame:
     """QUERY-MANY half: IVF ANN against a PERSISTED
     :func:`ivf_centroids_save` table — probe the ``nprobe`` cells whose
@@ -606,10 +629,15 @@ def ivf_index_topk(
         layout_meta,
         layout_pruned_read,
     )
-    from cinegraph_spark.operators.serving_io import ensure_live
+    from cinegraph_spark.operators.serving_io import (
+        ensure_live,
+        resolve_generation,
+    )
 
     corpus_path = e if isinstance(e, str) else None
     spark = q.sparkSession if corpus_path is not None else e.sparkSession
+    resolved = resolve_generation(spark, path, generation)
+    path = path if resolved is None else resolved
     ensure_live(spark, path)
     cents = spark.read.parquet(path).select(
         label, F.col("centroid").alias("cv")
@@ -648,6 +676,7 @@ def pq_codes_save(
     n_partitions: int | None = None,
     target_rows_per_partition: int = 1_048_576,
     v: str = "v",
+    keep_generations: int | None = None,
 ) -> None:
     """BUILD-ONCE half of the PQ serving shape: persist the trained
     codebooks plus the encoded corpus as ONE versioned state directory —
@@ -666,7 +695,10 @@ def pq_codes_save(
     import json
 
     spark = e.sparkSession
-    from cinegraph_spark.operators.serving_io import atomic_swap_dir
+    from cinegraph_spark.operators.serving_io import (
+        atomic_swap_dir,
+        generation_swap_dir,
+    )
 
     # one agg job covers both the adaptive partition count and the NULL-key
     # refusal (r12 ADVICE): hash(NULL) lands codes in a real directory, but
@@ -703,14 +735,29 @@ def pq_codes_save(
         pq_encode_col(F.col(v), codebooks).alias("code"),
         _pq_part_expr(n_partitions).alias("part_id"),
     )
-    with atomic_swap_dir(spark, path) as tmp:
+    publish = (
+        atomic_swap_dir(spark, path)
+        if keep_generations is None
+        else generation_swap_dir(spark, path, keep=keep_generations)
+    )
+    with publish as tmp:
         books.coalesce(1).write.parquet(tmp + "/books")
         codes.write.partitionBy("part_id").parquet(tmp + "/codes")
 
 
-def _pq_read_state(spark, path: str):
-    from cinegraph_spark.operators.serving_io import ensure_live
+def _pq_read_state(spark, path: str, generation: int | None = None):
+    """Load the PQ state identity. Returns a 5-tuple whose LAST element
+    is the resolved state directory — for a versioned root (saved with
+    ``keep_generations``) that is the pinned or newest committed
+    generation's own directory, and every caller must address
+    ``/books`` / ``/codes`` under IT, not under the root."""
+    from cinegraph_spark.operators.serving_io import (
+        ensure_live,
+        resolve_generation,
+    )
 
+    resolved = resolve_generation(spark, path, generation)
+    path = path if resolved is None else resolved
     ensure_live(spark, path)
     books_rows = sorted(
         spark.read.parquet(path + "/books").collect(), key=lambda r: r["j"]
@@ -731,6 +778,7 @@ def _pq_read_state(spark, path: str):
         int(head["n_partitions"]),
         head["key_ddl"],
         head["codes_schema"],
+        path,
     )
 
 
@@ -748,7 +796,7 @@ def pq_corpus_layout(e: DataFrame, corpus_path: str, path: str) -> None:
     from cinegraph_spark.operators.maintenance import hash_layout_save
 
     spark = e.sparkSession
-    _, n_partitions, key_ddl, _ = _pq_read_state(spark, path)
+    _, n_partitions, key_ddl, _, _ = _pq_read_state(spark, path)
     corpus_ddl = e.schema["vec_id"].dataType.simpleString()
     if corpus_ddl != key_ddl:
         raise ValueError(
@@ -796,7 +844,9 @@ def pq_codes_update(
 
     corpus_path = e if isinstance(e, str) else None
     spark = delta.sparkSession if corpus_path is not None else e.sparkSession
-    codebooks, n_partitions, key_ddl, codes_schema = _pq_read_state(
+    # versioned roots resolve to the CURRENT generation (in-place
+    # maintenance of the live generation, like hash_layout_upsert)
+    codebooks, n_partitions, key_ddl, codes_schema, path = _pq_read_state(
         spark, path
     )
     if corpus_path is not None:
@@ -892,6 +942,7 @@ def pq_index_topk(
     rerank: int = 40,
     v: str = "v",
     admissible: DataFrame | None = None,
+    generation: int | None = None,
 ) -> DataFrame:
     """QUERY-MANY half: PQ ANN against a PERSISTED :func:`pq_codes_save`
     state — the serving read path the codes layout exists for: the ADC
@@ -936,8 +987,8 @@ def pq_index_topk(
 
     corpus_path = e if isinstance(e, str) else None
     spark = q.sparkSession if corpus_path is not None else e.sparkSession
-    codebooks, n_partitions, key_ddl, codes_schema = _pq_read_state(
-        spark, path
+    codebooks, n_partitions, key_ddl, codes_schema, path = _pq_read_state(
+        spark, path, generation
     )
     codes = spark.read.schema(codes_schema).parquet(path + "/codes")
     if admissible is not None:

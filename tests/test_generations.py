@@ -211,3 +211,92 @@ def test_generation_swap_dir_crash_leaves_reader_view_intact(spark, tmp_path):
     # the failed save is invisible: current still generation 1
     assert sorted(list_generations(spark, root)) == [1]
     assert _ids(layout_read(spark, root)) == [0, 1, 2]
+
+
+def _emb(spark):
+    from cinegraph_spark.queries.util import T
+
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+    return T(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def test_ivf_versioned_save_and_pinned_probe(spark, tmp_path):
+    """IVF tier of the generation contract: a pinned probe answers from
+    the older centroid table; an in-place centroid update mutates ONLY
+    the current generation."""
+    from cinegraph_spark.operators.similarity import (
+        ivf_centroids_save,
+        ivf_centroids_update,
+        ivf_index_topk,
+    )
+
+    e = _emb(spark)
+    half = e.filter(F.col("vec_id") % 2 == 0)
+    path = str(tmp_path / "cents")
+    ivf_centroids_save(half, path, keep_generations=2)
+    ivf_centroids_save(e, path, keep_generations=2)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    got_pinned = ivf_index_topk(half, q, path, nprobe=2, k=5, generation=1)
+    legacy = str(tmp_path / "legacy")
+    ivf_centroids_save(half, legacy)
+    want = ivf_index_topk(half, q, legacy, nprobe=2, k=5)
+    assert sorted(map(tuple, got_pinned.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # in-place update touches the CURRENT generation only
+    import json
+
+    gen1 = json.load(open(os.path.join(path, GEN_MANIFEST)))["retained"][0]
+    before = sorted(
+        map(tuple, spark.read.parquet(
+            resolve_generation(spark, path, gen1)).collect())
+    )
+    delta = e.filter(F.col("vec_id") < 50).select("label")
+    ivf_centroids_update(e, delta, path)
+    after_gen1 = sorted(
+        map(tuple, spark.read.parquet(
+            resolve_generation(spark, path, gen1)).collect())
+    )
+    assert after_gen1 == before
+
+
+def test_pq_versioned_save_and_pinned_search(spark, tmp_path):
+    """PQ tier: books+codes publish as one generation; a pinned search
+    answers from the older state even after a re-save, and
+    pq_codes_update mutates the current generation only."""
+    from cinegraph_spark.operators.similarity import (
+        pq_codes_save,
+        pq_codes_update,
+        pq_index_topk,
+        pq_train,
+    )
+
+    e = _emb(spark).select("vec_id", "v")
+    books = pq_train(e, m=4, k=8)
+    half = e.filter(F.col("vec_id") % 2 == 0)
+    path = str(tmp_path / "state")
+    pq_codes_save(half, books, path, n_partitions=2, keep_generations=2)
+    pq_codes_save(e, books, path, n_partitions=2, keep_generations=2)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    got_pinned = pq_index_topk(half, q, path, k=5, rerank=600, generation=1)
+    legacy = str(tmp_path / "legacy")
+    pq_codes_save(half, books, legacy, n_partitions=2)
+    want = pq_index_topk(half, q, legacy, k=5, rerank=600)
+    assert sorted(map(tuple, got_pinned.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # current search sees the full corpus save; updates hit current only
+    gen1_dir = resolve_generation(spark, path, 1)
+    gen1_codes_before = sorted(
+        map(tuple, spark.read.parquet(gen1_dir + "/codes").collect())
+    )
+    pq_codes_update(e, e.filter(F.col("vec_id") < 20).select("vec_id"), path)
+    assert sorted(
+        map(tuple, spark.read.parquet(gen1_dir + "/codes").collect())
+    ) == gen1_codes_before
+    got_cur = pq_index_topk(e, q, path, k=5, rerank=600)
+    assert got_cur.count() == 5

@@ -39,12 +39,12 @@ def _books(spark, sf_dir):
 
 
 def _codes_rows(spark, path):
-    *_, schema = __import__(
+    _, _, _, schema, root = __import__(
         "cinegraph_spark.operators.similarity", fromlist=["_pq_read_state"]
     )._pq_read_state(spark, path)
     return sorted(
         (r["vec_id"], r["part_id"], tuple(r["code"]))
-        for r in spark.read.schema(schema).parquet(path + "/codes").collect()
+        for r in spark.read.schema(schema).parquet(root + "/codes").collect()
     )
 
 

@@ -576,8 +576,11 @@ def hnsw_corpus_layout(e: DataFrame, corpus_path: str, path: str) -> None:
     whose vec_id type drifted from the stored key_ddl (the directories
     would disagree with the index's hash layout)."""
     from cinegraph_spark.operators.maintenance import hash_layout_save
+    from cinegraph_spark.operators.serving_io import resolve_generation
 
     spark = e.sparkSession
+    resolved = resolve_generation(spark, path)
+    path = path if resolved is None else resolved
     head = spark.read.parquet(path).select("n_partitions", "key_ddl").first()
     if head is None:
         # vacuous index (saved over a zero-row corpus): no partition
@@ -700,8 +703,16 @@ def hnsw_index_update(
         if corpus_path is not None
         else None
     )
-    from cinegraph_spark.operators.serving_io import ensure_live
+    from cinegraph_spark.operators.serving_io import (
+        ensure_live,
+        resolve_generation,
+    )
 
+    # a versioned root resolves to its CURRENT generation: in-place
+    # maintenance mutates the live generation; retained older ones stay
+    # immutable snapshots (same contract as hash_layout_upsert)
+    resolved = resolve_generation(spark, path)
+    path = path if resolved is None else resolved
     ensure_live(spark, path)
     old = spark.read.parquet(path)
     # both identity columns, not just part_id: a pre-key_ddl table (saved
@@ -1144,7 +1155,11 @@ def hnsw_index_reshard(
     Reference parity: the pgvector index the reference keeps in Postgres
     (``db/models/embedding.py:15-17``) stays balanced under growth via
     the database's own page splits; this is the lake-native equivalent."""
+    from cinegraph_spark.operators.serving_io import resolve_generation
+
     spark = e.sparkSession
+    resolved = resolve_generation(spark, path)
+    path = path if resolved is None else resolved
     old = spark.read.parquet(path)
     head = old.select("n_partitions", "m", "efc").first()
     if head is None:
@@ -1270,6 +1285,7 @@ def hnsw_index_filtered_knn(
     admissible: DataFrame,
     k: int = 3,
     round_to: int = 6,
+    generation: int | None = None,
 ) -> DataFrame:
     """FILTERED search against a persisted :func:`hnsw_index_save` table —
     the HNSW tier of the engine's pre-filter contract (exact:
@@ -1303,9 +1319,14 @@ def hnsw_index_filtered_knn(
     type drifted from the stored key_ddl (the partition hash differs by
     type). Output (qid, nid, cos_sim, rnk), self-matches excluded —
     identical contract to :func:`hnsw_index_knn`."""
-    from cinegraph_spark.operators.serving_io import ensure_live
+    from cinegraph_spark.operators.serving_io import (
+        ensure_live,
+        resolve_generation,
+    )
     from cinegraph_spark.session import ensure_shipped
 
+    resolved = resolve_generation(spark, path, generation)
+    path = path if resolved is None else resolved
     ensure_live(spark, path)
     ensure_shipped(spark)
     empty = spark.createDataFrame(

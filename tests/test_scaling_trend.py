@@ -105,6 +105,20 @@ FAMILIES = [
     "stream_join_full_outer_attribution",
     "agg_incremental_mv_retract",
     "stream_mv_cdc_retract",
+    # r15 additions: the exact-regime PQ maintenance cycle (output fixed
+    # at k; work = save + touched-directory re-encode + |corpus| exact
+    # rerank — a regression that re-encoded untouched directories or
+    # paid per-delta full scans would track corpus×batches), the
+    # generation rollback read (output is the lang group grid; work =
+    # two layout saves + one generation-pinned aggregate — a regression
+    # that copied or rewrote retained generations on publish would track
+    # corpus×generations), and the MV schema evolution (output is the
+    # priority grid; work ~linear in facts + group-cardinality widening
+    # — a regression that rebuilt the view from base facts on evolve
+    # would track facts×measures)
+    "vec_ann_pq_incremental_topk",
+    "layout_generation_rollback_read",
+    "agg_incremental_mv_evolve",
 ]
 
 

@@ -158,6 +158,29 @@ def merge_agg_state(
                 "rescanning the group's base facts; recompute those "
                 "views' touched groups instead"
             )
+    declared = (
+        set(keys)
+        | set(sums)
+        | set(maxs or [])
+        | set(mins or [])
+        | set(hll_regs or [])
+        | set(hist_maps or [])
+    )
+    undeclared = sorted(set(delta_agg.columns) - declared)
+    if undeclared:
+        # groupBy(keys).agg(*measures) silently DROPS any delta column
+        # not declared as a measure — after evolve_agg_state widened the
+        # view, a merge whose sums list forgot the evolved column would
+        # commit a view without it, permanently losing the measure and
+        # its backfill while the evolution table still declares it (r15
+        # review). Refuse by name instead.
+        raise ValueError(
+            f"merge_agg_state: delta column(s) {undeclared} are not "
+            "declared in keys or any measure list — they would be "
+            "silently dropped from the committed view; declare each "
+            "measure (did an evolve_agg_state widen the view without "
+            "the merge call gaining the new column?)"
+        )
     agg_dir, ledger_dir = path + "/agg", path + "/applied"
 
     def _read_ledger():
@@ -426,15 +449,34 @@ def evolve_agg_state(
                 f"evolve_agg_state: backfill carries column(s) "
                 f"{unknown_cols} that are not among the new measures"
             )
-        n_unknown = backfill.join(
-            old.select(*keys), keys, "left_anti"
-        ).count()
-        if n_unknown:
+        # one pass covers both guards: unknown groups AND duplicate keys
+        # (a duplicated backfill row would fan out the left join below,
+        # and the next merge's groupBy would then SUM the duplicated old
+        # measures — silently doubling the group forever; r15 review)
+        stats = backfill.join(
+            old.select(*keys).withColumn("_in_view", F.lit(1)),
+            keys,
+            "left",
+        ).agg(
+            F.count_if(F.col("_in_view").isNull()).alias("unknown"),
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(*[F.col(k) for k in keys])
+            ).alias("dups"),
+        ).first()
+        if int(stats["unknown"]):
             raise ValueError(
-                f"evolve_agg_state: {n_unknown} backfill group(s) do not "
-                "exist in the view — a backfill re-states history for "
-                "LIVE groups only (a group with no facts has no row to "
-                "widen); fix the backfill keys"
+                f"evolve_agg_state: {int(stats['unknown'])} backfill "
+                "group(s) do not exist in the view — a backfill "
+                "re-states history for LIVE groups only (a group with "
+                "no facts has no row to widen); fix the backfill keys"
+            )
+        if int(stats["dups"]):
+            raise ValueError(
+                f"evolve_agg_state: {int(stats['dups'])} duplicate "
+                "backfill key(s) — the join would fan out and the next "
+                "merge would sum the duplicated rows, silently doubling "
+                "those groups; dedup the backfill first"
             )
         widened = widened.join(F.broadcast(backfill), keys, "left")
         for c in back_cols:

@@ -275,9 +275,16 @@ def layout_meta(
     a retained generation (versioned roots have no swap window — commit
     is a marker create, never a rename — so ensure_live is a cheap
     no-op on the resolved directory)."""
+    path = _resolve_state_root(spark, path, generation)
+    return _layout_meta_at(spark, path)
+
+
+def _layout_meta_at(spark: SparkSession, path: str) -> dict:
+    """:func:`layout_meta` minus the generation resolution — for callers
+    that already resolved the state root (avoids paying the _gens
+    listStatus twice per read; r15 review)."""
     from cinegraph_spark.operators.serving_io import ensure_live
 
-    path = _resolve_state_root(spark, path, generation)
     ensure_live(spark, path)
     fs, jp = _hadoop_fs(spark, path.rstrip("/") + "/" + LAYOUT_MANIFEST)
     if not fs.exists(jp):
@@ -484,7 +491,7 @@ def layout_read(
     directory, which no later save renames or rewrites, so the read is
     stable even across a concurrent re-save (r14 verdict task 4)."""
     path = _resolve_state_root(spark, path, generation)
-    meta = layout_meta(spark, path)
+    meta = _layout_meta_at(spark, path)
     return _cast_part(_layout_raw(spark, path, meta), meta)
 
 
@@ -502,7 +509,7 @@ def layout_pruned_read(
     from pyspark.sql import functions as F
 
     path = _resolve_state_root(spark, path, generation)
-    meta = layout_meta(spark, path)
+    meta = _layout_meta_at(spark, path)
     raw = _layout_raw(spark, path, meta)
     parts = list(parts)
     if not parts:
@@ -560,7 +567,7 @@ def hash_layout_upsert(
     # saves, not upserts; take a fresh keep_generations save to cut a
     # new snapshot after a maintenance burst)
     path = _resolve_state_root(spark, path)
-    meta = layout_meta(spark, path)
+    meta = _layout_meta_at(spark, path)
     if meta["kind"] != "hash_key":
         raise ValueError(
             f"hash_layout_upsert: layout at {path} is kind "
@@ -739,7 +746,7 @@ def column_layout_upsert(
     # are saved unversioned today, but the resolve is a no-op then and
     # keeps the write addressed correctly if that ever changes)
     path = _resolve_state_root(spark, path)
-    meta = layout_meta(spark, path)
+    meta = _layout_meta_at(spark, path)
     if meta["kind"] != "column":
         raise ValueError(
             f"column_layout_upsert: layout at {path} is kind "

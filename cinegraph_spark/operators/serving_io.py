@@ -85,6 +85,19 @@ def atomic_swap_dir(spark, path: str):
     # state some completed swap replaced. Orphan __swap__ siblings are
     # kept — they are failed write attempts documented as inspection
     # material.
+    # mode-slip guard (r15 review): a root that carries a _gens container
+    # is a VERSIONED state — swapping the root itself would delete every
+    # retained generation (the rollback snapshots) in one call. The only
+    # legitimate swap under a versioned root is of a generation
+    # directory, which never contains _gens itself.
+    if fs.exists(jpath(path.rstrip("/") + "/" + _GENS_DIR)):
+        raise ValueError(
+            f"atomic_swap_dir: {path} is a versioned state root (it has "
+            f"a {_GENS_DIR} container with retained generations); "
+            "replacing it wholesale would destroy every rollback "
+            "snapshot — save with keep_generations instead, or vacuum "
+            "the generations explicitly first"
+        )
     if fs.exists(dest):
         for copies in _parked_siblings(spark, path).values():
             if "old" in copies:
@@ -96,6 +109,15 @@ def atomic_swap_dir(spark, path: str):
     # (recover_swap's restore precondition) and one WITHOUT it is a
     # partial failed write kept for inspection only
     fs.create(jpath(tmp.rstrip("/") + "/" + _COMPLETE_MARKER), True).close()
+    if _is_generation_dir(path):
+        # swapping a GENERATION directory (the in-place maintenance shape
+        # on a versioned root: centroid update, reshard, vacuous-index
+        # degrades) must preserve its committed status — the marker goes
+        # into the sibling BEFORE any rename, so no crash window can
+        # leave the current generation invisible to resolve_generation
+        # (r15 review: the update previously swapped the marker away and
+        # readers silently fell back to the STALE previous generation)
+        fs.create(jpath(tmp.rstrip("/") + "/" + _GEN_COMMITTED), True).close()
     aside = jpath(path.rstrip("/") + "__old__" + token)
     had_old = fs.exists(dest)
     if had_old and not fs.rename(dest, aside):
@@ -371,18 +393,57 @@ def _gen_dirname(n: int) -> str:
     return f"g{n:08d}"
 
 
+def _is_generation_dir(path: str) -> bool:
+    """True when ``path`` is a generation directory (…/_gens/gNNNNNNNN) —
+    the shape whose atomic swap must carry the commit marker through."""
+    parts = path.rstrip("/").rsplit("/", 2)
+    return (
+        len(parts) == 3
+        and parts[1] == _GENS_DIR
+        and _GEN_RE.match(parts[2]) is not None
+    )
+
+
 def _gens_fs(spark, root: str):
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     fs = jpath(root).getFileSystem(spark._jsc.hadoopConfiguration())
     return fs, jpath
 
 
-def _list_gen_dirs(fs, jpath, root: str) -> dict[int, tuple[str, bool]]:
+_GEN_SIBLING_RE = re.compile(r"^(g\d{8})__(old|swap)__[0-9a-f]{12}$")
+
+
+def _list_gen_dirs(
+    fs, jpath, root: str, spark=None
+) -> dict[int, tuple[str, bool]]:
     """generation number -> (dir path, committed?) for every gNNNNNNNN
-    directory under ``root/_gens`` (committed or debris)."""
+    directory under ``root/_gens`` (committed or debris). With ``spark``,
+    also HEALS a crashed in-place generation swap first: an IVF-update /
+    reshard swap of a generation directory that died between its renames
+    leaves the generation parked under ``gNNNNNNNN__old__/__swap__``
+    siblings and the directory itself missing — without recovery,
+    resolution would silently fall back to the STALE previous generation
+    (r15 review). The swap writes both the completion marker AND the
+    commit marker into the sibling before any rename, so the recovered
+    copy resolves as committed."""
     gens = jpath(root.rstrip("/") + "/" + _GENS_DIR)
     if not fs.exists(gens):
         return {}
+    if spark is not None:
+        crashed = set()
+        present = set()
+        for st in fs.listStatus(gens):
+            name = st.getPath().getName()
+            if _GEN_RE.match(name):
+                present.add(name)
+            else:
+                m = _GEN_SIBLING_RE.match(name)
+                if m:
+                    crashed.add(m.group(1))
+        for name in sorted(crashed - present):
+            recover_swap(
+                spark, root.rstrip("/") + "/" + _GENS_DIR + "/" + name
+            )
     out: dict[int, tuple[str, bool]] = {}
     for st in fs.listStatus(gens):
         m = _GEN_RE.match(st.getPath().getName())
@@ -399,7 +460,9 @@ def list_generations(spark, root: str) -> dict[int, str]:
     fs, jpath = _gens_fs(spark, root)
     return {
         n: p
-        for n, (p, committed) in _list_gen_dirs(fs, jpath, root).items()
+        for n, (p, committed) in _list_gen_dirs(
+            fs, jpath, root, spark
+        ).items()
         if committed
     }
 
@@ -413,7 +476,7 @@ def resolve_generation(spark, root: str, version: int | None = None):
     that never kept any is a caller bug worth a loud error, not a silent
     fallback to "current")."""
     fs, jpath = _gens_fs(spark, root)
-    gens = _list_gen_dirs(fs, jpath, root)
+    gens = _list_gen_dirs(fs, jpath, root, spark)
     if not gens:
         if version is not None:
             raise ValueError(
@@ -473,7 +536,26 @@ def generation_swap_dir(spark, root: str, keep: int = 2):
     under the same single-writer contract as the sibling swap; debris
     never collides because allocation counts it."""
     fs, jpath = _gens_fs(spark, root)
-    existing = _list_gen_dirs(fs, jpath, root)
+    # mode-slip guard (r15 review): a FIRST versioned save onto an
+    # existing legacy single-directory state would leave the old parquet
+    # files sitting next to _gens, where a plain read of the root still
+    # serves them — refuse; migrate explicitly (save the legacy content
+    # as generation 1 of a fresh root, then swap the names).
+    root_j = jpath(root.rstrip("/"))
+    if fs.exists(root_j) and not fs.exists(
+        jpath(root.rstrip("/") + "/" + _GENS_DIR)
+    ):
+        if any(
+            not st.getPath().getName().startswith(("_", "."))
+            for st in fs.listStatus(root_j)
+        ):
+            raise ValueError(
+                f"generation_swap_dir: {root} holds a legacy "
+                "(unversioned) state; writing generations next to it "
+                "would leave the stale legacy files shadowing the root "
+                "— migrate explicitly, or pick a fresh root"
+            )
+    existing = _list_gen_dirs(fs, jpath, root, spark)
     n = max(existing, default=0) + 1
     gen_dir = root.rstrip("/") + "/" + _GENS_DIR + "/" + _gen_dirname(n)
     yield gen_dir
@@ -528,7 +610,7 @@ def vacuum_generations(
     import time
 
     fs, jpath = _gens_fs(spark, root)
-    gens = _list_gen_dirs(fs, jpath, root)
+    gens = _list_gen_dirs(fs, jpath, root, spark)
     committed = sorted(n for n, (_, ok) in gens.items() if ok)
     retained = committed[-max(1, int(keep)):] if committed else []
     probe = jpath(root.rstrip("/") + "/" + GEN_MANIFEST + "__probe__")

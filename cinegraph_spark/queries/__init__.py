@@ -89,7 +89,7 @@ CHANGED_CODE_CANARIES: tuple[str, ...] = (
 #: task 4, and the MV schema-evolution round-trip closing task 7),
 #: then the ENTIRE r10-stale bucket the r14 verdict
 #: named (36 queries — freshness floor rises to r11), then the oldest
-#: ten of the r11 bucket (registry order within each bucket).
+#: eight of the r11 bucket (registry order within each bucket).
 #: 3 + 3 + 36 + 8 = 50.
 #: Every name here must exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (

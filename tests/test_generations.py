@@ -262,6 +262,17 @@ def test_ivf_versioned_save_and_pinned_probe(spark, tmp_path):
             resolve_generation(spark, path, gen1)).collect())
     )
     assert after_gen1 == before
+    # the update swaps the current generation's own directory: the swap
+    # must carry _GEN_COMMITTED through (r15 review — the marker was
+    # previously lost and resolution silently fell back to generation 1)
+    assert sorted(list_generations(spark, path)) == [1, 2]
+    legacy2 = str(tmp_path / "legacy_full")
+    ivf_centroids_save(e, legacy2)
+    want = sorted(map(tuple, spark.read.parquet(legacy2).collect()))
+    assert sorted(
+        map(tuple, spark.read.parquet(
+            resolve_generation(spark, path)).collect())
+    ) == want  # current gen == update ≡ rebuild over the full corpus
 
 
 def test_pq_versioned_save_and_pinned_search(spark, tmp_path):
@@ -324,17 +335,27 @@ def test_hnsw_update_and_reshard_mutate_current_generation(spark, tmp_path):
     delta = e.filter(F.col("vec_id") % 2 == 1)
     hnsw_index_update(e, delta.select("vec_id"), root)
     q = e.filter(F.col("vec_id") == 0).select("vec_id", "v")
-    cur_nids = {
-        r["nid"] for r in hnsw_index_knn(spark, root, q, k=5).collect()
-    }
     old_nids = {
         r["nid"]
         for r in hnsw_index_knn(spark, root, q, k=5, generation=1).collect()
     }
     assert all(n % 2 == 0 for n in old_nids)  # gen 1: evens only, intact
-    assert cur_nids != old_nids or any(n % 2 == 1 for n in cur_nids) or True
+    # update ≡ rebuild on the CURRENT generation: the post-update search
+    # must be bit-identical to a fresh legacy save over the full corpus
+    legacy = str(tmp_path / "legacy_full")
+    hnsw_index_save(e, legacy, target_rows_per_subindex=128)
+    want_cur = sorted(
+        map(tuple, hnsw_index_knn(spark, legacy, q, k=5).collect())
+    )
+    got_cur = sorted(
+        map(tuple, hnsw_index_knn(spark, root, q, k=5).collect())
+    )
+    assert got_cur == want_cur
     # the filtered read takes the same pin
-    from cinegraph_spark.operators.hnsw import hnsw_index_filtered_knn
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_index_filtered_knn,
+        hnsw_index_reshard,
+    )
 
     adm = e.select("vec_id")
     filt_old = {
@@ -344,3 +365,62 @@ def test_hnsw_update_and_reshard_mutate_current_generation(spark, tmp_path):
         ).collect()
     }
     assert all(n % 2 == 0 for n in filt_old)
+    # RESHARD on a versioned root swaps the current generation's own
+    # directory in place — the r15 review's marker-loss regression guard:
+    # the swap must carry _GEN_COMMITTED through, so the resharded
+    # generation stays the resolvable current one (a regression here
+    # silently serves the stale generation 1 or takes resolution down)
+    out = hnsw_index_reshard(e, root, target_rows_per_subindex=64,
+                             force=True)
+    assert out["resharded"] is True
+    assert sorted(list_generations(spark, root)) == [1, 2]
+    assert sorted(
+        map(tuple, hnsw_index_knn(spark, root, q, k=5).collect())
+    ) == want_cur  # still the full corpus, through the resharded gen 2
+    assert {
+        r["nid"]
+        for r in hnsw_index_knn(spark, root, q, k=5, generation=1).collect()
+    } == old_nids  # generation 1 untouched by the reshard
+
+
+def test_mode_slip_guards_refuse_destructive_saves(spark, tmp_path):
+    """r15 review: publish mode is per-call, so one slip must refuse
+    loudly instead of destroying state — a LEGACY save onto a versioned
+    root would delete every retained rollback snapshot in one swap, and
+    a first VERSIONED save onto a legacy root would leave the stale
+    legacy files shadowing the root."""
+    versioned = str(tmp_path / "v")
+    hash_layout_save(_mk(spark, 0, 3), versioned, "id", 2,
+                     keep_generations=2)
+    with pytest.raises(ValueError, match="versioned state root"):
+        hash_layout_save(_mk(spark, 0, 3), versioned, "id", 2)
+    assert sorted(list_generations(spark, versioned)) == [1]  # intact
+    legacy = str(tmp_path / "l")
+    hash_layout_save(_mk(spark, 0, 3), legacy, "id", 2)
+    with pytest.raises(ValueError, match="legacy"):
+        hash_layout_save(_mk(spark, 0, 3), legacy, "id", 2,
+                         keep_generations=2)
+    assert _ids(layout_read(spark, legacy)) == [0, 1, 2]  # intact
+
+
+def test_crashed_generation_swap_heals_on_read(spark, tmp_path):
+    """An in-place maintenance swap of a generation directory that dies
+    between its renames parks the generation under sibling names; the
+    next resolution must heal it (both markers ride the sibling), never
+    silently serve the stale previous generation."""
+    import os as _os
+
+    root = str(tmp_path / "t")
+    hash_layout_save(_mk(spark, 0, 3), root, "id", 2, keep_generations=2)
+    hash_layout_save(_mk(spark, 10, 14), root, "id", 2, keep_generations=2)
+    gen2 = resolve_generation(spark, root, 2)
+    gen2 = gen2[len("file:"):] if gen2.startswith("file:") else gen2
+    # simulate the between-renames crash window of a gen-dir swap
+    parked = gen2 + "__swap__abcdefabcdef"
+    _os.rename(gen2, parked)
+    open(_os.path.join(parked, "_SWAP_COMPLETE"), "w").close()
+    open(_os.path.join(parked, "_GEN_COMMITTED"), "w").close()
+    # resolution heals: current is generation 2 again, with its data
+    assert _ids(layout_read(spark, root)) == [10, 11, 12, 13]
+    assert sorted(list_generations(spark, root)) == [1, 2]
+    assert not _os.path.exists(parked)

@@ -564,3 +564,45 @@ def test_evolution_backfill_and_refusals(spark, sf_dir, tmp_path):
             spark, str(tmp_path / "missing"), ["priority"],
             from_batch_id=1, new_sums={"x": "bigint"},
         )
+
+
+def test_undeclared_delta_columns_refuse(spark, sf_dir, tmp_path):
+    """r15 review: a delta column missing from every measure list would
+    be silently dropped by groupBy(keys).agg(*measures) — after an
+    evolve, a merge that forgot to declare the evolved column would
+    commit a view without it, losing the measure and its backfill."""
+    import pytest
+
+    o = T(spark, sf_dir, "orders")
+    path = str(tmp_path / "state")
+    with pytest.raises(ValueError, match="not\\s+declared"):
+        merge_agg_state(
+            spark, path, _evolve_rollup(o, with_v2=True), ["priority"],
+            ["n_orders", "sum_cents"], batch_id=0,  # cents_v2 undeclared
+        )
+
+
+def test_duplicate_backfill_keys_refuse(spark, sf_dir, tmp_path):
+    """r15 review: a duplicated backfill row would fan out the widening
+    join and the next merge would SUM the duplicated old measures —
+    refuse up front, state untouched."""
+    import pytest
+
+    from cinegraph_spark.operators.incremental import evolve_agg_state
+
+    o = T(spark, sf_dir, "orders")
+    path = str(tmp_path / "state")
+    merge_agg_state(
+        spark, path, _evolve_rollup(o), ["priority"],
+        ["n_orders", "sum_cents"], batch_id=0,
+    )
+    prio = spark.read.parquet(path + "/agg").select("priority").first()[0]
+    dup = spark.createDataFrame(
+        [(prio, 1), (prio, 2)], "priority string, cents_v2 bigint"
+    )
+    with pytest.raises(ValueError, match="duplicate backfill"):
+        evolve_agg_state(
+            spark, path, ["priority"], from_batch_id=1,
+            new_sums={"cents_v2": "bigint"}, backfill=dup,
+        )
+    assert "cents_v2" not in spark.read.parquet(path + "/agg").columns

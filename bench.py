@@ -120,6 +120,9 @@ HEADLINE = [
     "agg_incremental_mv_hist_quantiles",
     # round 15 additions
     "layout_generation_rollback_read",
+    "graph_sssp_weighted",
+    "vec_ann_ivf_stream_update_topk",
+    "agg_incremental_mv_rollback_read",
 ]
 
 #: Serving/maintenance tier (r13 verdict task 4): scenario queries whose
@@ -154,6 +157,8 @@ SERVING = frozenset(
         "agg_incremental_mv_hist_quantiles",
         "stream_mv_incremental_refresh",
         "stream_mv_cdc_retract",
+        "vec_ann_ivf_stream_update_topk",
+        "agg_incremental_mv_rollback_read",
     ]
 )
 

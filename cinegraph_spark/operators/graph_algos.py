@@ -375,6 +375,77 @@ def bfs_levels(
     return visited
 
 
+def sssp_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> DataFrame:
+    """Weighted single-source(s) shortest path, bounded to paths of at
+    most ``max_hops`` edges — Bellman-Ford expressed as frontier
+    supersteps → ``(id, dist)``. ``edges`` is DIRECTED ``(src, dst, w)``
+    with non-negative integer weights (symmetrize first for an undirected
+    graph; integer weights keep the distances exact cross-engine);
+    ``sources`` is a frame of seed ``id`` rows (multi-source is the
+    general form — single-source is a 1-row frame).
+
+    Each superstep relaxes only from the FRONTIER (nodes whose distance
+    improved last round): one shuffle join frontier⋈edges on ``src`` plus
+    one min-aggregation, never the whole distance table against the whole
+    graph — the same Pregel active-set economy as :func:`bfs_levels`, and
+    the standard frontier Bellman-Ford argument keeps it exact (a node's
+    settled distance was propagated the round after it was set). After
+    round k every distance is the true minimum over paths of ≤ k edges,
+    so the fixed ``max_hops`` unroll returns exactly the bounded-hop
+    shortest distances — the same DP a recursive-CTE walk enumeration
+    computes, which is what makes the registered query
+    (`queries/graph.py::graph_sssp_weighted`) oracle-checkable. Early-out
+    when a round improves nothing (the unbounded fixpoint was reached
+    sooner). Lineage is truncated per round (`localCheckpoint`), the
+    module's standard iterative-plan hygiene. At 100 TB: edges
+    pre-partitioned by ``src`` co-locate every superstep's join; state is
+    one row per reached node; rounds are bounded by ``max_hops``."""
+    with bounded_shuffle(edges.sparkSession):
+        e = edges.select(src, dst, w).localCheckpoint(eager=True)
+        dist = (
+            sources.select("id")
+            .distinct()
+            .withColumn("dist", F.lit(0).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = dist
+        for _ in range(int(max_hops)):
+            cand = (
+                e.join(frontier, e[src] == frontier["id"])
+                .select(
+                    F.col(dst).alias("id"),
+                    (F.col("dist") + F.col(w)).cast("long").alias("dist"),
+                )
+                .groupBy("id")
+                .agg(F.min("dist").alias("dist"))
+            )
+            improved = (
+                cand.join(
+                    dist.withColumnRenamed("dist", "old"), "id", "left"
+                )
+                .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+                .select("id", "dist")
+                .localCheckpoint(eager=True)
+            )
+            if improved.isEmpty():
+                break
+            dist = (
+                dist.unionByName(improved)
+                .groupBy("id")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            frontier = improved
+    return dist
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

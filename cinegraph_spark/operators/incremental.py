@@ -19,7 +19,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
+
+
+def _dir_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the path's own Hadoop FileSystem — used
+    instead of read-and-catch-AnalysisException for the routine
+    first-write / first-refresh / no-evolution probes in this module, so
+    they don't spray PATH_NOT_FOUND stacks into the listener bus and the
+    bench logs (r15: the caught exception was harmless but
+    indistinguishable from a real failure in the captured output)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(jpath(path))
 
 
 def append_new_keys(
@@ -29,15 +40,14 @@ def append_new_keys(
     is not already present. Returns the number of rows written. Safe to
     re-run with overlapping input (idempotent per key); first call creates
     the dataset."""
-    try:
-        existing_keys = spark.read.parquet(path).select(key)
-    except AnalysisException:  # first write — nothing to dedupe against
+    if not _dir_exists(spark, path):  # first write — nothing to dedupe against
         # Observation counts rows as the write job streams them past, so the
         # first write costs ONE scan of the (possibly expensive) input plan
         # instead of write-then-recount.
         obs = Observation()
         df.observe(obs, F.count(F.lit(1)).alias("n")).write.parquet(path)
         return int(obs.get["n"])
+    existing_keys = spark.read.parquet(path).select(key)
     fresh = df.join(existing_keys, key, "left_anti")
     # localCheckpoint pins the anti-join result BEFORE the append mutates
     # the same files the plan would otherwise re-scan lazily
@@ -60,6 +70,7 @@ def merge_agg_state(
     n_col: str | None = None,
     hll_regs: list[str] | None = None,
     hist_maps: list[str] | None = None,
+    keep_generations: int | None = None,
 ) -> dict:
     """Incrementally refresh a persisted aggregate state (a materialized
     rollup) from a pre-aggregated delta — the MERGEABLE-PARTIALS form of
@@ -135,12 +146,28 @@ def merge_agg_state(
     from the merged bins (see
     `queries/timeseries.py::sketch_histogram_quantiles` for the
     cum-window + interpolation recipe the MV query reuses).
-    Returns ``{"applied": bool, "n_groups": int}``."""
-    from pyspark.sql.utils import AnalysisException
 
+    ``keep_generations`` (r15) VERSIONS the view: each refresh publishes
+    as a numbered generation under ``path/_gens`` (marker-commit — no
+    rename, no crash window) instead of sibling-swapping the root, the
+    newest ``keep_generations`` refreshes are retained, and
+    :func:`read_agg_state` answers rollback / time-travel reads
+    ("the view as of refresh N") from any retained generation — the
+    MV-tier form of the serving-state generations
+    (`operators/serving_io.py::generation_swap_dir`; a versioned reader's
+    plan survives a concurrent refresh because its generation's files
+    are never touched). A view is versioned or not for life: refreshing
+    a versioned view without ``keep_generations`` refuses (the root swap
+    would destroy every retained snapshot), as does versioning an
+    existing legacy view (migrate explicitly with a rebuild). Disk cost
+    is ``keep_generations`` copies of the group-cardinality-sized state —
+    metadata-scale against the fact table.
+    Returns ``{"applied": bool, "n_groups": int}``."""
     from cinegraph_spark.operators.serving_io import (
         atomic_swap_dir,
+        generation_swap_dir,
         recover_swap,
+        resolve_generation,
     )
 
     if n_col is not None:
@@ -181,7 +208,28 @@ def merge_agg_state(
             "measure (did an evolve_agg_state widen the view without "
             "the merge call gaining the new column?)"
         )
-    agg_dir, ledger_dir = path + "/agg", path + "/applied"
+    try:
+        resolved = resolve_generation(spark, path)
+    except IOError:
+        # generation directories exist but none carries a commit marker:
+        # every prior versioned refresh crashed mid-populate. For the
+        # WRITER the retry IS the fix (the reader-side IOError points
+        # here); no state was ever committed, so this is still the first
+        # refresh — but only a versioned retry may proceed (an
+        # unversioned call on a versioned root is the mode slip below).
+        if keep_generations is None:
+            raise
+        resolved = None
+    if resolved is not None and keep_generations is None:
+        raise ValueError(
+            f"merge_agg_state: the view at {path} is versioned "
+            "(generations retained); refreshing it without "
+            "keep_generations would sibling-swap the root and destroy "
+            "every retained snapshot — pass keep_generations on every "
+            "refresh of a versioned view"
+        )
+    state_dir = resolved if resolved is not None else path
+    agg_dir, ledger_dir = state_dir + "/agg", state_dir + "/applied"
 
     def _read_ledger():
         return {
@@ -189,19 +237,38 @@ def merge_agg_state(
             for r in spark.read.parquet(ledger_dir).collect()
         }
 
-    try:
+    if _dir_exists(spark, ledger_dir):
         applied = _read_ledger()
-    except AnalysisException:
-        # a missing path is NOT necessarily a first refresh: the swap's
-        # between-renames crash window leaves the committed state parked
-        # under __old__/__swap__ siblings, and treating that as "empty"
-        # would rebuild the view from this delta alone — silently losing
-        # every prior batch. Try automatic recovery first; only a path
-        # with no parked copies is genuinely fresh.
-        if recover_swap(spark, path)["action"] != "none":
-            applied = _read_ledger()
-        else:
-            applied = None  # first refresh: no state yet
+    elif resolved is not None:
+        # a COMMITTED generation must contain its ledger — a marker
+        # without an applied table is corruption, never "fresh"
+        raise IOError(
+            f"merge_agg_state: committed generation at {state_dir} has "
+            "no applied ledger — corrupt state; inspect the generation "
+            "directory"
+        )
+    # a missing path is NOT necessarily a first refresh: the swap's
+    # between-renames crash window leaves the committed state parked
+    # under __old__/__swap__ siblings, and treating that as "empty"
+    # would rebuild the view from this delta alone — silently losing
+    # every prior batch. Try automatic recovery first; only a path
+    # with no parked copies is genuinely fresh.
+    elif recover_swap(spark, path)["action"] != "none":
+        applied = _read_ledger()
+    else:
+        applied = None  # first refresh: no state yet
+    if applied is not None and resolved is None and keep_generations is not None:
+        # the opposite mode slip: versioning an existing legacy view in
+        # place would leave the stale root files shadowing the new _gens
+        # (generation_swap_dir's own guard would refuse at write time,
+        # but the replayed-batch no-op path below would silently skip it)
+        raise ValueError(
+            f"merge_agg_state: the view at {path} is a legacy "
+            "(unversioned) state; versioning it in place would leave the "
+            "stale root files shadowing the generations — rebuild the "
+            "view with keep_generations set from its first refresh, or "
+            "keep refreshing it unversioned"
+        )
     if applied is not None and int(batch_id) in applied:
         # no state scan on the no-op path: a re-delivered stream replays
         # every batch, and paying a full state read per replayed batch
@@ -245,7 +312,7 @@ def merge_agg_state(
             for c in (hist_maps or [])
         ]
     )
-    evo_dir = path + "/evolution"
+    evo_dir = state_dir + "/evolution"
     evolution = None
     if applied is None:
         merged = delta_agg.groupBy(*keys).agg(*measures)
@@ -267,12 +334,12 @@ def merge_agg_state(
                 ") — widen the view first with evolve_agg_state, or fix "
                 "the delta; a mixed-schema merge never commits"
             )
-        try:
+        if _dir_exists(spark, evo_dir):
             evolution = spark.read.parquet(evo_dir)
             epochs = [
                 int(r["from_batch_id"]) for r in evolution.collect()
             ]
-        except AnalysisException:
+        else:
             evolution, epochs = None, []
         if epochs and int(batch_id) < max(epochs):
             # the evolved measure's epoch is a watermark: a NEVER-seen
@@ -332,7 +399,12 @@ def merge_agg_state(
         [(int(b),) for b in sorted((applied or set()) | {int(batch_id)})],
         "batch_id long",
     )
-    with atomic_swap_dir(spark, path) as tmp:
+    publish = (
+        atomic_swap_dir(spark, path)
+        if keep_generations is None
+        else generation_swap_dir(spark, path, keep=keep_generations)
+    )
+    with publish as tmp:
         merged.write.parquet(tmp + "/agg")
         ledger.write.parquet(tmp + "/applied")
         if evolution is not None:
@@ -344,6 +416,31 @@ def merge_agg_state(
     return {"applied": True, "n_groups": n_groups}
 
 
+def read_agg_state(
+    spark: SparkSession, path: str, generation: int | None = None
+) -> DataFrame:
+    """Read a :func:`merge_agg_state` view's aggregate table. For a
+    versioned view (refreshed with ``keep_generations``), ``generation``
+    pins a retained refresh — the rollback / time-travel read: "the view
+    as of refresh N" is exactly generation N's aggregate, because every
+    refresh commits the merged state and its ledger as one immutable
+    generation directory that no later refresh touches. Default is the
+    newest committed generation (or the root itself for a legacy
+    unversioned view, where ``generation`` must be None). The read-side
+    crash-window healing rides `serving_io.ensure_live` for legacy roots;
+    versioned roots have no swap window (marker commit)."""
+    from cinegraph_spark.operators.serving_io import (
+        ensure_live,
+        resolve_generation,
+    )
+
+    resolved = resolve_generation(spark, path, generation)
+    if resolved is None:
+        ensure_live(spark, path)
+        return spark.read.parquet(path + "/agg")
+    return spark.read.parquet(resolved + "/agg")
+
+
 def evolve_agg_state(
     spark: SparkSession,
     path: str,
@@ -352,6 +449,7 @@ def evolve_agg_state(
     new_sums: dict[str, str] | None = None,
     new_hist_maps: list[str] | None = None,
     backfill: DataFrame | None = None,
+    keep_generations: int | None = None,
 ) -> dict:
     """SCHEMA EVOLUTION for a live :func:`merge_agg_state` view (r14
     verdict task 7): widen the persisted aggregate with new measure
@@ -383,11 +481,18 @@ def evolve_agg_state(
     contribution was never added; the histogram negative-bin guard
     catches violations for hist columns, sum columns are the caller's
     contract (negative sums are legitimate values). Single-writer
-    contract as everywhere in this module. Returns ``{"added": [...],
-    "from_batch_id": N, "n_groups": int}``."""
+    contract as everywhere in this module.
+
+    ``keep_generations``: for a view refreshed with generations, the
+    widened state publishes as a NEW generation (the evolution is itself
+    a rollback point) — pass it on every evolve of a versioned view, the
+    same versioned-or-not-for-life rule as :func:`merge_agg_state`.
+    Returns ``{"added": [...], "from_batch_id": N, "n_groups": int}``."""
     from cinegraph_spark.operators.serving_io import (
         atomic_swap_dir,
+        generation_swap_dir,
         recover_swap,
+        resolve_generation,
     )
 
     new_sums = dict(new_sums or {})
@@ -397,25 +502,43 @@ def evolve_agg_state(
             "evolve_agg_state: nothing to add (new_sums and "
             "new_hist_maps are both empty)"
         )
-    agg_dir, ledger_dir, evo_dir = (
-        path + "/agg", path + "/applied", path + "/evolution",
-    )
     try:
-        applied = {
-            int(r["batch_id"])
-            for r in spark.read.parquet(ledger_dir).collect()
-        }
-    except AnalysisException:
+        resolved = resolve_generation(spark, path)
+    except IOError:
+        # generation debris but no committed refresh: no live view exists
+        raise ValueError(
+            f"evolve_agg_state: no committed refresh exists at {path} — "
+            "evolution widens a LIVE state; re-run the crashed first "
+            "merge_agg_state refresh instead"
+        )
+    if resolved is not None and keep_generations is None:
+        raise ValueError(
+            f"evolve_agg_state: the view at {path} is versioned; pass "
+            "keep_generations on every evolve of a versioned view (the "
+            "root swap would destroy every retained snapshot)"
+        )
+    if resolved is None and keep_generations is not None:
+        raise ValueError(
+            f"evolve_agg_state: the view at {path} is a legacy "
+            "(unversioned) state; versioning it in place would leave "
+            "the stale root files shadowing the generations — rebuild "
+            "the view with keep_generations set from its first refresh"
+        )
+    state_dir = resolved if resolved is not None else path
+    agg_dir, ledger_dir, evo_dir = (
+        state_dir + "/agg", state_dir + "/applied", state_dir + "/evolution",
+    )
+    if not _dir_exists(spark, ledger_dir):
         if recover_swap(spark, path)["action"] == "none":
             raise ValueError(
                 f"evolve_agg_state: no view exists at {path} — evolution "
                 "widens a LIVE state; create the view with its first "
                 "merge_agg_state refresh instead"
             )
-        applied = {
-            int(r["batch_id"])
-            for r in spark.read.parquet(ledger_dir).collect()
-        }
+    applied = {
+        int(r["batch_id"])
+        for r in spark.read.parquet(ledger_dir).collect()
+    }
     if applied and int(from_batch_id) <= max(applied):
         raise ValueError(
             f"evolve_agg_state: epoch {int(from_batch_id)} is not beyond "
@@ -496,12 +619,12 @@ def evolve_agg_state(
     ] + [
         (c, "hist_map", int(from_batch_id)) for c in sorted(new_hist_maps)
     ]
-    try:
+    if _dir_exists(spark, evo_dir):
         prior = [
             (r["column"], r["measure_class"], int(r["from_batch_id"]))
             for r in spark.read.parquet(evo_dir).collect()
         ]
-    except AnalysisException:
+    else:
         prior = []
     evolution = spark.createDataFrame(
         prior + evo_rows,
@@ -510,7 +633,12 @@ def evolve_agg_state(
     ledger = spark.createDataFrame(
         [(int(b),) for b in sorted(applied)], "batch_id long"
     )
-    with atomic_swap_dir(spark, path) as tmp:
+    publish = (
+        atomic_swap_dir(spark, path)
+        if keep_generations is None
+        else generation_swap_dir(spark, path, keep=keep_generations)
+    )
+    with publish as tmp:
         widened.write.parquet(tmp + "/agg")
         ledger.write.parquet(tmp + "/applied")
         evolution.write.parquet(tmp + "/evolution")

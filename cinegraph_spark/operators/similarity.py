@@ -661,6 +661,151 @@ def ivf_index_topk(
     return _exact_topk_within(cand, q, k, label, v)
 
 
+def ivf_stream_maintenance_sink(
+    base: DataFrame,
+    land_dir: str,
+    path: str,
+    label: str = "label",
+    v: str = "v",
+):
+    """``foreachBatch`` sink for STREAMING IVF maintenance — the IVF-tier
+    mirror of `operators/hnsw.py::hnsw_stream_maintenance_sink`: merge the
+    micro-batch into the cell-partitioned corpus layout at ``land_dir``
+    (touched cell DIRECTORIES only, via
+    `operators/maintenance.py::column_layout_upsert`), then recompute the
+    persisted centroid table at ``path`` for exactly the touched cells
+    (:func:`ivf_centroids_update` in its pruned-read layout mode). Per-batch
+    cost ∝ the cell directories the batch's rows name — landing, recompute
+    scan, and recompute work alike; never the corpus, and never the
+    cumulative arrival history (the layout IS the landing zone, permanently
+    compacted by the keyed merge).
+
+    Exactly-once contract: ``foreachBatch`` replays IN ORDER from the
+    engine's own checkpoint (a batch re-runs only when its commit never
+    landed — the next batch has not executed yet), and re-applying a batch
+    over its own partial effects is idempotent: the layout merge anti-joins
+    the batch's keys before re-adding them, and the centroid recompute is a
+    pure function of the merged layout, so the touched state rewrites to
+    the same bytes. The maintained table converges to bit-identity with a
+    fresh :func:`ivf_centroids_save` over the final corpus (decimal cell
+    sums — pinned in tests/test_ivf_serving.py).
+
+    Arrival contract — the cell-layout delta rule
+    (`column_layout_upsert`'s documented move semantics, inherited): an
+    arrival is an INSERT or a SAME-CELL re-embed, carrying
+    ``(key, label, v)``. A vector MOVED between cells or DELETED cannot be
+    expressed as a stream arrival, because its OLD cell directory is not
+    derivable from the row (unlike the HNSW tier, whose
+    ``pmod(hash(key), n)`` partition function makes every key
+    self-addressing and thus supports latest-wins replay) — route moves
+    and deletes through the batch path (`column_layout_upsert` with
+    ``deletes=`` + :func:`ivf_centroids_update`)."""
+    from cinegraph_spark.operators.maintenance import (
+        column_layout_upsert,
+        layout_meta,
+    )
+
+    spark = base.sparkSession
+
+    def _ensure_layout() -> None:
+        from cinegraph_spark.operators.maintenance import _hadoop_fs
+        from cinegraph_spark.operators.serving_io import recover_swap
+
+        try:
+            layout_meta(spark, land_dir)
+            return
+        except FileNotFoundError:
+            # the layout's own seed swap can crash between renames,
+            # parking the committed landing state under __old__/__swap__
+            # siblings — re-seeding from ``base`` there would silently
+            # drop every landed arrival (the checkpoint blocks their
+            # replay). Recover first; only a path with no parked copies
+            # may be seeded.
+            if recover_swap(spark, land_dir)["action"] != "none":
+                layout_meta(spark, land_dir)
+                return
+            # refuse to seed OVER a non-empty non-layout directory: its
+            # contents may be arrivals the checkpoint already marked
+            # consumed (same rule as the HNSW sink)
+            hfs, jpath = _hadoop_fs(spark, land_dir)
+            if hfs.exists(jpath) and list(hfs.listStatus(jpath)):
+                raise ValueError(
+                    f"ivf_stream_maintenance_sink: {land_dir} exists and "
+                    "is not a clustered layout (no _LAYOUT.json) — "
+                    "seeding would discard its contents while the stream "
+                    "checkpoint blocks their replay; fold the directory "
+                    "into `base` (or point the drain at a fresh land_dir "
+                    "with a fresh checkpoint)"
+                )
+            ivf_corpus_layout(base, land_dir, label)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        # duplicate keys within one batch (no defined winner) are refused
+        # by column_layout_upsert's per-call guard; NULL cells likewise
+        _ensure_layout()
+        column_layout_upsert(spark, land_dir, batch_df, key="vec_id")
+        ivf_centroids_update(
+            land_dir, batch_df.select(label), path, label=label, v=v
+        )
+
+    return apply
+
+
+def ivf_index_stream_update(
+    base: DataFrame,
+    arrivals: DataFrame,
+    land_dir: str,
+    path: str,
+    label: str = "label",
+    v: str = "v",
+    timeout_s: int = 120,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Drain a STREAM of embedding arrivals into the persisted IVF
+    centroid table — the continuous form of the daily
+    :func:`ivf_centroids_update` job, completing the streaming maintenance
+    story across all three ANN tiers (HNSW has
+    `operators/hnsw.py::hnsw_index_stream_update`; the reference's pgvector
+    index is maintained by Postgres on every INSERT,
+    `db/models/embedding.py:15-17` — this is the micro-batch equivalent at
+    the IVF tier). ``base`` is the corpus the table was saved over (it
+    seeds the cell layout at ``land_dir`` on the first batch); ``arrivals``
+    is a streaming DataFrame with the same ``(vec_id, label, v)`` schema.
+    Runs under ``availableNow`` with the repo's standard drain scoping
+    (UTC clock, bounded shuffle) and raises on timeout rather than
+    returning with the stream still writing. See
+    :func:`ivf_stream_maintenance_sink` for the per-batch mechanics, cost
+    bound, replay contract, and the insert/same-cell arrival rule."""
+    from cinegraph_spark.session import bounded_shuffle, scoped_confs
+
+    spark = base.sparkSession
+    # no driver-local makedirs: land_dir may live on HDFS/an object store;
+    # the first batch's layout seed creates the real directory through the
+    # path's own Hadoop FileSystem
+    if checkpoint_dir is None:
+        # stable default derived from the landing zone (a crash-recovery
+        # rerun with the same land_dir resumes from the engine's own
+        # offsets with the ORIGINAL batch ids)
+        checkpoint_dir = land_dir.rstrip("/") + "_checkpoint"
+    sink = ivf_stream_maintenance_sink(base, land_dir, path, label, v)
+    with scoped_confs(
+        spark, **{"spark.sql.session.timeZone": "UTC"}
+    ), bounded_shuffle(spark, 8):
+        q = (
+            arrivals.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"IVF maintenance drain at {path} did not finish in "
+                f"{timeout_s}s"
+            )
+
+
 def _pq_part_expr(n_partitions: int):
     """Codes-table partition function — same stored-identity trick as the
     HNSW serving table (`operators/hnsw.py::_part_expr`): membership is a

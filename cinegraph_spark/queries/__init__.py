@@ -83,20 +83,25 @@ CHANGED_CODE_CANARIES: tuple[str, ...] = (
 #: the registry in order under a ~50-query budget, so this list pins the
 #: front slots explicitly instead of relying on module import order.
 #: Round-15 rationale — per the r14 verdict's task 1: the three
-#: changed-code canaries lead, then the three never-driver-checked queries
+#: changed-code canaries lead, then the six never-driver-checked queries
 #: (the exact-oracle PQ incremental maintenance cycle closing the r14
 #: verdict's task 2, the versioned-generation rollback read closing
-#: task 4, and the MV schema-evolution round-trip closing task 7),
-#: then the ENTIRE r10-stale bucket the r14 verdict
+#: task 4, the MV schema-evolution round-trip closing task 7, and the
+#: three second-session r15 additions: the IVF streaming maintenance
+#: drain, the bounded weighted SSSP, and the versioned-MV time-travel
+#: read), then the ENTIRE r10-stale bucket the r14 verdict
 #: named (36 queries — freshness floor rises to r11), then the oldest
-#: eight of the r11 bucket (registry order within each bucket).
-#: 3 + 3 + 36 + 8 = 50.
+#: five of the r11 bucket (registry order within each bucket).
+#: 3 + 6 + 36 + 5 = 50.
 #: Every name here must exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     # never driver-checked
     "vec_ann_pq_incremental_topk",
     "layout_generation_rollback_read",
     "agg_incremental_mv_evolve",
+    "vec_ann_ivf_stream_update_topk",
+    "graph_sssp_weighted",
+    "agg_incremental_mv_rollback_read",
     # last checked round 10 (registry order)
     "dedup_repeated_span_mask",
     "events_sliding_10min_step5",
@@ -140,9 +145,6 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "agg_unpivot_lineitem_measures",
     "agg_percentiles_price",
     "strfn_remove_timestamps",
-    "strfn_remove_brackets_content",
-    "strfn_remove_html_tags",
-    "strfn_remove_speaker_labels",
 )
 
 

@@ -733,3 +733,83 @@ def agg_incremental_mv_evolve(spark, sf_dir):
         F.col("sum_cents").cast("long").alias("sum_cents"),
         F.col("cents_v2").cast("long").alias("cents_v2"),
     )
+
+
+@register(
+    "agg_incremental_mv_rollback_read",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y') < '1997'
+    GROUP BY 1
+    """,
+    tags=("agg", "incremental", "materialized-view", "maintenance",
+          "generations", "time-travel"),
+)
+def agg_incremental_mv_rollback_read(spark, sf_dir):
+    """VERSIONED incremental view with a TIME-TRAVEL read (r15) — the
+    MV-tier form of the serving-state generations
+    (`layout_generation_rollback_read` is the layout-tier twin): the
+    priority rollup absorbs three yearly refresh batches with
+    ``keep_generations=2``, so each refresh publishes as an immutable
+    marker-committed generation (no rename — a reader's plan survives a
+    concurrent refresh) and the retention prunes generation 1 when 3
+    commits. `read_agg_state(generation=2)` then answers "the view as of
+    refresh 2" — exactly the pre-1997 facts — which is what the oracle
+    recomputes. The CURRENT view is asserted to differ first (it holds
+    all three batches), so a resolve bug that silently serves the newest
+    generation cannot pass; the pruned generation 1 is asserted
+    unreadable, pinning the retention contract. At 100 TB the rollback
+    read costs one directory resolution over the group-cardinality-sized
+    state — the debugging/rollback story a petabyte rollup needs after a
+    bad upstream delta."""
+    from cinegraph_spark.operators.incremental import (
+        merge_agg_state,
+        read_agg_state,
+    )
+    from cinegraph_spark.session import scratch_dir
+
+    o = T(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+
+    def rollup(df):
+        return df.groupBy(
+            F.col("o_orderpriority").alias("priority")
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("sum_cents"),
+        )
+
+    state = scratch_dir("cg_mv_gen_") + "/state"
+    keys, sums = ["priority"], ["n_orders", "sum_cents"]
+    batches = [
+        o.filter(F.year("o_orderdate") < 1996),
+        o.filter(F.year("o_orderdate") == 1996),
+        o.filter(F.year("o_orderdate") >= 1997),
+    ]
+    for i, b in enumerate(batches, start=1):
+        merge_agg_state(
+            spark, state, rollup(b), keys, sums, batch_id=i,
+            keep_generations=2,
+        )
+    asof = read_agg_state(spark, state, generation=2)
+    current = read_agg_state(spark, state)
+    # poison check: current holds batch 3's facts too — if generation
+    # resolution silently served the newest state, the counts would match
+    n_asof = asof.agg(F.sum("n_orders")).first()[0]
+    n_now = current.agg(F.sum("n_orders")).first()[0]
+    assert n_asof < n_now, "rollback read must predate the newest refresh"
+    # retention: generation 1 was pruned when generation 3 committed
+    try:
+        read_agg_state(spark, state, generation=1)
+        raise AssertionError("pruned generation 1 must not be readable")
+    except ValueError:
+        pass
+    return asof.select(
+        "priority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    )

@@ -804,6 +804,87 @@ def vec_ann_ivf_incremental_topk(spark, sf_dir):
 
 
 @register(
+    "vec_ann_ivf_stream_update_topk",
+    f"""
+    WITH e AS (SELECT vec_id, label, {_DV} AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    corpus AS (SELECT vec_id, label, v FROM e WHERE vec_id <> 0),
+    flat AS (SELECT label, unnest(v) AS x,
+                    generate_subscripts(v, 1) AS dim FROM corpus),
+    cent AS (SELECT label, dim, avg(x) AS c FROM flat GROUP BY label, dim),
+    centv AS (SELECT label, list(c ORDER BY dim) AS cv
+              FROM cent GROUP BY label),
+    probe AS (
+      SELECT label FROM centv, q
+      ORDER BY round(list_dot_product(cv, qv)
+               / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qv, x -> x * x)))), 9)
+               DESC, label
+      LIMIT 2
+    )
+    SELECT corpus.vec_id, CAST(corpus.label AS BIGINT) AS label,
+           round(list_dot_product(v, qv)
+                 / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos_sim
+    FROM corpus JOIN probe USING (label), q
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("vector", "ann", "ivf", "similarity", "serving", "streaming",
+          "incremental"),
+)
+def vec_ann_ivf_stream_update_topk(spark, sf_dir):
+    """STREAMING IVF serving-table maintenance (r15) — completes the
+    streaming story across all three ANN tiers (HNSW gained its drain in
+    r12/r13; IVF and PQ had batch updates only): the centroid table is
+    saved over yesterday's corpus (vec_id % 5 != 0), today's arrivals land
+    as a REAL micro-batched stream (2 parquet files, maxFilesPerTrigger=1 —
+    two separate foreachBatch invocations), and every batch merges into the
+    cell-partitioned corpus layout (`column_layout_upsert` — touched cell
+    directories only) then recomputes exactly the touched cells'
+    centroids (`ivf_centroids_update` in pruned-read layout mode). The
+    continuous form of the daily maintenance job (the reference's pgvector
+    index updates on every INSERT; `db/models/embedding.py:15-17`).
+    Per-batch cost ∝ the cell directories the batch names — landing AND
+    recompute scan; replay re-applies to the same bytes (multi-batch,
+    replay, and convergence variants pinned in tests/test_ivf_serving.py).
+    Decimal cell sums make the drained table bit-identical to a fresh full
+    save over the final corpus, so the SAME exact oracle as
+    `vec_ann_ivf_incremental_topk` applies: `ivf_index_topk` probes the
+    maintained table (top-2 cells by stored-centroid cosine, exact cosine
+    top-10 within them, candidate read pruned to the probed cells'
+    directories)."""
+    from cinegraph_spark.operators.similarity import (
+        ivf_centroids_save,
+        ivf_index_stream_update,
+        ivf_index_topk,
+    )
+    from cinegraph_spark.session import scratch_dir
+
+    e = _emb(spark, sf_dir)
+    corpus = e.filter(F.col("vec_id") != 0)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scratch = scratch_dir("cg_ivf_stream_")
+    path = scratch + "/centroids"
+    yesterday = corpus.filter(F.col("vec_id") % 5 != 0)
+    arrivals_df = corpus.filter(F.col("vec_id") % 5 == 0)
+    arrivals_dir = scratch + "/arrivals"
+    arrivals_df.repartition(2).write.parquet(arrivals_dir)
+    ivf_centroids_save(yesterday, path)
+    arrivals = (
+        spark.readStream.schema("vec_id long, label int, v array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+    ivf_index_stream_update(yesterday, arrivals, scratch + "/land", path)
+    # the search reads the drained layout: the probed cells' directories
+    # are the only corpus data the query opens
+    out = ivf_index_topk(scratch + "/land", q, path, nprobe=2, k=10)
+    return out.select(
+        "vec_id", F.col("label").cast("long").alias("label"), "cos_sim"
+    )
+
+
+@register(
     "vec_ann_hnsw_stream_update_knn",
     f"""
     WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),

@@ -236,3 +236,56 @@ def test_lpa_star_adopts_hub_neighbors(spark):
         for r in label_propagation(e, iterations=1).collect()
     }
     assert got == {1: 2, 2: 1, 3: 1, 4: 1}
+
+
+# --- bounded weighted SSSP ----------------------------------------------------
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(triples, "src long, dst long, w long")
+
+
+def _seed(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def test_sssp_bounded_prefers_cheaper_longer_path(spark):
+    from cinegraph_spark.operators.graph_algos import sssp_bounded
+
+    # 0->3 direct costs 10; 0->1->2->3 costs 3. Hop bound decides which
+    # is visible: ≤1 hop sees only the direct edge, ≤3 hops the cheap one.
+    e = _wedges(spark, [(0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1)])
+    one = {r["id"]: r["dist"] for r in sssp_bounded(e, _seed(spark, [0]), 1).collect()}
+    assert one == {0: 0, 3: 10, 1: 1}
+    three = {r["id"]: r["dist"] for r in sssp_bounded(e, _seed(spark, [0]), 3).collect()}
+    assert three == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_sssp_bounded_hop_limit_excludes_deep_nodes(spark):
+    from cinegraph_spark.operators.graph_algos import sssp_bounded
+
+    e = _wedges(spark, [(0, 1, 5), (1, 2, 5), (2, 3, 5)])
+    got = {r["id"]: r["dist"] for r in sssp_bounded(e, _seed(spark, [0]), 2).collect()}
+    assert got == {0: 0, 1: 5, 2: 10}  # node 3 needs 3 hops
+
+
+def test_sssp_bounded_multi_source_and_early_exit(spark):
+    from cinegraph_spark.operators.graph_algos import sssp_bounded
+
+    # two sources; generous hop budget exercises the early-out (the
+    # fixpoint arrives in 2 rounds, the loop must stop improving)
+    e = _wedges(spark, [(0, 1, 4), (9, 1, 1), (1, 2, 1)])
+    got = {
+        r["id"]: r["dist"]
+        for r in sssp_bounded(e, _seed(spark, [0, 9]), 50).collect()
+    }
+    assert got == {0: 0, 9: 0, 1: 1, 2: 2}
+
+
+def test_sssp_bounded_cycle_terminates_exact(spark):
+    from cinegraph_spark.operators.graph_algos import sssp_bounded
+
+    # positive-weight cycle: revisits only add cost, distances settle
+    e = _wedges(spark, [(0, 1, 1), (1, 2, 1), (2, 0, 1)])
+    got = {r["id"]: r["dist"] for r in sssp_bounded(e, _seed(spark, [0]), 10).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}

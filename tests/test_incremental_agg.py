@@ -606,3 +606,151 @@ def test_duplicate_backfill_keys_refuse(spark, sf_dir, tmp_path):
             new_sums={"cents_v2": "bigint"}, backfill=dup,
         )
     assert "cents_v2" not in spark.read.parquet(path + "/agg").columns
+
+
+def test_versioned_view_time_travel_and_retention(spark, sf_dir, tmp_path):
+    """keep_generations (r15): every refresh publishes as an immutable
+    marker-committed generation; a pinned read_agg_state(generation=N)
+    answers 'the view as of refresh N' bit-identically to a recompute of
+    that prefix of the deltas; retention prunes by count; a replayed
+    batch stays a ledger no-op and cuts NO new generation."""
+    from cinegraph_spark.operators.incremental import read_agg_state
+    from cinegraph_spark.operators.serving_io import list_generations
+
+    o = T(spark, sf_dir, "orders")
+    path = str(tmp_path / "state")
+    b1 = o.filter("o_orderdate < '1996-01-01'")
+    b2 = o.filter("o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'")
+    b3 = o.filter("o_orderdate >= '1997-01-01'")
+    for i, b in enumerate([b1, b2, b3], start=1):
+        merge_agg_state(
+            spark, path, _rollup(b), KEYS, SUMS, batch_id=i,
+            maxs=MAXS, mins=MINS, keep_generations=2,
+        )
+    assert sorted(list_generations(spark, path)) == [2, 3]
+    asof2 = read_agg_state(spark, path, generation=2)
+    want2 = _rollup(o.filter("o_orderdate < '1997-01-01'"))
+    assert _rows(asof2) == _rows(want2)
+    assert _rows(read_agg_state(spark, path)) == _rows(_rollup(o))
+
+    # replayed batch: ledger no-op, no new generation
+    r = merge_agg_state(
+        spark, path, _rollup(b2), KEYS, SUMS, batch_id=2,
+        maxs=MAXS, mins=MINS, keep_generations=2,
+    )
+    assert r["applied"] is False
+    assert sorted(list_generations(spark, path)) == [2, 3]
+
+    # pruned generation is not readable
+    import pytest
+
+    with pytest.raises(ValueError, match="not retained"):
+        read_agg_state(spark, path, generation=1)
+
+
+def test_versioned_view_mode_slips_refuse_both_ways(
+    spark, sf_dir, tmp_path
+):
+    """A view is versioned or not for life: refreshing a versioned view
+    without keep_generations refuses (the root swap would destroy every
+    snapshot); versioning an existing legacy view in place refuses (the
+    stale root files would shadow the generations). Same rules for
+    evolve_agg_state."""
+    import pytest
+
+    from cinegraph_spark.operators.incremental import evolve_agg_state
+
+    o = T(spark, sf_dir, "orders")
+    delta = _rollup(o.filter("o_orderdate < '1996-01-01'"))
+
+    versioned = str(tmp_path / "versioned")
+    merge_agg_state(
+        spark, versioned, delta, KEYS, SUMS, batch_id=1,
+        maxs=MAXS, mins=MINS, keep_generations=2,
+    )
+    with pytest.raises(ValueError, match="is versioned"):
+        merge_agg_state(
+            spark, versioned, delta, KEYS, SUMS, batch_id=2,
+            maxs=MAXS, mins=MINS,
+        )
+    with pytest.raises(ValueError, match="is versioned"):
+        evolve_agg_state(
+            spark, versioned, KEYS, from_batch_id=9,
+            new_sums={"extra": "bigint"},
+        )
+
+    legacy = str(tmp_path / "legacy")
+    merge_agg_state(
+        spark, legacy, delta, KEYS, SUMS, batch_id=1,
+        maxs=MAXS, mins=MINS,
+    )
+    with pytest.raises(ValueError, match="legacy"):
+        merge_agg_state(
+            spark, legacy, delta, KEYS, SUMS, batch_id=2,
+            maxs=MAXS, mins=MINS, keep_generations=2,
+        )
+    with pytest.raises(ValueError, match="legacy"):
+        evolve_agg_state(
+            spark, legacy, KEYS, from_batch_id=9,
+            new_sums={"extra": "bigint"}, keep_generations=2,
+        )
+
+
+def test_versioned_first_refresh_retries_over_crash_debris(
+    spark, sf_dir, tmp_path
+):
+    """A first versioned refresh that crashed mid-populate leaves an
+    UNCOMMITTED generation directory; the retry must succeed as the first
+    refresh (debris never blocks the writer) while an UNVERSIONED call on
+    the same root keeps refusing loudly."""
+    import os
+
+    import pytest
+
+    o = T(spark, sf_dir, "orders")
+    path = str(tmp_path / "state")
+    debris = os.path.join(path, "_gens", "g00000001")
+    os.makedirs(debris)
+    with open(os.path.join(debris, "junk.parquet"), "w") as f:
+        f.write("crashed")
+    with pytest.raises(IOError):
+        merge_agg_state(
+            spark, path, _rollup(o), KEYS, SUMS, batch_id=1,
+            maxs=MAXS, mins=MINS,
+        )
+    r = merge_agg_state(
+        spark, path, _rollup(o), KEYS, SUMS, batch_id=1,
+        maxs=MAXS, mins=MINS, keep_generations=2,
+    )
+    assert r["applied"] is True
+    from cinegraph_spark.operators.incremental import read_agg_state
+
+    assert _rows(read_agg_state(spark, path)) == _rows(_rollup(o))
+
+
+def test_versioned_evolve_publishes_rollback_point(spark, sf_dir, tmp_path):
+    """Evolving a versioned view cuts a NEW generation: the pre-evolve
+    state stays readable at its own generation (schema WITHOUT the new
+    measure), and the post-evolve merge carries the widened schema."""
+    from cinegraph_spark.operators.incremental import (
+        evolve_agg_state,
+        read_agg_state,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    path = str(tmp_path / "state")
+    merge_agg_state(
+        spark, path, _rollup(o.filter("o_orderdate < '1997-01-01'")),
+        KEYS, SUMS, batch_id=1, maxs=MAXS, mins=MINS, keep_generations=3,
+    )
+    evolve_agg_state(
+        spark, path, KEYS, from_batch_id=2,
+        new_sums={"cents_v2": "bigint"}, keep_generations=3,
+    )
+    pre = read_agg_state(spark, path, generation=1)
+    post = read_agg_state(spark, path, generation=2)
+    assert "cents_v2" not in pre.columns
+    assert "cents_v2" in post.columns
+    assert _rows(pre) == _rows(
+        _rollup(o.filter("o_orderdate < '1997-01-01'"))
+    )

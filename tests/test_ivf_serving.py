@@ -320,3 +320,186 @@ def test_index_topk_layout_mode_equals_dataframe_mode_and_prunes(
         f.write(b"not parquet")
     again = ivf_index_topk(lay, q, path, nprobe=2, k=10)
     assert sorted(map(tuple, again.collect())) == want
+
+
+def _drain(spark, base, arrivals_dir, land, path, checkpoint=None):
+    from cinegraph_spark.operators.similarity import ivf_index_stream_update
+
+    arrivals = (
+        spark.readStream.schema("vec_id long, label int, v array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+    ivf_index_stream_update(
+        base, arrivals, land, path, checkpoint_dir=checkpoint
+    )
+
+
+def test_stream_update_equals_full_save(spark, sf_dir, tmp_path):
+    """Draining the arrivals as a 4-micro-batch stream through
+    ivf_index_stream_update must leave the centroid table bit-identical
+    to a fresh full save of the final corpus, and the landing layout
+    holding exactly the final corpus — the streaming form of the
+    update-equals-rebuild contract, at the IVF tier."""
+    from cinegraph_spark.operators.maintenance import layout_read
+    from cinegraph_spark.operators.similarity import ivf_centroids_save
+
+    e = _corpus(spark, sf_dir)
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    delta = e.filter(F.col("vec_id") % 5 == 0)
+    arrivals_dir = str(tmp_path / "arrivals")
+    delta.repartition(4).write.parquet(arrivals_dir)
+    path, full = str(tmp_path / "cent"), str(tmp_path / "full")
+    land = str(tmp_path / "land")
+    ivf_centroids_save(base, path)
+    _drain(spark, base, arrivals_dir, land, path)
+    ivf_centroids_save(e, full)
+    assert _rows(spark, path) == _rows(spark, full)
+    landed = sorted(
+        (r["vec_id"], r["label"], tuple(r["v"]))
+        for r in layout_read(spark, land)
+        .select("vec_id", "label", "v")
+        .collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["label"], tuple(r["v"])) for r in e.collect()
+    )
+    assert landed == want
+
+
+def test_stream_sink_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch — immediately, or
+    (for the disjoint-key batches of a stream ingest) even after a later
+    batch landed — must leave the layout and the centroid table
+    byte-identical to the single-delivery run: the layout merge anti-joins
+    the batch's own keys before re-adding them, and the centroid recompute
+    is a pure function of the merged layout."""
+    from cinegraph_spark.operators.similarity import (
+        ivf_centroids_save,
+        ivf_stream_maintenance_sink,
+    )
+
+    e = _corpus(spark, sf_dir)
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    b0 = e.filter(F.col("vec_id") % 10 == 0)
+    b1 = e.filter(F.col("vec_id") % 10 == 5)
+    path = str(tmp_path / "cent")
+    land = str(tmp_path / "land")
+    ivf_centroids_save(base, path)
+    sink = ivf_stream_maintenance_sink(base, land, path)
+
+    sink(b0, 0)
+    sink(b1, 1)
+    want = _rows(spark, path)
+    n_landed = spark.read.option("recursiveFileLookup", "true").parquet(
+        land
+    ).count()
+
+    sink(b1, 1)  # immediate replay of the last batch
+    sink(b0, 0)  # late replay after a later (disjoint-key) batch landed
+    assert _rows(spark, path) == want
+    assert (
+        spark.read.option("recursiveFileLookup", "true").parquet(land).count()
+        == n_landed
+    )
+
+
+def test_stream_update_resumes_from_checkpoint_as_noop(
+    spark, sf_dir, tmp_path
+):
+    """Re-running a finished drain against the same checkpoint must
+    process zero batches (the engine's offsets are the resume authority);
+    adding one new arrivals file and re-draining processes ONLY that file
+    and converges to the full save over the extended corpus."""
+    from cinegraph_spark.operators.similarity import ivf_centroids_save
+
+    e = _corpus(spark, sf_dir)
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    first = e.filter(F.col("vec_id") % 10 == 0)
+    second = e.filter(F.col("vec_id") % 10 == 5)
+    arrivals_dir = str(tmp_path / "arrivals")
+    first.coalesce(1).write.parquet(arrivals_dir)
+    path = str(tmp_path / "cent")
+    land = str(tmp_path / "land")
+    ckpt = str(tmp_path / "ckpt")
+    ivf_centroids_save(base, path)
+    _drain(spark, base, arrivals_dir, land, path, checkpoint=ckpt)
+    after_first = _rows(spark, path)
+
+    # finished stream, same checkpoint: zero new batches, state unchanged
+    _drain(spark, base, arrivals_dir, land, path, checkpoint=ckpt)
+    assert _rows(spark, path) == after_first
+
+    # one new file: only it drains; final state = full save over everything
+    second.coalesce(1).write.mode("append").parquet(arrivals_dir)
+    _drain(spark, base, arrivals_dir, land, path, checkpoint=ckpt)
+    full = str(tmp_path / "full")
+    ivf_centroids_save(base.unionByName(first).unionByName(second), full)
+    assert _rows(spark, path) == _rows(spark, full)
+
+
+def test_stream_update_touches_only_arrived_cells(spark, sf_dir, tmp_path):
+    """Per-batch landing cost is the touched cell DIRECTORIES only: a
+    batch confined to one cell must leave every other cell directory's
+    files (path, mtime) untouched in the landing layout."""
+    import os
+
+    from cinegraph_spark.operators.similarity import (
+        ivf_centroids_save,
+        ivf_stream_maintenance_sink,
+    )
+
+    e = _corpus(spark, sf_dir)
+    cell = int(e.first()["label"])
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(
+        (F.col("vec_id") % 5 == 0) & (F.col("label") == cell)
+    )
+    assert batch.count() > 0
+    path = str(tmp_path / "cent")
+    land = str(tmp_path / "land")
+    ivf_centroids_save(base, path)
+    sink = ivf_stream_maintenance_sink(base, land, path)
+    sink(e.filter("vec_id < 0"), 0)  # seeds the layout, lands nothing
+
+    def snap():
+        out = {}
+        for root, _, files in os.walk(land):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = snap()
+    sink(batch, 1)
+    after = snap()
+    touched_prefix = os.path.join(land, f"label={cell}")
+    for p, mt in before.items():
+        if not p.startswith(touched_prefix):
+            assert after.get(p) == mt, f"untouched file rewritten: {p}"
+
+
+def test_stream_sink_refuses_non_layout_landing_zone(spark, tmp_path):
+    """A non-empty land_dir WITHOUT a layout manifest must be refused,
+    not silently re-seeded from base — seeding would discard contents the
+    stream checkpoint may already have marked consumed (same rule as the
+    HNSW sink)."""
+    import pytest
+
+    from cinegraph_spark.operators.similarity import (
+        ivf_centroids_save,
+        ivf_stream_maintenance_sink,
+    )
+
+    e = spark.range(0, 40).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 4).cast("int").alias("label"),
+        F.array(*[F.rand(seed=7) for _ in range(4)]).alias("v"),
+    )
+    path = str(tmp_path / "cent")
+    ivf_centroids_save(e, path)
+    land = str(tmp_path / "land")
+    e.limit(3).write.parquet(land + "/debris")
+    sink = ivf_stream_maintenance_sink(e, land, path)
+    with pytest.raises(ValueError, match="not a clustered layout"):
+        sink(e.limit(1), 0)

@@ -1193,3 +1193,148 @@ def pq_index_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def pq_stream_maintenance_sink(
+    base: DataFrame, land_dir: str, path: str, v: str = "v"
+):
+    """``foreachBatch`` sink for STREAMING PQ maintenance — the PQ-tier
+    mirror of `operators/hnsw.py::hnsw_stream_maintenance_sink`: merge the
+    micro-batch into the hash-partitioned corpus layout at ``land_dir``
+    (latest-wins `hash_layout_upsert` under the state's OWN partition
+    function), then re-encode exactly the partition directories the
+    batch's keys hash into (:func:`pq_codes_update` in pruned-read layout
+    mode, frozen stored codebooks). Per-batch cost ∝ the touched
+    directories — landing, re-encode scan, and re-encode work alike;
+    never the corpus, never the cumulative arrival history.
+
+    Because the PQ partition function is a pure function of the key
+    (``pmod(hash(vec_id), n)`` — unlike the IVF cell layout), the full
+    HNSW replay contract holds: at-least-once ``foreachBatch`` replay,
+    even OUT OF ORDER after later batches landed, re-applies
+    deterministically — the latest-wins merge keeps the higher version
+    and the re-encode reads the merged corpus, never the delta rows, so
+    touched partitions rewrite to the same bytes. The maintained codes
+    converge to bit-identity with a fresh :func:`pq_codes_save` of the
+    final corpus (deterministic encode — pinned in
+    tests/test_pq_serving.py).
+
+    Arrivals are UPSERTS (a landed key shadows the ``base`` row; for a
+    key delivered in several batches the highest batch id wins; two rows
+    for one key inside a SINGLE batch are refused). Deletes cannot be
+    expressed as an arrival — route them through the batch
+    :func:`pq_codes_update` path. Codebooks stay frozen throughout:
+    retraining inside a drain would silently re-interpret every stored
+    code (`_pq_read_state`'s refusal documents the contract)."""
+    from cinegraph_spark.operators.maintenance import (
+        LAYOUT_VERSION_COL,
+        hash_layout_save,
+        hash_layout_upsert,
+        layout_meta,
+    )
+
+    spark = base.sparkSession
+
+    def _ensure_layout() -> None:
+        from cinegraph_spark.operators.maintenance import _hadoop_fs
+        from cinegraph_spark.operators.serving_io import recover_swap
+
+        try:
+            layout_meta(spark, land_dir)
+            return
+        except FileNotFoundError:
+            # a seed swap that crashed between renames parks the committed
+            # landing state under __old__/__swap__ siblings — re-seeding
+            # from ``base`` would drop every landed arrival (the
+            # checkpoint blocks their replay); recover first
+            if recover_swap(spark, land_dir)["action"] != "none":
+                layout_meta(spark, land_dir)
+                return
+            hfs, jpath = _hadoop_fs(spark, land_dir)
+            if hfs.exists(jpath) and list(hfs.listStatus(jpath)):
+                raise ValueError(
+                    f"pq_stream_maintenance_sink: {land_dir} exists and "
+                    "is not a clustered layout (no _LAYOUT.json) — "
+                    "seeding would discard its contents while the stream "
+                    "checkpoint blocks their replay; fold the directory "
+                    "into `base` (or point the drain at a fresh land_dir "
+                    "with a fresh checkpoint)"
+                )
+            _, n_partitions, key_ddl, _, _ = _pq_read_state(spark, path)
+            corpus_ddl = base.schema["vec_id"].dataType.simpleString()
+            if corpus_ddl != key_ddl:
+                # same Murmur3-type-drift rule as pq_corpus_layout: a
+                # drifted key type would lay the same keys into different
+                # directories than the stored codes
+                raise ValueError(
+                    f"pq_stream_maintenance_sink: corpus vec_id type "
+                    f"{corpus_ddl} differs from the state's stored key "
+                    f"type {key_ddl}; the landing layout must hash under "
+                    "the stored type"
+                )
+            hash_layout_save(
+                base.withColumn(
+                    LAYOUT_VERSION_COL, F.lit(-1).cast("long")
+                ),
+                land_dir,
+                "vec_id",
+                n_partitions,
+            )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        # duplicate keys within one batch are refused by
+        # hash_layout_upsert's per-call guard
+        _ensure_layout()
+        hash_layout_upsert(spark, land_dir, batch_df, version=batch_id)
+        pq_codes_update(land_dir, batch_df.select("vec_id"), path, v=v)
+
+    return apply
+
+
+def pq_index_stream_update(
+    base: DataFrame,
+    arrivals: DataFrame,
+    land_dir: str,
+    path: str,
+    v: str = "v",
+    timeout_s: int = 120,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Drain a STREAM of embedding arrivals into the persisted PQ codes
+    state — the continuous form of the daily :func:`pq_codes_update` job,
+    completing the streaming maintenance story across ALL THREE ANN tiers
+    (HNSW: `operators/hnsw.py::hnsw_index_stream_update`, IVF:
+    :func:`ivf_index_stream_update`; the reference's pgvector index is
+    maintained by Postgres on every INSERT, `db/models/embedding.py:15-17`
+    — this is the micro-batch equivalent at the PQ tier). ``base`` is the
+    corpus the state was saved over (it seeds the landing layout on the
+    first batch); ``arrivals`` is a streaming DataFrame with the same
+    ``(vec_id, v)`` schema. Runs under ``availableNow`` with the repo's
+    standard drain scoping and raises on timeout. See
+    :func:`pq_stream_maintenance_sink` for the per-batch mechanics, the
+    replay contract, and the upsert/no-delete arrival rule."""
+    from cinegraph_spark.session import bounded_shuffle, scoped_confs
+
+    spark = base.sparkSession
+    if checkpoint_dir is None:
+        # stable default derived from the landing zone (a crash-recovery
+        # rerun resumes from the engine's own offsets with the original
+        # batch ids)
+        checkpoint_dir = land_dir.rstrip("/") + "_checkpoint"
+    sink = pq_stream_maintenance_sink(base, land_dir, path, v=v)
+    with scoped_confs(
+        spark, **{"spark.sql.session.timeZone": "UTC"}
+    ), bounded_shuffle(spark, 8):
+        q = (
+            arrivals.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"PQ maintenance drain at {path} did not finish in "
+                f"{timeout_s}s"
+            )

@@ -1308,3 +1308,72 @@ def vec_ann_pq_incremental_topk(spark, sf_dir):
     pq_codes_update(corpus_path, delta, path)
     rerank = max(512, today.count())
     return pq_index_topk(corpus_path, q, path, k=10, rerank=rerank)
+
+
+@register(
+    "vec_ann_pq_stream_update_topk",
+    f"""
+    WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings WHERE vec_id <> 0),
+    q AS (SELECT {_DV} AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+             round(list_dot_product(v, qv)
+                   / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos_sim
+      FROM e, q
+    )
+    SELECT vec_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("vector", "ann", "pq", "similarity", "serving", "streaming",
+          "incremental"),
+)
+def vec_ann_pq_stream_update_topk(spark, sf_dir):
+    """STREAMING PQ serving-table maintenance (r15) — with this, ALL
+    THREE ANN tiers have streaming drains (HNSW r12, IVF r15, PQ here):
+    the codes state is saved over yesterday's corpus (vec_id % 5 != 0),
+    today's arrivals land as a REAL micro-batched stream (2 parquet
+    files, maxFilesPerTrigger=1 — two separate foreachBatch invocations),
+    and every batch merges latest-wins into the hash layout under the
+    state's OWN partition function then re-encodes exactly the touched
+    partition directories with the FROZEN stored codebooks
+    (`pq_stream_maintenance_sink` → `pq_codes_update` in pruned-read
+    layout mode). Deterministic encode ⇒ the drained codes are
+    bit-identical to a fresh full save of the final corpus (multi-batch,
+    replay, and convergence variants pinned in tests/test_pq_serving.py),
+    and serving in the exact regime (``rerank >= |corpus|``, derived
+    from a count) makes the whole round-trip brute-force
+    oracle-checkable — the streaming sibling of
+    `vec_ann_pq_incremental_topk`'s exact-oracle pattern."""
+    from cinegraph_spark.operators.similarity import (
+        pq_codes_save,
+        pq_index_stream_update,
+        pq_index_topk,
+        pq_train,
+    )
+    from cinegraph_spark.session import bounded_shuffle, scratch_dir
+
+    e = _emb(spark, sf_dir)
+    if sf_dir not in _PQ_BOOKS:
+        with bounded_shuffle(spark):
+            _PQ_BOOKS[sf_dir] = pq_train(e, m=8, k=16)
+    books = _PQ_BOOKS[sf_dir]
+    full = e.filter(F.col("vec_id") != 0).select("vec_id", "v")
+    yesterday = full.filter(F.col("vec_id") % 5 != 0)
+    arrivals_df = full.filter(F.col("vec_id") % 5 == 0)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scratch = scratch_dir("cg_pq_stream_")
+    path = scratch + "/state"
+    arrivals_dir = scratch + "/arrivals"
+    arrivals_df.repartition(2).write.parquet(arrivals_dir)
+    pq_codes_save(yesterday, books, path, n_partitions=4)
+    arrivals = (
+        spark.readStream.schema("vec_id long, v array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+    pq_index_stream_update(yesterday, arrivals, scratch + "/land", path)
+    rerank = max(512, full.count())
+    # the search reads the drained landing layout: the rerank fetch is
+    # pruned to the candidates' partition directories
+    return pq_index_topk(scratch + "/land", q, path, k=10, rerank=rerank)

@@ -422,3 +422,94 @@ def test_filtered_search_prefilter_semantics(spark, sf_dir, tmp_path):
                 F.col("vec_id").cast("int").alias("vec_id")
             ),
         ).collect()
+
+
+def test_stream_update_equals_full_save(spark, sf_dir, tmp_path):
+    """Draining the arrivals as a 4-micro-batch stream through
+    pq_index_stream_update must leave the codes table bit-identical to a
+    fresh full save of the final corpus (frozen codebooks, deterministic
+    encode) — the streaming form of the update-equals-rebuild contract,
+    at the PQ tier."""
+    from cinegraph_spark.operators.similarity import (
+        pq_codes_save,
+        pq_index_stream_update,
+    )
+
+    e = _corpus(spark, sf_dir)
+    books = _books(spark, sf_dir)
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    delta = e.filter(F.col("vec_id") % 5 == 0)
+    arrivals_dir = str(tmp_path / "arrivals")
+    delta.repartition(4).write.parquet(arrivals_dir)
+    path, full = str(tmp_path / "state"), str(tmp_path / "full")
+    pq_codes_save(base, books, path, n_partitions=4)
+    arrivals = (
+        spark.readStream.schema("vec_id long, v array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+    pq_index_stream_update(base, arrivals, str(tmp_path / "land"), path)
+    pq_codes_save(e, books, full, n_partitions=4)
+    assert _codes_rows(spark, path) == _codes_rows(spark, full)
+
+
+def test_stream_sink_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """The full HNSW replay contract holds at the PQ tier (the partition
+    function derives from the key): replaying a batch immediately — or
+    out of order after a later batch landed — leaves the landing layout
+    and the codes table byte-identical, because the latest-wins merge
+    keeps the higher version and the re-encode reads the merged corpus,
+    never the delta rows."""
+    from cinegraph_spark.operators.similarity import (
+        pq_codes_save,
+        pq_stream_maintenance_sink,
+    )
+
+    e = _corpus(spark, sf_dir)
+    books = _books(spark, sf_dir)
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    b0 = e.filter(F.col("vec_id") % 10 == 0)
+    b1 = e.filter(F.col("vec_id") % 10 == 5)
+    path = str(tmp_path / "state")
+    land = str(tmp_path / "land")
+    pq_codes_save(base, books, path, n_partitions=4)
+    sink = pq_stream_maintenance_sink(base, land, path)
+
+    sink(b0, 0)
+    sink(b1, 1)
+    want = _codes_rows(spark, path)
+    n_landed = spark.read.option("recursiveFileLookup", "true").parquet(
+        land
+    ).count()
+
+    sink(b1, 1)  # immediate replay of the last batch
+    sink(b0, 0)  # late, out-of-order replay after a later batch landed
+    assert _codes_rows(spark, path) == want
+    assert (
+        spark.read.option("recursiveFileLookup", "true").parquet(land).count()
+        == n_landed
+    )
+
+
+def test_stream_sink_refuses_non_layout_landing_zone(spark, tmp_path):
+    """A non-empty land_dir WITHOUT a layout manifest must be refused,
+    not silently re-seeded from base (same rule as the HNSW and IVF
+    sinks)."""
+    from cinegraph_spark.operators.similarity import (
+        pq_codes_save,
+        pq_stream_maintenance_sink,
+        pq_train,
+    )
+
+    e = spark.range(0, 60).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=11) for _ in range(8)]).alias("v"),
+    )
+    books = pq_train(e, m=4, k=4)
+    path = str(tmp_path / "state")
+    pq_codes_save(e, books, path, n_partitions=2)
+    land = str(tmp_path / "land")
+    e.limit(3).write.parquet(land + "/debris")
+    sink = pq_stream_maintenance_sink(e, land, path)
+    with pytest.raises(ValueError, match="not a clustered layout"):
+        sink(e.limit(1), 0)

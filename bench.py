@@ -123,6 +123,7 @@ HEADLINE = [
     "graph_sssp_weighted",
     "vec_ann_ivf_stream_update_topk",
     "agg_incremental_mv_rollback_read",
+    "sketch_kmv_distinct_overlap",
 ]
 
 #: Serving/maintenance tier (r13 verdict task 4): scenario queries whose

@@ -87,12 +87,13 @@ CHANGED_CODE_CANARIES: tuple[str, ...] = (
 #: (the exact-oracle PQ incremental maintenance cycle closing the r14
 #: verdict's task 2, the versioned-generation rollback read closing
 #: task 4, the MV schema-evolution round-trip closing task 7, and the
-#: four second-session r15 additions: the IVF and PQ streaming
-#: maintenance drains, the bounded weighted SSSP, and the versioned-MV
-#: time-travel read), then the ENTIRE r10-stale bucket the r14 verdict
-#: named (36 queries — freshness floor rises to r11), then the oldest
-#: four of the r11 bucket (registry order within each bucket).
-#: 3 + 7 + 36 + 4 = 50.
+#: five second-session r15 additions: the IVF and PQ streaming
+#: maintenance drains, the bounded weighted SSSP, the versioned-MV
+#: time-travel read, and the KMV set-operation sketch), then the ENTIRE
+#: r10-stale bucket the r14 verdict named (36 queries — freshness floor
+#: rises to r11), then the oldest three of the r11 bucket (registry
+#: order within each bucket).
+#: 3 + 8 + 36 + 3 = 50.
 #: Every name here must exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     # never driver-checked
@@ -103,6 +104,7 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "graph_sssp_weighted",
     "agg_incremental_mv_rollback_read",
     "vec_ann_pq_stream_update_topk",
+    "sketch_kmv_distinct_overlap",
     # last checked round 10 (registry order)
     "dedup_repeated_span_mask",
     "events_sliding_10min_step5",
@@ -144,7 +146,6 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "skew_salted_agg_revenue_per_priority",
     "agg_pivot_status_by_priority",
     "agg_unpivot_lineitem_measures",
-    "agg_percentiles_price",
 )
 
 

@@ -2245,3 +2245,102 @@ def events_scd2_point_in_time(spark, sf_dir):
             "state_value",
         )
     )
+
+
+@register(
+    "sketch_kmv_distinct_overlap",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    kmv AS (SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY h) AS rn
+            FROM pairs),
+    per AS (SELECT event_type AS measure, count(*) AS n, max(h) AS kth
+            FROM kmv WHERE rn <= 256 GROUP BY 1),
+    uh AS (SELECT DISTINCT h FROM pairs),
+    ukmv AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM uh),
+    uper AS (SELECT 'union' AS measure, count(*) AS n, max(h) AS kth
+             FROM ukmv WHERE rn <= 256),
+    est AS (
+      SELECT measure,
+             CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                  ELSE 255 * 4294967296.0 / kth END AS est
+      FROM (SELECT * FROM per UNION ALL SELECT * FROM uper)
+    ),
+    wide AS (SELECT
+      (SELECT est FROM est WHERE measure = 'view') AS v,
+      (SELECT est FROM est WHERE measure = 'purchase') AS p,
+      (SELECT est FROM est WHERE measure = 'union') AS u)
+    SELECT measure, round(est + 0, 4) AS est FROM est
+    UNION ALL
+    SELECT 'intersection' AS measure, round(v + p - u + 0, 4) AS est
+    FROM wide
+    """,
+    tags=("sketch", "kmv", "theta", "distinct", "set-ops", "events"),
+)
+def sketch_kmv_distinct_overlap(spark, sf_dir):
+    """KMV (k-minimum-values / theta) sketch with SET-OPERATION
+    estimates (r15) — the sketch family member HLL cannot replace:
+    bottom-k hash sets are mergeable under set-union (merge = union,
+    re-take the k smallest), so cohort UNION cardinality comes from one
+    merged sketch and INTERSECTION falls out by inclusion-exclusion —
+    here the view/purchase audience overlap, the classic two-cohort
+    question. k = 256 minimum values of the portable 32-bit md5-prefix
+    hash (the repo-wide portable-hash family), estimate
+    (k−1)·2³²/h₍ₖ₎ with the exact small-range branch (< k distinct ⇒
+    count is exact) — all deterministic integer/double math, so DuckDB
+    reproduces every estimate BIT-FOR-BIT (same IEEE multiply-divide
+    order), unlike library theta sketches whose hash seeds are engine
+    private. Scale shape: the sketch input is the DISTINCT (cohort,
+    hash) pairs — one shuffle of the dedup'd pair set; the per-cohort
+    bottom-k is a window over that set, the union bottom-k a global
+    256-row limit; sketches themselves are ≤ 256 longs per cohort, so
+    cross-cohort set algebra is driver-trivial at any corpus size."""
+    K = 256
+    ev = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", "user_id")
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        )
+        .cast("long")
+        .alias("h")
+    )
+    pairs = ev.select("event_type", h).distinct().localCheckpoint(eager=True)
+    w = Window.partitionBy("event_type").orderBy("h")
+    per = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .groupBy(F.col("event_type").alias("measure"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("kth"))
+    )
+    uper = (
+        pairs.select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(K)
+        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("kth"))
+        .select(F.lit("union").alias("measure"), "n", "kth")
+    )
+    est_col = F.when(
+        F.col("n") < K, F.col("n").cast("double")
+    ).otherwise(F.lit(255.0) * F.lit(4294967296.0) / F.col("kth"))
+    est = per.unionByName(uper).select("measure", est_col.alias("est"))
+    # the three estimates are scalars by construction — the collect is a
+    # 3-row driver fetch, then inclusion-exclusion is plain arithmetic
+    vals = {r["measure"]: float(r["est"]) for r in est.collect()}
+    inter = vals["view"] + vals["purchase"] - vals["union"]
+    rows = spark.createDataFrame(
+        [("intersection", inter)], "measure string, est double"
+    )
+    return est.unionByName(rows).select(
+        "measure", F.round(F.col("est") + F.lit(0), 4).alias("est")
+    )

@@ -293,3 +293,45 @@ def test_retention_merge_partition_invariance(weeks, cuts):
     # the query's reconciliation: rows carrying the final (minimal) cohort
     final_rows = {w for c, w in emissions if c == expected_cohort}
     assert final_rows == expected_weeks
+
+
+def test_kmv_estimates_track_true_distincts(spark, sf_dir):
+    """sketch_kmv_distinct_overlap: each KMV estimate must equal the true
+    distinct count exactly below k=256 (the sketch stores every hash) and
+    track it within the sketch's expected relative error above (~1/√k ≈
+    6%; assert a generous 3σ ≈ 20%). Intersection comes from
+    inclusion-exclusion, so its absolute error can triple — bound it by
+    the union's scale, and it must never exceed min(|A|, |B|) by more
+    than that slack."""
+    from pyspark.sql import functions as F
+
+    from cinegraph_spark.queries import load_all
+    from cinegraph_spark.queries.util import T
+
+    est = {
+        r["measure"]: float(r["est"])
+        for r in load_all()["sketch_kmv_distinct_overlap"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    true = {
+        r["event_type"]: int(r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    true["union"] = ev.select("user_id").distinct().count()
+    true["intersection"] = (
+        true["view"] + true["purchase"] - true["union"]
+    )
+    for m in ("view", "purchase", "union"):
+        if true[m] < 256:
+            assert est[m] == true[m], f"{m}: sub-k must be exact"
+        else:
+            rel = abs(est[m] - true[m]) / true[m]
+            assert rel < 0.20, f"{m}: rel err {rel:.3f} (est {est[m]}, true {true[m]})"
+    slack = 0.20 * 3 * max(true["union"], 1)
+    assert abs(est["intersection"] - true["intersection"]) <= slack

@@ -968,52 +968,33 @@ def hnsw_stream_maintenance_sink(
     spark = base.sparkSession
 
     def _ensure_layout() -> dict:
-        from cinegraph_spark.operators.maintenance import _hadoop_fs
-        from cinegraph_spark.operators.serving_io import recover_swap
+        # the shared probe heals a crashed layout swap (seed or
+        # post-reshard re-lay), refuses non-layout content (a pre-r13
+        # batch-keyed landing zone holds arrivals the checkpoint already
+        # marked consumed), and reports a genuinely fresh path
+        from cinegraph_spark.operators.serving_io import (
+            recover_landing_layout,
+        )
 
-        try:
+        if recover_landing_layout(
+            spark, land_dir, "hnsw_stream_maintenance_sink"
+        ):
             return layout_meta(spark, land_dir)
-        except FileNotFoundError:
-            # the layout's OWN swap can crash between renames (seed or
-            # post-reshard re-lay), leaving the committed landing state
-            # parked under __old__/__swap__ siblings — re-seeding from
-            # ``base`` there would silently drop every landed arrival
-            # (the checkpoint blocks their replay). Recover first; only
-            # a path with no parked copies may be seeded.
-            if recover_swap(spark, land_dir)["action"] != "none":
-                return layout_meta(spark, land_dir)
-            # refuse to seed OVER a non-empty non-layout directory: a
-            # pre-r13 batch-keyed landing zone here holds arrivals the
-            # checkpoint already marked consumed — re-seeding from
-            # ``base`` alone would silently drop those vectors from the
-            # index. Migrate explicitly instead.
-            hfs, jpath = _hadoop_fs(spark, land_dir)
-            if hfs.exists(jpath) and list(hfs.listStatus(jpath)):
-                raise ValueError(
-                    f"hnsw_stream_maintenance_sink: {land_dir} exists "
-                    "and is not a clustered layout (no _LAYOUT.json) — "
-                    "seeding would discard its contents while the "
-                    "stream checkpoint blocks their replay; fold the "
-                    "old landing zone into `base` (or point the drain "
-                    "at a fresh land_dir with a fresh checkpoint)"
-                )
-            head = spark.read.parquet(path).select("n_partitions").first()
-            # a vacuous index (saved over a zero-row corpus) has no
-            # identity to mirror: seed at modulus 1 — the same degrade
-            # as hnsw_corpus_layout; the update path degrades a vacuous
-            # table to a fresh full save without consulting the layout
-            # identity, and _sync_layout re-lays at the real modulus in
-            # the same batch
-            n = int(head["n_partitions"]) if head is not None else 1
-            hash_layout_save(
-                base.withColumn(
-                    LAYOUT_VERSION_COL, F.lit(-1).cast("long")
-                ),
-                land_dir,
-                "vec_id",
-                n,
-            )
-            return layout_meta(spark, land_dir)
+        head = spark.read.parquet(path).select("n_partitions").first()
+        # a vacuous index (saved over a zero-row corpus) has no
+        # identity to mirror: seed at modulus 1 — the same degrade
+        # as hnsw_corpus_layout; the update path degrades a vacuous
+        # table to a fresh full save without consulting the layout
+        # identity, and _sync_layout re-lays at the real modulus in
+        # the same batch
+        n = int(head["n_partitions"]) if head is not None else 1
+        hash_layout_save(
+            base.withColumn(LAYOUT_VERSION_COL, F.lit(-1).cast("long")),
+            land_dir,
+            "vec_id",
+            n,
+        )
+        return layout_meta(spark, land_dir)
 
     def _sync_layout(meta: dict) -> dict:
         # one column-pruned head read of the ≤ n_partitions-row blob
@@ -1081,7 +1062,7 @@ def hnsw_index_stream_update(
     standard drain scoping (UTC clock, bounded shuffle) under
     ``availableNow`` and raises on timeout rather than returning with
     the stream still writing."""
-    from cinegraph_spark.session import bounded_shuffle, scoped_confs
+    from cinegraph_spark.operators.serving_io import drain_available_now
 
     spark = base.sparkSession
     # no driver-local makedirs here (r12 ADVICE): land_dir may live on
@@ -1103,22 +1084,10 @@ def hnsw_index_stream_update(
         reshard_target_rows=reshard_target_rows,
         reshard_trigger_ratio=reshard_trigger_ratio,
     )
-    with scoped_confs(
-        spark, **{"spark.sql.session.timeZone": "UTC"}
-    ), bounded_shuffle(spark, 8):
-        q = (
-            arrivals.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", checkpoint_dir)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(timeout_s):
-            q.stop()
-            raise TimeoutError(
-                f"index maintenance drain at {path} did not finish in "
-                f"{timeout_s}s"
-            )
+    drain_available_now(
+        spark, arrivals, sink, checkpoint_dir, timeout_s,
+        f"index maintenance drain at {path}",
+    )
 
 
 def hnsw_index_reshard(

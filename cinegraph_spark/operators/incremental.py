@@ -28,9 +28,10 @@ def _dir_exists(spark: SparkSession, path: str) -> bool:
     they don't spray PATH_NOT_FOUND stacks into the listener bus and the
     bench logs (r15: the caught exception was harmless but
     indistinguishable from a real failure in the captured output)."""
-    jpath = spark._jvm.org.apache.hadoop.fs.Path
-    fs = jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs.exists(jpath(path))
+    from cinegraph_spark.operators.maintenance import _hadoop_fs
+
+    fs, jp = _hadoop_fs(spark, path)
+    return fs.exists(jp)
 
 
 def append_new_keys(
@@ -517,13 +518,6 @@ def evolve_agg_state(
             "keep_generations on every evolve of a versioned view (the "
             "root swap would destroy every retained snapshot)"
         )
-    if resolved is None and keep_generations is not None:
-        raise ValueError(
-            f"evolve_agg_state: the view at {path} is a legacy "
-            "(unversioned) state; versioning it in place would leave "
-            "the stale root files shadowing the generations — rebuild "
-            "the view with keep_generations set from its first refresh"
-        )
     state_dir = resolved if resolved is not None else path
     agg_dir, ledger_dir, evo_dir = (
         state_dir + "/agg", state_dir + "/applied", state_dir + "/evolution",
@@ -535,6 +529,16 @@ def evolve_agg_state(
                 "widens a LIVE state; create the view with its first "
                 "merge_agg_state refresh instead"
             )
+    if resolved is None and keep_generations is not None:
+        # checked only AFTER view existence: a nonexistent view must get
+        # the no-view error above, not a claim that it is 'legacy'
+        # (r15 review)
+        raise ValueError(
+            f"evolve_agg_state: the view at {path} is a legacy "
+            "(unversioned) state; versioning it in place would leave "
+            "the stale root files shadowing the generations — rebuild "
+            "the view with keep_generations set from its first refresh"
+        )
     applied = {
         int(r["batch_id"])
         for r in spark.read.parquet(ledger_dir).collect()

@@ -645,3 +645,69 @@ def vacuum_generations(
     if committed and not dry_run and deleted:
         _write_gen_manifest(spark, root, committed[-1], retained)
     return {"deleted": sorted(deleted), "kept": sorted(kept)}
+
+
+def drain_available_now(
+    spark, arrivals, sink, checkpoint_dir: str, timeout_s: int, what: str
+) -> None:
+    """Shared ``availableNow`` drain loop for the streaming maintenance
+    wrappers (`operators/hnsw.py::hnsw_index_stream_update`,
+    `operators/similarity.py::ivf_index_stream_update` /
+    ``pq_index_stream_update``): run the ``foreachBatch`` sink under the
+    repo's standard drain scoping (UTC session clock so no analysis-time
+    expression bakes a hostile zone; bounded shuffle so a plain driver
+    session's 200 partitions don't fragment the micro-batch jobs), and
+    raise on timeout rather than returning with the stream still
+    writing. Extracted r15 — three tiers carried verbatim copies of this
+    loop, and the drain contract must not drift per tier."""
+    from cinegraph_spark.session import bounded_shuffle, scoped_confs
+
+    with scoped_confs(
+        spark, **{"spark.sql.session.timeZone": "UTC"}
+    ), bounded_shuffle(spark, 8):
+        q = (
+            arrivals.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"{what} did not finish in {timeout_s}s"
+            )
+
+
+def recover_landing_layout(spark, land_dir: str, what: str) -> bool:
+    """Shared landing-zone probe for the streaming maintenance sinks:
+    True when a clustered layout exists at ``land_dir`` (healing a
+    crashed layout swap first — its committed state parks under
+    ``__old__``/``__swap__`` siblings, and re-seeding over it would
+    silently drop every landed arrival the stream checkpoint already
+    marked consumed); False when the path is genuinely fresh and safe to
+    seed; raises when the path holds non-layout content (same
+    drop-consumed-arrivals hazard — the caller must migrate explicitly).
+    Extracted r15 from the three tier sinks' identical blocks."""
+    from cinegraph_spark.operators.maintenance import (
+        _hadoop_fs,
+        layout_meta,
+    )
+
+    try:
+        layout_meta(spark, land_dir)
+        return True
+    except FileNotFoundError:
+        if recover_swap(spark, land_dir)["action"] != "none":
+            layout_meta(spark, land_dir)
+            return True
+        fs, jp = _hadoop_fs(spark, land_dir)
+        if fs.exists(jp) and list(fs.listStatus(jp)):
+            raise ValueError(
+                f"{what}: {land_dir} exists and is not a clustered "
+                "layout (no _LAYOUT.json) — seeding would discard its "
+                "contents while the stream checkpoint blocks their "
+                "replay; fold the directory into `base` (or point the "
+                "drain at a fresh land_dir with a fresh checkpoint)"
+            )
+        return False

@@ -667,6 +667,7 @@ def ivf_stream_maintenance_sink(
     path: str,
     label: str = "label",
     v: str = "v",
+    validate_cells: bool = False,
 ):
     """``foreachBatch`` sink for STREAMING IVF maintenance — the IVF-tier
     mirror of `operators/hnsw.py::hnsw_stream_maintenance_sink`: merge the
@@ -699,50 +700,70 @@ def ivf_stream_maintenance_sink(
     ``pmod(hash(key), n)`` partition function makes every key
     self-addressing and thus supports latest-wins replay) — route moves
     and deletes through the batch path (`column_layout_upsert` with
-    ``deletes=`` + :func:`ivf_centroids_update`)."""
+    ``deletes=`` + :func:`ivf_centroids_update`).
+
+    ``validate_cells=True`` upgrades that contract from documentation to
+    a per-batch REFUSAL: before anything lands, the batch's keys are
+    checked against the stored layout and an arrival whose key already
+    lives in a DIFFERENT cell raises (nothing is landed, nothing
+    recomputed). The check is information-theoretically a corpus
+    lookup — the old cell is not derivable from the row, so it costs one
+    column-pruned map-only scan of the layout's (key, cell) columns per
+    batch (broadcast-joined against the small batch; no shuffle). Leave
+    it off to keep the strict scan-∝-touched-directories contract when
+    the upstream already guarantees insert/same-cell arrivals; turn it
+    on when it does not — a violated contract otherwise leaves a stale
+    duplicate key in the old cell that no touched-directory scheme can
+    detect (r15 review)."""
     from cinegraph_spark.operators.maintenance import (
         column_layout_upsert,
-        layout_meta,
+        layout_read,
     )
 
     spark = base.sparkSession
 
     def _ensure_layout() -> None:
-        from cinegraph_spark.operators.maintenance import _hadoop_fs
-        from cinegraph_spark.operators.serving_io import recover_swap
+        # the shared probe heals a crashed seed swap, refuses non-layout
+        # content (consumed-arrival hazard), and reports a fresh path
+        from cinegraph_spark.operators.serving_io import (
+            recover_landing_layout,
+        )
 
-        try:
-            layout_meta(spark, land_dir)
-            return
-        except FileNotFoundError:
-            # the layout's own seed swap can crash between renames,
-            # parking the committed landing state under __old__/__swap__
-            # siblings — re-seeding from ``base`` there would silently
-            # drop every landed arrival (the checkpoint blocks their
-            # replay). Recover first; only a path with no parked copies
-            # may be seeded.
-            if recover_swap(spark, land_dir)["action"] != "none":
-                layout_meta(spark, land_dir)
-                return
-            # refuse to seed OVER a non-empty non-layout directory: its
-            # contents may be arrivals the checkpoint already marked
-            # consumed (same rule as the HNSW sink)
-            hfs, jpath = _hadoop_fs(spark, land_dir)
-            if hfs.exists(jpath) and list(hfs.listStatus(jpath)):
-                raise ValueError(
-                    f"ivf_stream_maintenance_sink: {land_dir} exists and "
-                    "is not a clustered layout (no _LAYOUT.json) — "
-                    "seeding would discard its contents while the stream "
-                    "checkpoint blocks their replay; fold the directory "
-                    "into `base` (or point the drain at a fresh land_dir "
-                    "with a fresh checkpoint)"
-                )
+        if not recover_landing_layout(
+            spark, land_dir, "ivf_stream_maintenance_sink"
+        ):
             ivf_corpus_layout(base, land_dir, label)
+
+    def _check_cells(batch_df: DataFrame) -> None:
+        # cross-cell re-embed guard (opt-in): one column-pruned scan of
+        # the stored (key, cell) pairs, probed by the broadcast batch —
+        # runs BEFORE the landing so a violation leaves the layout and
+        # the centroid table untouched
+        stored = layout_read(spark, land_dir).select(
+            "vec_id", F.col(label).alias("_stored_cell")
+        )
+        probe = batch_df.select("vec_id", F.col(label).alias("_new_cell"))
+        moved = (
+            stored.join(F.broadcast(probe), "vec_id")
+            .filter(F.col("_stored_cell") != F.col("_new_cell"))
+            .count()
+        )
+        if moved:
+            raise ValueError(
+                f"ivf_stream_maintenance_sink: {moved} arrival(s) move "
+                "a stored key to a different cell — a stream arrival "
+                "cannot address its old cell's directory, so landing it "
+                "would leave a stale duplicate there; route cell moves "
+                "through the batch path (column_layout_upsert with "
+                "deletes= + ivf_centroids_update)"
+            )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         # duplicate keys within one batch (no defined winner) are refused
         # by column_layout_upsert's per-call guard; NULL cells likewise
         _ensure_layout()
+        if validate_cells:
+            _check_cells(batch_df)
         column_layout_upsert(spark, land_dir, batch_df, key="vec_id")
         ivf_centroids_update(
             land_dir, batch_df.select(label), path, label=label, v=v
@@ -760,6 +781,7 @@ def ivf_index_stream_update(
     v: str = "v",
     timeout_s: int = 120,
     checkpoint_dir: str | None = None,
+    validate_cells: bool = False,
 ) -> None:
     """Drain a STREAM of embedding arrivals into the persisted IVF
     centroid table — the continuous form of the daily
@@ -775,8 +797,9 @@ def ivf_index_stream_update(
     (UTC clock, bounded shuffle) and raises on timeout rather than
     returning with the stream still writing. See
     :func:`ivf_stream_maintenance_sink` for the per-batch mechanics, cost
-    bound, replay contract, and the insert/same-cell arrival rule."""
-    from cinegraph_spark.session import bounded_shuffle, scoped_confs
+    bound, replay contract, the insert/same-cell arrival rule, and the
+    opt-in ``validate_cells`` cross-cell refusal."""
+    from cinegraph_spark.operators.serving_io import drain_available_now
 
     spark = base.sparkSession
     # no driver-local makedirs: land_dir may live on HDFS/an object store;
@@ -787,23 +810,13 @@ def ivf_index_stream_update(
         # rerun with the same land_dir resumes from the engine's own
         # offsets with the ORIGINAL batch ids)
         checkpoint_dir = land_dir.rstrip("/") + "_checkpoint"
-    sink = ivf_stream_maintenance_sink(base, land_dir, path, label, v)
-    with scoped_confs(
-        spark, **{"spark.sql.session.timeZone": "UTC"}
-    ), bounded_shuffle(spark, 8):
-        q = (
-            arrivals.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", checkpoint_dir)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(timeout_s):
-            q.stop()
-            raise TimeoutError(
-                f"IVF maintenance drain at {path} did not finish in "
-                f"{timeout_s}s"
-            )
+    sink = ivf_stream_maintenance_sink(
+        base, land_dir, path, label, v, validate_cells=validate_cells
+    )
+    drain_available_now(
+        spark, arrivals, sink, checkpoint_dir, timeout_s,
+        f"IVF maintenance drain at {path}",
+    )
 
 
 def _pq_part_expr(n_partitions: int):
@@ -1230,56 +1243,39 @@ def pq_stream_maintenance_sink(
         LAYOUT_VERSION_COL,
         hash_layout_save,
         hash_layout_upsert,
-        layout_meta,
     )
 
     spark = base.sparkSession
 
     def _ensure_layout() -> None:
-        from cinegraph_spark.operators.maintenance import _hadoop_fs
-        from cinegraph_spark.operators.serving_io import recover_swap
+        # the shared probe heals a crashed seed swap, refuses non-layout
+        # content (consumed-arrival hazard), and reports a fresh path
+        from cinegraph_spark.operators.serving_io import (
+            recover_landing_layout,
+        )
 
-        try:
-            layout_meta(spark, land_dir)
+        if recover_landing_layout(
+            spark, land_dir, "pq_stream_maintenance_sink"
+        ):
             return
-        except FileNotFoundError:
-            # a seed swap that crashed between renames parks the committed
-            # landing state under __old__/__swap__ siblings — re-seeding
-            # from ``base`` would drop every landed arrival (the
-            # checkpoint blocks their replay); recover first
-            if recover_swap(spark, land_dir)["action"] != "none":
-                layout_meta(spark, land_dir)
-                return
-            hfs, jpath = _hadoop_fs(spark, land_dir)
-            if hfs.exists(jpath) and list(hfs.listStatus(jpath)):
-                raise ValueError(
-                    f"pq_stream_maintenance_sink: {land_dir} exists and "
-                    "is not a clustered layout (no _LAYOUT.json) — "
-                    "seeding would discard its contents while the stream "
-                    "checkpoint blocks their replay; fold the directory "
-                    "into `base` (or point the drain at a fresh land_dir "
-                    "with a fresh checkpoint)"
-                )
-            _, n_partitions, key_ddl, _, _ = _pq_read_state(spark, path)
-            corpus_ddl = base.schema["vec_id"].dataType.simpleString()
-            if corpus_ddl != key_ddl:
-                # same Murmur3-type-drift rule as pq_corpus_layout: a
-                # drifted key type would lay the same keys into different
-                # directories than the stored codes
-                raise ValueError(
-                    f"pq_stream_maintenance_sink: corpus vec_id type "
-                    f"{corpus_ddl} differs from the state's stored key "
-                    f"type {key_ddl}; the landing layout must hash under "
-                    "the stored type"
-                )
-            hash_layout_save(
-                base.withColumn(
-                    LAYOUT_VERSION_COL, F.lit(-1).cast("long")
-                ),
-                land_dir,
-                "vec_id",
-                n_partitions,
+        _, n_partitions, key_ddl, _, _ = _pq_read_state(spark, path)
+        corpus_ddl = base.schema["vec_id"].dataType.simpleString()
+        if corpus_ddl != key_ddl:
+            # same Murmur3-type-drift rule as pq_corpus_layout: a
+            # drifted key type would lay the same keys into different
+            # directories than the stored codes
+            raise ValueError(
+                f"pq_stream_maintenance_sink: corpus vec_id type "
+                f"{corpus_ddl} differs from the state's stored key "
+                f"type {key_ddl}; the landing layout must hash under "
+                "the stored type"
             )
+        hash_layout_save(
+            base.withColumn(LAYOUT_VERSION_COL, F.lit(-1).cast("long")),
+            land_dir,
+            "vec_id",
+            n_partitions,
+        )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         # duplicate keys within one batch are refused by
@@ -1313,7 +1309,7 @@ def pq_index_stream_update(
     standard drain scoping and raises on timeout. See
     :func:`pq_stream_maintenance_sink` for the per-batch mechanics, the
     replay contract, and the upsert/no-delete arrival rule."""
-    from cinegraph_spark.session import bounded_shuffle, scoped_confs
+    from cinegraph_spark.operators.serving_io import drain_available_now
 
     spark = base.sparkSession
     if checkpoint_dir is None:
@@ -1322,19 +1318,7 @@ def pq_index_stream_update(
         # batch ids)
         checkpoint_dir = land_dir.rstrip("/") + "_checkpoint"
     sink = pq_stream_maintenance_sink(base, land_dir, path, v=v)
-    with scoped_confs(
-        spark, **{"spark.sql.session.timeZone": "UTC"}
-    ), bounded_shuffle(spark, 8):
-        q = (
-            arrivals.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", checkpoint_dir)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(timeout_s):
-            q.stop()
-            raise TimeoutError(
-                f"PQ maintenance drain at {path} did not finish in "
-                f"{timeout_s}s"
-            )
+    drain_available_now(
+        spark, arrivals, sink, checkpoint_dir, timeout_s,
+        f"PQ maintenance drain at {path}",
+    )

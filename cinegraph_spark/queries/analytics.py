@@ -2334,13 +2334,17 @@ def sketch_kmv_distinct_overlap(spark, sf_dir):
         F.col("n") < K, F.col("n").cast("double")
     ).otherwise(F.lit(255.0) * F.lit(4294967296.0) / F.col("kth"))
     est = per.unionByName(uper).select("measure", est_col.alias("est"))
-    # the three estimates are scalars by construction — the collect is a
-    # 3-row driver fetch, then inclusion-exclusion is plain arithmetic
+    # the three estimates are scalars by construction — collect them once
+    # (a 3-row driver fetch), derive the intersection by plain arithmetic
+    # (Python float IS IEEE binary64, same ops/order as the SQL), and
+    # build the WHOLE result from the collected values: returning the
+    # lazy `est` plan would re-run the sketch aggregations when the
+    # caller materializes it (r15 review)
     vals = {r["measure"]: float(r["est"]) for r in est.collect()}
-    inter = vals["view"] + vals["purchase"] - vals["union"]
+    vals["intersection"] = vals["view"] + vals["purchase"] - vals["union"]
     rows = spark.createDataFrame(
-        [("intersection", inter)], "measure string, est double"
+        sorted(vals.items()), "measure string, est double"
     )
-    return est.unionByName(rows).select(
+    return rows.select(
         "measure", F.round(F.col("est") + F.lit(0), 4).alias("est")
     )

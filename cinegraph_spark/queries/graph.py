@@ -607,6 +607,11 @@ def graph_sssp_weighted(spark, sf_dir):
             "dst",
             (F.lit(1000000).cast("long") - F.col("cnt")).alias("w"),
         )
+        # materialize ONCE: both the root seed and sssp_bounded's edge
+        # checkpoint consume this plan, and eager localCheckpoint jobs
+        # cannot share exchanges — without this the lineitem self-join +
+        # window pipeline would execute twice (r15 review)
+        .localCheckpoint(eager=True)
     )
     root = knn.agg(F.min("src").alias("id"))
     out = sssp_bounded(knn, root, max_hops=6)

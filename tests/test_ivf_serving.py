@@ -503,3 +503,43 @@ def test_stream_sink_refuses_non_layout_landing_zone(spark, tmp_path):
     sink = ivf_stream_maintenance_sink(e, land, path)
     with pytest.raises(ValueError, match="not a clustered layout"):
         sink(e.limit(1), 0)
+
+
+def test_stream_sink_strict_mode_refuses_cell_moves(spark, sf_dir, tmp_path):
+    """validate_cells=True (r15 review): an arrival whose key already
+    lives in a DIFFERENT cell is refused BEFORE anything lands — the
+    layout and the centroid table stay untouched (the default-off
+    contract documents the same rule; strict mode pays one column-pruned
+    corpus scan per batch to enforce it)."""
+    import pytest
+
+    from cinegraph_spark.operators.similarity import (
+        ivf_centroids_save,
+        ivf_stream_maintenance_sink,
+    )
+
+    e = _corpus(spark, sf_dir)
+    path = str(tmp_path / "cent")
+    land = str(tmp_path / "land")
+    ivf_centroids_save(e, path)
+    strict = ivf_stream_maintenance_sink(
+        e, land, path, validate_cells=True
+    )
+    strict(e.filter("vec_id < 0"), 0)  # seeds the layout
+    before = _rows(spark, path)
+
+    victim = e.first()
+    moved = spark.createDataFrame(
+        [(victim["vec_id"], int(victim["label"]) + 1, list(victim["v"]))],
+        "vec_id long, label int, v array<double>",
+    )
+    with pytest.raises(ValueError, match="different cell"):
+        strict(moved, 1)
+    assert _rows(spark, path) == before  # nothing landed or recomputed
+
+    # a same-cell re-embed passes the strict check
+    same = spark.createDataFrame(
+        [(victim["vec_id"], int(victim["label"]), [0.0] * len(victim["v"]))],
+        "vec_id long, label int, v array<double>",
+    )
+    strict(same, 2)

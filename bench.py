@@ -124,6 +124,9 @@ HEADLINE = [
     "vec_ann_ivf_stream_update_topk",
     "agg_incremental_mv_rollback_read",
     "sketch_kmv_distinct_overlap",
+    "layout_dv_delete_read",
+    "layout_occ_commit_retry",
+    "dedup_cdc_chunk_overlap",
 ]
 
 #: Serving/maintenance tier (r13 verdict task 4): scenario queries whose
@@ -151,6 +154,8 @@ SERVING = frozenset(
         "layout_compact_small_files_stats",
         "layout_vacuum_retention_roundtrip",
         "layout_generation_rollback_read",
+        "layout_dv_delete_read",
+        "layout_occ_commit_retry",
         "pipeline_stream_ingest_compact",
         "agg_incremental_mv_refresh",
         "agg_incremental_mv_retract",

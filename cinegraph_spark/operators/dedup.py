@@ -414,3 +414,77 @@ def repeated_ngram_span_mask(
         F.size(kept).alias("n_kept"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    mod: int = 16,
+) -> DataFrame:
+    """Content-defined chunking at word granularity (the rsync/LBFS/
+    CDC-dedup family, applied to text): a word STARTS a new chunk when
+    its portable hash ≡ 0 (mod ``mod``), so chunk boundaries are a pure
+    function of local content — a one-word edit moves at most the two
+    chunks around it, while fixed-size chunking would shift every later
+    boundary. This is what lets chunk-hash dedup find PARTIAL overlap
+    (shared boilerplate, quoted passages, re-posted fragments) that
+    whole-document hashing misses.
+
+    Returns one row per (document, chunk):
+    ``(id_col, chunk_id, n_words, chunk_hash)`` with ``chunk_id`` the
+    per-document running boundary count (consecutive; starts at 0 when
+    the document opens mid-chunk, 1 when its first word is a boundary)
+    and ``chunk_hash`` the md5 of the
+    space-rejoined chunk words — identical across engines, so the whole
+    operator carries an exact cross-engine oracle (the portable
+    md5-prefix hash family shared with the minhash/CMS sketches).
+
+    100 TB shape — strictly linear: one explode of the corpus into
+    words, ONE per-document window for the boundary prefix-sum
+    (partitioned by document — no global window), one hash aggregation
+    on (doc, chunk). Expected chunk length is ``mod`` words
+    (geometric); the tail is unbounded only for adversarial content
+    whose words all hash off-boundary, where a chunk degrades to the
+    whole document — the same per-document bound every doc-level
+    operator here already carries (real CDC systems add a max-size cut,
+    which would trade that bound for shift-sensitivity at the cut
+    points). Whitespace class is the explicit ``[ \\t\\n\\r]`` on both
+    engines — Java's ``\\s`` and RE2's disagree about vertical tab.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), "[ \t\n\r]+")
+        ).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    boundary = (
+        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10)
+        .cast("bigint") % F.lit(int(mod)) == 0
+    ).cast("int")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = words.withColumn("chunk_id", F.sum(boundary).over(w))
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "word"))
+                        ),
+                        lambda s: s["word"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+        .withColumn("chunk_id", F.col("chunk_id").cast("bigint"))
+    )

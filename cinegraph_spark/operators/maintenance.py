@@ -32,6 +32,13 @@ plain DataFrame primitives:
   layout itself at the same cost: touched directories are replaced via
   dynamic partition overwrite; untouched directories' files are never
   opened.
+- **Deletion vectors** (r15): :func:`layout_dv_delete` records deletes
+  in a tiny ``_dv`` sidecar instead of rewriting data — cost ∝ the keys,
+  which is what makes a K-row erasure request (GDPR delete) affordable
+  against 100 TB; reads anti-join the sidecar (merge-on-read), upserts
+  piggyback-apply it for the directories they rewrite anyway, and
+  :func:`layout_dv_compact` applies and clears the backlog on a
+  maintenance schedule.
 
 Swap semantics: the rewrite lands in a sibling directory and is renamed
 into place (old data kept at ``<path>__pre_compact`` until the swap
@@ -321,6 +328,7 @@ def _ddl_fields(ddl: str) -> dict[str, str]:
 def hash_layout_save(
     e: DataFrame, path: str, key: str, n_partitions: int,
     keep_generations: int | None = None,
+    expected_base: int | None = None,
 ) -> None:
     """Persist ``e`` physically partitioned by ``pmod(hash(key), n)``
     directories — the SAME Murmur3 partition function the HNSW/PQ serving
@@ -345,7 +353,14 @@ def hash_layout_save(
     marker create — no rename, no crash window, and a reader's plan
     survives a concurrent re-save because its generation's files are
     never touched). Costs ``keep_generations`` full copies of the
-    layout on disk — the standard lakehouse retention trade-off."""
+    layout on disk — the standard lakehouse retention trade-off.
+
+    ``expected_base``: optimistic-concurrency commit (r15) — pass the
+    :func:`serving_io.current_generation` this save's content was
+    computed from, and the commit raises
+    :class:`serving_io.GenerationConflictError` (discarding the stale
+    write) if another writer published first; recompute against the new
+    current and retry. Requires ``keep_generations``."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
@@ -383,11 +398,19 @@ def hash_layout_save(
     # and the observation is free anyway (it rides the write). Retrying
     # foreachBatch callers still pay one write+delete per bad-batch
     # retry; pre-validate the key upstream to avoid that.
+    if expected_base is not None and keep_generations is None:
+        raise ValueError(
+            "hash_layout_save: expected_base (optimistic-concurrency "
+            "commit) requires keep_generations — only generation "
+            "commits have the atomic token to arbitrate racing writers"
+        )
     obs = Observation()
     publish = (
         atomic_swap_dir(spark, path)
         if keep_generations is None
-        else generation_swap_dir(spark, path, keep=keep_generations)
+        else generation_swap_dir(
+            spark, path, keep=keep_generations, expected_base=expected_base
+        )
     )
     with publish as tmp:
         e.withColumn("part_id", part).observe(
@@ -489,10 +512,13 @@ def layout_read(
     ``keep_generations``) to a retained generation — the rollback /
     time-travel read; the plan is built against that generation's own
     directory, which no later save renames or rewrites, so the read is
-    stable even across a concurrent re-save (r14 verdict task 4)."""
+    stable even across a concurrent re-save (r14 verdict task 4).
+    Keys masked by a deletion-vector sidecar (:func:`layout_dv_delete`)
+    are anti-joined out."""
     path = _resolve_state_root(spark, path, generation)
     meta = _layout_meta_at(spark, path)
-    return _cast_part(_layout_raw(spark, path, meta), meta)
+    df = _cast_part(_layout_raw(spark, path, meta), meta)
+    return _dv_apply(spark, df, path, meta)
 
 
 def layout_pruned_read(
@@ -520,7 +546,10 @@ def layout_pruned_read(
     elif meta["part_col"] in raw.columns:
         raw = raw.filter(F.col(meta["part_col"]).isin(parts))
     # else: zero-partition layout — nothing to prune, zero rows anyway
-    return _cast_part(raw, meta)
+    # DV mask pruned to the SAME partitions: part_id is a pure function
+    # of the key, so out-of-set DV entries cannot match anyway — the
+    # prune only keeps the sidecar read proportional to the data read
+    return _dv_apply(spark, _cast_part(raw, meta), path, meta, parts=parts)
 
 
 def hash_layout_upsert(
@@ -591,6 +620,17 @@ def hash_layout_upsert(
             "hash_layout_upsert: deletes have no defined version "
             "semantics in latest-wins mode — route deletes through an "
             "unversioned layout or a full re-save"
+        )
+    if versioned and _dv_exists(spark, path):
+        # layout_dv_delete refuses versioned layouts, so this state can
+        # only arise from manual tampering — refuse before mutating
+        # rather than guess which row a masked key's version comparison
+        # should have seen
+        raise ValueError(
+            f"hash_layout_upsert: versioned layout at {path} carries a "
+            f"{DV_DIR} deletion-vector sidecar, which has no defined "
+            "version semantics — remove the sidecar or re-save the "
+            "layout"
         )
 
     def _checked_keys(
@@ -692,6 +732,20 @@ def hash_layout_upsert(
         jpath = spark._jvm.org.apache.hadoop.fs.Path
         for p in dropped:
             fs.delete(jpath(f"{path.rstrip('/')}/part_id={p}"), True)
+    if version is None and _dv_exists(spark, path):
+        # the rewrite of the touched directories read DV-masked content
+        # (layout_pruned_read applies the sidecar), so EVERY deletion-
+        # vector entry in those partitions is now either physically
+        # applied or resurrected by this upsert — clear them wholesale.
+        # Crash between the data write and this clear leaves re-inserted
+        # keys masked until the same upsert re-runs (the documented
+        # one-directory recovery contract, extended to the sidecar).
+        _dv_rewrite_parts(
+            spark,
+            path,
+            _dv_frame(spark, path, meta, parts=[]).limit(0),
+            changed,
+        )
     return {"touched_partitions": changed, "dropped_partitions": dropped}
 
 
@@ -842,6 +896,272 @@ def column_layout_upsert(
                 True,
             )
     return {"touched_cells": changed, "dropped_cells": dropped}
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors: merge-on-read deletes at cost ∝ keys, not data
+# ---------------------------------------------------------------------------
+
+#: sidecar container for a hash layout's deletion vector. Leading
+#: underscore ⇒ Spark's parquet reader skips it when scanning the layout's
+#: own partition directories (same convention as ``_gens``/``_SUCCESS``),
+#: so the sidecar can live INSIDE the layout root and travel with it
+#: through every sibling-swap / generation rename.
+DV_DIR = "_dv"
+
+
+def _dv_path(path: str) -> str:
+    return path.rstrip("/") + "/" + DV_DIR
+
+
+def _dv_exists(spark: SparkSession, path: str) -> bool:
+    fs, jp = _hadoop_fs(spark, _dv_path(path))
+    return fs.exists(jp)
+
+
+def _dv_frame(
+    spark: SparkSession, path: str, meta: dict, parts: list | None = None
+) -> DataFrame:
+    """The layout's deletion vector: one row per masked key, partitioned
+    by the SAME ``part_id`` directories as the data (the sidecar inherits
+    the layout's partition function, so every DV read prunes exactly like
+    a data read). Explicit schema from the manifest — a DV read must
+    never infer (same planning rule as :func:`_layout_raw`)."""
+    from pyspark.sql import functions as F
+
+    dv = spark.read.schema(
+        f"{meta['key']} {meta['key_ddl']}"
+    ).parquet(_dv_path(path))
+    if "part_id" not in dv.columns:
+        # zero-directory sidecar (transient: container seen mid-cleanup)
+        dv = dv.withColumn("part_id", F.lit(None).cast("int"))
+    dv = dv.withColumn("part_id", F.col("part_id").cast("int"))
+    if parts is not None:
+        parts = [int(p) for p in parts]
+        # lit(False) rather than isin([]), which PySpark rejects
+        dv = dv.filter(
+            F.col("part_id").isin(parts) if parts else F.lit(False)
+        )
+    return dv
+
+
+def _dv_apply(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    meta: dict,
+    parts: list | None = None,
+) -> DataFrame:
+    """Mask DV-deleted keys out of a layout read. One ``fs.exists`` in the
+    steady state (no sidecar ⇒ the read plan is untouched); with a
+    sidecar, a left-anti join on the key — delta-sized, so AQE broadcasts
+    it (no hint, same policy as the upsert's anti-join). Only hash-key
+    layouts carry DVs; other kinds pass through."""
+    if meta.get("kind") != "hash_key" or not _dv_exists(spark, path):
+        return df
+    dv = _dv_frame(spark, path, meta, parts=parts)
+    return df.join(dv.select(meta["key"]), meta["key"], "left_anti")
+
+
+def _dv_rewrite_parts(
+    spark: SparkSession, path: str, kept: DataFrame, parts: list
+) -> tuple[set, int]:
+    """Publish the new DV content for exactly ``parts``: dynamic-overwrite
+    the directories that still hold masked keys, drop the emptied ones,
+    and remove the sidecar container itself when the last directory goes
+    (so steady-state reads pay only the ``fs.exists``). ``kept`` must be
+    pruned to ``parts`` and carry (key, part_id). Returns
+    ``(still_present_parts, n_rows)``."""
+    dvp = _dv_path(path)
+    # the new content READS the directories being replaced — materialize
+    # first (same self-referential-overwrite rule as hash_layout_upsert);
+    # bounded by the DV volume of the touched partitions, which is the
+    # cost class of the whole operation
+    kept = kept.localCheckpoint(eager=True)
+    present = {
+        int(r["part_id"])
+        for r in kept.select("part_id").distinct().collect()
+    }
+    if present:
+        (
+            kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part_id")
+            .parquet(dvp)
+        )
+    fs, jdvp = _hadoop_fs(spark, dvp)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    for p in parts:
+        if int(p) not in present:
+            fs.delete(jpath(f"{dvp}/part_id={int(p)}"), True)
+    if fs.exists(jdvp):
+        kids = [
+            s
+            for s in fs.listStatus(jdvp)
+            if s.getPath().getName().startswith("part_id=")
+        ]
+        if not kids:
+            fs.delete(jdvp, True)
+    return present, kept.count()
+
+
+def layout_dv_delete(
+    spark: SparkSession, path: str, deletes: DataFrame
+) -> dict:
+    """Delete keys from a hash layout WITHOUT rewriting any data file —
+    the merge-on-read deletion-vector path (the mechanism behind
+    Delta/Iceberg deletion vectors). The keys land in a tiny ``_dv``
+    sidecar partitioned by the layout's OWN partition function; every
+    read (:func:`layout_read` / :func:`layout_pruned_read`) anti-joins
+    the sidecar, and :func:`layout_dv_compact` later applies and clears
+    it. Cost ∝ the delete keys plus the existing DV volume of the
+    touched partitions — at 100 TB this is what makes a K-row erasure
+    request (GDPR delete) a K-row write instead of a
+    touched-directory-volume rewrite (:func:`hash_layout_upsert`'s
+    ``deletes=`` path, which remains the right tool when a rewrite is
+    due anyway).
+
+    Semantics:
+
+    - deletes ACCUMULATE across calls (set union per partition);
+      re-running the same call is idempotent, which is also the
+      recovery for the one-directory mid-overwrite crash window;
+    - a key later re-inserted via :func:`hash_layout_upsert` is removed
+      from the DV by the upsert itself, so the new row is visible;
+    - deleting an absent key is allowed and simply records a tombstone
+      (the erasure-request shape: the caller need not scan 100 TB to
+      learn whether the key exists) — compaction clears it with the
+      rest;
+    - NULL / key_ddl-uncastable keys are refused (they would hash to an
+      arbitrary directory); versioned (latest-wins) layouts are refused
+      — a delete has no defined version semantics, same rule as
+      ``hash_layout_upsert(deletes=)`` in that mode.
+
+    On a versioned-generations root the sidecar lands inside the CURRENT
+    generation directory — retained older generations stay immutable
+    snapshots, exactly the in-place-maintenance contract upserts follow.
+    """
+    from pyspark.sql import functions as F
+
+    path = _resolve_state_root(spark, path)
+    meta = _layout_meta_at(spark, path)
+    if meta["kind"] != "hash_key":
+        raise ValueError(
+            f"layout_dv_delete: layout at {path} is kind "
+            f"{meta['kind']!r}, not a hash-key layout — deletion vectors "
+            "key on the stored hash identity"
+        )
+    if LAYOUT_VERSION_COL in _ddl_fields(meta["data_ddl"]):
+        raise ValueError(
+            "layout_dv_delete: layout is versioned (latest-wins); a "
+            "delete has no defined version semantics — route deletes "
+            "through an unversioned layout or a full re-save"
+        )
+    key, key_ddl, n = meta["key"], meta["key_ddl"], meta["n_partitions"]
+    cast = F.col(key).try_cast(key_ddl)
+    stats = deletes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(cast.isNull()).alias("bad"),
+    ).first()
+    if int(stats["bad"]):
+        raise ValueError(
+            f"layout_dv_delete: {int(stats['bad'])} delete {key} "
+            f"value(s) are NULL or do not cast to the layout key type "
+            f"{key_ddl}; they would hash to an arbitrary directory — "
+            "fix the input"
+        )
+    if not int(stats["n"]):
+        return {"touched_partitions": [], "dv_rows": 0}
+    part = F.pmod(F.hash(cast), F.lit(int(n))).cast("int")
+    dd = (
+        deletes.select(cast.alias(key))
+        .distinct()
+        .withColumn("part_id", part)
+    )
+    changed = sorted(
+        int(r["part_id"]) for r in dd.select("part_id").distinct().collect()
+    )
+    merged = dd
+    if _dv_exists(spark, path):
+        merged = (
+            _dv_frame(spark, path, meta, parts=changed)
+            .unionByName(dd)
+            .distinct()
+        )
+    _, n_rows = _dv_rewrite_parts(spark, path, merged, changed)
+    return {"touched_partitions": changed, "dv_rows": n_rows}
+
+
+def layout_dv_compact(
+    spark: SparkSession, path: str, parts: list | None = None
+) -> dict:
+    """Apply a hash layout's deletion vector and clear it: rewrite the
+    DV-carrying partition directories without their masked keys (dynamic
+    partition overwrite — untouched directories' files are never
+    opened), drop directories the rewrite emptied, then delete the
+    applied DV directories (and the sidecar container once empty, so
+    steady-state reads go back to one ``fs.exists``). ``parts`` bounds
+    the pass to named partitions — the incremental form a scheduled
+    maintenance job uses to spread a large backlog over windows.
+
+    Crash windows, both self-healing on re-run: mid data-overwrite is
+    the standard one-directory window (re-running restores it — the
+    DV still masks the keys, so READS are correct throughout); between
+    the data write and the DV clear, the DV masks keys that are already
+    gone — a no-op for readers — and the re-run clears it. Deletes-first
+    would be the unsafe order; this one is monotone."""
+    from pyspark.sql import functions as F
+
+    path = _resolve_state_root(spark, path)
+    meta = _layout_meta_at(spark, path)
+    if meta["kind"] != "hash_key":
+        raise ValueError(
+            f"layout_dv_compact: layout at {path} is kind "
+            f"{meta['kind']!r}, not a hash-key layout"
+        )
+    empty = {
+        "compacted_partitions": [],
+        "dv_rows_applied": 0,
+        "dropped_partitions": [],
+    }
+    if not _dv_exists(spark, path):
+        return empty
+    dv = _dv_frame(spark, path, meta)
+    if parts is None:
+        parts = sorted(
+            int(r["part_id"])
+            for r in dv.select("part_id").distinct().collect()
+        )
+    else:
+        parts = sorted(int(p) for p in parts)
+    if not parts:
+        return empty
+    applied = dv.filter(F.col("part_id").isin(parts)).count()
+    # layout_pruned_read already anti-joins the DV, so this IS the
+    # post-delete content of the touched directories
+    new = layout_pruned_read(spark, path, parts).localCheckpoint(eager=True)
+    present = {
+        int(r["part_id"])
+        for r in new.select("part_id").distinct().collect()
+    }
+    if present:
+        (
+            new.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part_id")
+            .parquet(path)
+        )
+    dropped = [p for p in parts if p not in present]
+    fs, _ = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    for p in dropped:
+        fs.delete(jpath(f"{path.rstrip('/')}/part_id={p}"), True)
+    _dv_rewrite_parts(spark, path, dv.filter(F.lit(False)), parts)
+    return {
+        "compacted_partitions": parts,
+        "dv_rows_applied": int(applied),
+        "dropped_partitions": dropped,
+    }
 
 
 def file_key_ranges(spark: SparkSession, path: str, key: str) -> list[tuple]:

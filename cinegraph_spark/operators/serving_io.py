@@ -388,6 +388,35 @@ GEN_MANIFEST = "_MANIFEST.json"
 
 _GEN_RE = re.compile(r"^g(\d{8})$")
 
+#: OCC transition tokens (optimistic concurrency, r15): `_TXN_NNNNNNNN`
+#: under ``root/_gens`` claims the transition base→base+1. Claimed via
+#: an exclusive create (``fs.create(..., overwrite=False)`` — atomic on
+#: HDFS and local; object stores need conditional puts), so exactly one
+#: of two same-base writers wins.
+_TXN_RE = re.compile(r"^_TXN_(\d{8})$")
+
+
+def _txn_name(n: int) -> str:
+    return f"_TXN_{n:08d}"
+
+
+class GenerationConflictError(RuntimeError):
+    """Another writer committed a generation after the base this writer
+    computed from — the optimistic-concurrency conflict. The state on
+    disk is the OTHER writer's (intact); the loser's work was discarded.
+    Recover by re-reading :func:`current_generation`, recomputing the
+    update against it, and committing with the new ``expected_base``."""
+
+
+def current_generation(spark, root: str) -> int:
+    """Newest committed generation number of a versioned state root, or
+    0 when none exists yet (fresh root / no ``_gens``) — the base an
+    optimistic writer records before computing, then passes as
+    ``expected_base``."""
+    fs, jpath = _gens_fs(spark, root)
+    gens = _list_gen_dirs(fs, jpath, root, spark)
+    return max((n for n, (_, ok) in gens.items() if ok), default=0)
+
 
 def _gen_dirname(n: int) -> str:
     return f"g{n:08d}"
@@ -505,12 +534,35 @@ def resolve_generation(spark, root: str, version: int | None = None):
 
 
 @contextmanager
-def generation_swap_dir(spark, root: str, keep: int = 2):
+def generation_swap_dir(
+    spark, root: str, keep: int = 2, expected_base: int | None = None
+):
     """Versioned counterpart of :func:`atomic_swap_dir`: yield a brand-new
     generation directory to populate; on clean exit drop the commit
     marker (the atomic publish — a single small-file create, no renames),
     refresh the root manifest, and prune committed generations beyond the
     newest ``keep``.
+
+    ``expected_base`` (r15) turns the commit into an OPTIMISTIC-
+    CONCURRENCY compare-and-swap — the lakehouse commit protocol that
+    relaxes this module's one-writer contract to "concurrent writers
+    race safely; losers retry". The writer records
+    :func:`current_generation` before computing, passes it here, and the
+    commit then (1) claims the transition token ``_TXN_<base+1>`` via an
+    exclusive create — atomic, so exactly ONE of two same-base writers
+    wins — and (2) verifies the newest committed generation still equals
+    the base (which catches non-OCC writers and any commit the token
+    cannot see). On either failure the populated directory is deleted
+    (it was computed from a stale base — known-stale work, not
+    inspection material; the winner's state is untouched) and
+    :class:`GenerationConflictError` asks the caller to recompute
+    against the new current. Tokens at or below the newest committed
+    generation are swept opportunistically on each successful OCC
+    commit; a claimant that crashed between claim and commit leaves its
+    token blocking same-base OCC commits until
+    :func:`vacuum_generations`'s storage-clock age sweep clears it —
+    the standard lease-less-lock trade-off, bounded by the vacuum
+    cadence.
 
     What this buys over the sibling swap, and what it costs:
 
@@ -559,7 +611,58 @@ def generation_swap_dir(spark, root: str, keep: int = 2):
     n = max(existing, default=0) + 1
     gen_dir = root.rstrip("/") + "/" + _GENS_DIR + "/" + _gen_dirname(n)
     yield gen_dir
+    if expected_base is not None:
+        base = int(expected_base)
+        gens_root = root.rstrip("/") + "/" + _GENS_DIR
+        claimed = False
+        try:
+            # exclusive create: the atomic arbiter between same-base
+            # racers (exactly one create(overwrite=False) can succeed)
+            fs.create(jpath(gens_root + "/" + _txn_name(base + 1)), False).close()
+            claimed = True
+        except Exception:
+            claimed = False
+        # re-list AFTER the claim: catches a non-OCC writer (no token)
+        # or any commit that advanced past the base while we computed
+        latest = _list_gen_dirs(fs, jpath, root)
+        newest = max(
+            (m for m, (_, ok) in latest.items() if ok), default=0
+        )
+        if not claimed or newest != base:
+            # computed from a stale base: known-stale work, delete it
+            # (the winner's committed state is untouched). A token we
+            # DID claim is released — with a mistaken too-high base it
+            # would otherwise squat on a future transition forever
+            if claimed:
+                fs.delete(
+                    jpath(gens_root + "/" + _txn_name(base + 1)), False
+                )
+            fs.delete(jpath(gen_dir), True)
+            raise GenerationConflictError(
+                f"generation commit conflict at {root}: expected base "
+                f"generation {base} but "
+                + (
+                    f"the current committed generation is {newest}"
+                    if newest != base
+                    else f"transition {base}->{base + 1} is already "
+                    "claimed (a racing writer won, or a crashed "
+                    "claimant's token awaits vacuum_generations)"
+                )
+                + " — re-read current_generation, recompute, retry"
+            )
+        existing = latest
     fs.create(jpath(gen_dir + "/" + _GEN_COMMITTED), True).close()
+    if expected_base is not None:
+        # sweep dead tokens (≤ the generation just published) only AFTER
+        # the commit marker exists: sweeping our own claim earlier would
+        # let a same-base racer claim, pass its newest-check, and commit
+        # a generation that silently drops this writer's update — the
+        # exact lost-update OCC exists to prevent
+        gens_root = root.rstrip("/") + "/" + _GENS_DIR
+        for st in fs.listStatus(jpath(gens_root)):
+            m = _TXN_RE.match(st.getPath().getName())
+            if m and int(m.group(1)) <= n:
+                fs.delete(st.getPath(), False)
     committed = sorted(
         [m for m, (_, ok) in existing.items() if ok] + [n]
     )
@@ -642,6 +745,29 @@ def vacuum_generations(
             deleted.append(p)
         else:
             kept.append(p)
+    # OCC transition tokens: ones at or below the newest committed
+    # generation are dead history (a successful OCC commit sweeps them
+    # too); a HIGHER orphan is a claimant that crashed between claim and
+    # commit — it blocks same-base OCC commits, so age it out by the
+    # same storage clock as uncommitted debris (a live claimant's token
+    # is never older than the retention)
+    newest_committed = committed[-1] if committed else 0
+    gens_j = jpath(root.rstrip("/") + "/" + _GENS_DIR)
+    if fs.exists(gens_j):
+        for st in fs.listStatus(gens_j):
+            m = _TXN_RE.match(st.getPath().getName())
+            if not m:
+                continue
+            tn = int(m.group(1))
+            tp = str(st.getPath().toString())
+            if tn <= newest_committed or (
+                float(st.getModificationTime()) < cutoff_ms
+            ):
+                if not dry_run:
+                    fs.delete(st.getPath(), False)
+                deleted.append(tp)
+            else:
+                kept.append(tp)
     if committed and not dry_run and deleted:
         _write_gen_manifest(spark, root, committed[-1], retained)
     return {"deleted": sorted(deleted), "kept": sorted(kept)}

@@ -83,17 +83,19 @@ CHANGED_CODE_CANARIES: tuple[str, ...] = (
 #: the registry in order under a ~50-query budget, so this list pins the
 #: front slots explicitly instead of relying on module import order.
 #: Round-15 rationale — per the r14 verdict's task 1: the three
-#: changed-code canaries lead, then the six never-driver-checked queries
-#: (the exact-oracle PQ incremental maintenance cycle closing the r14
-#: verdict's task 2, the versioned-generation rollback read closing
-#: task 4, the MV schema-evolution round-trip closing task 7, and the
-#: five second-session r15 additions: the IVF and PQ streaming
+#: changed-code canaries lead, then the nine never-driver-checked
+#: queries (the exact-oracle PQ incremental maintenance cycle closing
+#: the r14 verdict's task 2, the versioned-generation rollback read
+#: closing task 4, the MV schema-evolution round-trip closing task 7,
+#: the five second-session r15 additions — the IVF and PQ streaming
 #: maintenance drains, the bounded weighted SSSP, the versioned-MV
-#: time-travel read, and the KMV set-operation sketch), then the ENTIRE
-#: r10-stale bucket the r14 verdict named (36 queries — freshness floor
-#: rises to r11), then the oldest three of the r11 bucket (registry
-#: order within each bucket).
-#: 3 + 8 + 36 + 3 = 50.
+#: time-travel read, the KMV set-operation sketch — and the three
+#: third-session additions: the deletion-vector round-trip, the
+#: optimistic-concurrency commit retry, and the content-defined-chunking
+#: overlap report), then the ENTIRE r10-stale bucket the r14 verdict
+#: named (36 queries — freshness floor rises to r11; the r11 bucket no
+#: longer fits the budget and waits for r16).
+#: 3 + 11 + 36 = 50.
 #: Every name here must exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     # never driver-checked
@@ -105,6 +107,9 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "agg_incremental_mv_rollback_read",
     "vec_ann_pq_stream_update_topk",
     "sketch_kmv_distinct_overlap",
+    "layout_dv_delete_read",
+    "layout_occ_commit_retry",
+    "dedup_cdc_chunk_overlap",
     # last checked round 10 (registry order)
     "dedup_repeated_span_mask",
     "events_sliding_10min_step5",
@@ -142,10 +147,6 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "events_multigrain_time_rollup",
     "dq_constraint_report",
     "stats_robust_mad_outliers",
-    # last checked round 11 (registry order)
-    "skew_salted_agg_revenue_per_priority",
-    "agg_pivot_status_by_priority",
-    "agg_unpivot_lineitem_measures",
 )
 
 

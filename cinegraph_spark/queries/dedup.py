@@ -592,3 +592,85 @@ def dedup_repeated_span_mask(spark, sf_dir):
     return repeated_ngram_span_mask(docs, "text", "doc_id", k=5, min_df=2).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "dedup_cdc_chunk_overlap",
+    f"""
+    WITH {_DUP_CORPUS_CTE},
+    splits AS (
+      SELECT doc_id, string_split_regex(text, '[ \t\n\r]+') AS parts
+      FROM corpus
+    ),
+    words AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             parts[CAST(u.i AS INTEGER)] AS word
+      FROM splits, unnest(range(1, len(parts) + 1)) AS u(i)
+      WHERE parts[CAST(u.i AS INTEGER)] <> ''
+    ),
+    chunked AS (
+      SELECT doc_id, pos, word,
+             sum(CASE WHEN CAST(concat('0x', substr(md5(word), 1, 8))
+                           AS BIGINT) % 16 = 0
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+      FROM words
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id, count(*) AS n_words,
+             md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
+      FROM chunked GROUP BY doc_id, chunk_id
+    ),
+    hc AS (
+      SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs
+      FROM chunks GROUP BY chunk_hash
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN h.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           CAST(sum(c.n_words) AS BIGINT) AS n_words,
+           CAST(sum(CASE WHEN h.n_docs >= 2 THEN c.n_words ELSE 0 END)
+             AS BIGINT) AS n_shared_words
+    FROM chunks c JOIN hc h USING (chunk_hash)
+    GROUP BY c.doc_id
+    """,
+    tags=("dedup", "cdc", "chunking", "llm-pipeline"),
+)
+def dedup_cdc_chunk_overlap(spark, sf_dir):
+    """PARTIAL-overlap dedup via content-defined chunking (r15,
+    `operators/dedup.py::cdc_chunks` — the rsync/LBFS chunking family at
+    word granularity): chunk boundaries are a pure function of local
+    word hashes (portable md5 prefix ≡ 0 mod 16), so shared boilerplate
+    and re-posted fragments land in IDENTICAL chunks wherever they sit
+    in a document — the overlap class whole-document hashing and even
+    minhash-at-document-granularity under-report. Per document: total
+    chunks/words and how many sit in chunks shared with ≥2 distinct
+    docs (the dup-injected corpus guarantees full-overlap rows; organic
+    boilerplate surfaces as partial rows). Every intermediate is
+    engine-portable (explicit whitespace class — Java's and RE2's
+    ``\\s`` disagree on vertical tab; md5 chunk fingerprints), so the
+    whole pipeline carries an exact oracle. 100 TB shape: linear — one
+    corpus explode, one PER-DOCUMENT window (no global window), hash
+    aggregations on (doc, chunk) and chunk_hash; the chunk-count join is
+    the standard inverted-index shuffle, bounded by chunk count ≈
+    words/16."""
+    from cinegraph_spark.operators.dedup import cdc_chunks
+
+    chunks = cdc_chunks(_dup_corpus(spark, sf_dir), "text", "doc_id", mod=16)
+    hc = chunks.groupBy("chunk_hash").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    shared = (F.col("n_docs") >= 2).cast("int")
+    return (
+        chunks.join(hc, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(shared).cast("bigint").alias("n_shared_chunks"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum(F.col("n_words") * shared)
+            .cast("bigint")
+            .alias("n_shared_words"),
+        )
+    )

@@ -289,6 +289,187 @@ def layout_clustered_upsert_roundtrip(spark, sf_dir):
 
 
 @register(
+    "layout_dv_delete_read",
+    """
+    WITH final AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 26 = 5 THEN n_chars + 1000
+                  ELSE n_chars END AS nc
+      FROM documents
+      WHERE doc_id % 13 <> 6
+        AND (doc_id % 13 <> 5 OR doc_id % 26 = 5)
+    ),
+    agg AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nc) AS BIGINT) AS total_chars,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      FROM final GROUP BY lang
+    )
+    SELECT s.stage, a.lang, a.n_docs, a.total_chars, a.id_checksum
+    FROM agg a CROSS JOIN (VALUES ('dv'), ('compacted')) s(stage)
+    """,
+    tags=("layout", "maintenance", "deletion-vectors", "llm-pipeline"),
+)
+def layout_dv_delete_read(spark, sf_dir):
+    """Deletion-vector maintenance end-to-end (r15 —
+    `operators/maintenance.py::layout_dv_delete/layout_dv_compact`): the
+    documents corpus is laid out as a clustered hash layout, then two
+    erasure batches land as DELETION VECTORS — a tiny ``_dv`` sidecar
+    write per batch, zero data files rewritten (mtime-pinned in
+    tests/test_deletion_vectors.py) — a later upsert RESURRECTS part of
+    the first batch with modified rows (the new rows must win over the
+    stale masked ones), and the corpus is aggregated twice: once under
+    the merge-on-read mask (stage ``dv``) and once after
+    ``layout_dv_compact`` applies and clears the backlog (stage
+    ``compacted``). Both stages must hash-match the same plain SQL — a
+    mask leak, a lost resurrect, or a compaction that drops or
+    duplicates a row breaks one stage or the other. At 100 TB this is
+    what makes a K-row GDPR erasure a K-row write instead of a
+    touched-directory rewrite, with the rewrite deferred to a scheduled
+    compaction window."""
+    from cinegraph_spark.operators.maintenance import (
+        hash_layout_save,
+        hash_layout_upsert,
+        layout_dv_compact,
+        layout_dv_delete,
+        layout_read,
+    )
+    from cinegraph_spark.session import scratch_dir
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = scratch_dir("cg_layout_dv_") + "/corpus"
+    hash_layout_save(docs, path, "doc_id", 16)
+    layout_dv_delete(
+        spark, path, docs.filter(F.col("doc_id") % 13 == 5).select("doc_id")
+    )
+    resurrect = docs.filter(F.col("doc_id") % 26 == 5).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    # the upsert rewrites the resurrect keys' partitions anyway, so it
+    # piggyback-applies (and clears) the first batch's DV entries there;
+    # the second erasure batch lands AFTER it, so a non-empty backlog
+    # provably reaches the compaction below at every SF
+    hash_layout_upsert(spark, path, resurrect)
+    erased = layout_dv_delete(
+        spark, path, docs.filter(F.col("doc_id") % 13 == 6).select("doc_id")
+    )
+
+    def _agg(stage: str):
+        return (
+            layout_read(spark, path)
+            .groupBy("lang")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("total_chars"),
+                F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            )
+            .select(
+                F.lit(stage).alias("stage"),
+                "lang",
+                "n_docs",
+                "total_chars",
+                "id_checksum",
+            )
+        )
+
+    # stage 1 materializes UNDER the mask (read-time anti-join active)
+    masked = _agg("dv").localCheckpoint(eager=True)
+    report = layout_dv_compact(spark, path)
+    # the second batch lands after the upsert, so its entries must still
+    # be in the sidecar at compact time (empty-corpus runs record none)
+    if erased["dv_rows"] and not report["dv_rows_applied"]:
+        raise ValueError(
+            "layout_dv_delete_read: compaction applied no deletion-vector "
+            "rows — the sidecar was lost before the compact"
+        )
+    return masked.unionByName(_agg("compacted"))
+
+
+@register(
+    "layout_occ_commit_retry",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("layout", "maintenance", "occ", "concurrency"),
+)
+def layout_occ_commit_retry(spark, sf_dir):
+    """Optimistic-concurrency commit end-to-end (r15 —
+    `serving_io.generation_swap_dir(expected_base=)` /
+    `current_generation`): a versioned corpus layout takes a THREE-WAY
+    writer race — writer A and writer B both compute their additions
+    against base generation 1, A commits first, B's commit must raise
+    `GenerationConflictError` (the claim-token CAS: exclusive create of
+    the transition token, then newest-committed-equals-base) and leave
+    A's state untouched, then B recomputes against the NEW current and
+    lands. The query raises in-place if the conflict does NOT fire (a
+    silently-lost update is exactly the corruption OCC exists to
+    prevent) and the final corpus hash-matches plain SQL only if no
+    writer's rows were lost or doubled anywhere in the race. At 100 TB
+    this is the lakehouse commit protocol: concurrent maintenance jobs
+    race safely instead of serializing behind a scheduler lock, and the
+    loser pays a recompute, never a corruption."""
+    from cinegraph_spark.operators.maintenance import (
+        hash_layout_save,
+        layout_read,
+    )
+    from cinegraph_spark.operators.serving_io import (
+        GenerationConflictError,
+        current_generation,
+    )
+    from cinegraph_spark.session import scratch_dir
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    root = scratch_dir("cg_layout_occ_") + "/corpus"
+    hash_layout_save(
+        docs.filter(F.col("doc_id") % 3 == 0), root, "doc_id", 8,
+        keep_generations=2, expected_base=0,
+    )
+    base = current_generation(spark, root)
+    # both writers compute against generation `base` — B pins it, the
+    # reader contract that makes its plan stable while A publishes
+    stored = layout_read(spark, root, generation=base).drop("part_id")
+    content_a = stored.unionByName(docs.filter(F.col("doc_id") % 3 == 1))
+    content_b = stored.unionByName(docs.filter(F.col("doc_id") % 3 == 2))
+    hash_layout_save(
+        content_a, root, "doc_id", 8, keep_generations=2,
+        expected_base=base,
+    )
+    try:
+        hash_layout_save(
+            content_b, root, "doc_id", 8, keep_generations=2,
+            expected_base=base,
+        )
+    except GenerationConflictError:
+        pass
+    else:
+        raise ValueError(
+            "layout_occ_commit_retry: writer B's stale-base commit did "
+            "not conflict — writer A's update was silently lost"
+        )
+    # B retries: recompute against the new current, commit with its base
+    retry_base = current_generation(spark, root)
+    hash_layout_save(
+        layout_read(spark, root)
+        .drop("part_id")
+        .unionByName(docs.filter(F.col("doc_id") % 3 == 2)),
+        root, "doc_id", 8, keep_generations=2, expected_base=retry_base,
+    )
+    return (
+        layout_read(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
+@register(
     "layout_compact_small_files_stats",
     """
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

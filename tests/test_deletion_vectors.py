@@ -1,0 +1,239 @@
+"""Deletion vectors (operators/maintenance.py, r15) — merge-on-read
+deletes at cost ∝ keys, not data.
+
+Load-bearing claims pinned here:
+- ``layout_dv_delete`` masks keys from every read WITHOUT touching any
+  data file (untouched mtimes proven), and deletes accumulate across
+  calls;
+- ``hash_layout_upsert`` resurrects a DV-masked key (the new row is
+  visible, not the stale one) and clears the touched partitions'
+  DV entries wholesale — the rewrite it does anyway applies them;
+- ``layout_dv_compact`` preserves read results exactly, drops emptied
+  data directories, clears the sidecar container (steady-state reads go
+  back to one fs.exists), and honors a ``parts`` bound;
+- identity/mode guards: NULL keys, column layouts, versioned layouts,
+  and a versioned layout carrying a sidecar are all refused with named
+  errors.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cinegraph_spark.operators.maintenance import (
+    DV_DIR,
+    column_layout_save,
+    hash_layout_save,
+    hash_layout_upsert,
+    layout_dv_compact,
+    layout_dv_delete,
+    layout_pruned_read,
+    layout_read,
+)
+
+N_PARTS = 8
+
+
+def _mk(spark, n=100):
+    return spark.range(0, n).select(
+        F.col("id").alias("vec_id"), (F.col("id") * 2).alias("x")
+    )
+
+
+def _keys(spark, *ids):
+    return spark.createDataFrame([(int(i),) for i in ids], "vec_id long")
+
+
+def _rows(spark, path, **kw):
+    return sorted(
+        (r["vec_id"], r["x"])
+        for r in layout_read(spark, path, **kw).collect()
+    )
+
+
+def _data_mtimes(path):
+    out = {}
+    for root, _dirs, names in os.walk(path):
+        if DV_DIR in os.path.relpath(root, path).split(os.sep):
+            continue
+        for n in names:
+            if n.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, n)
+            out[os.path.relpath(p, path)] = os.stat(p).st_mtime_ns
+    return out
+
+
+@pytest.fixture()
+def layout(spark, tmp_path):
+    p = str(tmp_path / "layout")
+    hash_layout_save(_mk(spark), p, "vec_id", N_PARTS)
+    return p
+
+
+def test_dv_delete_masks_reads_without_touching_data(spark, layout):
+    before = _data_mtimes(layout)
+    out = layout_dv_delete(spark, layout, _keys(spark, 3, 7, 11))
+    assert out["dv_rows"] == 3 and out["touched_partitions"]
+    # no data file written, moved, or rewritten — the headline claim
+    assert _data_mtimes(layout) == before
+    want = sorted((i, 2 * i) for i in range(100) if i not in (3, 7, 11))
+    assert _rows(spark, layout) == want
+    # sidecar exists and is partitioned like the data
+    assert os.path.isdir(os.path.join(layout, DV_DIR))
+
+
+def test_dv_deletes_accumulate_and_rerun_is_idempotent(spark, layout):
+    layout_dv_delete(spark, layout, _keys(spark, 1, 2))
+    layout_dv_delete(spark, layout, _keys(spark, 3))
+    # re-running an earlier call merges to the same set (recovery path)
+    out = layout_dv_delete(spark, layout, _keys(spark, 1, 2))
+    assert out["dv_rows"] >= 2
+    gone = {1, 2, 3}
+    want = sorted((i, 2 * i) for i in range(100) if i not in gone)
+    assert _rows(spark, layout) == want
+
+
+def test_dv_pruned_read_applies_mask_within_parts(spark, layout):
+    layout_dv_delete(spark, layout, _keys(spark, 5))
+    part = (
+        _mk(spark)
+        .filter(F.col("vec_id") == 5)
+        .select(F.pmod(F.hash("vec_id"), F.lit(N_PARTS)).cast("int").alias("p"))
+        .first()["p"]
+    )
+    got = {
+        int(r["vec_id"])
+        for r in layout_pruned_read(spark, layout, [int(part)]).collect()
+    }
+    assert 5 not in got and got  # masked, but the partition still reads
+    # empty prune set stays legal with a sidecar present
+    assert layout_pruned_read(spark, layout, []).count() == 0
+
+
+def test_dv_blind_delete_records_tombstone(spark, layout):
+    before = _rows(spark, layout)
+    out = layout_dv_delete(spark, layout, _keys(spark, 10_000))
+    assert out["dv_rows"] == 1
+    assert _rows(spark, layout) == before  # absent key: reads unchanged
+    rep = layout_dv_compact(spark, layout)
+    assert rep["dv_rows_applied"] == 1
+    assert not os.path.isdir(os.path.join(layout, DV_DIR))
+    assert _rows(spark, layout) == before
+
+
+def test_upsert_resurrects_masked_key_and_clears_dv(spark, layout):
+    layout_dv_delete(spark, layout, _keys(spark, 4, 6))
+    up = spark.createDataFrame([(4, 999)], "vec_id long, x long")
+    hash_layout_upsert(spark, layout, up)
+    rows = dict(_rows(spark, layout))
+    assert rows[4] == 999  # the NEW row, not the stale masked one
+    # key 6: if it shares 4's partition the rewrite applied its delete
+    # physically and cleared its DV entry; else it stays masked — either
+    # way the read excludes it
+    assert 6 not in rows
+    # after compacting whatever DV remains, results are unchanged
+    layout_dv_compact(spark, layout)
+    assert dict(_rows(spark, layout)) == rows
+
+
+def test_dv_compact_preserves_reads_and_clears_sidecar(spark, layout):
+    layout_dv_delete(spark, layout, _keys(spark, *range(0, 40)))
+    before_rows = _rows(spark, layout)
+    before_untouched = _data_mtimes(layout)
+    rep = layout_dv_compact(spark, layout)
+    assert rep["dv_rows_applied"] == 40
+    assert sorted(rep["compacted_partitions"]) == rep["compacted_partitions"]
+    assert _rows(spark, layout) == before_rows
+    assert not os.path.isdir(os.path.join(layout, DV_DIR))
+    # only the DV-carrying partitions were rewritten
+    touched = {f"part_id={p}" for p in rep["compacted_partitions"]}
+    after = _data_mtimes(layout)
+    for rel, mt in before_untouched.items():
+        if rel.split(os.sep)[0] not in touched:
+            assert after[rel] == mt
+    # a second compact is a clean no-op
+    assert layout_dv_compact(spark, layout)["compacted_partitions"] == []
+
+
+def test_dv_compact_drops_emptied_directory_and_honors_parts_bound(
+    spark, tmp_path
+):
+    p = str(tmp_path / "small")
+    hash_layout_save(_mk(spark, 16), p, "vec_id", N_PARTS)
+    # wipe out every key of one partition
+    one_part = (
+        _mk(spark, 16)
+        .withColumn(
+            "p", F.pmod(F.hash("vec_id"), F.lit(N_PARTS)).cast("int")
+        )
+        .filter(F.col("p") == 0)
+        .select("vec_id")
+    )
+    victim_ids = [int(r["vec_id"]) for r in one_part.collect()]
+    assert victim_ids, "fixture needs at least one key in partition 0"
+    layout_dv_delete(spark, p, one_part)
+    rest = set(range(16)) - set(victim_ids)
+    assert rest, "fixture needs keys outside partition 0 too"
+    layout_dv_delete(spark, p, _keys(spark, *rest))
+    # bound the pass to partition 0 only
+    rep = layout_dv_compact(spark, p, parts=[0])
+    assert rep["compacted_partitions"] == [0]
+    assert 0 in rep["dropped_partitions"]
+    assert not os.path.isdir(os.path.join(p, "part_id=0"))
+    # the rest of the backlog still masks reads (sidecar retained)
+    assert _rows(spark, p) == []
+    assert os.path.isdir(os.path.join(p, DV_DIR))
+    layout_dv_compact(spark, p)
+    assert not os.path.isdir(os.path.join(p, DV_DIR))
+
+
+def test_dv_guards(spark, tmp_path):
+    # NULL / uncastable keys refused
+    p = str(tmp_path / "layout")
+    hash_layout_save(_mk(spark), p, "vec_id", 4)
+    bad = spark.createDataFrame([(None,)], "vec_id long")
+    with pytest.raises(ValueError, match="NULL or do not cast"):
+        layout_dv_delete(spark, p, bad)
+    # empty delete set is a no-op
+    out = layout_dv_delete(spark, p, bad.limit(0))
+    assert out == {"touched_partitions": [], "dv_rows": 0}
+    # column layouts have no key identity to mask on
+    cp = str(tmp_path / "cells")
+    column_layout_save(
+        _mk(spark).withColumn("cell", F.col("vec_id") % 3), cp, "cell"
+    )
+    with pytest.raises(ValueError, match="not a hash-key layout"):
+        layout_dv_delete(spark, cp, _keys(spark, 1))
+    with pytest.raises(ValueError, match="not a hash-key layout"):
+        layout_dv_compact(spark, cp)
+    # versioned (latest-wins) layouts refuse deletes
+    vp = str(tmp_path / "versioned")
+    hash_layout_save(
+        _mk(spark).withColumn("_layout_version", F.lit(1).cast("long")),
+        vp,
+        "vec_id",
+        4,
+    )
+    with pytest.raises(ValueError, match="versioned"):
+        layout_dv_delete(spark, vp, _keys(spark, 1))
+    # a tampered versioned layout carrying a sidecar refuses upserts
+    os.makedirs(os.path.join(vp, DV_DIR, "part_id=0"), exist_ok=True)
+    up = spark.createDataFrame([(1, 5)], "vec_id long, x long")
+    with pytest.raises(ValueError, match="deletion-vector sidecar"):
+        hash_layout_upsert(spark, vp, up, version=2)
+
+
+def test_dv_travels_with_generation_saves(spark, tmp_path):
+    root = str(tmp_path / "gens")
+    hash_layout_save(_mk(spark), root, "vec_id", 4, keep_generations=2)
+    layout_dv_delete(spark, root, _keys(spark, 1))
+    assert dict(_rows(spark, root)).get(1) is None
+    # a NEW generation save publishes a clean snapshot; the old
+    # generation keeps its own sidecar (immutable-snapshot contract)
+    hash_layout_save(_mk(spark), root, "vec_id", 4, keep_generations=2)
+    assert dict(_rows(spark, root))[1] == 2
+    assert dict(_rows(spark, root, generation=1)).get(1) is None

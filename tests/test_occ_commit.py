@@ -1,0 +1,171 @@
+"""Optimistic-concurrency generation commits (serving_io, r15): two
+writers racing on one versioned state root must never silently lose an
+update. The commit protocol is claim-token CAS (exclusive create of
+``_TXN_<base+1>``) plus a newest-committed-equals-base check; the loser's
+populated directory is discarded and it retries from the new current.
+
+Pinned here:
+- a stale-base commit raises GenerationConflictError, leaves the winner's
+  state byte-identical, and leaves NO stale generation behind;
+- the retry path (re-read current_generation, recompute, commit) lands;
+- a non-OCC writer advancing the root also conflicts a stale OCC commit
+  (the token alone is not trusted);
+- a crashed claimant's orphan token blocks same-base OCC commits until
+  vacuum_generations sweeps it by storage-clock age;
+- a mistaken too-high base releases its claimed future token on failure;
+- expected_base without keep_generations is refused by hash_layout_save.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cinegraph_spark.operators.maintenance import (
+    hash_layout_save,
+    layout_read,
+)
+from cinegraph_spark.operators.serving_io import (
+    GenerationConflictError,
+    current_generation,
+    list_generations,
+    vacuum_generations,
+)
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 10).alias("val")
+    )
+
+
+def _ids(spark, root, **kw):
+    return sorted(
+        r["id"] for r in layout_read(spark, root, **kw).collect()
+    )
+
+
+def _gens_dir(root):
+    return os.path.join(root, "_gens")
+
+
+def test_occ_first_save_and_stale_base_conflict(spark, tmp_path):
+    root = str(tmp_path / "t")
+    assert current_generation(spark, root) == 0  # fresh root
+    hash_layout_save(
+        _mk(spark, 0, 4), root, "id", 2, keep_generations=3,
+        expected_base=0,
+    )
+    assert current_generation(spark, root) == 1
+
+    # two writers both read base=1; A commits first
+    base = current_generation(spark, root)
+    hash_layout_save(
+        _mk(spark, 0, 6), root, "id", 2, keep_generations=3,
+        expected_base=base,
+    )
+    with pytest.raises(GenerationConflictError, match="expected base"):
+        hash_layout_save(
+            _mk(spark, 0, 9), root, "id", 2, keep_generations=3,
+            expected_base=base,
+        )
+    # winner's state intact, loser left no committed generation
+    assert _ids(spark, root) == list(range(6))
+    assert sorted(list_generations(spark, root)) == [1, 2]
+    # and no uncommitted debris either: the loser's dir was discarded
+    leftovers = [
+        d for d in os.listdir(_gens_dir(root)) if d.startswith("g")
+    ]
+    assert sorted(leftovers) == ["g00000001", "g00000002"]
+
+    # retry from the NEW current lands as generation 3
+    hash_layout_save(
+        _mk(spark, 0, 9), root, "id", 2, keep_generations=3,
+        expected_base=current_generation(spark, root),
+    )
+    assert _ids(spark, root) == list(range(9))
+    assert current_generation(spark, root) == 3
+    # successful commits sweep dead tokens
+    assert not [
+        t for t in os.listdir(_gens_dir(root)) if t.startswith("_TXN_")
+    ]
+
+
+def test_non_occ_writer_conflicts_stale_occ_commit(spark, tmp_path):
+    root = str(tmp_path / "t")
+    hash_layout_save(
+        _mk(spark, 0, 4), root, "id", 2, keep_generations=3,
+        expected_base=0,
+    )
+    base = current_generation(spark, root)
+    # a plain (non-OCC) save advances the root without any token
+    hash_layout_save(_mk(spark, 0, 5), root, "id", 2, keep_generations=3)
+    with pytest.raises(GenerationConflictError):
+        hash_layout_save(
+            _mk(spark, 0, 9), root, "id", 2, keep_generations=3,
+            expected_base=base,
+        )
+    assert _ids(spark, root) == list(range(5))
+
+
+def test_orphan_token_blocks_until_vacuumed(spark, tmp_path):
+    import time
+
+    root = str(tmp_path / "t")
+    hash_layout_save(
+        _mk(spark, 0, 4), root, "id", 2, keep_generations=3,
+        expected_base=0,
+    )
+    base = current_generation(spark, root)
+    # simulate a claimant that crashed between claim and commit
+    orphan = os.path.join(_gens_dir(root), f"_TXN_{base + 1:08d}")
+    open(orphan, "w").close()
+    with pytest.raises(GenerationConflictError, match="claimed"):
+        hash_layout_save(
+            _mk(spark, 0, 6), root, "id", 2, keep_generations=3,
+            expected_base=base,
+        )
+    # age the orphan past retention and vacuum — OCC commits resume
+    stale_t = time.time() - 48 * 3600
+    os.utime(orphan, (stale_t, stale_t))
+    vacuum_generations(spark, root, keep=3, older_than_hours=24.0)
+    assert not os.path.exists(orphan)
+    hash_layout_save(
+        _mk(spark, 0, 6), root, "id", 2, keep_generations=3,
+        expected_base=base,
+    )
+    assert _ids(spark, root) == list(range(6))
+
+
+def test_too_high_base_releases_future_token(spark, tmp_path):
+    root = str(tmp_path / "t")
+    hash_layout_save(
+        _mk(spark, 0, 4), root, "id", 2, keep_generations=3,
+        expected_base=0,
+    )
+    # caller bug: base beyond current — the claim succeeds (future
+    # token) but the newest-check fails; the token must be released so
+    # the eventual legitimate transition is not squatted
+    with pytest.raises(GenerationConflictError):
+        hash_layout_save(
+            _mk(spark, 0, 6), root, "id", 2, keep_generations=3,
+            expected_base=7,
+        )
+    assert not [
+        t for t in os.listdir(_gens_dir(root)) if t.startswith("_TXN_")
+    ]
+    hash_layout_save(
+        _mk(spark, 0, 6), root, "id", 2, keep_generations=3,
+        expected_base=current_generation(spark, root),
+    )
+    assert _ids(spark, root) == list(range(6))
+
+
+def test_expected_base_requires_generations(spark, tmp_path):
+    with pytest.raises(ValueError, match="requires keep_generations"):
+        hash_layout_save(
+            _mk(spark, 0, 4), str(tmp_path / "t"), "id", 2,
+            expected_base=0,
+        )

@@ -127,6 +127,7 @@ HEADLINE = [
     "layout_dv_delete_read",
     "layout_occ_commit_retry",
     "dedup_cdc_chunk_overlap",
+    "layout_generation_cdc_diff",
 ]
 
 #: Serving/maintenance tier (r13 verdict task 4): scenario queries whose
@@ -156,6 +157,7 @@ SERVING = frozenset(
         "layout_generation_rollback_read",
         "layout_dv_delete_read",
         "layout_occ_commit_retry",
+        "layout_generation_cdc_diff",
         "pipeline_stream_ingest_compact",
         "agg_incremental_mv_refresh",
         "agg_incremental_mv_retract",

@@ -89,13 +89,15 @@ CHANGED_CODE_CANARIES: tuple[str, ...] = (
 #: closing task 4, the MV schema-evolution round-trip closing task 7,
 #: the five second-session r15 additions — the IVF and PQ streaming
 #: maintenance drains, the bounded weighted SSSP, the versioned-MV
-#: time-travel read, the KMV set-operation sketch — and the three
+#: time-travel read, the KMV set-operation sketch — and the five
 #: third-session additions: the deletion-vector round-trip, the
-#: optimistic-concurrency commit retry, and the content-defined-chunking
-#: overlap report), then the ENTIRE r10-stale bucket the r14 verdict
-#: named (36 queries — freshness floor rises to r11; the r11 bucket no
-#: longer fits the budget and waits for r16).
-#: 3 + 11 + 36 = 50.
+#: optimistic-concurrency commit retry, the content-defined-chunking
+#: overlap report, the streaming erasure drain, and the generation CDC
+#: diff), then the r10-stale bucket the r14 verdict named in registry
+#: order — 34 of its 36 fit the budget; the last two
+#: (dq_constraint_report, stats_robust_mad_outliers) carry to r16, so
+#: the freshness floor stays r10 for exactly those two.
+#: 3 + 13 + 34 = 50.
 #: Every name here must exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     # never driver-checked
@@ -110,6 +112,8 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "layout_dv_delete_read",
     "layout_occ_commit_retry",
     "dedup_cdc_chunk_overlap",
+    "layout_dv_stream_erasure",
+    "layout_generation_cdc_diff",
     # last checked round 10 (registry order)
     "dedup_repeated_span_mask",
     "events_sliding_10min_step5",
@@ -145,8 +149,6 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "sketch_histogram_quantiles",
     "join_bloom_prefilter_effect",
     "events_multigrain_time_rollup",
-    "dq_constraint_report",
-    "stats_robust_mad_outliers",
 )
 
 

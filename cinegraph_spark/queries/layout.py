@@ -470,6 +470,134 @@ def layout_occ_commit_retry(spark, sf_dir):
 
 
 @register(
+    "layout_dv_stream_erasure",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM documents
+    WHERE doc_id % 9 <> 2
+    GROUP BY lang
+    """,
+    tags=("layout", "maintenance", "deletion-vectors", "streaming",
+          "llm-pipeline"),
+)
+def layout_dv_stream_erasure(spark, sf_dir):
+    """STREAMING erasure feed end-to-end (r15 —
+    `maintenance.py::dv_stream_delete`): a corpus layout takes a stream
+    of delete keys in three REAL micro-batches (maxFilesPerTrigger=1)
+    through the production foreachBatch drain, each batch landing as a
+    deletion-vector merge at key-count cost — then the WHOLE stream is
+    re-delivered through a fresh checkpoint (the at-least-once upstream
+    replay) and must be a byte-level no-op, because the DV merge is a
+    set union: the strongest replay contract of any streaming
+    maintenance drain here (no version column, no order sensitivity).
+    The final aggregate hash-matches plain SQL over the surviving rows
+    only if every erasure batch landed exactly once in effect. At
+    100 TB this is the continuously-arriving GDPR-erasure pipeline:
+    each request costs its key count, and the physical rewrite is
+    deferred to layout_dv_compact's maintenance window."""
+    from cinegraph_spark.operators.maintenance import (
+        dv_stream_delete,
+        hash_layout_save,
+        layout_read,
+    )
+    from cinegraph_spark.session import scratch_dir
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    scratch = scratch_dir("cg_dv_stream_")
+    path = scratch + "/corpus"
+    hash_layout_save(docs, path, "doc_id", 16)
+    src = scratch + "/erasures"
+    docs.filter(F.col("doc_id") % 9 == 2).select("doc_id").repartition(
+        3
+    ).write.parquet(src)
+
+    def _arrivals():
+        return (
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    dv_stream_delete(spark, _arrivals(), path, scratch + "/ckpt1")
+    # full redelivery under a FRESH checkpoint: at-least-once replay —
+    # the union merge must make it a no-op
+    dv_stream_delete(spark, _arrivals(), path, scratch + "/ckpt2")
+    return (
+        layout_read(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
+@register(
+    "layout_generation_cdc_diff",
+    """
+    SELECT 'delete' AS change, CAST(count(*) AS BIGINT) AS n_keys
+    FROM documents WHERE doc_id % 7 = 3
+    UNION ALL
+    SELECT 'insert', CAST(count(*) AS BIGINT)
+    FROM documents WHERE doc_id % 13 = 1
+    UNION ALL
+    SELECT 'update', CAST(count(*) AS BIGINT)
+    FROM documents WHERE doc_id % 11 = 4 AND doc_id % 7 <> 3
+    """,
+    tags=("layout", "maintenance", "cdc", "generations"),
+)
+def layout_generation_cdc_diff(spark, sf_dir):
+    """Snapshot CDC between retained generations (r15 —
+    `maintenance.py::layout_generation_diff`): when a writer publishes
+    full versioned snapshots but ships no change log, downstream
+    consumers DERIVE one by diffing generations — the lakehouse
+    ``table_changes`` operation. Generation 1 is the corpus; generation
+    2 deletes every doc_id % 7 == 3, rewrites n_chars for doc_id % 11 ==
+    4 (update), and appends fresh +20000 ids for doc_id % 13 == 1
+    (insert); the diff must classify exactly those key sets — counts
+    hash-checked against the construction's plain SQL, with the three
+    change kinds emitted unconditionally (zero-count rows included) so
+    an empty corpus still shapes identically. One full-outer join of
+    two snapshots on the key: the standard snapshot-diff shuffle, cost
+    ∝ the snapshots, partition-layout-independent."""
+    from cinegraph_spark.operators.maintenance import (
+        hash_layout_save,
+        layout_generation_diff,
+    )
+    from cinegraph_spark.session import scratch_dir
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    root = scratch_dir("cg_gen_diff_") + "/corpus"
+    hash_layout_save(docs, root, "doc_id", 8, keep_generations=2)
+    survivors = docs.filter(F.col("doc_id") % 7 != 3)
+    updated = survivors.withColumn(
+        "n_chars",
+        F.when(
+            F.col("doc_id") % 11 == 4, F.col("n_chars") + 5
+        ).otherwise(F.col("n_chars")),
+    )
+    inserts = docs.filter(F.col("doc_id") % 13 == 1).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "lang", "n_chars"
+    )
+    hash_layout_save(
+        updated.unionByName(inserts), root, "doc_id", 8,
+        keep_generations=2,
+    )
+    diff = layout_generation_diff(spark, root, 1, 2)
+    kinds = spark.createDataFrame(
+        [("delete",), ("insert",), ("update",)], "change string"
+    )
+    counts = diff.groupBy("change").agg(F.count("*").alias("_n"))
+    return kinds.join(counts, "change", "left").select(
+        "change",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_keys"),
+    )
+
+
+@register(
     "layout_compact_small_files_stats",
     """
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

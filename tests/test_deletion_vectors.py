@@ -227,6 +227,34 @@ def test_dv_guards(spark, tmp_path):
         hash_layout_upsert(spark, vp, up, version=2)
 
 
+def test_dv_stream_delete_drain_replay_converges(spark, tmp_path):
+    from cinegraph_spark.operators.maintenance import dv_stream_delete
+
+    p = str(tmp_path / "layout")
+    hash_layout_save(_mk(spark), p, "vec_id", N_PARTS)
+    src = str(tmp_path / "erasures")
+    _keys(spark, *range(0, 30, 3)).repartition(3).write.parquet(src)
+
+    def _arrivals():
+        return (
+            spark.readStream.schema("vec_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    dv_stream_delete(spark, _arrivals(), p, str(tmp_path / "ck1"))
+    gone = set(range(0, 30, 3))
+    want = sorted((i, 2 * i) for i in range(100) if i not in gone)
+    assert _rows(spark, p) == want
+    # full redelivery under a fresh checkpoint: the union merge makes
+    # the at-least-once replay a no-op
+    dv_stream_delete(spark, _arrivals(), p, str(tmp_path / "ck2"))
+    assert _rows(spark, p) == want
+    rep = layout_dv_compact(spark, p)
+    assert rep["dv_rows_applied"] == len(gone)
+    assert _rows(spark, p) == want
+
+
 def test_dv_travels_with_generation_saves(spark, tmp_path):
     root = str(tmp_path / "gens")
     hash_layout_save(_mk(spark), root, "vec_id", 4, keep_generations=2)

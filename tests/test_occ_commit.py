@@ -169,3 +169,65 @@ def test_expected_base_requires_generations(spark, tmp_path):
             _mk(spark, 0, 4), str(tmp_path / "t"), "id", 2,
             expected_base=0,
         )
+
+
+# --- snapshot CDC between generations (layout_generation_diff) ---------
+
+
+def test_generation_diff_classifies_exactly(spark, tmp_path):
+    from cinegraph_spark.operators.maintenance import (
+        layout_generation_diff,
+    )
+
+    root = str(tmp_path / "t")
+    g1 = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "id long, val long"
+    )
+    # gen2: key 2 deleted, key 3 updated, key 9 inserted, 1/4 unchanged
+    g2 = spark.createDataFrame(
+        [(1, 10), (3, 31), (4, 40), (9, 90)], "id long, val long"
+    )
+    hash_layout_save(g1, root, "id", 2, keep_generations=2)
+    hash_layout_save(g2, root, "id", 2, keep_generations=2)
+    got = {
+        (r["id"], r["change"])
+        for r in layout_generation_diff(spark, root, 1, 2).collect()
+    }
+    assert got == {(2, "delete"), (3, "update"), (9, "insert")}
+    # reversed direction flips insert/delete and keeps update
+    rev = {
+        (r["id"], r["change"])
+        for r in layout_generation_diff(spark, root, 2, 1).collect()
+    }
+    assert rev == {(2, "insert"), (3, "update"), (9, "delete")}
+
+
+def test_generation_diff_sees_dv_masks_and_schema_guard(spark, tmp_path):
+    from cinegraph_spark.operators.maintenance import (
+        layout_dv_delete,
+        layout_generation_diff,
+    )
+
+    root = str(tmp_path / "t")
+    g = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id long, val long"
+    )
+    hash_layout_save(g, root, "id", 2, keep_generations=2)
+    hash_layout_save(g, root, "id", 2, keep_generations=2)
+    # DV-mask key 2 in the CURRENT generation: the diff reads through
+    # layout_read, so the mask shows as a delete before any compaction
+    layout_dv_delete(
+        spark, root, spark.createDataFrame([(2,)], "id long")
+    )
+    got = {
+        (r["id"], r["change"])
+        for r in layout_generation_diff(spark, root, 1, 2).collect()
+    }
+    assert got == {(2, "delete")}
+    # a schema-evolved re-save refuses the diff by name
+    hash_layout_save(
+        g.withColumn("extra", F.lit(1)), root, "id", 2,
+        keep_generations=2,
+    )
+    with pytest.raises(ValueError, match="different schemas"):
+        layout_generation_diff(spark, root, 2, 3)

@@ -128,6 +128,7 @@ HEADLINE = [
     "layout_occ_commit_retry",
     "dedup_cdc_chunk_overlap",
     "layout_generation_cdc_diff",
+    "layout_write_expectations",
 ]
 
 #: Serving/maintenance tier (r13 verdict task 4): scenario queries whose
@@ -158,6 +159,7 @@ SERVING = frozenset(
         "layout_dv_delete_read",
         "layout_occ_commit_retry",
         "layout_generation_cdc_diff",
+        "layout_write_expectations",
         "pipeline_stream_ingest_compact",
         "agg_incremental_mv_refresh",
         "agg_incremental_mv_retract",

@@ -325,10 +325,57 @@ def _ddl_fields(ddl: str) -> dict[str, str]:
     return out
 
 
+def _expectation_checks(expect: dict | None):
+    """Per-expectation violation counters for the save Observations:
+    ``expect`` maps a name to a SQL boolean expression every written row
+    must satisfy (NULL counts as a violation — an expectation must
+    evaluate TRUE, the CHECK-constraint convention). Returns
+    ``(agg_columns, names)``; empty for no expectations."""
+    from pyspark.sql import functions as F
+
+    if not expect:
+        return [], []
+    cols, names = [], []
+    for i, (name, expr) in enumerate(expect.items()):
+        cols.append(
+            F.count_if(
+                ~F.coalesce(F.expr(expr), F.lit(False))
+            ).alias(f"_x{i}")
+        )
+        names.append(name)
+    return cols, names
+
+
+def _raise_expectation_violations(
+    spark, tmp: str, row, names, expect, what: str
+) -> None:
+    """Shared refusal for write-side expectations: on any violation,
+    delete the staged sibling/generation (KNOWN-bad data, not inspection
+    material — same policy as the NULL-key refusal) and raise one error
+    naming every violated expectation with its row count."""
+    bad = {
+        n: int(row[f"_x{i}"])
+        for i, n in enumerate(names)
+        if int(row[f"_x{i}"])
+    }
+    if not bad:
+        return
+    fs, jtmp = _hadoop_fs(spark, tmp)
+    fs.delete(jtmp, True)
+    detail = "; ".join(
+        f"{n!r} ({expect[n]}): {c} row(s)" for n, c in bad.items()
+    )
+    raise ValueError(
+        f"{what}: write-side expectation(s) violated — {detail}; the "
+        "staged state was discarded and the live layout is untouched"
+    )
+
+
 def hash_layout_save(
     e: DataFrame, path: str, key: str, n_partitions: int,
     keep_generations: int | None = None,
     expected_base: int | None = None,
+    expect: dict | None = None,
 ) -> None:
     """Persist ``e`` physically partitioned by ``pmod(hash(key), n)``
     directories — the SAME Murmur3 partition function the HNSW/PQ serving
@@ -360,7 +407,15 @@ def hash_layout_save(
     computed from, and the commit raises
     :class:`serving_io.GenerationConflictError` (discarding the stale
     write) if another writer published first; recompute against the new
-    current and retry. Requires ``keep_generations``."""
+    current and retry. Requires ``keep_generations``.
+
+    ``expect``: write-side data contracts (r15, the CHECK-constraint /
+    expectations shape) — ``{name: sql_bool_expr}`` every written row
+    must satisfy (NULL = violation). The counters ride the SAME
+    Observation as the NULL-key check, so validation costs zero extra
+    passes; any violation deletes the staged state BEFORE the publish
+    and raises one error naming each failed expectation with its row
+    count — the live layout is never replaced with bad data."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
@@ -412,11 +467,16 @@ def hash_layout_save(
             spark, path, keep=keep_generations, expected_base=expected_base
         )
     )
+    xcols, xnames = _expectation_checks(expect)
     with publish as tmp:
         e.withColumn("part_id", part).observe(
-            obs, F.count_if(F.col(key).isNull()).alias("n_null")
+            obs, F.count_if(F.col(key).isNull()).alias("n_null"), *xcols
         ).write.partitionBy("part_id").parquet(tmp)
-        n_null = int(obs.get["n_null"])
+        got = obs.get
+        _raise_expectation_violations(
+            spark, tmp, got, xnames, expect or {}, "hash_layout_save"
+        )
+        n_null = int(got["n_null"])
         if n_null:
             # delete the sibling before raising: this is KNOWN-bad data,
             # not inspection material — a replaying caller (foreachBatch
@@ -433,7 +493,9 @@ def hash_layout_save(
         _write_json(spark, tmp + "/" + LAYOUT_MANIFEST, meta)
 
 
-def column_layout_save(e: DataFrame, path: str, part_col: str) -> None:
+def column_layout_save(
+    e: DataFrame, path: str, part_col: str, expect: dict | None = None,
+) -> None:
     """Persist ``e`` partitioned by one of its OWN columns (the IVF cell
     label) — the column-valued sibling of :func:`hash_layout_save`. The
     partition column's declared type is recorded in the manifest because
@@ -461,11 +523,16 @@ def column_layout_save(e: DataFrame, path: str, part_col: str) -> None:
     # not enforced by Spark file sources, so it proves nothing about the
     # data (r14 review rolled back the schema short-circuit).
     obs = Observation()
+    xcols, xnames = _expectation_checks(expect)
     with atomic_swap_dir(spark, path) as tmp:
         e.observe(
-            obs, F.count_if(F.col(part_col).isNull()).alias("n_null")
+            obs, F.count_if(F.col(part_col).isNull()).alias("n_null"), *xcols
         ).write.partitionBy(part_col).parquet(tmp)
-        n_null = int(obs.get["n_null"])
+        got = obs.get
+        _raise_expectation_violations(
+            spark, tmp, got, xnames, expect or {}, "column_layout_save"
+        )
+        n_null = int(got["n_null"])
         if n_null:
             # known-bad sibling: delete before raising (see
             # hash_layout_save — a replaying caller would park a

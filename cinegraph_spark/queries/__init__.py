@@ -93,11 +93,12 @@ CHANGED_CODE_CANARIES: tuple[str, ...] = (
 #: third-session additions: the deletion-vector round-trip, the
 #: optimistic-concurrency commit retry, the content-defined-chunking
 #: overlap report, the streaming erasure drain, and the generation CDC
-#: diff), then the r10-stale bucket the r14 verdict named in registry
-#: order — 34 of its 36 fit the budget; the last two
-#: (dq_constraint_report, stats_robust_mad_outliers) carry to r16, so
-#: the freshness floor stays r10 for exactly those two.
-#: 3 + 13 + 34 = 50.
+#: diff, plus the write-side-expectations roundtrip), then the r10-stale
+#: bucket the r14 verdict named in registry order — 33 of its 36 fit
+#: the budget; the last three (events_multigrain_time_rollup,
+#: dq_constraint_report, stats_robust_mad_outliers) carry to r16, so
+#: the freshness floor stays r10 for exactly those three.
+#: 3 + 14 + 33 = 50.
 #: Every name here must exist in the registry — load_all asserts.
 DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     # never driver-checked
@@ -114,6 +115,7 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "dedup_cdc_chunk_overlap",
     "layout_dv_stream_erasure",
     "layout_generation_cdc_diff",
+    "layout_write_expectations",
     # last checked round 10 (registry order)
     "dedup_repeated_span_mask",
     "events_sliding_10min_step5",
@@ -148,7 +150,6 @@ DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
     "ts_holt_linear_daily",
     "sketch_histogram_quantiles",
     "join_bloom_prefilter_effect",
-    "events_multigrain_time_rollup",
 )
 
 

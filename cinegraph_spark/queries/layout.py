@@ -598,6 +598,74 @@ def layout_generation_cdc_diff(spark, sf_dir):
 
 
 @register(
+    "layout_write_expectations",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("layout", "maintenance", "expectations", "data-quality"),
+)
+def layout_write_expectations(spark, sf_dir):
+    """Write-side data contracts end-to-end (r15 —
+    `maintenance.py::hash_layout_save(expect=)`): the CHECK-constraint /
+    expectations shape every lakehouse write path needs — a save whose
+    rows violate a declared contract must refuse BEFORE the publish, at
+    zero extra passes (the counters ride the same Observation as the
+    NULL-key check). The query first attempts a POISONED save (lang
+    nulled for a key slice) under a ``lang IS NOT NULL`` contract and
+    raises in-place if the refusal does not fire, then lands the clean
+    corpus under the same contracts and aggregates it — hash-matching
+    plain SQL proves the refusal discarded the poisoned state entirely
+    and the good save wrote every row exactly once. At 100 TB this is
+    the difference between catching a malformed upstream delivery at
+    write time and discovering it in every downstream consumer."""
+    from cinegraph_spark.operators.maintenance import (
+        hash_layout_save,
+        layout_read,
+    )
+    from cinegraph_spark.session import scratch_dir
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = scratch_dir("cg_layout_expect_") + "/corpus"
+    contracts = {
+        "lang_present": "lang IS NOT NULL",
+        "chars_non_negative": "n_chars >= 0",
+    }
+    poisoned = docs.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 17 == 2, F.lit(None)).otherwise(
+            F.col("lang")
+        ),
+    )
+    n_poison = poisoned.filter(F.col("lang").isNull()).count()
+    refused = False
+    try:
+        hash_layout_save(poisoned, path, "doc_id", 16, expect=contracts)
+    except ValueError as e:
+        if "expectation" not in str(e):
+            raise
+        refused = True
+    if n_poison and not refused:
+        raise ValueError(
+            "layout_write_expectations: the poisoned save was not "
+            "refused — the write-side contract silently passed bad data"
+        )
+    hash_layout_save(docs, path, "doc_id", 16, expect=contracts)
+    return (
+        layout_read(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
+@register(
     "layout_compact_small_files_stats",
     """
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

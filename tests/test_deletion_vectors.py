@@ -265,3 +265,19 @@ def test_dv_travels_with_generation_saves(spark, tmp_path):
     hash_layout_save(_mk(spark), root, "vec_id", 4, keep_generations=2)
     assert dict(_rows(spark, root))[1] == 2
     assert dict(_rows(spark, root, generation=1)).get(1) is None
+
+
+def test_dv_pruned_read_keeps_partition_filters(spark, layout):
+    """The DV anti-join must not cost the pruned read its planning-time
+    directory prune: the data scan keeps PartitionFilters on part_id,
+    and the sidecar scan is itself pruned to the same partitions."""
+    from cinegraph_spark.plans import formatted_plan
+
+    layout_dv_delete(spark, layout, _keys(spark, 3))
+    pruned = layout_pruned_read(spark, layout, [1, 6])
+    plan = formatted_plan(pruned)
+    # both scans (data + sidecar) carry the same partition prune
+    assert plan.count("PartitionFilters") >= 2
+    for seg in plan.split("PartitionFilters")[1:]:
+        pf = seg.split("]", 1)[0].replace(" ", "")
+        assert "part_id" in pf and "1,6" in pf

@@ -408,3 +408,48 @@ def test_version_column_detection_is_name_exact(spark, tmp_path):
         for r in spark.read.parquet(p).collect()
     }
     assert (1, 99) in got and len(got) == 6
+
+
+def test_write_side_expectations(spark, tmp_path):
+    """Write-side data contracts (r15): `expect` rides the save's own
+    Observation — a violated expectation refuses the publish, deletes
+    the staged state, and leaves any previous live layout untouched."""
+    from cinegraph_spark.operators.maintenance import DV_DIR  # noqa: F401
+
+    good = _mk(spark)  # vec_id 0..99, x = 2*vec_id
+    p = str(tmp_path / "layout")
+    hash_layout_save(
+        good, p, "vec_id", 4,
+        expect={"x_even": "x % 2 = 0", "x_bounded": "x < 1000"},
+    )
+    assert len(_rows(spark, p)) == 100
+
+    # a violating re-save refuses by name and keeps the live state
+    bad = good.withColumn(
+        "x", F.when(F.col("vec_id") == 7, F.lit(1001)).otherwise(F.col("x"))
+    )
+    with pytest.raises(ValueError, match="x_bounded.*1 row"):
+        hash_layout_save(
+            bad, p, "vec_id", 4,
+            expect={"x_even": "x % 2 = 0", "x_bounded": "x < 1000"},
+        )
+    assert len(_rows(spark, p)) == 100  # live layout untouched
+
+    # NULL evaluates as a violation (CHECK-constraint convention)
+    nullish = good.withColumn(
+        "x", F.when(F.col("vec_id") == 3, F.lit(None)).otherwise(F.col("x"))
+    )
+    with pytest.raises(ValueError, match="x_even.*1 row"):
+        hash_layout_save(
+            nullish, str(tmp_path / "n"), "vec_id", 4,
+            expect={"x_even": "x % 2 = 0"},
+        )
+
+    # column layouts share the machinery
+    with pytest.raises(ValueError, match="never_negative"):
+        column_layout_save(
+            _mk(spark).withColumn("cell", F.col("vec_id") % 3 - 1),
+            str(tmp_path / "c"),
+            "cell",
+            expect={"never_negative": "cell >= 0"},
+        )

@@ -782,23 +782,7 @@ def hash_layout_upsert(
         new = old.join(gone.distinct(), key, "left_anti").unionByName(
             incoming
         )
-    new = new.localCheckpoint(eager=True)
-    present = {
-        int(r["part_id"])
-        for r in new.select("part_id").distinct().collect()
-    }
-    (
-        new.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("part_id")
-        .parquet(path)
-    )
-    dropped = [p for p in changed if p not in present]
-    if dropped:
-        fs, _ = _hadoop_fs(spark, path)
-        jpath = spark._jvm.org.apache.hadoop.fs.Path
-        for p in dropped:
-            fs.delete(jpath(f"{path.rstrip('/')}/part_id={p}"), True)
+    _, _, dropped = _publish_parts(spark, path, new, changed)
     if version is None and _dv_exists(spark, path):
         # the rewrite of the touched directories read DV-masked content
         # (layout_pruned_read applies the sidecar), so EVERY deletion-
@@ -1030,37 +1014,52 @@ def _dv_apply(
     return df.join(dv.select(meta["key"]), meta["key"], "left_anti")
 
 
-def _dv_rewrite_parts(
-    spark: SparkSession, path: str, kept: DataFrame, parts: list
-) -> tuple[set, int]:
-    """Publish the new DV content for exactly ``parts``: dynamic-overwrite
-    the directories that still hold masked keys, drop the emptied ones,
-    and remove the sidecar container itself when the last directory goes
-    (so steady-state reads pay only the ``fs.exists``). ``kept`` must be
-    pruned to ``parts`` and carry (key, part_id). Returns
-    ``(still_present_parts, n_rows)``."""
-    dvp = _dv_path(path)
-    # the new content READS the directories being replaced — materialize
-    # first (same self-referential-overwrite rule as hash_layout_upsert);
-    # bounded by the DV volume of the touched partitions, which is the
-    # cost class of the whole operation
-    kept = kept.localCheckpoint(eager=True)
+def _publish_parts(
+    spark: SparkSession, path: str, new: DataFrame, parts: list
+) -> tuple[DataFrame, set, list]:
+    """The self-referential dynamic-overwrite publish shared by every
+    touched-partition rewrite in this module (upsert tails, DV
+    compaction, the DV sidecar rewrite — one copy, r15 review): the new
+    content READS the directories being replaced, so it is eagerly
+    ``localCheckpoint``-ed first (bounded by the touched-partition
+    volume, the cost class of the operation itself); directories the
+    content still populates are replaced via dynamic partition
+    overwrite, and directories it emptied are dropped. Crash window:
+    one partition directory mid-commit; re-running the same operation
+    restores it. Returns ``(checkpointed_new, present_parts,
+    dropped_parts)``."""
+    new = new.localCheckpoint(eager=True)
     present = {
         int(r["part_id"])
-        for r in kept.select("part_id").distinct().collect()
+        for r in new.select("part_id").distinct().collect()
     }
     if present:
         (
-            kept.write.mode("overwrite")
+            new.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("part_id")
-            .parquet(dvp)
+            .parquet(path)
         )
-    fs, jdvp = _hadoop_fs(spark, dvp)
+    fs, _ = _hadoop_fs(spark, path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
-    for p in parts:
-        if int(p) not in present:
-            fs.delete(jpath(f"{dvp}/part_id={int(p)}"), True)
+    dropped = [int(p) for p in parts if int(p) not in present]
+    for p in dropped:
+        fs.delete(jpath(f"{path.rstrip('/')}/part_id={p}"), True)
+    return new, present, dropped
+
+
+def _dv_rewrite_parts(
+    spark: SparkSession, path: str, kept: DataFrame, parts: list
+) -> tuple[set, int]:
+    """Publish the new DV content for exactly ``parts``
+    (:func:`_publish_parts` on the sidecar), and remove the sidecar
+    container itself when the last directory goes (so steady-state
+    reads pay only the ``fs.exists``). ``kept`` must be pruned to
+    ``parts`` and carry (key, part_id). Returns
+    ``(still_present_parts, n_rows)``."""
+    dvp = _dv_path(path)
+    kept, present, _dropped = _publish_parts(spark, dvp, kept, parts)
+    fs, jdvp = _hadoop_fs(spark, dvp)
     if fs.exists(jdvp):
         kids = [
             s
@@ -1207,7 +1206,12 @@ def layout_dv_compact(
     DV still masks the keys, so READS are correct throughout); between
     the data write and the DV clear, the DV masks keys that are already
     gone — a no-op for readers — and the re-run clears it. Deletes-first
-    would be the unsafe order; this one is monotone."""
+    would be the unsafe order; this one is monotone. Reader window: a
+    read planned while the sidecar existed can lose its DV files to a
+    concurrent clear mid-execution and fail — the retry-and-succeed
+    class, same as the sibling swap's between-renames instant (results
+    are never silently wrong: the cleared entries were physically
+    applied first)."""
     from pyspark.sql import functions as F
 
     path = _resolve_state_root(spark, path)
@@ -1237,23 +1241,9 @@ def layout_dv_compact(
     applied = dv.filter(F.col("part_id").isin(parts)).count()
     # layout_pruned_read already anti-joins the DV, so this IS the
     # post-delete content of the touched directories
-    new = layout_pruned_read(spark, path, parts).localCheckpoint(eager=True)
-    present = {
-        int(r["part_id"])
-        for r in new.select("part_id").distinct().collect()
-    }
-    if present:
-        (
-            new.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("part_id")
-            .parquet(path)
-        )
-    dropped = [p for p in parts if p not in present]
-    fs, _ = _hadoop_fs(spark, path)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path
-    for p in dropped:
-        fs.delete(jpath(f"{path.rstrip('/')}/part_id={p}"), True)
+    _, _, dropped = _publish_parts(
+        spark, path, layout_pruned_read(spark, path, parts), parts
+    )
     _dv_rewrite_parts(spark, path, dv.filter(F.lit(False)), parts)
     return {
         "compacted_partitions": parts,
@@ -1277,11 +1267,16 @@ def layout_generation_diff(
 
     Row comparison hashes the full data payload (`to_json` over the
     declared column order, engine-internal only — both sides are
-    computed here, so no cross-engine portability constraint), and each
-    side is a :func:`layout_read`, so deletion-vector masks apply: a
-    DV-masked key diffs as deleted without waiting for the compaction
-    rewrite. Works across a re-partitioned re-save too — keys are
-    compared logically, each generation under its own manifest.
+    computed here, so no cross-engine portability constraint), then
+    reduces each side to ONE row per key — the md5 of the sorted
+    multiset of its row hashes — before the join, so layouts that carry
+    duplicate keys (saves never refuse them; only upserts do) still
+    classify each key exactly once instead of multiplying contradictory
+    pairs through the full-outer join (r15 review). Each side is a
+    :func:`layout_read`, so deletion-vector masks apply: a DV-masked
+    key diffs as deleted without waiting for the compaction rewrite.
+    Works across a re-partitioned re-save too — keys are compared
+    logically, each generation under its own manifest.
 
     Scale shape: one full-outer join of two snapshots on the key — the
     standard snapshot-diff shuffle, cost ∝ the two snapshots. (Both
@@ -1292,15 +1287,25 @@ def layout_generation_diff(
     matters less — noted as the 1000-executor optimization.)"""
     from pyspark.sql import functions as F
 
-    a = layout_read(spark, root, generation=int(from_generation))
-    b = layout_read(spark, root, generation=int(to_generation))
-    meta = layout_meta(spark, root, generation=int(to_generation))
-    if meta["kind"] != "hash_key":
+    # resolve each generation ONCE and reuse its directory for both the
+    # meta probe and the read — three separate layout_read/layout_meta
+    # calls would pay the _gens listing + manifest read triple per call
+    # (r15 review; same economy as _layout_meta_at itself)
+    pa = _resolve_state_root(spark, root, int(from_generation))
+    pb = _resolve_state_root(spark, root, int(to_generation))
+    ma, mb = _layout_meta_at(spark, pa), _layout_meta_at(spark, pb)
+    if mb["kind"] != "hash_key":
         raise ValueError(
             f"layout_generation_diff: layout at {root} is kind "
-            f"{meta['kind']!r}, not a hash-key layout"
+            f"{mb['kind']!r}, not a hash-key layout"
         )
-    key = meta["key"]
+    key = mb["key"]
+
+    def _read(path, meta):
+        df = _cast_part(_layout_raw(spark, path, meta), meta)
+        return _dv_apply(spark, df, path, meta)
+
+    a, b = _read(pa, ma), _read(pb, mb)
     if set(a.columns) != set(b.columns):
         raise ValueError(
             "layout_generation_diff: the two generations carry "
@@ -1311,9 +1316,13 @@ def layout_generation_diff(
     payload = [c for c in a.columns if c not in (key, "part_id")]
 
     def _hashed(df, alias):
-        return df.select(
-            key,
-            F.md5(F.to_json(F.struct(*payload))).alias(alias),
+        row_hash = F.md5(F.to_json(F.struct(*payload)))
+        # one row per key: hash of the SORTED multiset of row hashes,
+        # so duplicate-key layouts compare as sets-with-multiplicity
+        return df.groupBy(key).agg(
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list(row_hash)))
+            ).alias(alias)
         )
 
     j = _hashed(a, "_h_from").join(

@@ -400,6 +400,31 @@ def _txn_name(n: int) -> str:
     return f"_TXN_{n:08d}"
 
 
+#: exclusive-allocation claim files under ``root/_gens``: ``_ALLOC_gN``
+#: claims generation number N via an atomic create, so concurrent
+#: writers can never stage into one directory. The claim lives BESIDE
+#: the directory (not inside it) because the parquet write that
+#: populates the directory runs in error-if-exists mode — a pre-created
+#: directory would fail every save. Dead claims (≤ newest committed)
+#: sweep with the transaction tokens.
+_ALLOC_RE = re.compile(r"^_ALLOC_(g\d{8})$")
+
+
+def _alloc_name(dirname: str) -> str:
+    return f"_ALLOC_{dirname}"
+
+
+def _is_already_exists(exc: Exception) -> bool:
+    """True when a Hadoop create(…, overwrite=False) failed because the
+    path already exists — the ONLY failure that means another writer
+    holds the claim. Any other error (transient IO, permissions) must
+    propagate, not masquerade as a lost race (r15 review)."""
+    jc = getattr(exc, "java_exception", None)
+    name = jc.getClass().getName() if jc is not None else type(exc).__name__
+    text = f"{name} {exc}"
+    return "AlreadyExists" in text or "already exists" in text.lower()
+
+
 class GenerationConflictError(RuntimeError):
     """Another writer committed a generation after the base this writer
     computed from — the optimistic-concurrency conflict. The state on
@@ -584,9 +609,14 @@ def generation_swap_dir(
       old generation (pruning a generation a straggler reader still has
       open is the same hazard as any lakehouse VACUUM).
 
-    Generation numbers allocate as max(existing, committed or not) + 1
-    under the same single-writer contract as the sibling swap; debris
-    never collides because allocation counts it."""
+    Generation numbers allocate by EXCLUSIVE claim (`_ALLOC_gN` atomic
+    create under ``_gens``, starting from max(existing)+1), so even
+    concurrent writers can never stage into one directory — debris
+    never collides because allocation counts it, and racing allocators
+    serialize on the claim files (r15 review; the claim lives beside
+    the directory because the populate write runs error-if-exists).
+    Claims clear once their directory exists; a dir-less crashed claim
+    ages out via vacuum_generations."""
     fs, jpath = _gens_fs(spark, root)
     # mode-slip guard (r15 review): a FIRST versioned save onto an
     # existing legacy single-directory state would leave the old parquet
@@ -608,19 +638,42 @@ def generation_swap_dir(
                 "— migrate explicitly, or pick a fresh root"
             )
     existing = _list_gen_dirs(fs, jpath, root, spark)
-    n = max(existing, default=0) + 1
-    gen_dir = root.rstrip("/") + "/" + _GENS_DIR + "/" + _gen_dirname(n)
+    # staging-dir allocation must be EXCLUSIVE, not computed: two
+    # concurrent writers that both list before either writes would both
+    # pick max+1 and mix their part files into one directory — and the
+    # OCC loser's cleanup would then delete the winner's committed
+    # generation (r15 review). The _ALLOC marker's exclusive create is
+    # the atomic arbiter; a loser simply takes the next number. Gaps in
+    # the sequence are fine (resolution is max-committed).
+    gens_root = root.rstrip("/") + "/" + _GENS_DIR
+    n = max(existing, default=0)
+    while True:
+        n += 1
+        gen_dir = gens_root + "/" + _gen_dirname(n)
+        try:
+            fs.create(
+                jpath(gens_root + "/" + _alloc_name(_gen_dirname(n))),
+                False,
+            ).close()
+            break
+        except Exception as e:
+            if not _is_already_exists(e):
+                raise
     yield gen_dir
     if expected_base is not None:
         base = int(expected_base)
-        gens_root = root.rstrip("/") + "/" + _GENS_DIR
         claimed = False
         try:
             # exclusive create: the atomic arbiter between same-base
             # racers (exactly one create(overwrite=False) can succeed)
             fs.create(jpath(gens_root + "/" + _txn_name(base + 1)), False).close()
             claimed = True
-        except Exception:
+        except Exception as e:
+            # only an existing token means a lost race; a transient IO
+            # error must propagate, not masquerade as a conflict and
+            # cost the caller its computed state (r15 review)
+            if not _is_already_exists(e):
+                raise
             claimed = False
         # re-list AFTER the claim: catches a non-OCC writer (no token)
         # or any commit that advanced past the base while we computed
@@ -638,6 +691,12 @@ def generation_swap_dir(
                     jpath(gens_root + "/" + _txn_name(base + 1)), False
                 )
             fs.delete(jpath(gen_dir), True)
+            # release the staging-number claim with the directory — a
+            # permanent claim would hole the sequence until vacuumed
+            fs.delete(
+                jpath(gens_root + "/" + _alloc_name(_gen_dirname(n))),
+                False,
+            )
             raise GenerationConflictError(
                 f"generation commit conflict at {root}: expected base "
                 f"generation {base} but "
@@ -652,17 +711,27 @@ def generation_swap_dir(
             )
         existing = latest
     fs.create(jpath(gen_dir + "/" + _GEN_COMMITTED), True).close()
-    if expected_base is not None:
-        # sweep dead tokens (≤ the generation just published) only AFTER
-        # the commit marker exists: sweeping our own claim earlier would
-        # let a same-base racer claim, pass its newest-check, and commit
-        # a generation that silently drops this writer's update — the
-        # exact lost-update OCC exists to prevent
-        gens_root = root.rstrip("/") + "/" + _GENS_DIR
-        for st in fs.listStatus(jpath(gens_root)):
-            m = _TXN_RE.match(st.getPath().getName())
-            if m and int(m.group(1)) <= n:
-                fs.delete(st.getPath(), False)
+    # sweep dead claims and (in OCC mode) dead tokens — ≤ the generation
+    # just published — only AFTER the commit marker exists: sweeping our
+    # own transaction token earlier would let a same-base racer claim,
+    # pass its newest-check, and commit a generation that silently drops
+    # this writer's update — the exact lost-update OCC exists to prevent
+    for st in fs.listStatus(jpath(gens_root)):
+        name = st.getPath().getName()
+        mt = _TXN_RE.match(name)
+        ma = _ALLOC_RE.match(name)
+        dead = mt and expected_base is not None and int(mt.group(1)) <= n
+        if ma and not dead:
+            # an allocation claim is dead only once its DIRECTORY exists
+            # (allocation then skips the number via the dir listing) — a
+            # dir-less claim may belong to a LIVE writer whose parquet
+            # job hasn't created the directory yet; sweeping it would
+            # let a new allocator re-claim the number and stage into the
+            # same directory, the exact collision the claim prevents.
+            # Dir-less crashed claims age out via vacuum_generations.
+            dead = fs.exists(jpath(gens_root + "/" + ma.group(1)))
+        if dead:
+            fs.delete(st.getPath(), False)
     committed = sorted(
         [m for m, (_, ok) in existing.items() if ok] + [n]
     )
@@ -752,17 +821,35 @@ def vacuum_generations(
     # same storage clock as uncommitted debris (a live claimant's token
     # is never older than the retention)
     newest_committed = committed[-1] if committed else 0
-    gens_j = jpath(root.rstrip("/") + "/" + _GENS_DIR)
+    gens_root = root.rstrip("/") + "/" + _GENS_DIR
+    gens_j = jpath(gens_root)
     if fs.exists(gens_j):
         for st in fs.listStatus(gens_j):
-            m = _TXN_RE.match(st.getPath().getName())
-            if not m:
+            name = st.getPath().getName()
+            mt = _TXN_RE.match(name)
+            ma = _ALLOC_RE.match(name)
+            if not mt and not ma:
                 continue
-            tn = int(m.group(1))
+            if mt:
+                num = int(mt.group(1))
+                # a token at/below the newest committed generation is
+                # history; a higher orphan ages out
+                dead = num <= newest_committed or (
+                    float(st.getModificationTime()) < cutoff_ms
+                )
+            else:
+                num = int(ma.group(1)[1:])
+                # an allocation claim is dead once its directory exists
+                # (the dir listing supersedes it) or the number is below
+                # the committed frontier; a dir-less younger claim may
+                # be a LIVE writer mid-populate — age it like a token
+                dead = (
+                    fs.exists(jpath(gens_root + "/" + ma.group(1)))
+                    or num <= newest_committed
+                    or float(st.getModificationTime()) < cutoff_ms
+                )
             tp = str(st.getPath().toString())
-            if tn <= newest_committed or (
-                float(st.getModificationTime()) < cutoff_ms
-            ):
+            if dead:
                 if not dry_run:
                     fs.delete(st.getPath(), False)
                 deleted.append(tp)

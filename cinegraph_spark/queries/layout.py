@@ -556,8 +556,9 @@ def layout_generation_cdc_diff(spark, sf_dir):
     consumers DERIVE one by diffing generations — the lakehouse
     ``table_changes`` operation. Generation 1 is the corpus; generation
     2 deletes every doc_id % 7 == 3, rewrites n_chars for doc_id % 11 ==
-    4 (update), and appends fresh +20000 ids for doc_id % 13 == 1
-    (insert); the diff must classify exactly those key sets — counts
+    4 (update), and appends fresh negative ids derived from doc_id %
+    13 == 1 (insert — disjoint from the non-negative corpus at any
+    SF); the diff must classify exactly those key sets — counts
     hash-checked against the construction's plain SQL, with the three
     change kinds emitted unconditionally (zero-count rows included) so
     an empty corpus still shapes identically. One full-outer join of
@@ -579,8 +580,11 @@ def layout_generation_cdc_diff(spark, sf_dir):
             F.col("doc_id") % 11 == 4, F.col("n_chars") + 5
         ).otherwise(F.col("n_chars")),
     )
+    # fresh ids as -(doc_id)-1: provably disjoint from the corpus at ANY
+    # scale factor (real doc_ids are non-negative), unlike a +offset
+    # scheme that collides once the corpus outgrows the offset
     inserts = docs.filter(F.col("doc_id") % 13 == 1).select(
-        (F.col("doc_id") + 20000).alias("doc_id"), "lang", "n_chars"
+        (-F.col("doc_id") - 1).alias("doc_id"), "lang", "n_chars"
     )
     hash_layout_save(
         updated.unionByName(inserts), root, "doc_id", 8,

@@ -231,3 +231,115 @@ def test_generation_diff_sees_dv_masks_and_schema_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="different schemas"):
         layout_generation_diff(spark, root, 2, 3)
+
+
+# --- review findings: allocation exclusivity, error classification -----
+
+
+def test_allocation_claim_prevents_shared_staging_dir(spark, tmp_path):
+    """Two writers that both list _gens before either writes must not
+    stage into one directory: allocation is an exclusive claim-file
+    create, so a dir-less outstanding claim (a racing writer mid-
+    populate) forces the next allocator to the next number."""
+    import time
+
+    root = str(tmp_path / "t")
+    hash_layout_save(_mk(spark, 0, 4), root, "id", 2, keep_generations=3)
+    # a racing writer holds the claim for g2 but has not written yet
+    racer_claim = os.path.join(_gens_dir(root), "_ALLOC_g00000002")
+    open(racer_claim, "w").close()
+    hash_layout_save(_mk(spark, 0, 6), root, "id", 2, keep_generations=3)
+    # the new save skipped the claimed number: it landed as g3
+    assert current_generation(spark, root) == 3
+    assert not os.path.isdir(os.path.join(_gens_dir(root), "g00000002"))
+    # the dir-less claim SURVIVES the commit sweep (its writer may be
+    # live mid-populate)
+    assert os.path.exists(racer_claim)
+    # below the committed frontier it is allocation-irrelevant, so
+    # vacuum clears it regardless of age
+    vacuum_generations(spark, root, keep=3, older_than_hours=24.0)
+    assert not os.path.exists(racer_claim)
+    # ABOVE the frontier, a young dir-less claim is live-writer
+    # material: vacuum keeps it until the age bound passes
+    live_claim = os.path.join(_gens_dir(root), "_ALLOC_g00000009")
+    open(live_claim, "w").close()
+    vacuum_generations(spark, root, keep=3, older_than_hours=24.0)
+    assert os.path.exists(live_claim)
+    stale_t = time.time() - 48 * 3600
+    os.utime(live_claim, (stale_t, stale_t))
+    vacuum_generations(spark, root, keep=3, older_than_hours=24.0)
+    assert not os.path.exists(live_claim)
+    # our own claims were swept at commit (their dirs exist)
+    assert not [
+        c for c in os.listdir(_gens_dir(root)) if c.startswith("_ALLOC_")
+    ]
+
+
+def test_occ_loser_releases_claim_and_sequence_reuses_number(
+    spark, tmp_path
+):
+    root = str(tmp_path / "t")
+    hash_layout_save(
+        _mk(spark, 0, 4), root, "id", 2, keep_generations=3,
+        expected_base=0,
+    )
+    base = current_generation(spark, root)
+    hash_layout_save(
+        _mk(spark, 0, 5), root, "id", 2, keep_generations=3,
+        expected_base=base,
+    )
+    with pytest.raises(GenerationConflictError):
+        hash_layout_save(
+            _mk(spark, 0, 9), root, "id", 2, keep_generations=3,
+            expected_base=base,
+        )
+    # the loser released BOTH its claim file and its staging dir
+    leftovers = sorted(os.listdir(_gens_dir(root)))
+    assert not [x for x in leftovers if x.startswith("_ALLOC_")]
+    assert "g00000003" not in leftovers
+
+
+def test_is_already_exists_classifier():
+    from cinegraph_spark.operators.serving_io import _is_already_exists
+
+    assert not _is_already_exists(IOError("connection reset"))
+    assert _is_already_exists(IOError("File already exists: /x/_TXN_1"))
+
+    class FakeJava:
+        def getClass(self):
+            class C:
+                def getName(self):
+                    return (
+                        "org.apache.hadoop.fs.FileAlreadyExistsException"
+                    )
+
+            return C()
+
+    e = IOError("opaque")
+    e.java_exception = FakeJava()
+    assert _is_already_exists(e)
+
+
+def test_generation_diff_handles_duplicate_keys(spark, tmp_path):
+    from cinegraph_spark.operators.maintenance import (
+        layout_generation_diff,
+    )
+
+    root = str(tmp_path / "t")
+    dup = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], "id long, val long"
+    )
+    hash_layout_save(dup, root, "id", 2, keep_generations=2)
+    hash_layout_save(dup, root, "id", 2, keep_generations=2)
+    # identical duplicate-key content: NO spurious updates
+    assert layout_generation_diff(spark, root, 1, 2).count() == 0
+    # multiplicity change IS a change
+    hash_layout_save(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, val long"),
+        root, "id", 2, keep_generations=2,
+    )
+    got = {
+        (r["id"], r["change"])
+        for r in layout_generation_diff(spark, root, 2, 3).collect()
+    }
+    assert got == {(1, "update")}

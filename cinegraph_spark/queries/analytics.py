@@ -2341,6 +2341,11 @@ def sketch_kmv_distinct_overlap(spark, sf_dir):
     # lazy `est` plan would re-run the sketch aggregations when the
     # caller materializes it (r15 review)
     vals = {r["measure"]: float(r["est"]) for r in est.collect()}
+    # empty corpus: a measure with zero rows never reaches the collect —
+    # its sketch estimate is 0 by definition (and the empty-input sweep
+    # holds every query to a clean zero-row run)
+    for m in ("view", "purchase", "union"):
+        vals.setdefault(m, 0.0)
     vals["intersection"] = vals["view"] + vals["purchase"] - vals["union"]
     rows = spark.createDataFrame(
         sorted(vals.items()), "measure string, est double"

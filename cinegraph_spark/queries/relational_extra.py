@@ -801,7 +801,13 @@ def agg_incremental_mv_rollback_read(spark, sf_dir):
     # resolution silently served the newest state, the counts would match
     n_asof = asof.agg(F.sum("n_orders")).first()[0]
     n_now = current.agg(F.sum("n_orders")).first()[0]
-    assert n_asof < n_now, "rollback read must predate the newest refresh"
+    # empty corpus: every batch is factless, both sums are NULL and the
+    # poison distinction vanishes — the check binds only when the newest
+    # refresh actually added facts
+    if n_now is not None:
+        assert (n_asof or 0) < n_now, (
+            "rollback read must predate the newest refresh"
+        )
     # retention: generation 1 was pruned when generation 3 committed
     try:
         read_agg_state(spark, state, generation=1)

@@ -21,6 +21,7 @@ TRAINING_QUERIES = {
     "vec_ann_pq_served_topk",
     "vec_ann_pq_filtered_topk",
     "vec_ann_pq_incremental_topk",
+    "vec_ann_pq_stream_update_topk",
     "cluster_graph_nodes",
     "cluster_membership",
     "cluster_children_of_root",

@@ -72,6 +72,7 @@ def merge_agg_state(
     hll_regs: list[str] | None = None,
     hist_maps: list[str] | None = None,
     keep_generations: int | None = None,
+    expected_base: int | None = None,
 ) -> dict:
     """Incrementally refresh a persisted aggregate state (a materialized
     rollup) from a pre-aggregated delta — the MERGEABLE-PARTIALS form of
@@ -107,7 +108,17 @@ def merge_agg_state(
     rescanning the group's base facts, which is exactly the scan this
     operator exists to avoid. AVG is deliberately NOT a measure
     class — it is not mergeable; derive it from a sum and a count at
-    read time. Single-writer contract as in `operators/maintenance.py`.
+    read time. Single-writer contract as in `operators/maintenance.py` —
+    relaxable on a VERSIONED view via ``expected_base`` (r15): pass the
+    `serving_io.current_generation` the merge read its state from, and
+    the commit becomes the same claim-token CAS `hash_layout_save` uses
+    — a second refresher that raced past this one raises
+    `GenerationConflictError` and its work is discarded instead of
+    silently overwriting the winner's merge (each refresher's state
+    would otherwise be missing the other's delta); the loser re-reads,
+    re-merges, retries. The ledger cannot give this protection by
+    itself: two DIFFERENT batch ids merged concurrently both pass the
+    ledger check. Requires ``keep_generations``.
 
     ``n_col`` (r14) enables RETRACTIONS for sum-class views — the CDC
     form of incremental maintenance: a deleted fact ships as a NEGATED
@@ -171,6 +182,13 @@ def merge_agg_state(
         resolve_generation,
     )
 
+    if expected_base is not None and keep_generations is None:
+        raise ValueError(
+            "merge_agg_state: expected_base (optimistic-concurrency "
+            "commit) requires keep_generations — only generation "
+            "commits have the atomic token to arbitrate racing "
+            "refreshers"
+        )
     if n_col is not None:
         if n_col not in sums:
             raise ValueError(
@@ -403,7 +421,10 @@ def merge_agg_state(
     publish = (
         atomic_swap_dir(spark, path)
         if keep_generations is None
-        else generation_swap_dir(spark, path, keep=keep_generations)
+        else generation_swap_dir(
+            spark, path, keep=keep_generations,
+            expected_base=expected_base,
+        )
     )
     with publish as tmp:
         merged.write.parquet(tmp + "/agg")

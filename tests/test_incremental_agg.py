@@ -754,3 +754,72 @@ def test_versioned_evolve_publishes_rollback_point(spark, sf_dir, tmp_path):
     assert _rows(pre) == _rows(
         _rollup(o.filter("o_orderdate < '1997-01-01'"))
     )
+
+
+def test_occ_refresh_conflict_and_retry(spark, sf_dir, tmp_path):
+    """Two concurrent refreshers racing on one versioned view must never
+    silently lose a delta: expected_base turns the refresh commit into
+    the claim-token CAS, the loser's merge (computed from the stale
+    state) is discarded WITH its ledger row, and the retry re-merges
+    against the winner's state."""
+    import pytest
+
+    from cinegraph_spark.operators.incremental import read_agg_state
+    from cinegraph_spark.operators.serving_io import (
+        GenerationConflictError,
+        current_generation,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    path = str(tmp_path / "state")
+    b1 = o.filter("o_orderdate < '1996-01-01'")
+    b2 = o.filter(
+        "o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'"
+    )
+    b3 = o.filter("o_orderdate >= '1997-01-01'")
+    merge_agg_state(
+        spark, path, _rollup(b1), KEYS, SUMS, batch_id=1,
+        maxs=MAXS, mins=MINS, keep_generations=2, expected_base=0,
+    )
+    base = current_generation(spark, path)
+    # refresher A lands batch 2 first
+    merge_agg_state(
+        spark, path, _rollup(b2), KEYS, SUMS, batch_id=2,
+        maxs=MAXS, mins=MINS, keep_generations=2, expected_base=base,
+    )
+    # refresher B raced from the same base with a DIFFERENT batch — the
+    # ledger alone cannot catch this (batch 3 was never applied)
+    with pytest.raises(GenerationConflictError):
+        merge_agg_state(
+            spark, path, _rollup(b3), KEYS, SUMS, batch_id=3,
+            maxs=MAXS, mins=MINS, keep_generations=2,
+            expected_base=base,
+        )
+    # the loser's ledger row died with its discarded generation
+    from cinegraph_spark.operators.serving_io import resolve_generation
+
+    cur = resolve_generation(spark, path, None)
+    applied = {
+        r["batch_id"]
+        for r in spark.read.parquet(cur + "/applied").collect()
+    }
+    assert applied == {1, 2}
+    # retry against the new current lands, and the view equals the
+    # one-shot rollup of all three batches
+    merge_agg_state(
+        spark, path, _rollup(b3), KEYS, SUMS, batch_id=3,
+        maxs=MAXS, mins=MINS, keep_generations=2,
+        expected_base=current_generation(spark, path),
+    )
+    assert _rows(read_agg_state(spark, path)) == _rows(_rollup(o))
+
+
+def test_occ_refresh_requires_generations(spark, sf_dir, tmp_path):
+    import pytest
+
+    o = T(spark, sf_dir, "orders")
+    with pytest.raises(ValueError, match="requires keep_generations"):
+        merge_agg_state(
+            spark, str(tmp_path / "s"), _rollup(o), KEYS, SUMS,
+            batch_id=1, maxs=MAXS, mins=MINS, expected_base=0,
+        )

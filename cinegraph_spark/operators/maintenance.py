@@ -583,7 +583,17 @@ def layout_read(
     Keys masked by a deletion-vector sidecar (:func:`layout_dv_delete`)
     are anti-joined out."""
     path = _resolve_state_root(spark, path, generation)
-    meta = _layout_meta_at(spark, path)
+    return _layout_read_at(spark, path, _layout_meta_at(spark, path))
+
+
+def _layout_read_at(
+    spark: SparkSession, path: str, meta: dict
+) -> DataFrame:
+    """:func:`layout_read` minus the generation resolution and manifest
+    probe — the shared read tail (typed raw scan, partition-column cast,
+    deletion-vector mask) for callers that already resolved the state
+    root, so DV application can never silently diverge between the
+    reads (r15 review)."""
     df = _cast_part(_layout_raw(spark, path, meta), meta)
     return _dv_apply(spark, df, path, meta)
 
@@ -1300,12 +1310,8 @@ def layout_generation_diff(
             f"{mb['kind']!r}, not a hash-key layout"
         )
     key = mb["key"]
-
-    def _read(path, meta):
-        df = _cast_part(_layout_raw(spark, path, meta), meta)
-        return _dv_apply(spark, df, path, meta)
-
-    a, b = _read(pa, ma), _read(pb, mb)
+    a = _layout_read_at(spark, pa, ma)
+    b = _layout_read_at(spark, pb, mb)
     if set(a.columns) != set(b.columns):
         raise ValueError(
             "layout_generation_diff: the two generations carry "

@@ -418,11 +418,24 @@ def _is_already_exists(exc: Exception) -> bool:
     """True when a Hadoop create(…, overwrite=False) failed because the
     path already exists — the ONLY failure that means another writer
     holds the claim. Any other error (transient IO, permissions) must
-    propagate, not masquerade as a lost race (r15 review)."""
+    propagate, not masquerade as a lost race (r15 review). The match
+    walks the Java CAUSE-CHAIN CLASS NAMES, never the rendered stack
+    trace — an unrelated failure whose trace happens to contain
+    'already exists' somewhere must not be swallowed."""
     jc = getattr(exc, "java_exception", None)
-    name = jc.getClass().getName() if jc is not None else type(exc).__name__
-    text = f"{name} {exc}"
-    return "AlreadyExists" in text or "already exists" in text.lower()
+    if jc is not None:
+        hops = 0
+        while jc is not None and hops < 8:
+            if "AlreadyExists" in jc.getClass().getName():
+                return True
+            jc = jc.getCause() if hasattr(jc, "getCause") else None
+            hops += 1
+        return False
+    first = str(exc).splitlines()[0] if str(exc) else ""
+    return (
+        "AlreadyExists" in type(exc).__name__
+        or "already exists" in first.lower()
+    )
 
 
 class GenerationConflictError(RuntimeError):
@@ -655,11 +668,33 @@ def generation_swap_dir(
                 jpath(gens_root + "/" + _alloc_name(_gen_dirname(n))),
                 False,
             ).close()
-            break
         except Exception as e:
             if not _is_already_exists(e):
                 raise
-    yield gen_dir
+            continue
+        # stale-listing double-check (r15 review): if the directory for
+        # this number already exists (its writer's claim was swept after
+        # the dir appeared, and our pre-claim listing predates it),
+        # release and take the next number instead of staging into it
+        if fs.exists(jpath(gen_dir)):
+            fs.delete(
+                jpath(gens_root + "/" + _alloc_name(_gen_dirname(n))),
+                False,
+            )
+            continue
+        break
+    try:
+        yield gen_dir
+    except BaseException:
+        # the populate failed (validation refusals delete the staged dir
+        # themselves; a crash leaves debris whose number the dir listing
+        # protects) — release the allocation claim either way, or every
+        # bad-batch retry would leak one claim and hole the sequence
+        # until the 24h vacuum (r15 review)
+        fs.delete(
+            jpath(gens_root + "/" + _alloc_name(_gen_dirname(n))), False
+        )
+        raise
     if expected_base is not None:
         base = int(expected_base)
         claimed = False
@@ -676,8 +711,12 @@ def generation_swap_dir(
                 raise
             claimed = False
         # re-list AFTER the claim: catches a non-OCC writer (no token)
-        # or any commit that advanced past the base while we computed
-        latest = _list_gen_dirs(fs, jpath, root)
+        # or any commit that advanced past the base while we computed.
+        # spark is passed so the listing HEALS a crashed in-place swap
+        # first — a generation parked between renames would otherwise be
+        # invisible here and a stale-base commit could pass over it
+        # (r15 review)
+        latest = _list_gen_dirs(fs, jpath, root, spark)
         newest = max(
             (m for m, (_, ok) in latest.items() if ok), default=0
         )
@@ -722,14 +761,18 @@ def generation_swap_dir(
         ma = _ALLOC_RE.match(name)
         dead = mt and expected_base is not None and int(mt.group(1)) <= n
         if ma and not dead:
-            # an allocation claim is dead only once its DIRECTORY exists
-            # (allocation then skips the number via the dir listing) — a
-            # dir-less claim may belong to a LIVE writer whose parquet
-            # job hasn't created the directory yet; sweeping it would
-            # let a new allocator re-claim the number and stage into the
-            # same directory, the exact collision the claim prevents.
-            # Dir-less crashed claims age out via vacuum_generations.
-            dead = fs.exists(jpath(gens_root + "/" + ma.group(1)))
+            # an allocation claim is dead only once its directory is
+            # COMMITTED (not merely present — a live writer's directory
+            # exists long before its last staging write, and sweeping
+            # its claim would let a stale-listing allocator re-claim the
+            # number; the allocator's post-claim dir double-check is the
+            # second line of defense). Dir-less or uncommitted claims
+            # age out via vacuum_generations.
+            dead = fs.exists(
+                jpath(
+                    gens_root + "/" + ma.group(1) + "/" + _GEN_COMMITTED
+                )
+            )
         if dead:
             fs.delete(st.getPath(), False)
     committed = sorted(
@@ -839,12 +882,21 @@ def vacuum_generations(
                 )
             else:
                 num = int(ma.group(1)[1:])
-                # an allocation claim is dead once its directory exists
-                # (the dir listing supersedes it) or the number is below
-                # the committed frontier; a dir-less younger claim may
-                # be a LIVE writer mid-populate — age it like a token
+                # an allocation claim is dead once its directory is
+                # COMMITTED (merely-present = possibly a live writer
+                # mid-populate, same rule as the commit-time sweep) or
+                # the number is below the committed frontier; otherwise
+                # age it like a token
                 dead = (
-                    fs.exists(jpath(gens_root + "/" + ma.group(1)))
+                    fs.exists(
+                        jpath(
+                            gens_root
+                            + "/"
+                            + ma.group(1)
+                            + "/"
+                            + _GEN_COMMITTED
+                        )
+                    )
                     or num <= newest_committed
                     or float(st.getModificationTime()) < cutoff_ms
                 )

@@ -2273,13 +2273,16 @@ def events_scd2_point_in_time(spark, sf_dir):
       FROM (SELECT * FROM per UNION ALL SELECT * FROM uper)
     ),
     wide AS (SELECT
-      (SELECT est FROM est WHERE measure = 'view') AS v,
-      (SELECT est FROM est WHERE measure = 'purchase') AS p,
-      (SELECT est FROM est WHERE measure = 'union') AS u)
-    SELECT measure, round(est + 0, 4) AS est FROM est
-    UNION ALL
-    SELECT 'intersection' AS measure, round(v + p - u + 0, 4) AS est
-    FROM wide
+      coalesce((SELECT est FROM est WHERE measure = 'view'), 0.0) AS v,
+      coalesce((SELECT est FROM est WHERE measure = 'purchase'), 0.0) AS p,
+      coalesce((SELECT est FROM est WHERE measure = 'union'), 0.0) AS u)
+    SELECT m.measure,
+           round(CASE m.measure WHEN 'view' THEN v
+                                WHEN 'purchase' THEN p
+                                WHEN 'union' THEN u
+                                ELSE v + p - u END + 0, 4) AS est
+    FROM wide, (VALUES ('intersection'), ('purchase'), ('union'),
+                       ('view')) m(measure)
     """,
     tags=("sketch", "kmv", "theta", "distinct", "set-ops", "events"),
 )
@@ -2341,9 +2344,11 @@ def sketch_kmv_distinct_overlap(spark, sf_dir):
     # lazy `est` plan would re-run the sketch aggregations when the
     # caller materializes it (r15 review)
     vals = {r["measure"]: float(r["est"]) for r in est.collect()}
-    # empty corpus: a measure with zero rows never reaches the collect —
-    # its sketch estimate is 0 by definition (and the empty-input sweep
-    # holds every query to a clean zero-row run)
+    # a cohort with zero rows never reaches the collect — its sketch
+    # estimate is 0 by definition; the oracle scaffolds the same four
+    # measures with the same coalesce-to-0, so the shapes stay identical
+    # on skewed or empty corpora (r15 review: setdefault alone diverged
+    # from an oracle that omitted the missing cohort's row)
     for m in ("view", "purchase", "union"):
         vals.setdefault(m, 0.0)
     vals["intersection"] = vals["view"] + vals["purchase"] - vals["union"]

@@ -801,10 +801,14 @@ def agg_incremental_mv_rollback_read(spark, sf_dir):
     # resolution silently served the newest state, the counts would match
     n_asof = asof.agg(F.sum("n_orders")).first()[0]
     n_now = current.agg(F.sum("n_orders")).first()[0]
-    # empty corpus: every batch is factless, both sums are NULL and the
-    # poison distinction vanishes — the check binds only when the newest
-    # refresh actually added facts
-    if n_now is not None:
+    # the poison check binds only when the NEWEST refresh actually added
+    # facts (the distinction it tests for) — on a corpus whose third
+    # batch is factless (or a fully empty corpus) generations 2 and 3
+    # are legitimately identical
+    n_b3 = (
+        rollup(batches[-1]).agg(F.sum("n_orders")).first()[0] or 0
+    )
+    if n_b3:
         assert (n_asof or 0) < n_now, (
             "rollback read must predate the newest refresh"
         )

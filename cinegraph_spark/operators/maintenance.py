@@ -1282,7 +1282,10 @@ def layout_generation_diff(
     multiset of its row hashes — before the join, so layouts that carry
     duplicate keys (saves never refuse them; only upserts do) still
     classify each key exactly once instead of multiplying contradictory
-    pairs through the full-outer join (r15 review). Each side is a
+    pairs through the full-outer join (r15 review). Top-level map
+    columns are canonicalized (key-sorted entry arrays) before hashing
+    — to_json's map key order is storage order, not canonical — and a
+    map nested deeper is refused by name (r15 ADVICE). Each side is a
     :func:`layout_read`, so deletion-vector masks apply: a DV-masked
     key diffs as deleted without waiting for the compaction rewrite.
     Works across a re-partitioned re-save too — keys are compared
@@ -1321,8 +1324,48 @@ def layout_generation_diff(
         )
     payload = [c for c in a.columns if c not in (key, "part_id")]
 
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _contains_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _contains_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_contains_map(f.dataType) for f in dt.fields)
+        return False
+
+    def _canonical_payload(df):
+        # to_json renders a map's keys in storage order, which is not
+        # canonical across writes — two logically-equal rows could hash
+        # differently and emit a spurious 'update' (r15 ADVICE).
+        # Top-level map columns are canonicalized to key-sorted entry
+        # arrays before hashing; a map nested deeper has no
+        # expression-level canonical form, so it is refused by name,
+        # like the schema-evolution guard above.
+        exprs = []
+        for c in payload:
+            dt = df.schema[c].dataType
+            if isinstance(dt, MapType) and not (
+                _contains_map(dt.keyType) or _contains_map(dt.valueType)
+            ):
+                exprs.append(
+                    F.array_sort(F.map_entries(F.col(c))).alias(c)
+                )
+            elif _contains_map(dt):
+                raise ValueError(
+                    f"layout_generation_diff: payload column {c!r} "
+                    "nests a map below the top level; map key order is "
+                    "not canonical under to_json, so equal rows could "
+                    "hash as changed — restructure it as a top-level "
+                    "map or a key-sorted entries array"
+                )
+            else:
+                exprs.append(F.col(c))
+        return exprs
+
     def _hashed(df, alias):
-        row_hash = F.md5(F.to_json(F.struct(*payload)))
+        row_hash = F.md5(F.to_json(F.struct(*_canonical_payload(df))))
         # one row per key: hash of the SORTED multiset of row hashes,
         # so duplicate-key layouts compare as sets-with-multiplicity
         return df.groupBy(key).agg(

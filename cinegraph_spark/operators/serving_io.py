@@ -11,6 +11,7 @@ write therefore goes through :func:`atomic_swap_write` instead.
 from __future__ import annotations
 
 import re
+import warnings
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -390,10 +391,29 @@ _GEN_RE = re.compile(r"^g(\d{8})$")
 
 #: OCC transition tokens (optimistic concurrency, r15): `_TXN_NNNNNNNN`
 #: under ``root/_gens`` claims the transition base→base+1. Claimed via
-#: an exclusive create (``fs.create(..., overwrite=False)`` — atomic on
-#: HDFS and local; object stores need conditional puts), so exactly one
-#: of two same-base writers wins.
+#: an exclusive create (``fs.create(..., overwrite=False)``). The
+#: exclusive create is a TRUE atomic arbiter only on HDFS-class
+#: filesystems; Hadoop's LocalFileSystem implements overwrite=False as a
+#: non-atomic exists-then-create, and S3A-class object stores have no
+#: exclusive create at all (they need conditional puts this token
+#: protocol does not issue). On those stores two same-base racers could
+#: in principle BOTH claim; the post-claim newest-committed re-check
+#: narrows but does not fully close that window (r15 ADVICE). OCC mode
+#: therefore warns once per scheme on known non-atomic filesystems —
+#: see :data:`_NON_ATOMIC_CREATE_SCHEMES`.
 _TXN_RE = re.compile(r"^_TXN_(\d{8})$")
+
+#: Filesystem schemes whose ``create(overwrite=False)`` is known NOT to
+#: be an atomic exclusive create: Hadoop LocalFileSystem does a
+#: non-atomic exists()-then-create, and the S3 connectors translate it
+#: to a HEAD-then-PUT without a conditional header. ``expected_base=``
+#: commits on these schemes keep the narrowed (re-check) window, not a
+#: closed one; :func:`generation_swap_dir` warns once per scheme.
+_NON_ATOMIC_CREATE_SCHEMES = frozenset({"file", "s3", "s3a", "s3n"})
+
+#: schemes already warned about in this process (warn once, not per
+#: commit — OCC retry loops would otherwise spam)
+_warned_occ_schemes: set[str] = set()
 
 
 def _txn_name(n: int) -> str:
@@ -443,7 +463,14 @@ class GenerationConflictError(RuntimeError):
     computed from — the optimistic-concurrency conflict. The state on
     disk is the OTHER writer's (intact); the loser's work was discarded.
     Recover by re-reading :func:`current_generation`, recomputing the
-    update against it, and committing with the new ``expected_base``."""
+    update against it, and committing with the new ``expected_base``.
+
+    Detection is exact on filesystems with atomic exclusive create
+    (HDFS-class). On :data:`_NON_ATOMIC_CREATE_SCHEMES` (local files,
+    S3A-class stores) the token claim is exists-then-create, so two
+    same-base racers whose windows interleave tightly enough may BOTH
+    miss this error — a documented residual lost-update window, warned
+    about at commit time (see :func:`generation_swap_dir`)."""
 
 
 def current_generation(spark, root: str) -> int:
@@ -587,10 +614,21 @@ def generation_swap_dir(
     race safely; losers retry". The writer records
     :func:`current_generation` before computing, passes it here, and the
     commit then (1) claims the transition token ``_TXN_<base+1>`` via an
-    exclusive create — atomic, so exactly ONE of two same-base writers
-    wins — and (2) verifies the newest committed generation still equals
-    the base (which catches non-OCC writers and any commit the token
-    cannot see). On either failure the populated directory is deleted
+    exclusive create — atomic on HDFS-class filesystems, so exactly ONE
+    of two same-base writers wins — and (2) verifies the newest
+    committed generation still equals the base (which catches non-OCC
+    writers and any commit the token cannot see). On filesystems whose
+    create(overwrite=False) is NOT atomic (Hadoop LocalFileSystem's
+    exists-then-create; S3A-class object stores, which lack exclusive
+    create entirely — :data:`_NON_ATOMIC_CREATE_SCHEMES`) the arbiter
+    degrades to best-effort: the step-(2) re-check catches every race
+    that has already committed, but two same-base racers whose claim
+    AND commit windows interleave could in principle both pass — a
+    residual lost-update window this protocol cannot close without
+    store-side conditional puts. OCC mode warns once per scheme on
+    those stores; on a real deployment put the generation root on HDFS
+    (or a store with conditional-put semantics wired into the Hadoop
+    create path). On either failure the populated directory is deleted
     (it was computed from a stale base — known-stale work, not
     inspection material; the winner's state is untouched) and
     :class:`GenerationConflictError` asks the caller to recompute
@@ -631,6 +669,23 @@ def generation_swap_dir(
     Claims clear once their directory exists; a dir-less crashed claim
     ages out via vacuum_generations."""
     fs, jpath = _gens_fs(spark, root)
+    if expected_base is not None:
+        scheme = (fs.getUri().getScheme() or "").lower()
+        if (
+            scheme in _NON_ATOMIC_CREATE_SCHEMES
+            and scheme not in _warned_occ_schemes
+        ):
+            _warned_occ_schemes.add(scheme)
+            warnings.warn(
+                f"generation_swap_dir: OCC commit on scheme '{scheme}' — "
+                "create(overwrite=False) is not an atomic exclusive "
+                "create there, so the same-base arbiter is best-effort "
+                "(the newest-committed re-check narrows but cannot fully "
+                "close the race). Use HDFS or a conditional-put store "
+                "for contended OCC roots.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
     # mode-slip guard (r15 review): a FIRST versioned save onto an
     # existing legacy single-directory state would leave the old parquet
     # files sitting next to _gens, where a plain read of the root still

@@ -343,3 +343,92 @@ def test_generation_diff_handles_duplicate_keys(spark, tmp_path):
         for r in layout_generation_diff(spark, root, 2, 3).collect()
     }
     assert got == {(1, "update")}
+
+
+def test_generation_diff_map_key_order_canonical(spark, tmp_path):
+    """to_json's map key order is storage order, not canonical: two
+    logically-equal map payloads written with different insertion order
+    must NOT diff as an update (r15 ADVICE). A real value change still
+    must."""
+    from cinegraph_spark.operators.maintenance import (
+        layout_generation_diff,
+    )
+
+    root = str(tmp_path / "t")
+    g1 = spark.createDataFrame([(1,), (2,)], "id long").select(
+        "id",
+        F.create_map(
+            F.lit("a"), F.col("id") * 10, F.lit("b"), F.col("id") * 100
+        ).alias("m"),
+    )
+    # same logical maps, reversed insertion order
+    g2 = spark.createDataFrame([(1,), (2,)], "id long").select(
+        "id",
+        F.create_map(
+            F.lit("b"), F.col("id") * 100, F.lit("a"), F.col("id") * 10
+        ).alias("m"),
+    )
+    hash_layout_save(g1, root, "id", 2, keep_generations=3)
+    hash_layout_save(g2, root, "id", 2, keep_generations=3)
+    assert layout_generation_diff(spark, root, 1, 2).count() == 0
+    # a genuine value change under one key IS an update
+    g3 = spark.createDataFrame([(1,), (2,)], "id long").select(
+        "id",
+        F.create_map(
+            F.lit("b"), F.col("id") * 100, F.lit("a"), F.col("id") * 11
+        ).alias("m"),
+    )
+    hash_layout_save(g3, root, "id", 2, keep_generations=3)
+    got = {
+        (r["id"], r["change"])
+        for r in layout_generation_diff(spark, root, 2, 3).collect()
+    }
+    assert got == {(1, "update"), (2, "update")}
+
+
+def test_generation_diff_refuses_nested_map_payload(spark, tmp_path):
+    from cinegraph_spark.operators.maintenance import (
+        layout_generation_diff,
+    )
+
+    root = str(tmp_path / "t")
+    g = spark.createDataFrame([(1,), (2,)], "id long").select(
+        "id",
+        F.struct(
+            F.create_map(F.lit("a"), F.col("id")).alias("inner")
+        ).alias("s"),
+    )
+    hash_layout_save(g, root, "id", 2, keep_generations=2)
+    hash_layout_save(g, root, "id", 2, keep_generations=2)
+    with pytest.raises(ValueError, match="nests a map"):
+        layout_generation_diff(spark, root, 1, 2).count()
+
+
+def test_occ_warns_once_on_non_atomic_scheme(spark, tmp_path):
+    """OCC commits on file:// must warn (once per scheme, per process)
+    that the exclusive-create arbiter is best-effort there (r15
+    ADVICE)."""
+    import warnings as _w
+
+    from cinegraph_spark.operators import serving_io
+
+    serving_io._warned_occ_schemes.discard("file")
+    root = str(tmp_path / "t")
+    with pytest.warns(RuntimeWarning, match="not an atomic exclusive"):
+        hash_layout_save(
+            _mk(spark, 0, 4), root, "id", 2, keep_generations=3,
+            expected_base=0,
+        )
+    # second commit on the same scheme: silent (warn-once)
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        hash_layout_save(
+            _mk(spark, 0, 5), root, "id", 2, keep_generations=3,
+            expected_base=1,
+        )
+    # non-OCC saves never warn
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        hash_layout_save(
+            _mk(spark, 0, 6), root, "id", 2, keep_generations=3
+        )

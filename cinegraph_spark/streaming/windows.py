@@ -233,6 +233,8 @@ def run_availablenow_to_parquet(
     output_mode: str = "update",
     timeout_s: int = 120,
     transform=None,
+    shuffle_partitions: int = 8,
+    final_no_data_batch: bool = True,
 ) -> DataFrame:
     """Production drain: process all available input and write every
     micro-batch's emissions straight to a parquet directory via
@@ -269,7 +271,25 @@ def run_availablenow_to_parquet(
     batch-split-safe: foreachBatch gives no cross-batch state here, so a
     transform whose result depends on which rows share a batch would be
     nondeterministic under repartitioned input. The read-back schema is
-    derived by analyzing the transform against an empty frame."""
+    derived by analyzing the transform against an empty frame.
+
+    ``shuffle_partitions`` sizes the drain's state store (and every other
+    shuffle inside the stream) for LOCAL test data — stateful streaming
+    disables AQE, so the state-store partition count is exactly this
+    number and each partition pays checkpoint-commit overhead per
+    micro-batch. On a real cluster size it to the stream's key
+    cardinality instead; it is a drain-shape knob, not a semantics knob.
+
+    ``final_no_data_batch=False`` skips the trailing no-data micro-batch
+    Spark otherwise runs to advance the watermark and flush
+    eviction-driven emissions (one extra full checkpoint commit —
+    measured ~1s of a ~3s local drain). ONLY safe for plans whose output
+    never depends on watermark eviction: inner stream-stream joins and
+    update-mode stateful operators emit on arrival/match, so they lose
+    nothing. Append-mode windowed aggregations, outer-join NULL
+    finalization, and session windows emit BY eviction — for those the
+    default must stay True or the drain silently drops the final
+    emissions."""
     import os
 
     from cinegraph_spark.session import bounded_shuffle, scoped_confs
@@ -289,7 +309,15 @@ def run_availablenow_to_parquet(
             os.path.join(path, f"batch-{batch_id:08d}")
         )
 
-    with scoped_confs(spark, **{"spark.sql.session.timeZone": "UTC"}), bounded_shuffle(spark, 8):
+    with scoped_confs(
+        spark,
+        **{
+            "spark.sql.session.timeZone": "UTC",
+            "spark.sql.streaming.noDataMicroBatches.enabled": str(
+                bool(final_no_data_batch)
+            ).lower(),
+        },
+    ), bounded_shuffle(spark, shuffle_partitions):
         q = (
             stream_df.writeStream.foreachBatch(_write_batch)
             .outputMode(output_mode)

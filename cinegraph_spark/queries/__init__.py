@@ -54,102 +54,34 @@ def register(
     return deco
 
 
-#: Freshness snapshot the current rotation was derived from: per-query
-#: latest-driver-check rounds computed over CORRECTNESS_r01..r{N}.json for
-#: this N. tests/test_registry_order.py re-derives the stale buckets from
-#: exactly these files and asserts DRIVER_PRIORITY matches — bump this
-#: constant whenever the rotation is rebuilt for a new round, and the test
-#: re-validates the new order against the new data with zero literal pins.
-ROTATION_BUILT_FROM_ROUND: int = 14
-
-#: Changed-code canaries: queries whose underlying implementation changed
-#: since their last driver row. They are allowed to jump the pure
-#: freshness order (the test exempts exactly these names from the
-#: non-decreasing-freshness invariant) but must sit inside the 50-slot
-#: budget.  Round-15: the r14 ADVICE findings landed — the filtered
-#: HNSW search dropped its unused per-blob Xn normalization
-#: (`hnsw_index_filtered_knn`), merge_agg_state's negative-bin refusal
-#: now runs whenever hist_maps is provided, and the swap/vacuum pair
-#: gained writer-side race detection plus a storage-clock probe
-#: (`serving_io`). Output is oracle-identical by design; one canary per
-#: touched path re-proves it under the real driver.
-CHANGED_CODE_CANARIES: tuple[str, ...] = (
-    "vec_ann_hnsw_filtered_knn",
-    "agg_incremental_mv_hist_quantiles",
-    "layout_vacuum_retention_roundtrip",
-)
-
-#: Driver-slot priority (round 15). The driver's correctness harness walks
-#: the registry in order under a ~50-query budget, so this list pins the
-#: front slots explicitly instead of relying on module import order.
-#: Round-15 rationale — per the r14 verdict's task 1: the three
-#: changed-code canaries lead, then the nine never-driver-checked
-#: queries (the exact-oracle PQ incremental maintenance cycle closing
-#: the r14 verdict's task 2, the versioned-generation rollback read
-#: closing task 4, the MV schema-evolution round-trip closing task 7,
-#: the five second-session r15 additions — the IVF and PQ streaming
-#: maintenance drains, the bounded weighted SSSP, the versioned-MV
-#: time-travel read, the KMV set-operation sketch — and the five
-#: third-session additions: the deletion-vector round-trip, the
-#: optimistic-concurrency commit retry, the content-defined-chunking
-#: overlap report, the streaming erasure drain, and the generation CDC
-#: diff, plus the write-side-expectations roundtrip), then the r10-stale
-#: bucket the r14 verdict named in registry order — 33 of its 36 fit
-#: the budget; the last three (events_multigrain_time_rollup,
-#: dq_constraint_report, stats_robust_mad_outliers) carry to r16, so
-#: the freshness floor stays r10 for exactly those three.
-#: 3 + 14 + 33 = 50.
-#: Every name here must exist in the registry — load_all asserts.
-DRIVER_PRIORITY: tuple[str, ...] = CHANGED_CODE_CANARIES + (
-    # never driver-checked
-    "vec_ann_pq_incremental_topk",
-    "layout_generation_rollback_read",
-    "agg_incremental_mv_evolve",
-    "vec_ann_ivf_stream_update_topk",
-    "graph_sssp_weighted",
-    "agg_incremental_mv_rollback_read",
-    "vec_ann_pq_stream_update_topk",
-    "sketch_kmv_distinct_overlap",
-    "layout_dv_delete_read",
-    "layout_occ_commit_retry",
-    "dedup_cdc_chunk_overlap",
-    "layout_dv_stream_erasure",
-    "layout_generation_cdc_diff",
-    "layout_write_expectations",
-    # last checked round 10 (registry order)
-    "dedup_repeated_span_mask",
-    "events_sliding_10min_step5",
-    "events_session_windows_30min",
-    "events_dedup_latest_per_user_type",
-    "events_asof_purchase_click",
-    "events_rate_per_type_minute",
-    "events_gapfill_hourly_ffill",
-    "events_funnel_view_click_purchase",
-    "cluster_graph_nodes",
-    "cluster_membership",
-    "cluster_children_of_root",
-    "cluster_leaf_sizes",
-    "scalar_variant_nested_events",
-    "sample_global_shuffle_order",
-    "events_retention_cohorts",
-    "events_anomaly_zscore_hourly",
-    "events_user_rfm_segments",
-    "events_asof_nearest_click",
-    "dedup_minhash_incremental_screen",
-    "pipeline_stream_neardup_gate",
-    "dedup_simhash_portable_hamming",
-    "dedup_simhash_portable_buckets",
-    "events_session_paths_topk",
-    "events_value_ewma_daily",
-    "events_asof_cogroup_pandas",
-    "events_rolling_1h_range_frame",
-    "events_interval_overlap_pairs",
-    "events_scd2_user_state",
-    "udf_arrow_map_net_revenue",
-    "src_textsink_roundtrip",
-    "ts_holt_linear_daily",
-    "sketch_histogram_quantiles",
-    "join_bloom_prefilter_effect",
+#: The rotation constants live in the GENERATED module ``_rotation``
+#: (written by ``python scripts/gen_rotation.py --write`` each round —
+#: r15 verdict task 8: rotation updates are one command, not a hand-paste)
+#: and are re-exported here so every consumer keeps importing them from
+#: ``cinegraph_spark.queries``. The contract:
+#:
+#: - ``ROTATION_BUILT_FROM_ROUND``: the freshness snapshot the rotation
+#:   was derived from — per-query latest-driver-check rounds computed
+#:   over CORRECTNESS_r01..r{N}.json for this N.
+#:   tests/test_registry_order.py re-derives the stale buckets from
+#:   exactly these files and asserts DRIVER_PRIORITY matches, so the
+#:   next round's correctness file landing on disk cannot retroactively
+#:   fail the suite.
+#: - ``CHANGED_CODE_CANARIES``: queries whose underlying implementation
+#:   changed since their last driver row. They may jump the pure
+#:   freshness order (the test exempts exactly these names from the
+#:   non-decreasing-freshness invariant) but must sit inside the
+#:   50-slot budget.
+#: - ``DRIVER_PRIORITY``: the driver's correctness harness walks the
+#:   registry in order under a ~50-query budget; this tuple pins the
+#:   front slots explicitly — canaries, then every never-driver-checked
+#:   query, then the stalest buckets in registry order.
+#:
+#: Every name must exist in the registry — :func:`load_all` asserts.
+from cinegraph_spark.queries._rotation import (  # noqa: E402
+    CHANGED_CODE_CANARIES,
+    DRIVER_PRIORITY,
+    ROTATION_BUILT_FROM_ROUND,
 )
 
 

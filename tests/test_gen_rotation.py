@@ -40,18 +40,31 @@ def _run_generator(*argv: str) -> str:
 def test_generator_reproduces_committed_rotation():
     if not glob.glob(str(REPO / "CORRECTNESS_r*.json")):
         pytest.skip("no CORRECTNESS_r*.json present (fresh clone)")
-    from cinegraph_spark.queries import CHANGED_CODE_CANARIES, DRIVER_PRIORITY
+    from cinegraph_spark.queries import DRIVER_PRIORITY
 
     out = _run_generator()
+    # the module text lists the canaries (inside CHANGED_CODE_CANARIES)
+    # then the stale tail (inside DRIVER_PRIORITY), so ALL quoted names
+    # in order == the full committed priority
     generated = re.findall(r'^\s+"([a-z0-9_]+)",$', out, re.M)
-    assert tuple(CHANGED_CODE_CANARIES) + tuple(generated) == DRIVER_PRIORITY, (
+    assert tuple(generated) == DRIVER_PRIORITY, (
         "gen_rotation.py no longer reproduces DRIVER_PRIORITY — either the "
         "rotation was hand-edited against the bucket rules or the "
         "generator's rules drifted from tests/test_registry_order.py"
     )
-    # the default (no-override) run must NOT tell the user to replace the
-    # committed canary tuple
-    assert "CHANGED_CODE_CANARIES: tuple[str, ...] = (" not in out
+
+
+def test_generator_output_is_the_committed_module():
+    """The committed generated module must be byte-identical to what the
+    generator emits at its own snapshot — a hand-edit of _rotation.py or
+    a generator change without a rebuild both fail here (r15 verdict
+    task 8: the module is generated, never hand-maintained)."""
+    if not glob.glob(str(REPO / "CORRECTNESS_r*.json")):
+        pytest.skip("no CORRECTNESS_r*.json present (fresh clone)")
+    committed = (
+        REPO / "cinegraph_spark" / "queries" / "_rotation.py"
+    ).read_text()
+    assert _run_generator() == committed
 
 
 def test_future_correctness_file_cannot_flip_the_pin():

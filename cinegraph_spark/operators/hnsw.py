@@ -1191,7 +1191,15 @@ def hnsw_index_knn(
     generation (rollback/debugging read); default is the newest
     committed one. Versioned roots resolve to a stable per-generation
     directory — no swap window exists there, so ensure_live is a cheap
-    no-op."""
+    no-op.
+
+    Erasure contract (r16): the blobs EMBED their vectors and this
+    search never touches the corpus layout, so a key erased from the
+    corpus (``layout_dv_delete``) KEEPS APPEARING in served top-k until
+    :func:`hnsw_index_update` rebuilds its partition — erasure at the
+    HNSW tier is effective at the next maintenance, not at the delete
+    (unlike PQ/IVF, whose candidate fetch reads the DV-masked layout).
+    Pinned cross-tier in tests/test_deletion_vectors.py."""
     from cinegraph_spark.operators.serving_io import (
         ensure_live,
         resolve_generation,

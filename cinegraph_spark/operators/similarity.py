@@ -624,7 +624,16 @@ def ivf_index_topk(
     dynamic partition pruning was measured NOT to fire for this
     broadcast-limit shape, hence the explicit collect. The DataFrame
     form keeps the declarative broadcast-join filter (full scan — right
-    for a corpus that is not laid out)."""
+    for a corpus that is not laid out).
+
+    Erasure contract (r16): the served candidates COME FROM the corpus
+    cells, so a key deleted there (the column-layout batch path —
+    ``column_layout_upsert(deletes=)``; column layouts refuse deletion
+    vectors because the cell is not derivable from the key) is excluded
+    the moment the cell delete lands, even while the centroid table is
+    still stale (a stale centroid only mis-weights the probe until
+    :func:`ivf_centroids_update` runs). Pinned cross-tier in
+    tests/test_deletion_vectors.py."""
     from cinegraph_spark.operators.maintenance import (
         layout_meta,
         layout_pruned_read,
@@ -1137,7 +1146,15 @@ def pq_index_topk(
     cut keeps every admissible candidate and the exact re-rank makes the
     result EXACT brute force over the admissible set — the regime a
     selective filter puts you in; below that the standard PQ recall
-    contract applies, now over the admissible subset."""
+    contract applies, now over the admissible subset.
+
+    Erasure contract (r16): in layout mode the final re-rank fetch
+    reads the DV-masked corpus layout, so a ``layout_dv_delete``-erased
+    key can NEVER be served — immediately, even before any codes
+    maintenance. Stale codes still spend ADC candidate slots on the
+    erased key until :func:`pq_codes_update` re-encodes its partition
+    (a recall, not correctness, cost). Pinned cross-tier in
+    tests/test_deletion_vectors.py."""
     from cinegraph_spark.operators.maintenance import (
         layout_meta,
         layout_pruned_read,

@@ -281,3 +281,174 @@ def test_dv_pruned_read_keeps_partition_filters(spark, layout):
     for seg in plan.split("PartitionFilters")[1:]:
         pf = seg.split("]", 1)[0].replace(" ", "")
         assert "part_id" in pf and "1,6" in pf
+
+
+# --- cross-tier ANN erasure (r15 verdict task 4) ------------------------
+#
+# The serve-path contract an erasure must satisfy, per tier:
+#
+# - PQ / HNSW serve from state whose CANDIDATE FETCH (PQ) or whose
+#   REBUILD INPUT (HNSW) reads the vec_id hash corpus layout, so a
+#   layout_dv_delete there is the erasure primitive;
+# - IVF's corpus is a COLUMN layout (cell not derivable from the key),
+#   which refuses deletion vectors — its erasure primitive is the batch
+#   delete (column_layout_upsert(deletes=) + ivf_centroids_update).
+#
+# Serve-BEFORE-maintenance (the documented split these tests pin):
+# - PQ: the final re-rank fetch goes through the DV-masked layout, so an
+#   erased key can NEVER appear in a served top-k, even while the stale
+#   codes still spend candidate slots on it;
+# - IVF: the candidate fetch reads the corpus cells, so the key is gone
+#   the moment the cell delete lands, even while the centroid table is
+#   stale (a stale centroid only mis-weights the probe);
+# - HNSW: the blobs EMBED their vectors and the search never touches the
+#   corpus, so an erased key KEEPS APPEARING until hnsw_index_update
+#   rebuilds its partition — erasure there is effective at the next
+#   maintenance, the eventual-consistency window the operator docstrings
+#   state.
+
+
+def _emb(spark, sf_dir, with_label=False):
+    from cinegraph_spark.queries.util import T
+
+    cols = ["vec_id"] + (["label"] if with_label else [])
+    return T(spark, sf_dir, "embeddings").select(
+        *cols,
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+_TARGET = 7  # present in embeddings at every SF; the query IS its vector
+
+
+def _target_query(e, alias="qv"):
+    return e.filter(F.col("vec_id") == _TARGET).select(
+        F.col("v").alias(alias)
+    )
+
+
+def test_hnsw_erasure_effective_at_next_maintenance(spark, sf_dir, tmp_path):
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_corpus_layout,
+        hnsw_index_knn,
+        hnsw_index_save,
+        hnsw_index_update,
+    )
+
+    e = _emb(spark, sf_dir)
+    idx, corpus = str(tmp_path / "idx"), str(tmp_path / "corpus")
+    # generation-versioned save: serving reads resolve the newest
+    # committed generation, the state shape the verdict named
+    hnsw_index_save(e, idx, n_partitions=4, keep_generations=2)
+    hnsw_corpus_layout(e, corpus, idx)
+    q = spark.createDataFrame(
+        [(-1, [float(x) for x in _target_query(e).first()["qv"]])],
+        "vec_id long, v array<double>",
+    )
+
+    def nids():
+        return {
+            int(r["nid"])
+            for r in hnsw_index_knn(spark, idx, q, k=3).collect()
+        }
+
+    assert _TARGET in nids()
+    layout_dv_delete(spark, corpus, _keys(spark, _TARGET))
+    # blob-resident tier: the served top-k STILL carries the key until
+    # its partition is rebuilt — the documented eventual-consistency
+    # window of serve-before-maintenance
+    assert _TARGET in nids()
+    hnsw_index_update(corpus, _keys(spark, _TARGET), idx)
+    after = nids()
+    assert _TARGET not in after
+    assert len(after) == 3  # neighbors still fill k
+
+
+def test_pq_erasure_masked_at_fetch_then_maintained(spark, sf_dir, tmp_path):
+    from cinegraph_spark.operators.similarity import (
+        _pq_read_state,
+        pq_codes_save,
+        pq_codes_update,
+        pq_corpus_layout,
+        pq_index_topk,
+        pq_train,
+    )
+
+    e = _emb(spark, sf_dir)
+    books = pq_train(e, m=8, k=16)
+    pqp, corpus = str(tmp_path / "pq"), str(tmp_path / "corpus")
+    pq_codes_save(e, books, pqp, n_partitions=4)
+    pq_corpus_layout(e, corpus, pqp)
+    q = _target_query(e)
+
+    def ids():
+        return [
+            int(r["vec_id"])
+            for r in pq_index_topk(
+                corpus, q, pqp, k=3, rerank=64
+            ).collect()
+        ]
+
+    def codes_ids():
+        _, _, _, schema, root = _pq_read_state(spark, pqp)
+        return {
+            int(r["vec_id"])
+            for r in spark.read.schema(schema)
+            .parquet(root + "/codes")
+            .select("vec_id")
+            .collect()
+        }
+
+    assert ids()[0] == _TARGET  # exact re-rank: cos_sim 1.0 leads
+    layout_dv_delete(spark, corpus, _keys(spark, _TARGET))
+    # the re-rank fetch reads the DV-masked layout: the erased key can
+    # never be SERVED, even before any codes maintenance...
+    assert _TARGET not in ids()
+    assert _TARGET in codes_ids()  # ...though stale codes still carry it
+    pq_codes_update(corpus, _keys(spark, _TARGET), pqp)
+    assert _TARGET not in codes_ids()  # candidate slots reclaimed
+    got = ids()
+    assert _TARGET not in got and len(got) == 3
+
+
+def test_ivf_erasure_via_cell_delete(spark, sf_dir, tmp_path):
+    from cinegraph_spark.operators.maintenance import column_layout_upsert
+    from cinegraph_spark.operators.similarity import (
+        ivf_centroids_save,
+        ivf_centroids_update,
+        ivf_corpus_layout,
+        ivf_index_topk,
+    )
+
+    e = _emb(spark, sf_dir, with_label=True)
+    ivfp, corpus = str(tmp_path / "ivf"), str(tmp_path / "corpus")
+    ivf_centroids_save(e, ivfp)
+    ivf_corpus_layout(e, corpus)
+    q = _target_query(e)
+
+    def ids():
+        return [
+            int(r["vec_id"])
+            for r in ivf_index_topk(
+                # probe every cell: the test pins erasure, not recall
+                corpus, q, ivfp, nprobe=32, k=3
+            ).collect()
+        ]
+
+    assert ids()[0] == _TARGET
+    # a column layout refuses deletion vectors (the cell is not
+    # derivable from the key): erasure is the batch delete path
+    with pytest.raises(ValueError, match="column"):
+        layout_dv_delete(spark, corpus, _keys(spark, _TARGET))
+    deletes = e.filter(F.col("vec_id") == _TARGET).select(
+        "vec_id", "label"
+    )
+    column_layout_upsert(
+        spark, corpus, e.filter(F.lit(False)), "vec_id", deletes=deletes
+    )
+    # source of truth rewritten: the candidate fetch excludes the key
+    # even while the centroid table is still stale
+    assert _TARGET not in ids()
+    ivf_centroids_update(corpus, deletes.select("label"), ivfp)
+    got = ids()
+    assert _TARGET not in got and len(got) == 3

@@ -391,25 +391,29 @@ _GEN_RE = re.compile(r"^g(\d{8})$")
 
 #: OCC transition tokens (optimistic concurrency, r15): `_TXN_NNNNNNNN`
 #: under ``root/_gens`` claims the transition base→base+1. Claimed via
-#: an exclusive create (``fs.create(..., overwrite=False)``). The
-#: exclusive create is a TRUE atomic arbiter only on HDFS-class
-#: filesystems; Hadoop's LocalFileSystem implements overwrite=False as a
-#: non-atomic exists-then-create, and S3A-class object stores have no
+#: :func:`_exclusive_create` — a TRUE atomic arbiter on HDFS-class
+#: filesystems (``fs.create(..., overwrite=False)``) and on ``file:``
+#: roots (OS-level ``O_CREAT|O_EXCL``, r16 — Hadoop's LocalFileSystem
+#: implements overwrite=False as a non-atomic exists-then-create, and a
+#: four-thread thundering herd in tests/test_occ_commit.py demonstrated
+#: same-base double-claims through it). S3A-class object stores have no
 #: exclusive create at all (they need conditional puts this token
-#: protocol does not issue). On those stores two same-base racers could
-#: in principle BOTH claim; the post-claim newest-committed re-check
+#: protocol does not issue): there two same-base racers could in
+#: principle BOTH claim; the post-claim newest-committed re-check
 #: narrows but does not fully close that window (r15 ADVICE). OCC mode
-#: therefore warns once per scheme on known non-atomic filesystems —
+#: warns once per scheme on those stores —
 #: see :data:`_NON_ATOMIC_CREATE_SCHEMES`.
 _TXN_RE = re.compile(r"^_TXN_(\d{8})$")
 
-#: Filesystem schemes whose ``create(overwrite=False)`` is known NOT to
-#: be an atomic exclusive create: Hadoop LocalFileSystem does a
-#: non-atomic exists()-then-create, and the S3 connectors translate it
-#: to a HEAD-then-PUT without a conditional header. ``expected_base=``
-#: commits on these schemes keep the narrowed (re-check) window, not a
-#: closed one; :func:`generation_swap_dir` warns once per scheme.
-_NON_ATOMIC_CREATE_SCHEMES = frozenset({"file", "s3", "s3a", "s3n"})
+#: Filesystem schemes whose exclusive create is known NOT to be atomic
+#: even through :func:`_exclusive_create`: the S3 connectors translate
+#: ``create(overwrite=False)`` to a HEAD-then-PUT without a conditional
+#: header. ``expected_base=`` commits on these schemes keep the
+#: narrowed (re-check) window, not a closed one;
+#: :func:`generation_swap_dir` warns once per scheme. ``file:`` roots
+#: were in this set until r16 — they now claim via ``O_CREAT|O_EXCL``,
+#: which is atomic.
+_NON_ATOMIC_CREATE_SCHEMES = frozenset({"s3", "s3a", "s3n"})
 
 #: schemes already warned about in this process (warn once, not per
 #: commit — OCC retry loops would otherwise spam)
@@ -458,6 +462,49 @@ def _is_already_exists(exc: Exception) -> bool:
     )
 
 
+def _exclusive_create(fs, jpath, full_path: str) -> bool:
+    """Atomically create a zero-byte claim file; return True if THIS
+    caller created it, False if it already existed (a racer holds the
+    claim). Any other failure propagates.
+
+    The dispatch is what makes the claim a real arbiter per filesystem:
+
+    - ``file:`` — Hadoop's RawLocalFileSystem implements
+      ``create(overwrite=False)`` as a non-atomic exists-then-create;
+      under a same-base thundering herd two writers routinely BOTH pass
+      it (caught by the threaded OCC test, r16). Local roots therefore
+      claim with the OS's ``O_CREAT|O_EXCL`` open, which the kernel
+      makes atomic.
+    - everything else — the Hadoop create; atomic on HDFS-class stores,
+      best-effort on S3-class ones (:data:`_NON_ATOMIC_CREATE_SCHEMES`).
+    """
+    import os
+
+    scheme = (fs.getUri().getScheme() or "").lower()
+    if scheme == "file":
+        local = full_path
+        if local.startswith("file:"):
+            local = local[len("file:"):]
+            while local.startswith("//"):
+                local = local[1:]
+        # the Hadoop create makes parents implicitly; mirror that
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        try:
+            os.close(
+                os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            )
+        except FileExistsError:
+            return False
+        return True
+    try:
+        fs.create(jpath(full_path), False).close()
+    except Exception as e:
+        if _is_already_exists(e):
+            return False
+        raise
+    return True
+
+
 class GenerationConflictError(RuntimeError):
     """Another writer committed a generation after the base this writer
     computed from — the optimistic-concurrency conflict. The state on
@@ -465,9 +512,10 @@ class GenerationConflictError(RuntimeError):
     Recover by re-reading :func:`current_generation`, recomputing the
     update against it, and committing with the new ``expected_base``.
 
-    Detection is exact on filesystems with atomic exclusive create
-    (HDFS-class). On :data:`_NON_ATOMIC_CREATE_SCHEMES` (local files,
-    S3A-class stores) the token claim is exists-then-create, so two
+    Detection is exact on filesystems with an atomic exclusive create:
+    HDFS-class stores, and ``file:`` roots (claimed via the kernel's
+    ``O_CREAT|O_EXCL``, r16). On :data:`_NON_ATOMIC_CREATE_SCHEMES`
+    (S3A-class stores) the claim degrades to exists-then-create, so two
     same-base racers whose windows interleave tightly enough may BOTH
     miss this error — a documented residual lost-update window, warned
     about at commit time (see :func:`generation_swap_dir`)."""
@@ -613,22 +661,21 @@ def generation_swap_dir(
     relaxes this module's one-writer contract to "concurrent writers
     race safely; losers retry". The writer records
     :func:`current_generation` before computing, passes it here, and the
-    commit then (1) claims the transition token ``_TXN_<base+1>`` via an
-    exclusive create — atomic on HDFS-class filesystems, so exactly ONE
+    commit then (1) claims the transition token ``_TXN_<base+1>`` via
+    :func:`_exclusive_create` — atomic on HDFS-class filesystems AND on
+    ``file:`` roots (OS-level ``O_CREAT|O_EXCL``, r16), so exactly ONE
     of two same-base writers wins — and (2) verifies the newest
     committed generation still equals the base (which catches non-OCC
-    writers and any commit the token cannot see). On filesystems whose
-    create(overwrite=False) is NOT atomic (Hadoop LocalFileSystem's
-    exists-then-create; S3A-class object stores, which lack exclusive
-    create entirely — :data:`_NON_ATOMIC_CREATE_SCHEMES`) the arbiter
-    degrades to best-effort: the step-(2) re-check catches every race
-    that has already committed, but two same-base racers whose claim
-    AND commit windows interleave could in principle both pass — a
-    residual lost-update window this protocol cannot close without
-    store-side conditional puts. OCC mode warns once per scheme on
-    those stores; on a real deployment put the generation root on HDFS
-    (or a store with conditional-put semantics wired into the Hadoop
-    create path). On either failure the populated directory is deleted
+    writers and any commit the token cannot see). On filesystems with
+    no atomic exclusive create at all (S3A-class object stores —
+    :data:`_NON_ATOMIC_CREATE_SCHEMES`) the arbiter degrades to
+    best-effort: the step-(2) re-check catches every race that has
+    already committed, but two same-base racers whose claim AND commit
+    windows interleave could in principle both pass — a residual
+    lost-update window this protocol cannot close without store-side
+    conditional puts. OCC mode warns once per scheme on those stores;
+    on a real deployment put the generation root on HDFS (or a store
+    with conditional-put semantics wired into the Hadoop create path). On either failure the populated directory is deleted
     (it was computed from a stale base — known-stale work, not
     inspection material; the winner's state is untouched) and
     :class:`GenerationConflictError` asks the caller to recompute
@@ -718,14 +765,9 @@ def generation_swap_dir(
     while True:
         n += 1
         gen_dir = gens_root + "/" + _gen_dirname(n)
-        try:
-            fs.create(
-                jpath(gens_root + "/" + _alloc_name(_gen_dirname(n))),
-                False,
-            ).close()
-        except Exception as e:
-            if not _is_already_exists(e):
-                raise
+        if not _exclusive_create(
+            fs, jpath, gens_root + "/" + _alloc_name(_gen_dirname(n))
+        ):
             continue
         # stale-listing double-check (r15 review): if the directory for
         # this number already exists (its writer's claim was swept after
@@ -752,19 +794,13 @@ def generation_swap_dir(
         raise
     if expected_base is not None:
         base = int(expected_base)
-        claimed = False
-        try:
-            # exclusive create: the atomic arbiter between same-base
-            # racers (exactly one create(overwrite=False) can succeed)
-            fs.create(jpath(gens_root + "/" + _txn_name(base + 1)), False).close()
-            claimed = True
-        except Exception as e:
-            # only an existing token means a lost race; a transient IO
-            # error must propagate, not masquerade as a conflict and
-            # cost the caller its computed state (r15 review)
-            if not _is_already_exists(e):
-                raise
-            claimed = False
+        # exclusive create: the atomic arbiter between same-base racers
+        # (exactly one claim can succeed; _exclusive_create propagates
+        # transient IO errors instead of masquerading them as a conflict
+        # and costing the caller its computed state — r15 review)
+        claimed = _exclusive_create(
+            fs, jpath, gens_root + "/" + _txn_name(base + 1)
+        )
         # re-list AFTER the claim: catches a non-OCC writer (no token)
         # or any commit that advanced past the base while we computed.
         # spark is passed so the listing HEALS a crashed in-place swap

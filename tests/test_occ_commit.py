@@ -404,31 +404,118 @@ def test_generation_diff_refuses_nested_map_payload(spark, tmp_path):
         layout_generation_diff(spark, root, 1, 2).count()
 
 
-def test_occ_warns_once_on_non_atomic_scheme(spark, tmp_path):
-    """OCC commits on file:// must warn (once per scheme, per process)
-    that the exclusive-create arbiter is best-effort there (r15
+def test_occ_local_scheme_is_atomic_and_silent(spark, tmp_path):
+    """file:// claims go through O_CREAT|O_EXCL (r16) — genuinely
+    atomic — so OCC commits on local roots neither warn nor belong in
+    _NON_ATOMIC_CREATE_SCHEMES; the best-effort warning is reserved for
+    the S3-class schemes that have no exclusive create at all (r15
     ADVICE)."""
     import warnings as _w
 
     from cinegraph_spark.operators import serving_io
 
-    serving_io._warned_occ_schemes.discard("file")
+    assert "file" not in serving_io._NON_ATOMIC_CREATE_SCHEMES
+    assert serving_io._NON_ATOMIC_CREATE_SCHEMES >= {"s3a"}
     root = str(tmp_path / "t")
-    with pytest.warns(RuntimeWarning, match="not an atomic exclusive"):
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
         hash_layout_save(
             _mk(spark, 0, 4), root, "id", 2, keep_generations=3,
             expected_base=0,
         )
-    # second commit on the same scheme: silent (warn-once)
-    with _w.catch_warnings():
-        _w.simplefilter("error", RuntimeWarning)
-        hash_layout_save(
-            _mk(spark, 0, 5), root, "id", 2, keep_generations=3,
-            expected_base=1,
-        )
-    # non-OCC saves never warn
-    with _w.catch_warnings():
-        _w.simplefilter("error", RuntimeWarning)
         hash_layout_save(
             _mk(spark, 0, 6), root, "id", 2, keep_generations=3
         )
+    # a claim file left by a racer is still honored by the O_EXCL path
+    orphan = os.path.join(_gens_dir(root), "_TXN_00000003")
+    open(orphan, "w").close()
+    with pytest.raises(GenerationConflictError, match="claimed"):
+        hash_layout_save(
+            _mk(spark, 0, 8), root, "id", 2, keep_generations=3,
+            expected_base=2,
+        )
+
+
+@pytest.mark.slow
+def test_occ_threaded_writers_no_lost_update(spark, tmp_path):
+    """r15 verdict task 7 — OCC under REAL concurrency, not simulated
+    interleaving: four threads hammer one versioned root with
+    expected_base commits, retrying on conflict. The no-lost-update law:
+    every successful commit consumed a DISTINCT base (the committed
+    lineage is a chain, never a fork), generations end exactly at the
+    success count, and the final content carries the last link's value.
+
+    History: the first run of this herd THROUGH Hadoop's
+    RawLocalFileSystem create(overwrite=False) produced duplicate bases
+    and generation gaps immediately — its exists-then-create is not a
+    nanosecond theoretical window under contention. That finding drove
+    the O_CREAT|O_EXCL claim path for file: roots (_exclusive_create,
+    r16), which this test now holds to the exact chain law."""
+    import threading
+
+    root = str(tmp_path / "t")
+    n_threads, n_commits = 4, 4
+    lock = threading.Lock()
+    successes: list[tuple[int, int]] = []
+    errors: list[str] = []
+
+    def writer(tid: int) -> None:
+        try:
+            done, attempts = 0, 0
+            while done < n_commits:
+                attempts += 1
+                assert attempts < 200, "livelock: conflict retries runaway"
+                base = current_generation(spark, root)
+                df = spark.createDataFrame(
+                    [(0, base + 1)], "id long, val long"
+                )
+                try:
+                    hash_layout_save(
+                        df, root, "id", 1, keep_generations=2,
+                        expected_base=base,
+                    )
+                except GenerationConflictError:
+                    continue  # re-read, recompute, retry — the contract
+                done += 1
+                with lock:
+                    successes.append((tid, base))
+        except Exception as e:  # surface thread failures to the assert
+            errors.append(f"thread {tid}: {e!r}")
+
+    threads = [
+        threading.Thread(target=writer, args=(i,))
+        for i in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    total = n_threads * n_commits
+    assert len(successes) == total
+    # THE no-lost-update law: every success consumed a DISTINCT base —
+    # two commits from one base is a fork, i.e. a silently dropped
+    # update. (Generation NUMBERS are allocation numbers, not commit
+    # counts: in-flight staging directories push max(existing)+1 past
+    # the committed frontier, so numbers legitimately skip — the chain
+    # law lives on bases, not on number density.)
+    bases = sorted(b for _, b in successes)
+    assert len(set(bases)) == total, f"forked bases: {bases}"
+    assert bases[0] == 0  # the chain starts at the fresh root
+    # the newest committed generation is the LAST success's commit, and
+    # its payload (val = base+1 at compute time) must reflect a base
+    # equal to the committed frontier every earlier success built — a
+    # lost update would leave a smaller val behind
+    final = [
+        (r["id"], r["val"]) for r in layout_read(spark, root).collect()
+    ]
+    assert final == [(0, max(bases) + 1)]
+    # the committed NUMBER may exceed base+1 (numbers skip past other
+    # writers' in-flight staging dirs), but never trail it
+    assert current_generation(spark, root) >= max(bases) + 1
+    # and no transaction-token debris survives the winners' sweeps +
+    # the losers' own releases
+    leftover = [
+        x for x in os.listdir(_gens_dir(root)) if x.startswith("_TXN_")
+    ]
+    assert leftover == []

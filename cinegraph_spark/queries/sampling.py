@@ -20,6 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cinegraph_spark.queries import register
+from cinegraph_spark.queries.neardup_common import SHINGLE_CTES
 from cinegraph_spark.queries.util import T, SCRAMBLE_SQL as _SCRAMBLE_SQL, scramble as _scramble
 
 
@@ -249,3 +250,176 @@ def sample_weighted_wor_topk(spark, sf_dir):
         .orderBy(F.asc("wor_key"), F.asc("doc_id"))
         .limit(100)
     )
+
+
+#: recursive-CTE connected components over the exact-Jaccard near-dup
+#: pair graph — the oracle twin of the Spark min-label propagation,
+#: shared by the two leakage-split queries below (same CTE text as the
+#: graph_cc_* oracles in queries/graph.py)
+_NEARDUP_COMP_CTES = """
+    pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    ),
+    nodes AS (SELECT DISTINCT id FROM
+              (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS component
+             FROM reach GROUP BY src)
+"""
+
+
+@register(
+    "sample_leakage_safe_split",
+    f"""
+    WITH RECURSIVE {SHINGLE_CTES},
+    {_NEARDUP_COMP_CTES}
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS split_key,
+           CASE WHEN (coalesce(c.component, d.doc_id) % 100003)
+                     * 2654435761 % 1000 < 900
+                THEN 'train' ELSE 'heldout' END AS split
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("sampling", "dedup", "llm-pipeline"),
+)
+def sample_leakage_safe_split(spark, sf_dir):
+    """Near-dup-aware train/heldout split — the split a training-data
+    pipeline must use for its eval holdout: hashing PER DOCUMENT leaks
+    (a near-duplicate pair can straddle the boundary, so the model is
+    evaluated on paraphrases of its training data), so the split key is
+    the document's near-dup CLUSTER representative (connected components
+    over the exact-Jaccard 0.6 pair graph; singletons key on their own
+    id). Every cluster lands whole on one side BY CONSTRUCTION — the
+    split is a pure function of the representative.
+
+    Scale shape: the pair discovery is the bounded shingle self-join the
+    dedup family already pays (max-DF-capped), components are the
+    O(log d) min-label propagation, and the split itself is a map-only
+    hash of the representative — one broadcast-size left join onto the
+    corpus, no extra corpus shuffle. Oracle: recursive-CTE transitive
+    closure + the same integer scramble arithmetic."""
+    from cinegraph_spark.operators.graph_algos import connected_components
+    from cinegraph_spark.queries.neardup_common import (
+        ngram_jaccard_pairs_df,
+    )
+
+    pairs = ngram_jaccard_pairs_df(spark, sf_dir).select("id_a", "id_b")
+    cc = connected_components(
+        pairs, "id_a", "id_b", oriented=True
+    ).withColumnRenamed("id", "doc_id")
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    key = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        d.join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            key.alias("split_key"),
+            F.when(
+                (key % 100003) * F.lit(2654435761) % 1000 < 900,
+                F.lit("train"),
+            )
+            .otherwise(F.lit("heldout"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_split_leakage_audit",
+    f"""
+    WITH RECURSIVE {SHINGLE_CTES},
+    {_NEARDUP_COMP_CTES},
+    sides AS (
+      SELECT p.id_a, p.id_b,
+             CAST((p.id_a % 100003) * 2654435761 % 1000 < 900 AS INT)
+               AS naive_a,
+             CAST((p.id_b % 100003) * 2654435761 % 1000 < 900 AS INT)
+               AS naive_b,
+             CAST((ca.component % 100003) * 2654435761 % 1000 < 900 AS INT)
+               AS safe_a,
+             CAST((cb.component % 100003) * 2654435761 % 1000 < 900 AS INT)
+               AS safe_b
+      FROM pairs p
+      JOIN comp ca ON ca.doc_id = p.id_a
+      JOIN comp cb ON cb.doc_id = p.id_b
+    )
+    SELECT * FROM (
+      SELECT 'naive_per_doc' AS scheme,
+             count(*) AS n_pairs,
+             count(*) FILTER (WHERE naive_a <> naive_b) AS n_leaking
+      FROM sides
+      UNION ALL
+      SELECT 'cluster_safe' AS scheme,
+             count(*) AS n_pairs,
+             count(*) FILTER (WHERE safe_a <> safe_b) AS n_leaking
+      FROM sides
+    ) ORDER BY scheme
+    """,
+    tags=("sampling", "dedup", "llm-pipeline", "audit"),
+)
+def sample_split_leakage_audit(spark, sf_dir):
+    """The WHY of the cluster-keyed split, as an auditable number: count
+    near-dup pairs that straddle the train/heldout boundary under (a)
+    the naive per-document hash split and (b) the cluster-representative
+    split. The cluster scheme's count is zero by construction — both
+    endpoints of any pair share a component, hence a split key — while
+    the naive scheme leaks whenever a cluster's members hash to
+    different sides. One row per scheme, over the same pair graph and
+    the same scramble arithmetic as `sample_leakage_safe_split`."""
+    from cinegraph_spark.operators.graph_algos import connected_components
+    from cinegraph_spark.queries.neardup_common import (
+        ngram_jaccard_pairs_df,
+    )
+
+    pairs = ngram_jaccard_pairs_df(spark, sf_dir).select("id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b", oriented=True)
+
+    def side(col):
+        return ((col % 100003) * F.lit(2654435761) % 1000 < 900).cast(
+            "int"
+        )
+
+    sides = (
+        pairs.join(
+            cc.select(
+                F.col("id").alias("id_a"),
+                F.col("component").alias("_comp_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            cc.select(
+                F.col("id").alias("id_b"),
+                F.col("component").alias("_comp_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            side(F.col("id_a")).alias("naive_a"),
+            side(F.col("id_b")).alias("naive_b"),
+            side(F.col("_comp_a")).alias("safe_a"),
+            side(F.col("_comp_b")).alias("safe_b"),
+        )
+    )
+    naive = sides.agg(
+        F.count("*").alias("n_pairs"),
+        F.count_if(F.col("naive_a") != F.col("naive_b")).alias(
+            "n_leaking"
+        ),
+    ).select(F.lit("naive_per_doc").alias("scheme"), "n_pairs", "n_leaking")
+    safe = sides.agg(
+        F.count("*").alias("n_pairs"),
+        F.count_if(F.col("safe_a") != F.col("safe_b")).alias("n_leaking"),
+    ).select(F.lit("cluster_safe").alias("scheme"), "n_pairs", "n_leaking")
+    return naive.unionByName(safe).orderBy("scheme")

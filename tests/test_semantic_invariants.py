@@ -82,3 +82,43 @@ def test_histogram_quantiles_land_in_ceil_rank_bin(spark, sf_dir):
     }
     for key, e in est.items():
         assert abs(e - disc[key]) <= 5.0, (key, e, disc[key])
+
+
+def test_leakage_safe_split_no_pair_straddles_the_boundary(spark, sf_dir):
+    """The split's whole claim, checked through an independent path: join
+    the exact-Jaccard near-dup pairs (recomputed here, not the audit
+    query's counters) onto the split assignment and assert NO pair has
+    endpoints on different sides; also that the split is a pure function
+    of the cluster key and covers every document."""
+    from cinegraph_spark.queries.neardup_common import (
+        ngram_jaccard_pairs_df,
+    )
+
+    split = SPECS["sample_leakage_safe_split"].spark(spark, sf_dir)
+    rows = split.collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == docs  # total function: every doc gets a side
+    side = {r["doc_id"]: r["split"] for r in rows}
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["split_key"], set()).add(r["split"])
+    assert all(len(v) == 1 for v in by_key.values())
+    pairs = ngram_jaccard_pairs_df(spark, sf_dir).collect()
+    assert pairs  # fixtures must exercise the claim
+    straddling = [
+        (p["id_a"], p["id_b"])
+        for p in pairs
+        if side[p["id_a"]] != side[p["id_b"]]
+    ]
+    assert straddling == []
+    # and the audit query reports exactly that, plus a NON-zero naive
+    # leak on these fixtures (otherwise the audit demonstrates nothing)
+    audit = {
+        r["scheme"]: (r["n_pairs"], r["n_leaking"])
+        for r in SPECS["sample_split_leakage_audit"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert audit["cluster_safe"] == (len(pairs), 0)
+    assert audit["naive_per_doc"][0] == len(pairs)
+    assert audit["naive_per_doc"][1] > 0

@@ -963,6 +963,9 @@ def pipeline_stream_neardup_gate(spark, sf_dir):
         scratch_dir("cg_neardup_gate_"),
         output_mode="append",
         transform=gate,
+        # stateless stream (the gate runs inside foreachBatch): nothing
+        # can emit by eviction
+        final_no_data_batch=False,
     )
     return out.orderBy("doc_id")
 

@@ -277,11 +277,15 @@ def stream_stateful_topk_per_user(spark, sf_dir):
     )
 
     stream = read_events_stream(spark, sf_dir)
+    # update-mode + NoTimeout: every emission happens on arrival, never
+    # by eviction — the trailing no-data micro-batch is pure overhead
     out = run_availablenow_to_parquet(
         spark,
         stateful_topk_per_user(stream, k=3),
         scratch_dir("cg_drain_topk_"),
         output_mode="update",
+        shuffle_partitions=4,
+        final_no_data_batch=False,
     )
     w = Window.partitionBy("user_id").orderBy(F.desc("value"))
     return (
@@ -384,11 +388,13 @@ def stream_enrich_purchase_customer(spark, sf_dir):
     enriched = enrich_stream_with_dim(
         stream, dim, on=F.col("user_id") == F.col("c_custkey")
     )
+    # zero state, zero watermark: nothing can emit by eviction
     out = run_availablenow_to_parquet(
         spark,
         enriched,
         scratch_dir("cg_drain_enrich_"),
         output_mode="append",
+        final_no_data_batch=False,
     )
     return out.select(
         "user_id",
@@ -606,6 +612,9 @@ def stream_retention_cohorts(spark, sf_dir):
         stateful_retention_offsets(stream),
         scratch_dir("cg_drain_retention_"),
         output_mode="update",
+        # update-mode + NoTimeout: emissions happen on arrival only
+        shuffle_partitions=4,
+        final_no_data_batch=False,
     )
     # localCheckpoint the cohort-triangle-sized drain: pins the snapshot
     # and gives the self-join below fresh attribute ids

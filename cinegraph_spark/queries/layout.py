@@ -762,7 +762,12 @@ def pipeline_stream_ingest_compact(spark, sf_dir):
         .parquet(src)
     )
     landed = scratch + "/landed"
-    run_availablenow_to_parquet(spark, stream, landed, output_mode="append")
+    # stateless landing: nothing can emit by eviction; skip the trailing
+    # no-data micro-batch (one checkpoint commit saved per drain)
+    run_availablenow_to_parquet(
+        spark, stream, landed, output_mode="append",
+        final_no_data_batch=False,
+    )
     before = dataset_stats(landed)
     report = compact(
         spark, landed, target_file_mb=1, sort_by=["lang", "doc_id"],

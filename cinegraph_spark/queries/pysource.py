@@ -106,6 +106,8 @@ def src_stream_listing_pages(spark, sf_dir):
         stream,
         scratch_dir("cg_drain_listing_"),
         output_mode="append",
+        # stateless source landing: no eviction-driven emissions
+        final_no_data_batch=False,
     )
     return out.groupBy(F.col("page").cast("long").alias("page")).agg(
         F.count("*").alias("n_titles"),

@@ -96,6 +96,8 @@ HEADLINE = [
     # pins)
     "vec_ann_hnsw_reshard_knn",
     "vec_ann_hnsw_stream_update_knn",
+    "vec_ann_hnsw_erasure_knn",
+    "vec_ann_ivf_erasure_topk",
     # round 13 additions
     "layout_clustered_upsert_roundtrip",
     "layout_compact_small_files_stats",
@@ -149,6 +151,8 @@ SERVING = frozenset(
         "vec_ann_hnsw_served_knn",
         "vec_ann_hnsw_reshard_knn",
         "vec_ann_hnsw_stream_update_knn",
+        "vec_ann_hnsw_erasure_knn",
+        "vec_ann_ivf_erasure_topk",
         "vec_ann_ivf_filtered_topk",
         "vec_ann_hnsw_filtered_knn",
         "vec_ann_pq_filtered_topk",

@@ -1377,3 +1377,131 @@ def vec_ann_pq_stream_update_topk(spark, sf_dir):
     # the search reads the drained landing layout: the rerank fetch is
     # pruned to the candidates' partition directories
     return pq_index_topk(scratch + "/land", q, path, k=10, rerank=rerank)
+
+
+@register(
+    "vec_ann_hnsw_erasure_knn",
+    f"""
+    WITH e AS (SELECT vec_id, {_DV} AS v FROM embeddings),
+    kept AS (SELECT * FROM e WHERE vec_id % 7 <> 3),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT qid, vec_id AS nid,
+             round(list_dot_product(v, qv)
+                   / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos_sim
+      FROM kept, q WHERE vec_id <> qid
+    )
+    SELECT qid, nid, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, nid) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    tags=("vector", "ann", "hnsw", "knn", "similarity", "serving",
+          "erasure", "deletion-vectors"),
+)
+def vec_ann_hnsw_erasure_knn(spark, sf_dir):
+    """ERASURE end-to-end at the HNSW serving tier (r16): vectors erased
+    from the corpus layout by a DELETION VECTOR (`layout_dv_delete` — a
+    K-row sidecar, zero data files rewritten) must be gone from every
+    served top-k after the next maintenance. The blobs embed their
+    vectors, so HNSW is the tier where erasure is NOT free at serve time
+    (PQ/IVF candidate fetches read the DV-masked layout directly —
+    contract pinned cross-tier in tests/test_deletion_vectors.py):
+    `hnsw_index_update` rebuilds exactly the erased keys' partitions
+    from the masked layout (scan pruned to those directories), after
+    which the table is bit-identical to a fresh save of the kept corpus
+    and the brute-force oracle over `vec_id % 7 <> 3` hash-matches.
+    This is the GDPR-deletion shape at 100 TB: the erasure itself costs
+    K sidecar rows, and the index pays only its touched partitions."""
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_corpus_layout,
+        hnsw_index_knn,
+        hnsw_index_save,
+        hnsw_index_update,
+    )
+    from cinegraph_spark.operators.maintenance import layout_dv_delete
+    from cinegraph_spark.session import scratch_dir
+
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    scratch = scratch_dir("cg_hnsw_erase_")
+    idx, corpus_path = scratch + "/index", scratch + "/corpus"
+    hnsw_index_save(e, idx, target_rows_per_subindex=256)
+    hnsw_corpus_layout(e, corpus_path, idx)
+    erased = e.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    layout_dv_delete(spark, corpus_path, erased)
+    hnsw_index_update(corpus_path, erased, idx)
+    queries = e.filter(F.col("vec_id") < 10)
+    return hnsw_index_knn(spark, idx, queries, k=3)
+
+
+@register(
+    "vec_ann_ivf_erasure_topk",
+    f"""
+    WITH e AS (SELECT vec_id, label, {_DV} AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    corpus AS (SELECT vec_id, label, v FROM e
+               WHERE vec_id <> 0 AND vec_id % 7 <> 3),
+    flat AS (SELECT label, unnest(v) AS x,
+                    generate_subscripts(v, 1) AS dim FROM corpus),
+    cent AS (SELECT label, dim, avg(x) AS c FROM flat GROUP BY label, dim),
+    centv AS (SELECT label, list(c ORDER BY dim) AS cv
+              FROM cent GROUP BY label),
+    probe AS (
+      SELECT label FROM centv, q
+      ORDER BY round(list_dot_product(cv, qv)
+               / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qv, x -> x * x)))), 9)
+               DESC, label
+      LIMIT 2
+    )
+    SELECT corpus.vec_id, CAST(corpus.label AS BIGINT) AS label,
+           round(list_dot_product(v, qv)
+                 / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cos_sim
+    FROM corpus JOIN probe USING (label), q
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("vector", "ann", "ivf", "similarity", "serving", "erasure"),
+)
+def vec_ann_ivf_erasure_topk(spark, sf_dir):
+    """ERASURE end-to-end at the IVF serving tier (r16): the corpus is a
+    COLUMN layout (the cell is not derivable from the key, so deletion
+    vectors are refused there by design) — erasure is the batch delete
+    path: `column_layout_upsert(deletes=)` rewrites exactly the named
+    cell DIRECTORIES, then `ivf_centroids_update` recomputes exactly
+    those cells' centroids from the layout (pruned read). The erased
+    keys leave the serve path the moment the cell delete lands (the
+    candidates come from the layout itself); the centroid refresh only
+    restores probe quality. Decimal cell sums keep the maintained table
+    bit-identical to a fresh save over the kept corpus, so the oracle
+    computes the probe over `vec_id % 7 <> 3` directly."""
+    from cinegraph_spark.operators.maintenance import column_layout_upsert
+    from cinegraph_spark.operators.similarity import (
+        ivf_centroids_save,
+        ivf_centroids_update,
+        ivf_corpus_layout,
+        ivf_index_topk,
+    )
+    from cinegraph_spark.session import scratch_dir
+
+    e = _emb(spark, sf_dir)
+    corpus = e.filter(F.col("vec_id") != 0)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scratch = scratch_dir("cg_ivf_erase_")
+    path, corpus_path = scratch + "/centroids", scratch + "/corpus"
+    ivf_centroids_save(corpus, path)
+    ivf_corpus_layout(corpus, corpus_path)
+    deletes = corpus.filter(F.col("vec_id") % 7 == 3).select(
+        "vec_id", "label"
+    )
+    column_layout_upsert(
+        spark, corpus_path, corpus.filter(F.lit(False)), "vec_id",
+        deletes=deletes,
+    )
+    ivf_centroids_update(corpus_path, deletes.select("label"), path)
+    out = ivf_index_topk(corpus_path, q, path, nprobe=2, k=10)
+    return out.select(
+        "vec_id", F.col("label").cast("long").alias("label"), "cos_sim"
+    )

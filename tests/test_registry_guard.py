@@ -163,3 +163,20 @@ def test_coverage_doc_counts_match_registry():
     assert m, "COVERAGE.md lost its 'Registry total' headline line"
     assert int(m.group(1)) == len(entry.queries())
     assert int(m.group(2)) == len(entry.oracle_sql())
+    # README carries the same totals in its round-history prose (r16):
+    # same drift hazard, same pin
+    readme = open(
+        os.path.join(os.path.dirname(__file__), "..", "README.md")
+    ).read()
+    m2 = re.search(
+        r"registry stands at (\d+) queries, (\d+)\s*\nwith exact SQL "
+        r"oracles",
+        readme,
+    ) or re.search(
+        r"registry stands at\s+(\d+) queries, (\d+) with exact SQL",
+        readme,
+        re.S,
+    )
+    assert m2, "README.md lost its 'registry stands at' totals line"
+    assert int(m2.group(1)) == len(entry.queries())
+    assert int(m2.group(2)) == len(entry.oracle_sql())

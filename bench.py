@@ -105,6 +105,7 @@ HEADLINE = [
     "stream_join_left_outer_attribution",
     "agg_incremental_mv_refresh",
     "sample_weighted_wor_topk",
+    "sample_kcenter_coreset",
     "vec_ann_filtered_topk",
     "stream_mv_incremental_refresh",
     "vec_ann_ivf_filtered_topk",

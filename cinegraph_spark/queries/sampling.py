@@ -423,3 +423,130 @@ def sample_split_leakage_audit(spark, sf_dir):
         F.count_if(F.col("safe_a") != F.col("safe_b")).alias("n_leaking"),
     ).select(F.lit("cluster_safe").alias("scheme"), "n_pairs", "n_leaking")
     return naive.unionByName(safe).orderBy("scheme")
+
+
+def _kcenter_oracle_sql(k: int) -> str:
+    """Chained-CTE greedy k-center for the DuckDB oracle: stage i picks
+    the point with the largest min-squared-distance to the chosen set
+    (6-decimal rounding before the argmax comparison on BOTH engines —
+    the distances differ at the 1e-13 fold-order level, the gaps between
+    candidates are orders of magnitude larger), then folds
+    least(dmin, d_new). Squared distance uses the dot-product identity
+    (|a|^2 + |b|^2 - 2<a,b>) so both engines run the same formula."""
+    ctes = [
+        "e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)",
+        "c0 AS (SELECT v FROM e WHERE vec_id = 0)",
+        "d1 AS (SELECT e.vec_id, e.v,"
+        " list_dot_product(e.v, e.v) + list_dot_product(c0.v, c0.v)"
+        " - 2 * list_dot_product(e.v, c0.v) AS dmin"
+        " FROM e, c0 WHERE e.vec_id <> 0)",
+    ]
+    picks = ["SELECT 0 AS pick_order, 0 AS vec_id, 0.0 AS radius2"]
+    for i in range(1, k):
+        ctes.append(
+            f"p{i} AS (SELECT vec_id, v, dmin FROM d{i}"
+            f" ORDER BY round(dmin, 6) DESC, vec_id LIMIT 1)"
+        )
+        picks.append(
+            f"SELECT {i} AS pick_order, vec_id,"
+            f" round(dmin, 6) AS radius2 FROM p{i}"
+        )
+        if i < k - 1:
+            ctes.append(
+                f"d{i + 1} AS (SELECT d.vec_id, d.v,"
+                f" least(d.dmin,"
+                f" list_dot_product(d.v, d.v)"
+                f" + list_dot_product(p{i}.v, p{i}.v)"
+                f" - 2 * list_dot_product(d.v, p{i}.v)) AS dmin"
+                f" FROM d{i} d, p{i} WHERE d.vec_id <> p{i}.vec_id)"
+            )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + "\n    SELECT CAST(pick_order AS BIGINT) AS pick_order, vec_id,"
+          " radius2 FROM (" + " UNION ALL ".join(picks) + ")"
+          " ORDER BY pick_order"
+    )
+
+
+_KCENTER_K = 5
+
+
+@register(
+    "sample_kcenter_coreset",
+    _kcenter_oracle_sql(_KCENTER_K),
+    tags=("sampling", "vector", "coreset", "llm-pipeline"),
+)
+def sample_kcenter_coreset(spark, sf_dir):
+    """Diversity sampling — greedy k-center (Gonzalez) over the embedding
+    corpus: seed at vec_id 0, then repeatedly pick the point FARTHEST
+    from the chosen set (max of min squared distance, 6-decimal-rounded
+    comparison, vec_id tiebreak). The returned `radius2` of each pick is
+    the covering radius² the coreset had before that pick — the 2-approx
+    guarantee's certificate. This is the coreset / dataset-distillation
+    selection step a training-data pipeline uses to pick maximally
+    diverse exemplars (dedup removes the near-identical; k-center keeps
+    the spread).
+
+    Scale shape: k-1 passes over the corpus, each a map-only distance
+    expression (the chosen centers are k literal vectors folded into the
+    plan — the documented small-side, like the IVF probe list) followed
+    by TakeOrdered(1); no shuffle of the corpus at any size, cost =
+    (k-1) scans. The squared distance uses the dot-product identity so
+    Spark's fold and DuckDB's list_dot_product run the same formula."""
+    from cinegraph_spark.queries.util import T as _T
+
+    e = (
+        _T(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+
+    def dist2_to(center: list) -> F.Column:
+        c = F.array(*[F.lit(float(x)) for x in center])
+        dot_vc = F.aggregate(
+            F.zip_with(F.col("v"), c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dot_vv = F.aggregate(
+            F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dot_cc = float(sum(x * x for x in center))
+        return dot_vv + F.lit(dot_cc) - 2.0 * dot_vc
+
+    seed = e.filter(F.col("vec_id") == 0).select("v").first()
+    chosen = [(0, [float(x) for x in seed["v"]], 0.0)]
+    remaining = e.filter(F.col("vec_id") != 0)
+    for i in range(1, _KCENTER_K):
+        dmin = F.least(*[dist2_to(c) for _, c, _ in chosen]) if len(
+            chosen
+        ) > 1 else dist2_to(chosen[0][1])
+        pick = (
+            remaining.select("vec_id", "v", dmin.alias("dmin"))
+            .orderBy(F.round("dmin", 6).desc(), F.asc("vec_id"))
+            .limit(1)
+            .first()
+        )
+        chosen.append(
+            (int(pick["vec_id"]), [float(x) for x in pick["v"]],
+             float(pick["dmin"]))
+        )
+        remaining = remaining.filter(F.col("vec_id") != int(pick["vec_id"]))
+    # round in-engine (F.round, not Python's banker's round) so the
+    # half-way rule matches the oracle's SQL round
+    return (
+        spark.createDataFrame(
+            [(i, vid, d) for i, (vid, _, d) in enumerate(chosen)],
+            "pick_order long, vec_id long, radius2 double",
+        )
+        .select(
+            "pick_order", "vec_id", F.round("radius2", 6).alias("radius2")
+        )
+        .orderBy("pick_order")
+    )

@@ -122,3 +122,32 @@ def test_leakage_safe_split_no_pair_straddles_the_boundary(spark, sf_dir):
     assert audit["cluster_safe"] == (len(pairs), 0)
     assert audit["naive_per_doc"][0] == len(pairs)
     assert audit["naive_per_doc"][1] > 0
+
+
+def test_kcenter_radius_is_nonincreasing_and_picks_distinct(spark, sf_dir):
+    """Greedy k-center's mathematical certificate, independent of the
+    oracle construction: the max-min covering radius cannot grow as
+    centers are added (each pick's radius2 is the maximum over a set
+    that only shrinks), picks are distinct, and every pick is a real
+    corpus vector."""
+    rows = sorted(
+        (
+            (r["pick_order"], r["vec_id"], r["radius2"])
+            for r in SPECS["sample_kcenter_coreset"]
+            .spark(spark, sf_dir)
+            .collect()
+        )
+    )
+    assert [o for o, _, _ in rows] == list(range(len(rows)))
+    ids = [v for _, v, _ in rows]
+    assert len(set(ids)) == len(ids)
+    radii = [r for o, _, r in rows if o >= 1]
+    assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+    assert radii[-1] > 0  # fixtures must exercise real spread
+    corpus_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    }
+    assert set(ids) <= corpus_ids

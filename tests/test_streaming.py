@@ -833,3 +833,118 @@ def test_full_outer_join_both_sides_evict(spark, tmp_path):
         (2, None, 3),  # that click, never attributed: purchase side NULL
         (3, 5, None),  # purchase with no click at all
     ]
+
+
+def test_no_data_batch_skip_multibatch_update_drain(spark, tmp_path):
+    """final_no_data_batch=False under a REAL multi-batch drain: the
+    stateful top-k (update mode, NoTimeout — emits on arrival only) over
+    events split into 3 part files with maxFilesPerTrigger=1 must
+    produce the same re-ranked final state with the trailing no-data
+    micro-batch skipped as the batch ground truth, and the drain must
+    have run exactly 3 data batches (no batch-00000003 directory)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cinegraph_spark.streaming.stateful import stateful_topk_per_user
+    from cinegraph_spark.streaming.windows import (
+        read_events_stream,
+        run_availablenow_to_parquet,
+    )
+
+    src = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001"),
+        "events.parquet",
+    )
+    tbl = pq.read_table(src).sort_by([("ts", "descending")])
+    outdir = tmp_path / "events.parquet"
+    outdir.mkdir()
+    n = tbl.num_rows // 3 + 1
+    for i in range(3):
+        chunk = tbl.slice(i * n, n)
+        if chunk.num_rows:
+            pq.write_table(chunk, f"{outdir}/part-{i}.parquet")
+
+    stream = read_events_stream(
+        spark, str(tmp_path), max_files_per_trigger=1
+    )
+    sink = str(tmp_path / "drained")
+    out = run_availablenow_to_parquet(
+        spark,
+        stateful_topk_per_user(stream, k=3),
+        sink,
+        output_mode="update",
+        shuffle_partitions=4,
+        final_no_data_batch=False,
+    )
+    batch_dirs = sorted(
+        d for d in os.listdir(sink) if d.startswith("batch-")
+    )
+    assert batch_dirs == [f"batch-{i:08d}" for i in range(3)]
+    # re-rank the accumulated update emissions (the registered query's
+    # recovery rule) and compare against batch ground truth
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"))
+    got = {
+        (r["user_id"], r["rnk"], r["value"])
+        for r in out.select("user_id", "value")
+        .distinct()
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .collect()
+    }
+    ev = spark.read.parquet(str(outdir)).select(
+        "user_id", F.col("value")
+    )
+    want = {
+        (r["user_id"], r["rnk"], r["value"])
+        for r in ev.distinct()
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .collect()
+    }
+    assert got == want
+
+
+def test_no_data_batch_required_for_append_windows(spark, tmp_path):
+    """The contract boundary the final_no_data_batch docstring states,
+    demonstrated: an APPEND-mode windowed aggregation emits closed
+    windows only when the watermark advances past them — the trailing
+    no-data micro-batch is what finalizes the last windows in an
+    availableNow drain, so skipping it MUST lose rows. This test is the
+    tripwire against anyone flipping the flag on an eviction-dependent
+    drain: if Spark ever changes the finalization semantics so nothing
+    is lost, the assertion flips and the flag's docs must be revisited."""
+    from pyspark.sql import functions as F
+
+    from cinegraph_spark.streaming.windows import (
+        read_events_stream,
+        run_availablenow_to_parquet,
+    )
+
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+
+    def drain(final_no_data_batch: bool, sub: str) -> int:
+        stream = read_events_stream(spark, sf)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select("event_type", "n")
+        )
+        out = run_availablenow_to_parquet(
+            spark,
+            agg,
+            str(tmp_path / sub),
+            output_mode="append",
+            final_no_data_batch=final_no_data_batch,
+        )
+        return out.count()
+
+    with_final = drain(True, "with_final")
+    without = drain(False, "without")
+    assert with_final > 0
+    assert without < with_final

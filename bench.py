@@ -74,6 +74,8 @@ HEADLINE = [
     "stats_robust_mad_outliers",
     "dedup_incremental_vs_snapshot",
     "src_stream_listing_pages",
+    "src_jsonl_roundtrip",
+    "src_csv_roundtrip",
     # round 7 additions
     "stream_retention_cohorts",
     "events_scd2_point_in_time",

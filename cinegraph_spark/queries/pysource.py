@@ -177,3 +177,188 @@ def src_textsink_roundtrip(spark, sf_dir):
         )
         .orderBy("year")
     )
+
+
+#: adversarial documents UNIONed into both round-trip queries: the
+#: fixture text carries no newlines/commas/quotes, so without these the
+#: escape paths would be untested claims. Mirrored literally in the
+#: oracle SQL (newlines via chr(10), quotes doubled).
+_ADVERSARIAL_DOCS = [
+    (9000001, 'line1,with comma\n"quoted cell"\ntrailing', "xx"),
+    (9000002, 'newline\nin the middle; ends with period.', "xx"),
+    (9000003, '"starts quoted", has \'single\', und — em\u2014dash \u00e9\u6f22', "xx"),
+]
+
+#: JSONL-only: a field-TRAILING newline. The CSV codec cannot carry it —
+#: Spark's (univocity) multiLine reader normalizes a quoted field's
+#: trailing line separator away (verified empirically, r16), which is
+#: exactly why JSONL is the byte-exact interchange default for training
+#: text and this row pins that JSONL keeps it.
+_JSONL_ONLY_DOCS = [
+    (9000004, 'trailing newline survives in jsonl\n', "xx"),
+]
+
+
+def _adversarial_union_sql(docs) -> str:
+    rows = []
+    for doc_id, text, lang in docs:
+        lit = text.replace("'", "''").replace("\n", "' || chr(10) || '")
+        rows.append(
+            f"SELECT {doc_id} AS doc_id, '{lit}' AS text, '{lang}' AS lang,"
+            f" 'synthetic' AS source, CAST(len('{lit}') AS BIGINT) AS n_chars"
+        )
+    return " UNION ALL ".join(rows)
+
+
+def _with_adversarial(spark, d, docs):
+    from pyspark.sql import functions as F
+
+    extra = spark.createDataFrame(
+        [
+            (doc_id, text, lang, "synthetic", len(text))
+            for doc_id, text, lang in docs
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return d.select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).unionByName(extra)
+
+
+@register(
+    "src_jsonl_roundtrip",
+    f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(len(text)) AS BIGINT) AS sum_text_len,
+           substr(md5(string_agg(md5(text), '' ORDER BY doc_id)), 1, 16)
+             AS content_hash
+    FROM (SELECT doc_id, text, lang, source, n_chars FROM documents
+          UNION ALL {_adversarial_union_sql(_ADVERSARIAL_DOCS + _JSONL_ONLY_DOCS)})
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("source", "format", "jsonl", "roundtrip"),
+)
+def src_jsonl_roundtrip(spark, sf_dir):
+    """Source-format breadth: the documents table round-trips through
+    JSON LINES — the interchange format most raw training-data drops
+    arrive in — written by Spark's json sink and read back with an
+    EXPLICIT schema (schema-on-read inference is banned on the ingest
+    path: at 100 TB an inference pass is a full extra scan, and a
+    type-flipping row silently retypes the column). The per-lang
+    content hash (md5 over doc-ordered md5s) proves byte-exact text
+    fidelity through the escape/unescape cycle — newlines, quotes, and
+    non-ASCII in `text` survive or the oracle hash (computed on the
+    ORIGINAL parquet) misses."""
+    from cinegraph_spark.queries.util import T
+    from cinegraph_spark.session import scratch_dir
+
+    d = _with_adversarial(
+        spark,
+        T(spark, sf_dir, "documents"),
+        _ADVERSARIAL_DOCS + _JSONL_ONLY_DOCS,
+    )
+    path = scratch_dir("cg_jsonl_rt_") + "/docs"
+    d.write.json(path)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("doc_id", F.md5("text"))
+                            )
+                        ).getField("col2"),
+                    )
+                ),
+                1,
+                16,
+            ).alias("content_hash"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "src_csv_roundtrip",
+    f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(len(text)) AS BIGINT) AS sum_text_len,
+           substr(md5(string_agg(md5(text), '' ORDER BY doc_id)), 1, 16)
+             AS content_hash
+    FROM (SELECT doc_id, text, lang, source, n_chars FROM documents
+          UNION ALL {_adversarial_union_sql(_ADVERSARIAL_DOCS)})
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("source", "format", "csv", "roundtrip"),
+)
+def src_csv_roundtrip(spark, sf_dir):
+    """Source-format breadth: the same byte-exact round-trip through
+    CSV, the hard case — `text` carries embedded newlines, commas, and
+    quotes, so the writer must quote+escape and the reader must run in
+    multiLine mode with an explicit schema (a naive line-split reader
+    shreds multi-line records; the content hash would miss). Same
+    per-lang content-hash oracle over the ORIGINAL parquet as the JSONL
+    twin, so the two queries pin both directions of each codec. One
+    documented codec limit, found while pinning this: a quoted field's
+    TRAILING newline is normalized away by the multiLine CSV reader, so
+    the trailing-newline adversarial row rides only the JSONL twin —
+    CSV is not byte-exact for trailing-whitespace-significant text,
+    JSONL is."""
+    from cinegraph_spark.queries.util import T
+    from cinegraph_spark.session import scratch_dir
+
+    d = _with_adversarial(
+        spark, T(spark, sf_dir, "documents"), _ADVERSARIAL_DOCS
+    )
+    path = scratch_dir("cg_csv_rt_") + "/docs"
+    (
+        d.write.option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+    back = (
+        spark.read.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "",
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("doc_id", F.md5("text"))
+                            )
+                        ).getField("col2"),
+                    )
+                ),
+                1,
+                16,
+            ).alias("content_hash"),
+        )
+        .orderBy("lang")
+    )

@@ -443,7 +443,9 @@ def _kcenter_oracle_sql(k: int) -> str:
         " - 2 * list_dot_product(e.v, c0.v) AS dmin"
         " FROM e, c0 WHERE e.vec_id <> 0)",
     ]
-    picks = ["SELECT 0 AS pick_order, 0 AS vec_id, 0.0 AS radius2"]
+    # the seed row exists only if vec_id 0 does (zero-row corpus -> a
+    # zero-row result on BOTH engines, r16 empty-input sweep)
+    picks = ["SELECT 0 AS pick_order, 0 AS vec_id, 0.0 AS radius2 FROM c0"]
     for i in range(1, k):
         ctes.append(
             f"p{i} AS (SELECT vec_id, v, dmin FROM d{i}"
@@ -521,6 +523,11 @@ def sample_kcenter_coreset(spark, sf_dir):
         return dot_vv + F.lit(dot_cc) - 2.0 * dot_vc
 
     seed = e.filter(F.col("vec_id") == 0).select("v").first()
+    empty = spark.createDataFrame(
+        [], "pick_order long, vec_id long, radius2 double"
+    )
+    if seed is None:  # no seed vector: zero-row result, like the oracle
+        return empty
     chosen = [(0, [float(x) for x in seed["v"]], 0.0)]
     remaining = e.filter(F.col("vec_id") != 0)
     for i in range(1, _KCENTER_K):
@@ -533,6 +540,8 @@ def sample_kcenter_coreset(spark, sf_dir):
             .limit(1)
             .first()
         )
+        if pick is None:  # corpus smaller than k: stop, like the oracle
+            break
         chosen.append(
             (int(pick["vec_id"]), [float(x) for x in pick["v"]],
              float(pick["dmin"]))

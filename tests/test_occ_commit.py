@@ -519,3 +519,80 @@ def test_occ_threaded_writers_no_lost_update(spark, tmp_path):
         x for x in os.listdir(_gens_dir(root)) if x.startswith("_TXN_")
     ]
     assert leftover == []
+
+
+def test_exclusive_create_hadoop_branch_classification():
+    """The non-file branch of _exclusive_create must return False ONLY
+    for an already-exists failure and propagate everything else — a
+    transient IO error misread as a lost race would silently cost a
+    writer its computed state (the r15 review class, now behind one
+    helper)."""
+    from cinegraph_spark.operators.serving_io import _exclusive_create
+
+    class FakeUri:
+        def __init__(self, scheme):
+            self._s = scheme
+
+        def getScheme(self):
+            return self._s
+
+    class FakeStream:
+        def close(self):
+            pass
+
+    class FakeFs:
+        def __init__(self, scheme, exc=None):
+            self._uri, self._exc = FakeUri(scheme), exc
+            self.created = []
+
+        def getUri(self):
+            return self._uri
+
+        def create(self, path, overwrite):
+            assert overwrite is False
+            if self._exc is not None:
+                raise self._exc
+            self.created.append(str(path))
+            return FakeStream()
+
+    jpath = lambda p: p  # noqa: E731
+    ok_fs = FakeFs("hdfs")
+    assert _exclusive_create(ok_fs, jpath, "/x/_TXN_1") is True
+    assert ok_fs.created == ["/x/_TXN_1"]
+    exists = IOError("File already exists: /x/_TXN_1")
+    assert (
+        _exclusive_create(FakeFs("hdfs", exists), jpath, "/x/_TXN_1")
+        is False
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(IOError, match="connection reset"):
+        _exclusive_create(
+            FakeFs("hdfs", IOError("connection reset")), jpath, "/x/_TXN_1"
+        )
+
+
+def test_exclusive_create_local_branch_is_o_excl(tmp_path):
+    """The file: branch claims via O_CREAT|O_EXCL — second claim of the
+    same path loses, parents are created implicitly, and a file: URI
+    prefix is stripped."""
+    from cinegraph_spark.operators.serving_io import _exclusive_create
+
+    class FakeUri:
+        def getScheme(self):
+            return "file"
+
+    class FakeFs:
+        def getUri(self):
+            return FakeUri()
+
+    fs, jpath = FakeFs(), (lambda p: p)
+    target = str(tmp_path / "deep" / "nested" / "_TXN_1")
+    assert _exclusive_create(fs, jpath, target) is True
+    assert _exclusive_create(fs, jpath, target) is False
+    import os
+
+    assert os.path.exists(target)
+    uri_target = "file:" + str(tmp_path / "deep" / "_ALLOC_g1")
+    assert _exclusive_create(fs, jpath, uri_target) is True
+    assert os.path.exists(str(tmp_path / "deep" / "_ALLOC_g1"))

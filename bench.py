@@ -36,6 +36,7 @@ HEADLINE = [
     "text_fingerprint",
     "text_quality_score",
     "dedup_ngram_jaccard_pairs",
+    "dedup_line_level_shared_sentences",
     "dedup_minhash_lsh_pairs",
     "vec_cosine_topk_to_query",
     "vec_euclidean_to_label_centroid",

@@ -674,3 +674,74 @@ def dedup_cdc_chunk_overlap(spark, sf_dir):
             .alias("n_shared_words"),
         )
     )
+
+
+@register(
+    "dedup_line_level_shared_sentences",
+    r"""
+    WITH parts AS (
+      SELECT doc_id,
+             regexp_replace(part, '^\s+|\s+$', '', 'g') AS s
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(text, '[.!?]+')) AS part
+            FROM documents)
+    ),
+    kept AS (SELECT DISTINCT doc_id, md5(s) AS h FROM parts WHERE s <> ''),
+    freq AS (SELECT h, count(*) AS n_docs FROM kept GROUP BY h),
+    per AS (
+      SELECT k.doc_id,
+             count(*) AS n_sentences,
+             count(*) FILTER (WHERE f.n_docs >= 2) AS n_shared
+      FROM kept k JOIN freq f USING (h) GROUP BY k.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared * 1.0 / n_sentences, 4) AS shared_ratio
+    FROM per ORDER BY doc_id
+    """,
+    tags=("dedup", "c4", "line-level", "llm-pipeline"),
+)
+def dedup_line_level_shared_sentences(spark, sf_dir):
+    """C4-style LINE-LEVEL dedup statistics: per document, how many of
+    its distinct sentences also appear in at least one OTHER document —
+    the signal C4 uses to drop boilerplate lines (nav chrome, license
+    headers, quoted reposts) that document-level and near-dup passes
+    both miss. Sentence split/trim matches `text_udtf_sentence_split`;
+    sentences join by md5 hash, so the two corpus-scale shuffles
+    (distinct, frequency groupBy) move 16-byte keys, never sentence
+    text, and the frequency side is combiner-friendly. A downstream
+    filter on `shared_ratio` (or the per-sentence n_docs) is the actual
+    C4 cleaning step; this query is its auditable statistics pass."""
+    d = T(spark, sf_dir, "documents")
+    parts = d.select(
+        "doc_id",
+        F.explode(F.split("text", r"[.!?]+")).alias("part"),
+    )
+    kept = (
+        parts.select(
+            "doc_id",
+            F.regexp_replace("part", r"^\s+|\s+$", "").alias("s"),
+        )
+        .filter(F.col("s") != "")
+        .select("doc_id", F.md5("s").alias("h"))
+        .distinct()
+    )
+    freq = kept.groupBy("h").agg(F.count("*").alias("n_docs"))
+    return (
+        kept.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sentences"),
+            F.count_if(F.col("n_docs") >= 2).cast("long").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_sentences",
+            "n_shared",
+            F.round(
+                F.col("n_shared") * 1.0 / F.col("n_sentences"), 4
+            ).alias("shared_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -61,6 +61,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     oriented: bool = False,
+    on_max_iter: str = "raise",
 ) -> DataFrame:
     """Min-label propagation connected components → (id, component).
 
@@ -76,7 +77,17 @@ def connected_components(
 
     ``localCheckpoint`` after each superstep truncates lineage so the plan
     stays O(1) per round instead of O(rounds).
+
+    ``on_max_iter`` controls what happens when the label fixpoint is NOT
+    reached within ``max_iter`` supersteps (graph diameter > max_iter):
+    ``"raise"`` (default) raises ``RuntimeError`` — partially-propagated
+    labels would silently split one true component into several, which
+    for the leakage-safe-split callers means near-duplicate documents
+    leaking across the train/heldout boundary; ``"truncate"`` returns the
+    partial labels for callers that explicitly want a bounded relaxation.
     """
+    if on_max_iter not in ("raise", "truncate"):
+        raise ValueError(f"on_max_iter must be 'raise' or 'truncate', got {on_max_iter!r}")
     # every superstep materializes eagerly (localCheckpoint) inside the
     # bounded-shuffle scope: a plain 200-partition session would otherwise
     # pay 200-task overhead per round on graphs this size
@@ -99,6 +110,7 @@ def connected_components(
             .withColumn("component", F.col("id"))
             .localCheckpoint(eager=True)
         )
+        converged = False
         for _ in range(max_iter):
             # neighbor messages: each edge forwards the source's current label
             msgs = (
@@ -122,7 +134,16 @@ def connected_components(
             n_changed = new_labels.filter("changed").count()
             labels = new_labels.drop("changed")
             if n_changed == 0:
+                converged = True
                 break
+    if not converged and on_max_iter == "raise":
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "supersteps (graph diameter exceeds the round budget); partial "
+            "labels would split true components. Raise max_iter, or use "
+            "connected_components_star (O(log^2) rounds), or pass "
+            "on_max_iter='truncate' to accept partial propagation."
+        )
     return labels
 
 

@@ -482,11 +482,19 @@ def _exclusive_create(fs, jpath, full_path: str) -> bool:
 
     scheme = (fs.getUri().getScheme() or "").lower()
     if scheme == "file":
-        local = full_path
-        if local.startswith("file:"):
-            local = local[len("file:"):]
-            while local.startswith("//"):
-                local = local[1:]
+        # resolve the local path with real URI parsing: naive prefix-
+        # stripping mangles 'file://localhost/tmp/x' into
+        # '/localhost/tmp/x' and leaves percent-encoding undecoded, so
+        # the O_EXCL claim would land at a path other spellings of the
+        # same root never see (r16 ADVICE). urlparse drops the authority
+        # and unquote decodes — the authority-free local path Hadoop's
+        # own Path.toUri().getPath() would return.
+        if ":" in full_path.split("/", 1)[0]:
+            from urllib.parse import unquote, urlparse
+
+            local = unquote(urlparse(full_path).path)
+        else:
+            local = full_path
         # the Hadoop create makes parents implicitly; mirror that
         os.makedirs(os.path.dirname(local), exist_ok=True)
         try:
@@ -675,7 +683,11 @@ def generation_swap_dir(
     lost-update window this protocol cannot close without store-side
     conditional puts. OCC mode warns once per scheme on those stores;
     on a real deployment put the generation root on HDFS (or a store
-    with conditional-put semantics wired into the Hadoop create path). On either failure the populated directory is deleted
+    with conditional-put semantics wired into the Hadoop create path).
+
+    When either claim-and-verify step fails — the step-(1) token claim
+    loses, or the step-(2) base re-check sees a newer committed
+    generation — the populated directory is deleted
     (it was computed from a stale base — known-stale work, not
     inspection material; the winner's state is untouched) and
     :class:`GenerationConflictError` asks the caller to recompute

@@ -23,9 +23,13 @@ from cinegraph_spark.schemas import STRIDE, WINDOW_SIZE
 def tokenize_whitespace(text: Column) -> Column:
     """Whitespace tokenization (the deterministic test-path tokenizer; the
     HF tokenizer rides the pandas-UDF scorer instead, SURVEY §2.4 M1)."""
-    trimmed = F.regexp_replace(text, r"(?s)^\s+|\s+$", "")
+    # explicit whitespace class, NOT \s: Java's \s includes vertical tab
+    # (\x0B) while DuckDB/RE2's does not, so every md5/hash-compared
+    # oracle downstream of tokenization would diverge on such input
+    # (r16 ADVICE; same class in every oracle CTE that re-tokenizes)
+    trimmed = F.regexp_replace(text, r"^[ \t\n\r\f]+|[ \t\n\r\f]+$", "")
     return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
+        F.split(trimmed, r"[ \t\n\r\f]+")
     )
 
 

@@ -325,7 +325,7 @@ def vec_mips_topk(spark, sf_dir):
     WITH toks AS (
       SELECT source,
              len(list_filter(string_split_regex(
-                 regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+'),
+                 regexp_replace(text, '^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$', '', 'g'), '[ \\t\\n\\r\\f]+'),
                  t -> t <> '')) AS n_toks
       FROM documents
     ),
@@ -1077,7 +1077,7 @@ def dedup_simhash_portable_hamming(spark, sf_dir):
     f"""
     WITH toks AS (
       SELECT doc_id, list_filter(string_split_regex(
-               regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+'),
+               regexp_replace(text, '^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$', '', 'g'), '[ \\t\\n\\r\\f]+'),
                t -> t <> '') AS tokens
       FROM documents
     ),
@@ -1167,7 +1167,7 @@ def _cms_bucket_sql(h: str, j: int) -> str:
     f"""
     WITH toks AS (
       SELECT list_filter(string_split_regex(
-               regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+'),
+               regexp_replace(text, '^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$', '', 'g'), '[ \\t\\n\\r\\f]+'),
                t -> t <> '') AS tokens
       FROM documents
     ),

@@ -311,7 +311,7 @@ def dedup_embedding_near_pairs(spark, sf_dir):
 _SH5_CTES = """
     toks AS (
       SELECT doc_id, list_filter(string_split_regex(
-               regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+'),
+               regexp_replace(text, '^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$', '', 'g'), '[ \\t\\n\\r\\f]+'),
                t -> t <> '') AS tokens
       FROM documents
     ),
@@ -681,7 +681,7 @@ def dedup_cdc_chunk_overlap(spark, sf_dir):
     r"""
     WITH parts AS (
       SELECT doc_id,
-             regexp_replace(part, '^\s+|\s+$', '', 'g') AS s
+             regexp_replace(part, '^[ \t\n\r\f]+|[ \t\n\r\f]+$', '', 'g') AS s
       FROM (SELECT doc_id,
                    unnest(string_split_regex(text, '[.!?]+')) AS part
             FROM documents)
@@ -721,7 +721,13 @@ def dedup_line_level_shared_sentences(spark, sf_dir):
     kept = (
         parts.select(
             "doc_id",
-            F.regexp_replace("part", r"^\s+|\s+$", "").alias("s"),
+            # explicit class, NOT \s: Java's \s includes vertical tab
+            # (\x0B) while DuckDB's RE2 \s does not, so a fragment edged
+            # by \x0B would trim differently and the md5 sentence keys
+            # would diverge from the oracle (r16 ADVICE)
+            F.regexp_replace(
+                "part", r"^[ \t\n\r\f]+|[ \t\n\r\f]+$", ""
+            ).alias("s"),
         )
         .filter(F.col("s") != "")
         .select("doc_id", F.md5("s").alias("h"))

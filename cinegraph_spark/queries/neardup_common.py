@@ -26,7 +26,7 @@ from cinegraph_spark.queries.util import T
 SHINGLE_CTES = """
     toks AS (
       SELECT doc_id, list_filter(string_split_regex(
-               regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+'),
+               regexp_replace(text, '^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$', '', 'g'), '[ \\t\\n\\r\\f]+'),
                t -> t <> '') AS tokens
       FROM documents
     ),
@@ -59,7 +59,7 @@ def shingle_over_sql(src: str, toks: str = "toks_u", sh: str = "sh_u") -> str:
     return f"""
     {toks} AS (
       SELECT doc_id, list_filter(string_split_regex(
-               regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+'),
+               regexp_replace(text, '^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$', '', 'g'), '[ \\t\\n\\r\\f]+'),
                t -> t <> '') AS tokens
       FROM {src}
     ),

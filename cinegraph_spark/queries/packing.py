@@ -44,7 +44,7 @@ _PACKED_CTE = f"""
     toks AS (
       SELECT doc_id, source,
              CAST(len(list_filter(string_split_regex(
-                 regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+'),
+                 regexp_replace(text, '^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$', '', 'g'), '[ \\t\\n\\r\\f]+'),
                  t -> t <> '')) AS BIGINT) AS n_tok
       FROM documents
     ),
@@ -221,7 +221,7 @@ def _prep_oracle_sql() -> str:
     tok AS (
       SELECT doc_id, md5(cleaned) AS h,
              list_filter(string_split_regex(
-                 regexp_replace(cleaned, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+'),
+                 regexp_replace(cleaned, '^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$', '', 'g'), '[ \\t\\n\\r\\f]+'),
                  t -> t <> '') AS tokens
       FROM base
     ),

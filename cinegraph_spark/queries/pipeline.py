@@ -51,7 +51,7 @@ def _spark_scored(spark, sf_dir):
 # windows); without it the oracle would emit 1 phantom token per empty doc.
 _TOKS_CTE = (
     "toks AS (SELECT doc_id, list_filter(string_split_regex("
-    "regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+'), t -> t <> '')"
+    "regexp_replace(text, '^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$', '', 'g'), '[ \\t\\n\\r\\f]+'), t -> t <> '')"
     " AS tokens FROM documents)"
 )
 

@@ -19,7 +19,7 @@ from cinegraph_spark.queries.util import T, r4
 _TOKS_CTE = (
     "toks AS (SELECT doc_id, lang, source, n_chars, text, "
     "list_filter(string_split_regex("
-    "regexp_replace(text, '(?s)^\\s+|\\s+$', '', 'g'), '\\s+'), t -> t <> '')"
+    "regexp_replace(text, '^[ \\t\\n\\r\\f]+|[ \\t\\n\\r\\f]+$', '', 'g'), '[ \\t\\n\\r\\f]+'), t -> t <> '')"
     " AS tokens FROM documents)"
 )
 
@@ -83,7 +83,7 @@ def text_token_stats(spark, sf_dir):
     "text_bpe_token_count",
     r"""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])', 1)) AS BIGINT)
+           CAST(len(regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f])', 1)) AS BIGINT)
              AS n_bpe_tokens,
            CAST(len(regexp_extract_all(text, '([a-zA-Z]+)', 1)) AS BIGINT) AS n_word_tokens,
            CAST(len(regexp_extract_all(text, '([0-9]+)', 1)) AS BIGINT)    AS n_number_tokens
@@ -99,7 +99,7 @@ def text_bpe_token_count(spark, sf_dir):
         "doc_id",
         F.size(
             F.regexp_extract_all(
-                "text", F.lit(r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])"), F.lit(1)
+                "text", F.lit(r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f])"), F.lit(1)
             )
         )
         .cast("long")
@@ -383,7 +383,7 @@ def text_tfidf_top_terms(spark, sf_dir):
     r"""
     WITH parts AS (
       SELECT doc_id, i,
-             regexp_replace(part, '^\s+|\s+$', '', 'g') AS sentence
+             regexp_replace(part, '^[ \t\n\r\f]+|[ \t\n\r\f]+$', '', 'g') AS sentence
       FROM (SELECT doc_id,
                    unnest(string_split_regex(text, '[.!?]+')) AS part,
                    generate_subscripts(string_split_regex(text, '[.!?]+'), 1)
@@ -397,7 +397,7 @@ def text_tfidf_top_terms(spark, sf_dir):
       FROM parts WHERE sentence <> ''
     )
     SELECT doc_id, sent_idx, sentence,
-           CAST(len(string_split_regex(sentence, '\s+')) AS INTEGER) AS n_words
+           CAST(len(string_split_regex(sentence, '[ \t\n\r\f]+')) AS INTEGER) AS n_words
     FROM kept
     """,
     tags=("text", "udtf"),
@@ -414,14 +414,21 @@ def text_udtf_sentence_split(spark, sf_dir):
 
     from pyspark.sql.functions import udtf
 
+    # explicit ASCII whitespace class, NOT str.strip()/str.split(): Python
+    # treats unicode spaces (NBSP, thin space) and \x0B as whitespace while
+    # the RE2 oracle's \s-free class does not — the explicit class makes the
+    # trim and word count engine-portable on hostile text (r17 sweep)
+    _ws_trim = re.compile(r"^[ \t\n\r\f]+|[ \t\n\r\f]+$")
+    _ws_split = re.compile(r"[ \t\n\r\f]+")
+
     @udtf(returnType="sent_idx int, sentence string, n_words int")
     class SentenceSplit:
         def eval(self, text: str):
             idx = 0
             for part in re.split(r"[.!?]+", text or ""):
-                part = part.strip()
+                part = _ws_trim.sub("", part)
                 if part:
-                    yield idx, part, len(part.split())
+                    yield idx, part, len(_ws_split.split(part))
                     idx += 1
 
     spark.udtf.register("sentence_split", SentenceSplit)

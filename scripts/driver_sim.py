@@ -53,6 +53,11 @@ def canon(v):
 names = sys.argv[1:]
 if names == ["ALL"]:
     names = list(qs)
+# SIM_SKIP: comma-separated names to exclude (e.g. the byte-wise
+# media_payload_checksums oracle on a non-ASCII corpus — documented
+# ASCII-corpus contract, queries/multimodal.py:51)
+skip = {s for s in os.environ.get("SIM_SKIP", "").split(",") if s}
+names = [n for n in names if n not in skip]
 bad, ok_n, ro_n = [], 0, 0
 for name in names:
     try:

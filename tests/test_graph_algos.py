@@ -69,6 +69,34 @@ def test_cc_direction_and_duplicates_ignored(spark):
     assert got == {2: 2, 5: 2, 7: 7}
 
 
+def test_cc_raises_on_nonconvergence(spark):
+    """A path graph whose diameter exceeds max_iter must RAISE, not
+    silently return partially-propagated labels: truncated labels split
+    one true component into several, which for the leakage-safe split
+    means near-duplicates straddling the train/heldout boundary (r16
+    ADVICE). on_max_iter='truncate' opts back into partial labels."""
+    import pytest
+
+    # path 0-1-2-...-6: min-label needs ~6 supersteps to reach the tail
+    e = edges_df(spark, [(i, i + 1) for i in range(6)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, max_iter=2)
+    # explicit opt-in returns the bounded relaxation instead
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            e, max_iter=2, on_max_iter="truncate"
+        ).collect()
+    }
+    assert got[0] == 0 and got[6] > 0
+    # and a generous budget converges exactly
+    full = {
+        r["id"]: r["component"]
+        for r in connected_components(e, max_iter=10).collect()
+    }
+    assert full == {i: 0 for i in range(7)}
+
+
 def test_cc_minlabel_and_star_agree_on_self_loop_only_vertex(spark):
     """Swapping CC implementations (as the min-label docstring suggests
     for long-path graphs) must not change the output row set."""

@@ -596,3 +596,21 @@ def test_exclusive_create_local_branch_is_o_excl(tmp_path):
     uri_target = "file:" + str(tmp_path / "deep" / "_ALLOC_g1")
     assert _exclusive_create(fs, jpath, uri_target) is True
     assert os.path.exists(str(tmp_path / "deep" / "_ALLOC_g1"))
+
+    # a URI with an authority must NOT be claimed at '/localhost/...'
+    # (naive scheme-stripping did exactly that, r16 ADVICE) — all three
+    # spellings of the same root contend for ONE file
+    auth_target = "file://localhost" + str(tmp_path / "deep" / "_TXN_2")
+    assert _exclusive_create(fs, jpath, auth_target) is True
+    assert os.path.exists(str(tmp_path / "deep" / "_TXN_2"))
+    assert not os.path.exists("/localhost" + str(tmp_path)[: len("/x")])
+    assert _exclusive_create(fs, jpath, str(tmp_path / "deep" / "_TXN_2")) is False
+    assert (
+        _exclusive_create(fs, jpath, "file://" + str(tmp_path / "deep" / "_TXN_2"))
+        is False
+    )
+
+    # percent-encoded characters decode before the claim
+    enc_target = "file:" + str(tmp_path / "deep") + "/_TXN%203"
+    assert _exclusive_create(fs, jpath, enc_target) is True
+    assert os.path.exists(str(tmp_path / "deep" / "_TXN 3"))

@@ -183,9 +183,15 @@ def _apply_op_sql(expr: str, op: Op) -> str:
         return f"regexp_replace({expr}, {_sql_quote(_STRIP_RE)}, '', 'g')"
     if kind == "normlines":
         line = f"regexp_replace(regexp_replace(x, ' +', ' ', 'g'), {_sql_quote(_STRIP_RE)}, '', 'g')"
+        # DuckDB's array_to_string([]) is NULL while Spark's array_join of
+        # an empty array is '' — coalesce maps the wart back to '', and
+        # the substr(expr,1,0) fallback ('' for non-NULL input, NULL for
+        # NULL) preserves NULL-in -> NULL-out without tripling the nested
+        # expression (r17 adversarial sweep)
         return (
-            "array_to_string(list_filter(list_transform("
-            f"string_split({expr}, chr(10)), x -> {line}), x -> x <> ''), ' ')"
+            "coalesce(array_to_string(list_filter(list_transform("
+            f"string_split({expr}, chr(10)), x -> {line}), x -> x <> ''), ' '), "
+            f"substr({expr}, 1, 0))"
         )
     raise ValueError(f"unknown op {op!r}")
 

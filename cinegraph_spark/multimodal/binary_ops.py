@@ -48,9 +48,14 @@ def synth_media(documents: DataFrame) -> DataFrame:
     return documents.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
-        F.encode(F.concat(header, F.lit("\n"), F.col("text")), "utf-8").alias(
-            "payload"
-        ),
+        # coalesce: NULL text must yield a header-only payload, not a
+        # NULL payload — concat NULL-propagates, and a NULL payload row
+        # silently drops out of every byte-level oracle while the decode
+        # path sees None (r17 adversarial sweep)
+        F.encode(
+            F.concat(header, F.lit("\n"), F.coalesce(F.col("text"), F.lit(""))),
+            "utf-8",
+        ).alias("payload"),
         F.create_map(
             F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")
         ).alias("meta"),

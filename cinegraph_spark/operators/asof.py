@@ -4,8 +4,11 @@ Semantics: for each left row, attach the most recent right row with the same
 key and ``right.ts <= left.ts`` (ties broken by largest ``right`` id).
 
 Implementation is the *union + running last* algorithm, not a join:
-tag both sides, union them, and take ``last(right_value) ignoring nulls``
-over a per-key window ordered by (ts, side, id). This is the scalable form —
+tag both sides, union them, and take ``last(right-row STRUCT) ignoring
+nulls`` over a per-key window ordered by (ts, side, id) — the struct keeps
+the matched id and its payload atomic (per-column lasts would let a NULL
+payload on the winning row steal an older row's value). This is the
+scalable form —
 one shuffle on the key, no range-join explosion, no per-left-row scan of the
 right side; skew in the key only affects the window sort, which AQE-split
 partitions handle.
@@ -55,13 +58,23 @@ def asof_join(
         .orderBy("_ts", "_side", F.coalesce("_rid", "_lid"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry the matched right row as ONE struct (NULL on left rows), not
+    # as independent last(col, ignorenulls) per column: independent lasts
+    # let a NULL payload on the winning right row steal the value of an
+    # OLDER right row — the id and its payload then describe different
+    # rows (r17 adversarial sweep, NULL click values)
+    r_row = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col("_rid").alias("rid"),
+            *[F.col(f"_p_{c}").alias(f"p_{c}") for c in payload],
+        ),
+    )
+    last_r = F.last(r_row, ignorenulls=True).over(w)
     enriched = unioned.select(
         "*",
-        F.last("_rid", ignorenulls=True).over(w).alias(f"asof_{right_id}"),
-        *[
-            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in payload
-        ],
+        last_r["rid"].alias(f"asof_{right_id}"),
+        *[last_r[f"p_{c}"].alias(f"asof_{c}") for c in payload],
     )
     out = enriched.filter(F.col("_side") == 1).select(
         F.col("_k").alias(key),

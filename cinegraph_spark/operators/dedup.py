@@ -46,17 +46,33 @@ def shingles(
     Built with sequence+transform+explode — pure JVM, one output row per
     shingle; `distinct` within doc via array_distinct before the explode
     (cheaper than a post-explode distinct shuffle).
+
+    Zero-token documents (empty, whitespace-only, NULL text) emit NO
+    shingles and therefore never enter near-dup pair discovery: "no
+    content" is not "duplicate content", and at corpus scale every empty
+    document would otherwise share one degenerate ''-shingle bucket — a
+    quadratic pair bomb held back only by the max-DF cap (r17
+    adversarial sweep; the DuckDB oracles drop the same rows).
     """
     count = F.size(F.col(tokens_col)) - (n - 1)
-    shingle_arr = F.when(
-        count > 0,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), count),
-                lambda i: F.array_join(F.slice(F.col(tokens_col), i, n), " "),
-            )
-        ),
-    ).otherwise(F.array(F.array_join(F.col(tokens_col), " ")))
+    shingle_arr = (
+        F.when(
+            count > 0,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), count),
+                    lambda i: F.array_join(
+                        F.slice(F.col(tokens_col), i, n), " "
+                    ),
+                )
+            ),
+        )
+        .when(
+            F.size(F.col(tokens_col)) > 0,
+            F.array(F.array_join(F.col(tokens_col), " ")),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
     return df.select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
 
 

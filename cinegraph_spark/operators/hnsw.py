@@ -40,9 +40,12 @@ With ``ef`` well above k on a connected graph the searched candidate set
 contains the true top-k, so the registered query hash-matches the exact
 brute-force k-NN oracle. Recall 1 is a property of (corpus, M, ef), not a
 law — `tests/test_hnsw.py` asserts zero misses over EVERY corpus vector as
-query at the defaults (measured margin: M=16/ef=96 already misses only
-1/8000 at sf0.1; the shipped M=16/ef=128 misses 0). If a regeneration
-breaks it, demote the query to rows-only.
+query at the defaults. Neighbor selection is the paper's diversity
+heuristic (Algorithm 4, `_select_heuristic`): plain nearest-M links
+fragment clustered corpora into islands (r17 adversarial fixture: recall
+collapsed); with the heuristic plus M=16/efc=192/ef=192 the measured
+misses are 0 on the driver sf0.01/sf0.1 corpora AND the 10-cluster
+adversarial corpus. If a regeneration breaks it, demote to rows-only.
 """
 
 from __future__ import annotations
@@ -117,11 +120,40 @@ def _search_layer(q, entries, ef, adj, Xn):
     return sorted((-nd, n) for nd, n in results)
 
 
+def _select_heuristic(cands, capn, Xn):
+    """Diverse neighbor selection (Malkov & Yashunin, Algorithm 4): take a
+    candidate only if it is closer to the query point than to every
+    already-selected neighbor, then backfill with the nearest skipped ones
+    (keepPrunedConnections). Plain nearest-M links make every edge
+    intra-cluster on clustered corpora — the graph fragments into cluster
+    islands and greedy descent entering the wrong island never escapes
+    (r17 adversarial sweep: 10-cluster fixture, recall collapsed). The
+    heuristic keeps the long-range inter-cluster edges that make the
+    small-world graph navigable. Deterministic: candidates arrive sorted
+    by (dist, node) and selection is a pure function of distances."""
+    out: list[tuple[float, int]] = []
+    skipped: list[tuple[float, int]] = []
+    for d, c in cands:
+        if len(out) >= capn:
+            break
+        diverse = True
+        for _, o in out:
+            if 1.0 - float(np.dot(Xn[c], Xn[o])) < d:
+                diverse = False
+                break
+        (out if diverse else skipped).append((d, c))
+    for d, c in skipped:
+        if len(out) >= capn:
+            break
+        out.append((d, c))
+    return [c for _, c in out]
+
+
 def hnsw_build(
     ids: list[int],
     X: np.ndarray,
     M: int = 16,
-    ef_construction: int = 128,
+    ef_construction: int = 192,
     seed: int = 42,
 ) -> dict:
     """Deterministic multi-layer HNSW over (ids, X). ``ids`` must be sorted
@@ -152,19 +184,22 @@ def hnsw_build(
             ep = [_search_layer(q, ep, 1, layers[l], Xn)[0][1]]
         for l in range(min(lvl, max_level), -1, -1):
             res = _search_layer(q, ep, ef_construction, layers[l], Xn)
-            neigh = [n for _, n in res[: cap(l)]]
+            neigh = _select_heuristic(res, cap(l), Xn)
             layers[l].setdefault(i, []).extend(neigh)
             for n in neigh:
                 lst = layers[l].setdefault(n, [])
                 lst.append(i)
                 if len(lst) > cap(l):
-                    lst.sort(
-                        key=lambda j, n=n: (
-                            1.0 - float(np.dot(Xn[n], Xn[j])),
-                            j,
+                    # shrink with the same diversity heuristic — a plain
+                    # nearest-only truncation re-severs the inter-cluster
+                    # edges the insert-side heuristic just created
+                    scored = sorted(
+                        (
+                            (1.0 - float(np.dot(Xn[n], Xn[j])), j)
+                            for j in lst
                         )
                     )
-                    del lst[cap(l):]
+                    layers[l][n] = _select_heuristic(scored, cap(l), Xn)
             ep = [n for _, n in res]
         if lvl > max_level:
             while len(layers) <= lvl:
@@ -183,7 +218,7 @@ def hnsw_build(
     }
 
 
-def hnsw_search(index: dict, qv: np.ndarray, k: int, ef: int = 128):
+def hnsw_search(index: dict, qv: np.ndarray, k: int, ef: int = 192):
     """Greedy descent through the upper layers, beam search at layer 0.
     Returns [(vec_id, candidate_rank_dist)] — callers re-score candidates
     with `_seq_cos` for emission; this list's ORDER is np-dot ranking."""
@@ -236,9 +271,9 @@ def hnsw_cosine_knn(
     e: DataFrame,
     queries: DataFrame,
     k: int = 3,
-    ef: int = 128,
+    ef: int = 192,
     M: int = 16,
-    ef_construction: int = 128,
+    ef_construction: int = 192,
     round_to: int = 6,
 ) -> DataFrame:
     """Batched ANN k-NN: build the graph over ``e`` (vec_id, v — SMALL by
@@ -305,9 +340,9 @@ def hnsw_partitioned_knn(
     queries: DataFrame,
     k: int = 3,
     n_partitions: int | None = None,
-    ef: int = 128,
+    ef: int = 192,
     M: int = 16,
-    ef_construction: int = 128,
+    ef_construction: int = 192,
     round_to: int = 6,
     target_rows_per_subindex: int = TARGET_ROWS_PER_SUBINDEX,
 ) -> DataFrame:
@@ -462,7 +497,7 @@ def hnsw_index_save(
     e: DataFrame,
     path: str,
     M: int = 16,
-    ef_construction: int = 128,
+    ef_construction: int = 192,
     n_partitions: int | None = None,
     target_rows_per_subindex: int = TARGET_ROWS_PER_SUBINDEX,
     keep_generations: int | None = None,
@@ -1174,7 +1209,7 @@ def hnsw_index_knn(
     path: str,
     queries: DataFrame,
     k: int = 3,
-    ef: int = 128,
+    ef: int = 192,
     round_to: int = 6,
     generation: int | None = None,
 ) -> DataFrame:

@@ -321,6 +321,7 @@ _SH5_CTES = """
                   THEN array_to_string(tokens[i : i + 4], ' ')
                   ELSE array_to_string(tokens, ' ') END AS shingle
       FROM toks, unnest(range(1, greatest(len(tokens) - 3, 2))) AS u(i)
+      WHERE len(tokens) > 0
     )
 """
 
@@ -588,7 +589,10 @@ def dedup_repeated_span_mask(spark, sf_dir):
     (preprocessing per SURVEY §2 M6) re-expressed as a corpus-global op."""
     from cinegraph_spark.operators.dedup import repeated_ngram_span_mask
 
-    docs = T(spark, sf_dir, "documents")
+    # NULL text is excluded: there is nothing to mask, and the oracle's
+    # unnest-based reconstruction drops such docs structurally (r17
+    # adversarial sweep) — the operator itself stays row-preserving
+    docs = T(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return repeated_ngram_span_mask(docs, "text", "doc_id", k=5, min_df=2).orderBy(
         "doc_id"
     )

@@ -226,16 +226,33 @@ def events_asof_purchase_click(spark, sf_dir):
     SELECT event_type,
            CAST(minute(ts) AS BIGINT) AS minute_of_hour,
            count(*) AS n,
-           round(avg(value), 4) AS avg_value
+           CAST(floor((2.0 * sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 100
+                       + count(value))
+                      / (2.0 * count(value))) AS BIGINT) / 10000.0 AS avg_value
     FROM events GROUP BY 1, 2
     """,
     tags=("events", "agg"),
 )
 def events_rate_per_type_minute(spark, sf_dir):
+    """Per-(type, minute) event rate and mean value. The mean is computed
+    as an exact integer cent sum with INTEGER half-up rounding to 4
+    decimals — a plain avg(double) is summation-order-dependent, and
+    even round(sum_cents/100/n, 4) ties at a .00005 boundary where the
+    two engines' round() implementations disagree (r17 adversarial
+    sweep). floor((2*num + d) / (2*d)) is exact half-up in int-valued
+    doubles (all magnitudes << 2^53), so both engines produce the same
+    integer, then the same display double. count(value) (non-NULL only)
+    is the denominator, matching avg's NULL-skipping."""
     e = T(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    num = F.sum(cents) * 100 * 2.0 + F.count("value")
+    den = 2.0 * F.count("value")
     return e.groupBy(
         "event_type", F.minute("ts").cast("long").alias("minute_of_hour")
-    ).agg(F.count("*").alias("n"), r4(F.avg("value")).alias("avg_value"))
+    ).agg(
+        F.count("*").alias("n"),
+        (F.floor(num / den).cast("long") / 10000.0).alias("avg_value"),
+    )
 
 
 @register(

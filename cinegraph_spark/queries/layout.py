@@ -574,10 +574,15 @@ def layout_generation_cdc_diff(spark, sf_dir):
     root = scratch_dir("cg_gen_diff_") + "/corpus"
     hash_layout_save(docs, root, "doc_id", 8, keep_generations=2)
     survivors = docs.filter(F.col("doc_id") % 7 != 3)
+    # coalesce BEFORE the +5: on a corpus with NULL n_chars rows a plain
+    # NULL+5 stays NULL, the "updated" row is content-identical across
+    # generations, and the diff (correctly) refuses to call it an update
+    # while the oracle counts it unconditionally (r17 adversarial sweep)
     updated = survivors.withColumn(
         "n_chars",
         F.when(
-            F.col("doc_id") % 11 == 4, F.col("n_chars") + 5
+            F.col("doc_id") % 11 == 4,
+            F.coalesce(F.col("n_chars"), F.lit(-1)) + 5,
         ).otherwise(F.col("n_chars")),
     )
     # fresh ids as -(doc_id)-1: provably disjoint from the corpus at ANY
@@ -608,6 +613,7 @@ def layout_generation_cdc_diff(spark, sf_dir):
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
            CAST(sum(doc_id) AS BIGINT) AS id_checksum
     FROM documents
+    WHERE lang IS NOT NULL AND n_chars >= 0
     GROUP BY lang
     """,
     tags=("layout", "maintenance", "expectations", "data-quality"),
@@ -632,7 +638,16 @@ def layout_write_expectations(spark, sf_dir):
     )
     from cinegraph_spark.session import scratch_dir
 
-    docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    # the "clean" corpus must actually satisfy the contracts: on a corpus
+    # that itself carries NULL lang / NULL n_chars rows (r17 adversarial
+    # fixture) the un-filtered save would be refused too and the query
+    # could never land — the demonstration is poisoned-vs-clean, so clean
+    # is constructed explicitly (mirrored in the oracle's WHERE)
+    docs = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .filter(F.col("lang").isNotNull() & (F.col("n_chars") >= 0))
+    )
     path = scratch_dir("cg_layout_expect_") + "/corpus"
     contracts = {
         "lang_present": "lang IS NOT NULL",

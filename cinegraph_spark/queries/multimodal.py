@@ -35,7 +35,7 @@ _HEADER_SQL = (
     f"""
     WITH p AS (
       SELECT doc_id AS media_id,
-             {_HEADER_SQL} || chr(10) || text AS s
+             {_HEADER_SQL} || chr(10) || coalesce(text, '') AS s
       FROM documents
     )
     SELECT media_id,
@@ -91,7 +91,7 @@ def media_frame_sample_plan(spark, sf_dir):
     f"""
     SELECT {_KIND_SQL} AS kind,
            count(*) AS n,
-           CAST(sum(len({_HEADER_SQL}) + 1 + strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(sum(len({_HEADER_SQL}) + 1 + strlen(coalesce(text, ''))) AS BIGINT) AS total_bytes,
            CAST(max({_W_SQL}) AS BIGINT) AS max_width
     FROM documents GROUP BY 1
     """,
@@ -123,7 +123,7 @@ def media_kind_profile(spark, sf_dir):
     f"""
     SELECT doc_id AS media_id,
            {_KIND_SQL} AS kind,
-           CAST(len({_HEADER_SQL}) + 1 + strlen(text) AS BIGINT) AS n_bytes,
+           CAST(len({_HEADER_SQL}) + 1 + strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
            'MEDIA' AS header,
            CAST({_W_SQL} AS INT)   AS width,
            CAST({_H_SQL} AS INT)   AS height,

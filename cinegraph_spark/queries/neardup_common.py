@@ -36,6 +36,7 @@ SHINGLE_CTES = """
                   THEN array_to_string(tokens[i : i + 7], ' ')
                   ELSE array_to_string(tokens, ' ') END AS shingle
       FROM toks, unnest(range(1, greatest(len(tokens) - 6, 2))) AS u(i)
+      WHERE len(tokens) > 0
     ),
     rare AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 20),
     sh AS (SELECT sh_all.doc_id, sh_all.shingle
@@ -69,6 +70,7 @@ def shingle_over_sql(src: str, toks: str = "toks_u", sh: str = "sh_u") -> str:
                   THEN array_to_string(tokens[i : i + 7], ' ')
                   ELSE array_to_string(tokens, ' ') END AS shingle
       FROM {toks}, unnest(range(1, greatest(len(tokens) - 6, 2))) AS u(i)
+      WHERE len(tokens) > 0
     )"""
 
 

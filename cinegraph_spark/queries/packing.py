@@ -137,7 +137,19 @@ def pack_chunks_per_source(spark, sf_dir):
             "n_tok",
             intra_before.alias("intra_before"),
         )
-        .join(F.broadcast(shard_offsets), ["source", "shard"])
+        .join(
+            F.broadcast(
+                shard_offsets.withColumnsRenamed(
+                    {"source": "_so_source", "shard": "_so_shard"}
+                )
+            ),
+            # null-safe on source: a NULL source is a real shard (window
+            # partitioning groups it; both engines agree) but a plain
+            # equality join silently drops its documents from the packing
+            # (r17 adversarial sweep)
+            (F.col("source").eqNullSafe(F.col("_so_source")))
+            & (F.col("shard") == F.col("_so_shard")),
+        )
         .select(
             "doc_id",
             "source",

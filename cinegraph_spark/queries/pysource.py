@@ -125,7 +125,7 @@ def src_stream_listing_pages(spark, sf_dir):
     WITH titled AS (
       SELECT doc_id, text, 1900 + doc_id % 120 AS year,
              'Doc ' || CAST(doc_id AS VARCHAR) AS title
-      FROM documents
+      FROM documents WHERE text IS NOT NULL AND text <> ''
     )
     SELECT CAST(year AS BIGINT) AS year,
            count(*) AS n_files,
@@ -154,7 +154,13 @@ def src_textsink_roundtrip(spark, sf_dir):
 
     ensure_shipped(spark)
     out_dir = scratch_dir("cg_textsink_")
-    d = _T(spark, sf_dir, "documents")
+    # NULL text has no file representation, and EMPTY text round-trips to
+    # a zero-byte file that Spark's split planner skips on read (every
+    # format — an engine-level behavior, see sources/text_corpus.py), so
+    # both are excluded on both sides (r17 adversarial sweep)
+    d = _T(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
     year = (F.lit(1900) + F.pmod("doc_id", F.lit(120))).cast("int")
     title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
     fname = F.concat(
@@ -299,6 +305,8 @@ def src_jsonl_roundtrip(spark, sf_dir):
            substr(md5(string_agg(md5(text), '' ORDER BY doc_id)), 1, 16)
              AS content_hash
     FROM (SELECT doc_id, text, lang, source, n_chars FROM documents
+          WHERE text IS NOT NULL AND text <> ''
+            AND NOT regexp_matches(text, '[\n\r]$')
           UNION ALL {_adversarial_union_sql(_ADVERSARIAL_DOCS)})
     GROUP BY lang ORDER BY lang
     """,
@@ -316,18 +324,37 @@ def src_csv_roundtrip(spark, sf_dir):
     TRAILING newline is normalized away by the multiLine CSV reader, so
     the trailing-newline adversarial row rides only the JSONL twin —
     CSV is not byte-exact for trailing-whitespace-significant text,
-    JSONL is."""
+    JSONL is. A second codec limit (r17 adversarial sweep): CSV cannot
+    distinguish NULL from '' (both surface as an empty cell under the
+    default nullValue/emptyValue), so NULL- and empty-text rows are
+    excluded on both sides here — JSONL round-trips both exactly (JSON
+    null vs \"\") and remains the byte-exact interchange default."""
     from cinegraph_spark.queries.util import T
     from cinegraph_spark.session import scratch_dir
 
+    # the filters mirror the documented codec limits: NULL/'' collapse to
+    # one empty cell, and a TRAILING line terminator is normalized away
+    # by the multiLine reader — such docs ride the JSONL twin instead
     d = _with_adversarial(
-        spark, T(spark, sf_dir, "documents"), _ADVERSARIAL_DOCS
+        spark,
+        T(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+            & (F.col("text") != "")
+            & ~F.col("text").rlike("[\n\r]$")
+        ),
+        _ADVERSARIAL_DOCS,
     )
     path = scratch_dir("cg_csv_rt_") + "/docs"
     (
         d.write.option("header", True)
         .option("quoteAll", True)
         .option("escape", '"')
+        # Spark's CSV WRITER trims leading/trailing whitespace by default
+        # (ignore*WhiteSpace default true on write, even under quoteAll) —
+        # a doc ending in a space/tab would lose it silently (r17
+        # adversarial sweep); the reader defaults are already false
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
         .csv(path)
     )
     back = (

@@ -142,7 +142,8 @@ def subq_not_exists_parts_unordered_1997(spark, sf_dir):
            round(percent_rank() OVER w, 4) AS pct_rank,
            round(cume_dist()    OVER w, 4) AS cume
     FROM customer
-    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal NULLS FIRST, c_custkey)
     """,
     tags=("relational", "window"),
 )
@@ -154,9 +155,13 @@ def window_ntile_percent_cume(spark, sf_dir):
     at scale a segment-partitioned window like this wants sub-partitioning
     (salt + two-pass rank merge) or a range repartition; documented here as
     the canonical semantics."""
+    # null ordering made explicit on BOTH sides: Spark's ASC defaults to
+    # NULLS FIRST while DuckDB's defaults to NULLS LAST, so a single NULL
+    # balance would silently shift every rank in its segment (r17
+    # adversarial sweep)
     w = (
         Window.partitionBy("c_mktsegment")
-        .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+        .orderBy(F.col("c_acctbal").asc_nulls_first(), F.col("c_custkey").asc())
     )
     return T(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -507,7 +512,11 @@ def script_trailing_quarter_report(spark, sf_dir):
         return spark.sql(
             """
             BEGIN
-              DECLARE cutoff DATE;
+              -- TIMESTAMP, not DATE: orders carry intra-day times, and a
+              -- DATE cutoff truncates to midnight, admitting up to a
+              -- day's extra orders vs the oracle's timestamp subtraction
+              -- (r17 adversarial sweep)
+              DECLARE cutoff TIMESTAMP;
               SET cutoff = (SELECT max(o_orderdate) - INTERVAL 90 DAY
                             FROM _script_orders);
               SELECT o_orderpriority AS priority,

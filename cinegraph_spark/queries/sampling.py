@@ -192,6 +192,7 @@ def sample_global_shuffle_order(spark, sf_dir):
                               AS BIGINT) + 1.0) / 4294967297.0))
                  - ln(CAST(n_chars AS DOUBLE)), 9) AS wor_key
     FROM documents
+    WHERE n_chars > 0
     ORDER BY wor_key ASC, doc_id ASC
     LIMIT 100
     """,
@@ -224,8 +225,13 @@ def sample_weighted_wor_topk(spark, sf_dir):
     plans ORDER BY + LIMIT as TakeOrdered (per-partition heap of k, then
     a k-row merge on the driver), so there is NO global sort and NO
     shuffle of the corpus at any size; identical selection on any
-    partitioning of the input."""
-    docs = T(spark, sf_dir, "documents")
+    partitioning of the input.
+
+    Weight must be strictly positive: a NULL or zero n_chars has no
+    defined u^(1/w) key (ln(0) is -inf in one engine, NULL in the other,
+    and NULL keys sort to opposite ends of ASC) — such docs are
+    unsampleable and excluded on both sides (r17 adversarial sweep)."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("wor42:"), F.col("doc_id").cast("string"))),

@@ -69,9 +69,17 @@ def text_token_stats(spark, sf_dir):
         F.length("text").cast("long").alias("n_chars_actual"),
         F.col("n_chars").alias("n_chars_declared"),
         F.round(
-            F.aggregate(tok_lens, F.lit(0).cast("long"), lambda a, x: a + x)
-            * F.lit(1.0)
-            / F.size("tokens"),
+            # try_divide, not /: a zero-token document (empty/whitespace
+            # text) makes the denominator 0, which under Spark 4's
+            # default ANSI mode KILLS the whole query instead of giving
+            # the NULL DuckDB's division yields (r17 adversarial sweep)
+            F.try_divide(
+                F.aggregate(
+                    tok_lens, F.lit(0).cast("long"), lambda a, x: a + x
+                )
+                * F.lit(1.0),
+                F.size("tokens"),
+            ),
             4,
         ).alias("avg_token_len"),
         F.array_max(tok_lens).cast("long").alias("max_token_len"),
@@ -120,9 +128,10 @@ _QUALITY_CTES = f"""{_TOKS_CTE},
     stats AS (
       SELECT doc_id,
              CAST(len(tokens) AS BIGINT) AS n_tok,
-             CAST(list_sum(list_transform(tokens,
-               t -> CASE WHEN list_contains({list(_STOPWORDS)!r}, lower(t))
-                         THEN 1 ELSE 0 END)) AS BIGINT) AS n_stop,
+             CAST(CASE WHEN tokens IS NULL THEN NULL
+                  ELSE coalesce(list_sum(list_transform(tokens,
+                    t -> CASE WHEN list_contains({list(_STOPWORDS)!r}, lower(t))
+                              THEN 1 ELSE 0 END)), 0) END AS BIGINT) AS n_stop,
              CAST(len(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS BIGINT) AS n_alpha,
              CAST(greatest(len(text), 1) AS BIGINT) AS n_chr
       FROM toks
@@ -189,8 +198,13 @@ def _langid_votes_sql() -> str:
     cols = []
     for lang, markers in _LANG_MARKERS.items():
         cols.append(
-            f"list_sum(list_transform(tokens, t -> CASE WHEN "
-            f"list_contains({list(markers)!r}, lower(t)) THEN 1 ELSE 0 END)) "
+            # DuckDB's list_sum([]) is NULL while Spark's aggregate with a
+            # 0 seed is 0, so empty-token docs coalesce to 0; NULL tokens
+            # (NULL text) stay NULL on both sides — unknown text casts no
+            # votes rather than zero votes
+            f"CASE WHEN tokens IS NULL THEN NULL "
+            f"ELSE coalesce(list_sum(list_transform(tokens, t -> CASE WHEN "
+            f"list_contains({list(markers)!r}, lower(t)) THEN 1 ELSE 0 END)), 0) END "
             f"AS v_{lang}"
         )
     return ", ".join(cols)
@@ -512,7 +526,8 @@ def text_pii_redact(spark, sf_dir):
       SELECT doc_id,
              CAST(len(tokens) AS BIGINT) AS n_tok,
              CAST(len(list_distinct(tokens)) AS BIGINT) AS n_uniq,
-             CAST(list_sum(list_transform(tokens, t -> CAST(len(t) AS BIGINT)))
+             CAST(coalesce(list_sum(list_transform(tokens,
+                  t -> CAST(len(t) AS BIGINT))), 0)
                   AS BIGINT) AS sum_len,
              CAST(list_contains(tokens, 'the') AS INT)
                + CAST(list_contains(tokens, 'a') AS INT) AS n_stophits

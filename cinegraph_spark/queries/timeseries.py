@@ -123,7 +123,7 @@ _HIST_QUANTILES = (0.5, 0.95, 0.99)
       SELECT event_type,
              CAST(floor(value / {_HIST_BIN_WIDTH}) AS BIGINT) AS bin,
              count(*) AS c
-      FROM events GROUP BY 1, 2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     cum AS (
       SELECT event_type, bin, c,
@@ -161,7 +161,11 @@ def sketch_histogram_quantiles(spark, sf_dir):
     because every intermediate is integer or a shared closed-form double —
     exactly reproducible across engines, which approx sketches with
     engine-specific internals can never be."""
-    e = T(spark, sf_dir, "events")
+    # present values only: a NULL value makes a NULL bin, which sorts
+    # NULLS FIRST in Spark's cumulative window and NULLS LAST in
+    # DuckDB's — and a histogram of absent measurements is undefined
+    # anyway (r17 adversarial sweep)
+    e = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     hist = e.groupBy(
         "event_type",
         F.floor(F.col("value") / _HIST_BIN_WIDTH).cast("long").alias("bin"),
@@ -253,7 +257,14 @@ def agg_incremental_mv_hist_quantiles(spark, sf_dir):
     from cinegraph_spark.operators.incremental import merge_agg_state
     from cinegraph_spark.session import scratch_dir
 
-    ev = T(spark, sf_dir, "events").select("event_type", "value")
+    ev = (
+        T(spark, sf_dir, "events")
+        .select("event_type", "value")
+        # NULL values never enter the view: they would form a NULL
+        # histogram bin (unretractable by any value predicate) and the
+        # oracle's value<250 filter drops them anyway (r17 sweep)
+        .filter(F.col("value").isNotNull())
+    )
     keys, sums = ["event_type"], ["n_events"]
 
     def pre_agg(df, sign=1):

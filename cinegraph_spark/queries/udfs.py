@@ -81,13 +81,18 @@ def udf_pandas_scalar_net_revenue(spark, sf_dir):
                                 ORDER BY o_totalprice, o_orderkey) AS i,
              count(*)  OVER (PARTITION BY o_orderpriority) AS n,
              sum(o_totalprice) OVER (PARTITION BY o_orderpriority) AS s
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), g AS (
+      SELECT o_orderpriority,
+             round(2.0 * sum(i * o_totalprice) / (max(n) * max(s))
+                   - (max(n) + 1.0) / max(n), 4) AS gini
+      FROM ranked GROUP BY o_orderpriority
+    ), cnt AS (
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_orderpriority
     )
-    SELECT o_orderpriority,
-           CAST(max(n) AS BIGINT) AS n_orders,
-           round(2.0 * sum(i * o_totalprice) / (max(n) * max(s))
-                 - (max(n) + 1.0) / max(n), 4) AS gini
-    FROM ranked GROUP BY o_orderpriority
+    SELECT cnt.o_orderpriority, cnt.n_orders, coalesce(g.gini, 0.0) AS gini
+    FROM cnt LEFT JOIN g USING (o_orderpriority)
     """,
     tags=("udf", "pandas-udf", "grouped-agg"),
 )
@@ -110,7 +115,10 @@ def udf_pandas_grouped_agg_gini(spark, sf_dir):
     def gini(x: pd.Series) -> float:
         import numpy as np
 
-        v = np.sort(x.to_numpy(dtype="float64"))
+        # dropna: Arrow hands SQL NULLs to pandas as NaN, and one NaN
+        # poisons the whole group's sort+sum into NaN (r17 adversarial
+        # sweep); gini is defined over the present values
+        v = np.sort(x.dropna().to_numpy(dtype="float64"))
         n = v.size
         if n == 0 or v.sum() == 0:
             return 0.0
@@ -167,10 +175,19 @@ def udf_arrow_map_net_revenue(spark, sf_dir):
                 ),
                 pc.add(pa.scalar(1.0), t["l_tax"]),
             )
+            # count mode="all": a NULL l_tax makes net NULL, and pyarrow's
+            # default count skips NULLs — n_items must match the oracle's
+            # count(*), which counts every row (r17 adversarial sweep);
+            # the sum correctly skips the NULL products on both engines
             grouped = (
                 t.append_column("net", net)
                 .group_by("l_returnflag")
-                .aggregate([("net", "sum"), ("net", "count")])
+                .aggregate(
+                    [
+                        ("net", "sum"),
+                        ("net", "count", pc.CountOptions(mode="all")),
+                    ]
+                )
             )
             yield pa.RecordBatch.from_arrays(
                 [

@@ -503,14 +503,14 @@ def vec_ann_hnsw_knn(spark, sf_dir):
     throughput scales with partitions while the index stays a bounded
     broadcast. Deterministic construction + sequential-fold cosine
     emission make the result hash-match the EXACT brute-force k-NN
-    oracle (recall 1 at ef=128 on this corpus — asserted by
+    oracle (recall 1 at ef=192 on this corpus — asserted by
     tests/test_hnsw.py, not assumed; a regeneration that broke it would
     fail there first)."""
     from cinegraph_spark.operators.hnsw import hnsw_cosine_knn
 
     e = _emb(spark, sf_dir).select("vec_id", "v")
     queries = e.filter(F.col("vec_id") < 10)
-    return hnsw_cosine_knn(e, queries, k=3, ef=128)
+    return hnsw_cosine_knn(e, queries, k=3, ef=192)
 
 
 @register(

@@ -13,6 +13,12 @@ Spark-first shape: ``spark.read.text(..., wholetext=True)`` gives one row per
 file; ``input_file_name()`` + regexp recovers the key. No driver-side glob
 loop — the file listing is distributed and the text never lands on the
 driver.
+
+Known engine limit (r17 adversarial sweep): Spark's file-source split
+planner skips ZERO-BYTE files for every format (text, wholetext, even
+binaryFile — verified empirically), so an empty subtitle file is invisible
+to any Spark read path. Corpus round-trips therefore exclude empty
+documents (src_textsink_roundtrip documents the same carve-out).
 """
 
 from __future__ import annotations

@@ -452,3 +452,100 @@ def test_ivf_erasure_via_cell_delete(spark, sf_dir, tmp_path):
     ivf_centroids_update(corpus, deletes.select("label"), ivfp)
     got = ids()
     assert _TARGET not in got and len(got) == 3
+
+
+# --- read-while-maintain isolation (r16 verdict task 6) ------------------
+#
+# The generation-pinning law across an erasure, per tier:
+#
+# - HNSW: the blobs EMBED their vectors, so a reader pinned at
+#   generation g is a FROZEN snapshot — it must keep serving the full
+#   pre-erasure result set, untorn, while erasure + a new save commit
+#   g+1. The flip side is the erasure-retention window: the erased
+#   vector LIVES inside retained generation blobs until retention drops
+#   them (vacuum/keep), which is why keep_generations bounds it.
+# - IVF: the candidate fetch reads the LIVE corpus cells at query time,
+#   so an erased key vanishes from EVERY pinned generation immediately —
+#   a pinned centroids generation pins the probe geometry, never the
+#   data. For erasure that is the desirable law (a right-to-be-forgotten
+#   delete must not survive in time-travel reads); for reproducibility
+#   it is the documented trade of the column-layout tier.
+
+
+def test_hnsw_pinned_generation_is_untorn_across_erasure(
+    spark, sf_dir, tmp_path
+):
+    from cinegraph_spark.operators.hnsw import (
+        hnsw_index_knn,
+        hnsw_index_save,
+    )
+    from cinegraph_spark.operators.serving_io import list_generations
+
+    e = _emb(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    hnsw_index_save(e, idx, n_partitions=4, keep_generations=2)
+    g = max(list_generations(spark, idx))
+    q = spark.createDataFrame(
+        [(-1, [float(x) for x in _target_query(e).first()["qv"]])],
+        "vec_id long, v array<double>",
+    )
+
+    def nids(generation=None):
+        return {
+            int(r["nid"])
+            for r in hnsw_index_knn(
+                spark, idx, q, k=3, generation=generation
+            ).collect()
+        }
+
+    before = nids()
+    assert _TARGET in before
+    # erasure + maintenance commit a NEW generation (the isolation-grade
+    # maintenance path: a full versioned save; the in-place
+    # hnsw_index_update documents its mutate-current contract)
+    post = e.filter(F.col("vec_id") != _TARGET)
+    hnsw_index_save(post, idx, n_partitions=4, keep_generations=2)
+    assert max(list_generations(spark, idx)) > g
+    # the g-pinned reader sees the FULL pre-erasure set — not torn, not
+    # partially maintained
+    assert nids(generation=g) == before
+    # the default (newest) reader never sees the erased key, k stays full
+    after = nids()
+    assert _TARGET not in after and len(after) == 3
+
+
+def test_ivf_erasure_reaches_pinned_generations(spark, sf_dir, tmp_path):
+    from cinegraph_spark.operators.maintenance import column_layout_upsert
+    from cinegraph_spark.operators.serving_io import list_generations
+    from cinegraph_spark.operators.similarity import (
+        ivf_centroids_save,
+        ivf_corpus_layout,
+        ivf_index_topk,
+    )
+
+    e = _emb(spark, sf_dir, with_label=True)
+    ivfp, corpus = str(tmp_path / "ivf"), str(tmp_path / "corpus")
+    ivf_centroids_save(e, ivfp, keep_generations=2)
+    g = max(list_generations(spark, ivfp))
+    ivf_corpus_layout(e, corpus)
+    q = _target_query(e)
+
+    def ids(generation=None):
+        return [
+            int(r["vec_id"])
+            for r in ivf_index_topk(
+                corpus, q, ivfp, nprobe=32, k=3, generation=generation
+            ).collect()
+        ]
+
+    assert _TARGET in ids(generation=g)
+    deletes = e.filter(F.col("vec_id") == _TARGET).select("vec_id", "label")
+    column_layout_upsert(
+        spark, corpus, e.filter(F.lit(False)), "vec_id", deletes=deletes
+    )
+    # the candidate fetch reads the LIVE corpus: the erased key is gone
+    # from the g-pinned read too — erasure beats time-travel, by design
+    got_pinned = ids(generation=g)
+    assert _TARGET not in got_pinned and len(got_pinned) == 3
+    got = ids()
+    assert _TARGET not in got and len(got) == 3

@@ -122,7 +122,21 @@ def build_graph_tables(
     the distributed window idiom — see :func:`annotate_tree` and
     :func:`node_representatives`. ``tests/test_clustering.py`` pins that
     no corpus-sized collect happens in this build.
+
+    An EMPTY features frame (every movie filtered by the <3-window gate
+    on a degenerate corpus, r17 minimal-fixture sweep) yields a graph of
+    just the root and an empty membership — clustering zero movies is
+    zero clusters, not a crash: a 100 TB pipeline stage must survive an
+    upstream filter leaving nothing.
     """
+    if features.isEmpty():
+        graph_df = spark.createDataFrame(
+            [(0, "root", "root", "root", 0)], schema=GRAPH
+        )
+        membership_df = spark.createDataFrame(
+            [], f"{key_col} long, graph_id long"
+        )
+        return graph_df, membership_df
     scaled = standard_scale(features, key_col, feature_cols).persist()
     assignments, centers = kmeans_assign(scaled, key_col, feature_cols, k=k, seed=seed)
     assignments = assignments.persist()

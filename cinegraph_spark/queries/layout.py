@@ -135,7 +135,8 @@ def _bloom_pos_sql(key: str, j: int) -> str:
         unnest([{", ".join(_bloom_pos_sql("c_custkey", j) for j in range(_BLOOM_K))}])
           AS u(pos)
     ),
-    blist AS (SELECT list(pos ORDER BY pos) AS positions FROM bits),
+    blist AS (SELECT coalesce(list(pos ORDER BY pos), []) AS positions
+              FROM bits),
     probe AS (
       SELECT o.o_orderkey, o.o_custkey,
              list_has_all(b.positions,

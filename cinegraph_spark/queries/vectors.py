@@ -719,7 +719,11 @@ def vec_ann_hnsw_reshard_knn(spark, sf_dir):
     hnsw_index_save(yesterday, path, target_rows_per_subindex=128)
     hnsw_index_update(e, delta, path)
     stats = hnsw_index_reshard(e, path, target_rows_per_subindex=128)
-    assert stats["resharded"], "growth past 2x target must trigger"
+    # the growth invariant only applies when the scenario actually grew
+    # the table past the threshold — on a degenerate corpus (r17 minimal
+    # sweep: one vector, empty delta) the reshard is correctly a no-op
+    if e.count() > 2 * 128:
+        assert stats["resharded"], "growth past 2x target must trigger"
     queries = e.filter(F.col("vec_id") < 10)
     return hnsw_index_knn(spark, path, queries, k=3)
 

@@ -22,10 +22,11 @@ TRAINING_QUERIES = {
     "vec_ann_pq_filtered_topk",
     "vec_ann_pq_incremental_topk",
     "vec_ann_pq_stream_update_topk",
-    "cluster_graph_nodes",
-    "cluster_membership",
-    "cluster_children_of_root",
-    "cluster_leaf_sizes",
+    # the cluster family is NOT here anymore: clustering zero movies is
+    # zero clusters (a root-only graph + empty membership), not a crash
+    # (r17 minimal-fixture sweep; build_graph_tables early-returns) —
+    # PQ stays fail-fast because codebook TRAINING has no meaningful
+    # empty analog (k centroids of nothing)
 }
 
 

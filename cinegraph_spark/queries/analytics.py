@@ -1818,6 +1818,14 @@ def agg_regr_corr_stats(spark, sf_dir):
 #: equals the interval length, so every interval touches at most 2 bins and
 #: each event replicates at most 2x into the bucketed join.
 _OVL_US = 300_000_000
+#: per-(user, bin) co-activity cap — the burst guard (r17): only the
+#: _OVL_CAP earliest event_ids of a (user, bin) bucket enter pair
+#: discovery, bounding the self-join at cap² per bucket however bursty
+#: the stream (an sf1 time-burst fixture hit 1460 co-active events in one
+#: bucket → 2.1M pairs from ONE key). Same contract family as the shingle
+#: max-DF and LSH bucket caps; on the driver fixtures max co-activity is
+#: 3, so the cap is value-neutral there.
+_OVL_CAP = 64
 
 
 @register(
@@ -1825,11 +1833,25 @@ _OVL_US = 300_000_000
     f"""
     WITH pts AS (
       SELECT user_id, event_id, epoch_us(ts) AS ep FROM events
+    ),
+    binned AS (
+      SELECT user_id, event_id, ep, u.bin
+      FROM pts, unnest(list_distinct([ep // {_OVL_US},
+                                      (ep + {_OVL_US - 1}) // {_OVL_US}]))
+           AS u(bin)
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, bin
+                                     ORDER BY event_id) AS rn
+        FROM binned
+      ) WHERE rn <= {_OVL_CAP}
     )
-    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+    SELECT DISTINCT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
            {_OVL_US} - abs(a.ep - b.ep) AS overlap_us
-    FROM pts a JOIN pts b
-      ON a.user_id = b.user_id AND a.event_id < b.event_id
+    FROM capped a JOIN capped b
+      ON a.user_id = b.user_id AND a.bin = b.bin
+     AND a.event_id < b.event_id
      AND abs(a.ep - b.ep) < {_OVL_US}
     """,
     tags=("events", "range-join", "interval", "overlap"),
@@ -1837,15 +1859,19 @@ _OVL_US = 300_000_000
 def events_interval_overlap_pairs(spark, sf_dir):
     """Interval-overlap self-join (range join): pairs of same-user events
     whose five-minute activity intervals [ts, ts+5min) overlap, with the
-    overlap length in microseconds. The oracle states the O(n^2)-per-user
-    theta-join semantics; the Spark plan is the SCALE shape: each interval
-    maps to the 1-2 time bins it touches (bin width == interval length,
-    exact integer division on epoch microseconds), the self-join runs
-    equi-keyed on (user_id, bin) — an ordinary hash shuffle join, never a
-    broadcast-nested-loop over the corpus — and a pair found in both shared
-    bins dedups through DISTINCT. Candidate fan-out is bounded by per-bin
-    co-activity, not table size, the standard bucketed range-join rewrite
-    (same family as the IVF cell join and the LSH band join)."""
+    overlap length in microseconds. Each interval maps to the 1-2 time
+    bins it touches (bin width == interval length, exact integer division
+    on epoch microseconds), the self-join runs equi-keyed on
+    (user_id, bin) — an ordinary hash shuffle join, never a
+    broadcast-nested-loop over the corpus — and a pair found in both
+    shared bins dedups through DISTINCT. Discovery is CAPPED at the
+    ``_OVL_CAP`` earliest event_ids per (user, bin): true overlap-pair
+    output is inherently quadratic in burst co-activity, so an uncapped
+    run of this query on one hot hour melts however it is planned — the
+    cap bounds fan-out at cap² per bucket, the same scale contract as
+    the shingle max-DF and LSH bucket caps (r17 sf1 burst fixture;
+    value-neutral on the driver fixtures, max co-activity 3). The oracle
+    mirrors the bin+cap construction exactly."""
     e = T(spark, sf_dir, "events")
     ep = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)")
     binned = (
@@ -1864,8 +1890,18 @@ def events_interval_overlap_pairs(spark, sf_dir):
             ).alias("bin"),
         )
     )
-    a = binned.alias("a")
-    b = binned.alias("b")
+    capped = (
+        binned.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "bin").orderBy("event_id")
+            ),
+        )
+        .filter(F.col("rn") <= _OVL_CAP)
+        .drop("rn")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
     return (
         a.join(
             b,

@@ -19,10 +19,22 @@ shuffle partition count and ``spark.sql.streaming.statestore`` provider
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cinegraph_spark.schemas import EVENTS
+
+
+def default_drain_timeout_s() -> int:
+    """Default availableNow-drain timeout: 120s fits every fixture the
+    registered queries run on (sf<=0.1); CINEGRAPH_DRAIN_TIMEOUT_S raises
+    it for bigger corpora (the r17 sf1 trend run needed ~300s for the
+    million-event stream-stream joins — a data-volume fact, not a plan
+    regression; the timeout exists to catch HANGS, so it must scale with
+    the input the caller feeds in)."""
+    return int(os.environ.get("CINEGRAPH_DRAIN_TIMEOUT_S", "120"))
 
 
 def _events_ts_unit_divisor(sf_dir: str) -> int:
@@ -193,7 +205,7 @@ def run_availablenow_to_memory(
     stream_df: DataFrame,
     query_name: str,
     output_mode: str = "complete",
-    timeout_s: int = 120,
+    timeout_s: int | None = None,
 ) -> DataFrame:
     """Test harness ONLY: drain all available input through the streaming
     plan into an in-memory table; returns the result as a batch DataFrame.
@@ -218,10 +230,13 @@ def run_availablenow_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(timeout_s):
+        if not q.awaitTermination(
+            default_drain_timeout_s() if timeout_s is None else timeout_s
+        ):
             q.stop()
             raise TimeoutError(
-                f"memory drain {query_name!r} did not finish in {timeout_s}s"
+                f"memory drain {query_name!r} did not finish in "
+                f"{default_drain_timeout_s() if timeout_s is None else timeout_s}s"
             )
     return spark.table(query_name)
 
@@ -231,7 +246,7 @@ def run_availablenow_to_parquet(
     stream_df: DataFrame,
     path: str,
     output_mode: str = "update",
-    timeout_s: int = 120,
+    timeout_s: int | None = None,
     transform=None,
     shuffle_partitions: int = 8,
     final_no_data_batch: bool = True,
@@ -324,10 +339,13 @@ def run_availablenow_to_parquet(
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(timeout_s):
+        if not q.awaitTermination(
+            default_drain_timeout_s() if timeout_s is None else timeout_s
+        ):
             q.stop()
             raise TimeoutError(
-                f"parquet drain at {path} did not finish in {timeout_s}s"
+                f"parquet drain at {path} did not finish in "
+                f"{default_drain_timeout_s() if timeout_s is None else timeout_s}s"
             )
     return (
         spark.read.schema(schema)

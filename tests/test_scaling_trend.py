@@ -157,3 +157,49 @@ def test_capped_family_scales_linearly(spark, registry, name):
         f"{name}: wall time grew {time_ratio:.1f}x on a {INPUT_RATIO:.0f}x "
         f"input step ({t_small:.2f}s -> {t_big:.2f}s) — quadratic work?"
     )
+
+
+def test_interval_overlap_output_bounded_by_bucket_geometry(spark, registry):
+    """The ABSOLUTE law behind events_interval_overlap_pairs' burst cap —
+    stronger than the 10x-step ratio above, and distribution-independent:
+    however bursty or zipf-skewed the stream, output pairs can never
+    exceed the sum, over the BINNED relation's (user, bin) buckets (each
+    event sits in its 1-2 touched bins, exactly as the query replicates),
+    of C(min(count, CAP), 2). On a zipf sf1 step the RATIO law
+    legitimately fails below cap saturation (r17: 64.2x on a 10x step,
+    11.77M pairs inside the bucket-geometry bound) — this law is what
+    the cap actually promises."""
+    if not os.path.isdir(SF_SMALL):
+        pytest.skip("testdata dir required")
+    from pyspark.sql import functions as F
+
+    from cinegraph_spark.queries.analytics import _OVL_CAP, _OVL_US
+    from cinegraph_spark.queries.util import T
+
+    n = registry["events_interval_overlap_pairs"].spark(
+        spark, SF_SMALL
+    ).count()
+    e = T(spark, SF_SMALL, "events")
+    ep = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+    )
+    c = F.least(F.count("*"), F.lit(_OVL_CAP))
+    bound = (
+        e.select("user_id", ep.alias("ep"))
+        .select(
+            "user_id",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.expr(f"ep div {_OVL_US}"),
+                        F.expr(f"(ep + {_OVL_US - 1}) div {_OVL_US}"),
+                    )
+                )
+            ).alias("bin"),
+        )
+        .groupBy("user_id", "bin")
+        .agg((c * (c - 1) / 2).alias("p"))
+        .agg(F.sum("p"))
+        .first()[0]
+    )
+    assert n <= bound, (n, bound)

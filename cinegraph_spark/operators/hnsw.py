@@ -112,10 +112,11 @@ def _search_layer(q, entries, ef, adj, Xn):
             continue
         visited.update(nbs)
         # one matrix-vector product for the whole adjacency list instead
-        # of a Python-level np.dot per neighbor (r17 bench hot path)
-        dns = 1.0 - Xn[nbs] @ q
+        # of a Python-level np.dot per neighbor (r17 bench hot path);
+        # tolist() hands the loop Python floats in one step — numpy
+        # scalar iteration + float() was measurably slower (r18)
+        dns = (1.0 - Xn[nbs] @ q).tolist()
         for nb, dn in zip(nbs, dns):
-            dn = float(dn)
             if len(results) < ef or dn < -results[0][0]:
                 heapq.heappush(cand, (dn, nb))
                 heapq.heappush(results, (-dn, nb))
@@ -141,10 +142,13 @@ def _select_heuristic(cands, capn, Xn):
         return [c for _, c in cands]
     # one BLAS call for ALL pairwise candidate distances (<= ef^2 x d
     # flops) instead of a Python-level np.dot per (candidate, selected)
-    # pair — the build-side hot path (r17 bench)
+    # pair — the build-side hot path (r17 bench). The matrix drops to
+    # nested Python lists before the selection loop: the loop reads
+    # single cells, and numpy SCALAR indexing is ~10x a list index at
+    # this size (r18 profile: 2/3 of build wall was spent here).
     nodes = [c for _, c in cands]
     V = Xn[nodes]
-    D = 1.0 - V @ V.T
+    D = (1.0 - V @ V.T).tolist()
     out_pos: list[int] = []
     skipped: list[int] = []
     for i, (d, _c) in enumerate(cands):
@@ -207,13 +211,12 @@ def hnsw_build(
                 if len(lst) > cap(l):
                     # shrink with the same diversity heuristic — a plain
                     # nearest-only truncation re-severs the inter-cluster
-                    # edges the insert-side heuristic just created
-                    scored = sorted(
-                        (
-                            (1.0 - float(np.dot(Xn[n], Xn[j])), j)
-                            for j in lst
-                        )
-                    )
+                    # edges the insert-side heuristic just created. One
+                    # gemv for the whole displaced list instead of a
+                    # Python-level np.dot per neighbor (r18 build hot
+                    # path, the last unbatched distance loop).
+                    ds = (1.0 - Xn[lst] @ Xn[n]).tolist()
+                    scored = sorted(zip(ds, lst))
                     layers[l][n] = _select_heuristic(scored, cap(l), Xn)
             ep = [n for _, n in res]
         if lvl > max_level:

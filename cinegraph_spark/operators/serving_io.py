@@ -6,6 +6,15 @@ state that query jobs read between maintenance runs. Spark's
 computed, so a driver/executor death mid-write destroys the index with
 no recovery (r11 ADVICE on ``operators/hnsw.py``). Every maintenance
 write therefore goes through :func:`atomic_swap_write` instead.
+
+Retention contract for pinned readers (r18): a reader that resolved
+generation g is guaranteed g's files only while g stays retained; a
+reader that must outlive the retention window declares itself with
+:func:`pin_generation`, which BOTH pruning paths (commit-time ``keep``
+prune and :func:`vacuum_generations`) honor — an unpinned straggler
+that loses g to retention gets a mid-scan FileNotFound (the standard
+lakehouse VACUUM hazard, documented, never silent wrong rows), and a
+crashed reader's stale pin ages out on the vacuum's storage clock.
 """
 
 from __future__ import annotations
@@ -654,6 +663,79 @@ def resolve_generation(spark, root: str, version: int | None = None):
     return committed[int(version)]
 
 
+#: reader-pin marker beside the generation directories:
+#: ``_PIN_<gNNNNNNNN>_<12-hex token>``. One marker per pinned reader —
+#: tokens keep concurrent readers of the same generation independent.
+_PIN_RE = re.compile(r"^_PIN_(g\d{8})_([0-9a-f]{12})$")
+
+
+def _live_pins(fs, jpath, gens_root: str, cutoff_ms=None) -> set:
+    """Generation dirnames carrying a reader pin. With ``cutoff_ms``
+    (storage clock, vacuum's aging rule) a pin older than the cutoff is a
+    crashed reader's leftover and does NOT count as live."""
+    pins = set()
+    gj = jpath(gens_root)
+    if not fs.exists(gj):
+        return pins
+    for st in fs.listStatus(gj):
+        m = _PIN_RE.match(st.getPath().getName())
+        if m and (
+            cutoff_ms is None
+            or float(st.getModificationTime()) >= cutoff_ms
+        ):
+            pins.add(m.group(1))
+    return pins
+
+
+@contextmanager
+def pin_generation(spark, root: str, version: int | None = None):
+    """Resolve a generation for a long-running reader and PIN it against
+    retention for the duration of the block (r18, VERDICT r17 task 6).
+
+    The retention contract without a pin: a reader that resolved
+    generation g keeps a stable directory only while g stays inside the
+    save's ``keep_generations`` window — if maintenance commits enough
+    newer generations (or ``vacuum_generations`` runs) while the query is
+    still executing, g's files are deleted under it and the scan fails
+    with a mid-read FileNotFound. That is the standard lakehouse
+    VACUUM-vs-straggler hazard; this context manager closes it for
+    readers that declare themselves: it drops a ``_PIN_<gen>_<token>``
+    marker beside the generation directories, and BOTH pruning paths
+    (the commit-time ``keep`` prune and :func:`vacuum_generations`)
+    refuse to delete a pinned committed generation. The marker is one
+    zero-byte file per reader — no coordination, scales to any number of
+    concurrent readers. A reader that crashes without releasing leaves a
+    stale pin; commit-time pruning honors it unconditionally (commits
+    have no clock), and ``vacuum_generations`` ages it out by the same
+    ``older_than_hours`` storage clock as other debris — so pick the
+    vacuum retention longer than the longest legitimate query, exactly
+    the rule the generation_swap_dir docstring already states for
+    unpinned readers. Yields the pinned generation DIRECTORY (plan reads
+    against it); requires a versioned root (legacy single-directory
+    layouts have no retention to pin against — loud error, matching
+    resolve_generation's version-on-legacy rule)."""
+    import uuid
+
+    gen_dir = resolve_generation(spark, root, version)
+    if gen_dir is None:
+        raise ValueError(
+            f"pin_generation: {root} is not a versioned state (no _gens "
+            "container) — pinning needs a save with keep_generations set"
+        )
+    fs, jpath = _gens_fs(spark, root)
+    gens_root = root.rstrip("/") + "/" + _GENS_DIR
+    gname = gen_dir.rstrip("/").rsplit("/", 1)[-1]
+    marker = gens_root + "/_PIN_" + gname + "_" + uuid.uuid4().hex[:12]
+    fs.create(jpath(marker), True).close()
+    try:
+        yield gen_dir
+    finally:
+        try:
+            fs.delete(jpath(marker), False)
+        except Exception:
+            pass  # stale pin ages out via vacuum_generations
+
+
 @contextmanager
 def generation_swap_dir(
     spark, root: str, keep: int = 2, expected_base: int | None = None
@@ -882,8 +964,13 @@ def generation_swap_dir(
         [m for m, (_, ok) in existing.items() if ok] + [n]
     )
     retained = committed[-max(1, int(keep)):]
+    # never prune a generation a declared reader has pinned
+    # (pin_generation) — commits have no clock, so pins are honored
+    # unconditionally here; stale pins from crashed readers age out in
+    # vacuum_generations
+    pinned = _live_pins(fs, jpath, gens_root)
     for m in committed:
-        if m not in retained:
+        if m not in retained and _gen_dirname(m) not in pinned:
             fs.delete(jpath(existing[m][0]), True)
     _write_gen_manifest(spark, root, n, retained)
 
@@ -949,7 +1036,17 @@ def vacuum_generations(
 
     deleted: list[str] = []
     kept: list[str] = []
+    pinned_kept: list[str] = []
+    gens_root = root.rstrip("/") + "/" + _GENS_DIR
+    # reader pins younger than the vacuum retention are LIVE and veto
+    # deletion of their committed generation; older ones are crashed
+    # readers' leftovers and are swept below with the other debris
+    pins = _live_pins(fs, jpath, gens_root, cutoff_ms)
     for n, (p, ok) in sorted(gens.items()):
+        if ok and n not in retained and _gen_dirname(n) in pins:
+            pinned_kept.append(p)
+            kept.append(p)
+            continue
         drop = (
             (ok and n not in retained)
             or (not ok and newest_mtime_ms(p) < cutoff_ms)
@@ -974,7 +1071,18 @@ def vacuum_generations(
             name = st.getPath().getName()
             mt = _TXN_RE.match(name)
             ma = _ALLOC_RE.match(name)
-            if not mt and not ma:
+            mp = _PIN_RE.match(name)
+            if not mt and not ma and not mp:
+                continue
+            if mp:
+                # a pin older than the retention is a crashed reader's
+                # leftover (a live reader's pin is never older than the
+                # vacuum cadence — the documented deployment rule)
+                if float(st.getModificationTime()) < cutoff_ms:
+                    tp = str(st.getPath().toString())
+                    if not dry_run:
+                        fs.delete(st.getPath(), False)
+                    deleted.append(tp)
                 continue
             if mt:
                 num = int(mt.group(1))
@@ -1012,7 +1120,11 @@ def vacuum_generations(
                 kept.append(tp)
     if committed and not dry_run and deleted:
         _write_gen_manifest(spark, root, committed[-1], retained)
-    return {"deleted": sorted(deleted), "kept": sorted(kept)}
+    return {
+        "deleted": sorted(deleted),
+        "kept": sorted(kept),
+        "pinned": sorted(pinned_kept),
+    }
 
 
 def drain_available_now(

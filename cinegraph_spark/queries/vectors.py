@@ -1509,3 +1509,81 @@ def vec_ann_ivf_erasure_topk(spark, sf_dir):
     return out.select(
         "vec_id", F.col("label").cast("long").alias("label"), "cos_sim"
     )
+
+
+@register(
+    "vec_ann_hnsw_recall_property",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(0 AS BIGINT)        AS misses,
+           round(CAST(1.0 AS DOUBLE), 6) AS recall
+    FROM embeddings WHERE vec_id < 500
+    """,
+    tags=("vector", "ann", "hnsw", "recall", "property"),
+)
+def vec_ann_hnsw_recall_property(spark, sf_dir):
+    """Recall@3 property probe for the HNSW tier (r18, VERDICT r17 task
+    2). The `vec_ann_hnsw_*` exact oracles are legitimate only while the
+    ef=192 beam search recalls the true top-k (operators/hnsw.py module
+    docstring); until now a recall regression on a regenerated fixture
+    would surface as an unreadable per-row hash mismatch. This query makes
+    the property itself the result: run the HNSW search for up to 500
+    corpus vectors as queries, compare each ranked (nid, cos_sim) row
+    against the exact brute-force k-NN computed Spark-side (windowed
+    row_number over broadcast-query cosine — vec_knn_per_query's plan),
+    and emit ONE row (n_queries, misses, recall). The oracle pins
+    misses=0 / recall=1.0 — a future recall drop degrades this query to a
+    readable "misses=N" divergence instead of hash-failing the exact-knn
+    window. Full-every-vector recall at the fixture SFs stays pinned in
+    tests/test_hnsw.py; the 500-query cap bounds the brute-force compare
+    (500 x corpus) at any scale."""
+    from cinegraph_spark.operators.hnsw import hnsw_cosine_knn
+
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    queries = e.filter(F.col("vec_id") < 500)
+    got = hnsw_cosine_knn(e, queries, k=3, ef=192).select(
+        "qid", "rnk",
+        F.col("nid").alias("nid_got"),
+        F.col("cos_sim").alias("cos_got"),
+    )
+    q = queries.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid_true"),
+            F.round(V.cosine(F.col("v"), F.col("qv")), 6).alias("cos_true"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_true"), F.asc("nid_true"))
+    true = (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+    # a miss is any ranked slot where the two engines disagree on the
+    # neighbor OR its 6-decimal cosine (null-safe: a slot present on one
+    # side only counts as a miss too)
+    joined = true.join(got, ["qid", "rnk"], "full_outer").select(
+        "qid",
+        (
+            ~(
+                F.col("nid_true").eqNullSafe(F.col("nid_got"))
+                & F.col("cos_true").eqNullSafe(F.col("cos_got"))
+            )
+        ).cast("long").alias("miss"),
+    )
+    nq = queries.agg(F.count("*").cast("long").alias("n_queries"))
+    misses = joined.agg(
+        F.coalesce(F.sum("miss"), F.lit(0)).cast("long").alias("misses")
+    )
+    return nq.crossJoin(misses).select(
+        "n_queries",
+        "misses",
+        F.round(
+            F.lit(1.0)
+            - F.col("misses")
+            / F.greatest(F.lit(1), F.col("n_queries") * 3).cast("double"),
+            6,
+        ).alias("recall"),
+    )

@@ -1,7 +1,7 @@
 """Fresh-process driver simulation (verify-skill recipe): plain session,
 hostile timezone, run registry queries vs DuckDB oracles at a given sf.
 Usage: python scripts/driver_sim.py [names...|ALL] — run from any cwd."""
-import sys, math, os
+import sys, math, os, time
 
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod
@@ -10,7 +10,9 @@ import duckdb
 
 sf_dir = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
 spark = (
-    SparkSession.builder.master("local[8]")
+    SparkSession.builder.master(
+        "local[%s]" % os.environ.get("SIM_CPUS", "8")
+    )
     # SIM_TZ / SIM_SHUFFLE let a sweep vary the hostile environment —
     # e.g. Asia/Kolkata (half-hour offset, catches what a whole-hour
     # zone cannot) and an odd partition count
@@ -60,13 +62,18 @@ skip = {s for s in os.environ.get("SIM_SKIP", "").split(",") if s}
 names = [n for n in names if n not in skip]
 bad, ok_n, ro_n = [], 0, 0
 for name in names:
+    t0 = time.perf_counter()
+
+    def _el():  # per-query wall seconds (sf1 sweep evidence, r18)
+        return f"{time.perf_counter() - t0:.1f}s"
+
     try:
         sdf = qs[name](spark, sf_dir)
         srows, scols = sdf.collect(), sdf.columns
         sql = os_.get(name)
         if sql is None:
             ro_n += 1
-            print(name, "rows_only", len(srows), flush=True)
+            print(name, "rows_only", len(srows), _el(), flush=True)
             continue
         d = con.execute(sql)
         dcols = [x[0] for x in d.description]
@@ -76,13 +83,16 @@ for name in names:
         sset = sorted("|".join(canon(r[i]) for i in so) for r in srows)
         dset = sorted("|".join(canon(r[i]) for i in do) for r in drows)
         good = sorted(scols) == sorted(dcols) and sset == dset
-        print(name, "OK" if good else "MISMATCH", len(srows), flush=True)
+        print(
+            name, "OK" if good else "MISMATCH", len(srows), _el(),
+            flush=True,
+        )
         if good:
             ok_n += 1
         else:
             bad.append(name)
     except Exception as e:
-        print(name, "ERROR", repr(e)[:200], flush=True)
+        print(name, "ERROR", repr(e)[:200], _el(), flush=True)
         bad.append(name)
 print(f"SUMMARY ok={ok_n} rows_only={ro_n} bad={len(bad)} {bad}")
 spark.stop()

@@ -28,6 +28,8 @@ def _simulated_line(n_over: int) -> str:
         "over_budget": {
             n: [123.456, 61.72] for n in list(HEADLINE)[:n_over]
         },
+        # worst-case width for the r18 contention probe
+        "calib": {"first": 123.456, "last": 123.456, "ratio": 12.34},
     }
     line, alias_map = compress_result(result, list(HEADLINE))
     assert len(alias_map) == len(HEADLINE)

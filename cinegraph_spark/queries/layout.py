@@ -955,3 +955,96 @@ def layout_generation_rollback_read(spark, sf_dir):
             F.sum(F.length("text")).cast("bigint").alias("total_chars"),
         )
     )
+
+
+@register(
+    "layout_pinned_reader_vacuum",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM documents WHERE doc_id % 2 = 0
+    GROUP BY lang
+    """,
+    tags=("layout", "maintenance", "vacuum", "generations", "pinning"),
+)
+def layout_pinned_reader_vacuum(spark, sf_dir):
+    """The vacuum-vs-pinned-reader retention race, driver-checked end to
+    end (r18 — VERDICT r17 task 6; `serving_io.pin_generation`): the
+    even-doc_id half-corpus publishes as generation 1 of a versioned
+    layout, a reader PINS it, and then a retention storm runs INSIDE the
+    pin — two full-corpus re-saves at keep=2 (which would prune g1) plus
+    an explicit `vacuum_generations` — after which the pinned read still
+    aggregates the half-corpus snapshot (materialized eagerly while
+    pinned; the oracle is plain SQL over the even half). On release the
+    next vacuum must reclaim g1 and a version-pinned resolve must
+    degrade to the documented loud "not retained" error — the query
+    raises on any wrong vacuum verdict, a surviving g1, or a silent
+    stale read, so a pin regression fails the driver window rather than
+    leaking a deleted generation to some straggler at 100 TB. At scale a
+    pin is one zero-byte marker per reader: no coordination, and crashed
+    readers' stale pins age out on the vacuum's storage clock."""
+    from cinegraph_spark.operators.maintenance import (
+        hash_layout_save,
+        layout_read,
+    )
+    from cinegraph_spark.operators.serving_io import (
+        list_generations,
+        pin_generation,
+        resolve_generation,
+        vacuum_generations,
+    )
+    from cinegraph_spark.session import scratch_dir
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    root = scratch_dir("cg_layout_pin_") + "/corpus"
+    hash_layout_save(
+        docs.filter(F.col("doc_id") % 2 == 0), root, "doc_id", 8,
+        keep_generations=2,
+    )
+    with pin_generation(spark, root) as gen_dir:
+        if not gen_dir.rstrip("/").endswith("g00000001"):
+            raise ValueError(
+                f"layout_pinned_reader_vacuum: pinned {gen_dir}, "
+                "expected generation 1"
+            )
+        # retention storm: two keep=2 saves would prune g1 unpinned
+        hash_layout_save(docs, root, "doc_id", 8, keep_generations=2)
+        hash_layout_save(docs, root, "doc_id", 8, keep_generations=2)
+        out = vacuum_generations(spark, root, keep=2, older_than_hours=24.0)
+        pinned_names = sorted(p.rsplit("/", 1)[-1] for p in out["pinned"])
+        if pinned_names != ["g00000001"] or 1 not in list_generations(
+            spark, root
+        ):
+            raise ValueError(
+                "layout_pinned_reader_vacuum: the live pin did not veto "
+                f"retention (pinned={pinned_names}, "
+                f"gens={sorted(list_generations(spark, root))})"
+            )
+        snapshot = (
+            layout_read(spark, root, generation=1)
+            .groupBy("lang")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+                F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            )
+            .localCheckpoint(eager=True)  # materialize WHILE pinned
+        )
+    # released: the next sweep reclaims g1 and stale resolves are LOUD
+    out = vacuum_generations(spark, root, keep=2, older_than_hours=24.0)
+    if not any(p.endswith("g00000001") for p in out["deleted"]):
+        raise ValueError(
+            "layout_pinned_reader_vacuum: released generation survived "
+            f"the reclaim sweep (deleted={out['deleted']})"
+        )
+    try:
+        resolve_generation(spark, root, 1)
+    except ValueError:
+        pass
+    else:
+        raise ValueError(
+            "layout_pinned_reader_vacuum: resolving the vacuumed "
+            "generation must raise, not serve stale state"
+        )
+    return snapshot

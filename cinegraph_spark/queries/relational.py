@@ -457,36 +457,58 @@ def join_broadcast_part_lineitem(spark, sf_dir):
 @register(
     "join_range_theta_price_band",
     """
-    SELECT p.p_partkey AS p_partkey, CAST(count(*) AS BIGINT) AS n_similar
-    FROM part p JOIN part q
-      ON q.p_partkey <> p.p_partkey
-     AND q.p_retailprice BETWEEN p.p_retailprice - 10 AND p.p_retailprice + 10
-    GROUP BY p.p_partkey
+    WITH d AS (
+      SELECT p_retailprice AS pr, count(*) AS c
+      FROM part GROUP BY p_retailprice
+    ),
+    band AS (
+      SELECT a.pr, sum(b.c) AS tot
+      FROM d a JOIN d b ON b.pr BETWEEN a.pr - 10 AND a.pr + 10
+      GROUP BY a.pr
+    )
+    SELECT p.p_partkey AS p_partkey,
+           CAST(band.tot - 1 AS BIGINT) AS n_similar
+    FROM part p JOIN band ON p.p_retailprice = band.pr
     """,
-    tags=("relational", "join", "theta"),
+    tags=("relational", "join", "theta", "rangejoin"),
 )
 def join_range_theta_price_band(spark, sf_dir):
-    """Theta/range self-join (price band ±10). Spark executes non-equi joins
-    as broadcast nested-loop; at scale the banded form should bucket on
-    floor(price/band) first — that optimization lives in
-    operators/rangejoin.py and is benchmarked separately."""
+    """Band-neighbor COUNT per part (price band ±10) — the r18 redesign
+    of the naive theta self-join. Two scale pathologies fell out of the
+    sf1 sweep: (1) Spark plans a non-equi join as broadcast-nested-loop
+    with parallelism capped at the streamed side's input SPLITS (the
+    200k-row part table is one 6 MB split, so the whole O(n^2) grind
+    landed on ONE task — 20+ min unfinished), and (2) on a
+    band-degenerate corpus (every price within the band of every other —
+    exactly the r18 adversarial fixture) ANY pair-enumerating plan,
+    oracle included, materializes n^2 rows for an aggregate that never
+    needed them. The fix computes the count over the DISTINCT-price
+    distribution: groupBy price -> (price, multiplicity), banded
+    equi-join of that D-row relation against itself
+    (`operators/rangejoin.py::banded_range_join` — bucket on
+    floor(price/band), replicate one side to its 3 candidate buckets,
+    exact BETWEEN post-filter, probe side repartitioned by bucket so
+    parallelism never depends on file splits), per-price band totals,
+    then one broadcast map-back to parts (tot - 1 excludes self). Work
+    is O(D * band-density + n) instead of O(n^2); identical rows to the
+    pair-count form, and the oracle is rewritten the same way so BOTH
+    engines stay sub-quadratic on degenerate corpora."""
+    from cinegraph_spark.operators.rangejoin import banded_range_join
+
     p = T(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
-    q = p.select(
-        F.col("p_partkey").alias("q_partkey"),
-        F.col("p_retailprice").alias("q_retailprice"),
+    d = p.groupBy(F.col("p_retailprice").alias("pr")).agg(
+        F.count("*").alias("c")
     )
-    return (
-        p.join(
-            q,
-            (F.col("q_partkey") != F.col("p_partkey"))
-            & (
-                F.col("q_retailprice").between(
-                    F.col("p_retailprice") - 10, F.col("p_retailprice") + 10
-                )
-            ),
-        )
-        .groupBy("p_partkey")
-        .agg(F.count("*").alias("n_similar"))
+    d2 = d.select(F.col("pr").alias("qr"), F.col("c").alias("qc"))
+    band = (
+        banded_range_join(d, d2, "pr", "qr", 10.0)
+        .groupBy("pr")
+        .agg(F.sum("qc").alias("tot"))
+    )
+    return p.join(
+        F.broadcast(band), p["p_retailprice"] == band["pr"]
+    ).select(
+        "p_partkey", (F.col("tot") - 1).cast("long").alias("n_similar")
     )
 
 

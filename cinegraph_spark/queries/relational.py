@@ -595,24 +595,35 @@ def window_lag_lead_user_events(spark, sf_dir):
     "window_running_revenue_per_customer",
     """
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN UNBOUNDED PRECEDING
-                                              AND CURRENT ROW), 4) AS running_total
+           round(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) / 10000.0, 4) AS running_total
     FROM orders
     """,
     tags=("relational", "window"),
 )
 def window_running_revenue_per_customer(spark, sf_dir):
+    """Running revenue per customer. The sum runs over INTEGER
+    ten-thousandth units (floor(v*10000 + 0.5) — the MV family's
+    convention), not doubles: Spark's window sum folds sequentially
+    while DuckDB's uses a segment tree, and on a zipf-hot key whose
+    prefix sum reaches ~6e9 the two associations disagree in the 4th
+    decimal (r18 sf1 sweep: 307 of 1.5M rows flipped a .49995-edge
+    rounding). Integer units make the running sum association-free and
+    bit-identical on both engines at any cardinality; the final
+    /10000.0 is one exact-input double division."""
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    units = F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("long")
     return T(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        r4(F.sum("o_totalprice").over(w)).alias("running_total"),
+        r4(F.sum(units).over(w) / F.lit(10000.0)).alias("running_total"),
     )
 
 

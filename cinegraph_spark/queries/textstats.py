@@ -137,12 +137,22 @@ _QUALITY_CTES = f"""{_TOKS_CTE},
       FROM toks
     )"""
 
+#: 4-decimal rounding happens in INTEGER arithmetic (half-up:
+#: (20000*numer + denom) // (2*denom), then one exact /10000.0), never on
+#: a double: Spark's round() works on the double's SHORTEST DECIMAL repr
+#: while DuckDB rounds the binary value, and a quality landing exactly on
+#: a .00005 decimal edge (true rational 0.25175 — r18 sf1 sweep, 5 of
+#: 50k docs) rounds differently in the two engines. Integer units make
+#: the half-up deterministic and identical everywhere.
 _QUALITY_SELECT = """SELECT doc_id, n_tok, n_stop,
-           round(CAST(n_alpha AS DOUBLE) / n_chr, 4) AS alpha_ratio,
-           round(CAST(4 * least(n_tok, 50) * greatest(n_tok, 1) * n_chr
-                      + 150 * least(5 * n_stop, greatest(n_tok, 1)) * n_chr
-                      + 150 * n_alpha * greatest(n_tok, 1) AS DOUBLE)
-                 / (500 * greatest(n_tok, 1) * n_chr), 4) AS quality
+           CAST((20000 * n_alpha + n_chr) // (2 * n_chr) AS DOUBLE)
+             / 10000.0 AS alpha_ratio,
+           CAST((20000 * (4 * least(n_tok, 50) * greatest(n_tok, 1) * n_chr
+                          + 150 * least(5 * n_stop, greatest(n_tok, 1)) * n_chr
+                          + 150 * n_alpha * greatest(n_tok, 1))
+                 + 500 * greatest(n_tok, 1) * n_chr)
+                // (1000 * greatest(n_tok, 1) * n_chr) AS DOUBLE)
+             / 10000.0 AS quality
     FROM stats"""
 
 
@@ -185,12 +195,25 @@ def text_quality_score(spark, sf_dir):
         + F.lit(150) * n_alpha * t_safe
     )
     denom = F.lit(500) * t_safe * n_chr
+    # integer half-up to 4 decimals, then ONE exact double division — see
+    # the _QUALITY_SELECT comment (engines round decimal-edge doubles
+    # differently; integers round identically everywhere)
     return d.select(
         "doc_id",
         n_tok.alias("n_tok"),
         n_stop.alias("n_stop"),
-        F.round(n_alpha.cast("double") / n_chr, 4).alias("alpha_ratio"),
-        F.round(numer.cast("double") / denom, 4).alias("quality"),
+        n_alpha.alias("n_alpha"),
+        n_chr.alias("n_chr"),
+        numer.alias("q_numer"),
+        denom.alias("q_denom"),
+    ).selectExpr(
+        "doc_id",
+        "n_tok",
+        "n_stop",
+        "CAST((20000 * n_alpha + n_chr) DIV (2 * n_chr) AS DOUBLE)"
+        " / 10000.0 AS alpha_ratio",
+        "CAST((20000 * q_numer + q_denom) DIV (2 * q_denom) AS DOUBLE)"
+        " / 10000.0 AS quality",
     )
 
 

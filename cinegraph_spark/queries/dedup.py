@@ -701,7 +701,8 @@ def dedup_cdc_chunk_overlap(spark, sf_dir):
     SELECT doc_id,
            CAST(n_sentences AS BIGINT) AS n_sentences,
            CAST(n_shared AS BIGINT) AS n_shared,
-           round(n_shared * 1.0 / n_sentences, 4) AS shared_ratio
+           CAST((20000 * n_shared + n_sentences)
+                // (2 * n_sentences) AS DOUBLE) / 10000.0 AS shared_ratio
     FROM per ORDER BY doc_id
     """,
     tags=("dedup", "c4", "line-level", "llm-pipeline"),
@@ -749,8 +750,11 @@ def dedup_line_level_shared_sentences(spark, sf_dir):
             "doc_id",
             "n_sentences",
             "n_shared",
-            F.round(
-                F.col("n_shared") * 1.0 / F.col("n_sentences"), 4
+            # integer half-up to 4 decimals (the r18 decimal-edge rule:
+            # engines round edge doubles differently; int64 identical)
+            F.expr(
+                "CAST((20000 * n_shared + n_sentences)"
+                " DIV (2 * n_sentences) AS DOUBLE) / 10000.0"
             ).alias("shared_ratio"),
         )
         .orderBy("doc_id")

@@ -775,9 +775,10 @@ def sample_token_budget_greedy(spark, sf_dir):
            CAST(len(tokens) AS BIGINT) AS n_tok,
            CAST(len(list_filter(tokens, t -> NOT list_contains(v, t)))
                 AS BIGINT) AS n_oov,
-           round(CAST(len(list_filter(tokens, t -> NOT list_contains(v, t)))
-                      AS DOUBLE)
-                 / greatest(len(tokens), 1), 4) AS oov_rate
+           CAST((20000 * len(list_filter(tokens, t -> NOT list_contains(v, t)))
+                 + greatest(len(tokens), 1))
+                // (2 * greatest(len(tokens), 1)) AS DOUBLE)
+             / 10000.0 AS oov_rate
     FROM toks, vocab
     ORDER BY doc_id
     """,
@@ -814,11 +815,16 @@ def text_vocab_oov_rate(spark, sf_dir):
             "doc_id",
             F.size("tokens").cast("long").alias("n_tok"),
             n_oov.alias("n_oov"),
-            F.round(
-                n_oov.cast("double")
-                / F.greatest(F.size("tokens"), F.lit(1)),
-                4,
-            ).alias("oov_rate"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tok",
+            "n_oov",
+            # integer half-up to 4 decimals (the r18 decimal-edge rule:
+            # engines round edge doubles differently; int64 identical)
+            "CAST((20000 * n_oov + greatest(n_tok, 1))"
+            " DIV (2 * greatest(n_tok, 1)) AS DOUBLE) / 10000.0"
+            " AS oov_rate",
         )
         .orderBy("doc_id")
     )

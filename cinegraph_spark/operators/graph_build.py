@@ -69,8 +69,10 @@ def node_representatives(
         for cid in node["indices"]:
             rows.append((tag, int(cid), cent))
     spark = assignments.sparkSession
-    mapping = spark.createDataFrame(
-        rows, schema="_tag int, cluster int, _cent array<double>"
+    from cinegraph_spark.session import local_df
+
+    mapping = local_df(
+        spark, rows, "_tag int, cluster int, _cent array<double>"
     )
     vec = F.array(*[F.col(c).cast("double") for c in feature_cols])
     dist = F.sqrt(
@@ -168,15 +170,18 @@ def build_graph_tables(
         node_representatives(assignments, scaled, tree, key_col, feature_cols)
     flat: FlatGraph = flatten_tree(tree, namer=namer)
 
-    graph_df = spark.createDataFrame(
-        [(int(i), p, n, t, int(c)) for i, p, n, t, c in flat.nodes], schema=GRAPH
+    from cinegraph_spark.session import local_df
+
+    graph_df = local_df(
+        spark, [(int(i), p, n, t, int(c)) for i, p, n, t, c in flat.nodes], GRAPH
     )
     # leaf assignment: broadcast the tiny cluster→leaf map onto the
     # distributed assignments — the corpus-sized (key, graph_id) table is
     # built without any row leaving the cluster.
-    leaf_map = spark.createDataFrame(
+    leaf_map = local_df(
+        spark,
         [(int(cid), int(gid)) for cid, gid in flat.membership],
-        schema="cluster int, graph_id long",
+        "cluster int, graph_id long",
     )
     membership_df = (
         assignments.join(F.broadcast(leaf_map), "cluster")

@@ -414,7 +414,12 @@ def merge_agg_state(
         # fully-retracted groups leave the view, as a recompute would
         merged = merged.filter(F.col(n_col) != 0)
     n_groups = merged.count()
-    ledger = spark.createDataFrame(
+    from cinegraph_spark.session import local_df
+
+    # single-slice local frame (r18): the 32-slice default cost one
+    # PythonRunner per slice on every ledger write — per MICRO-BATCH here
+    ledger = local_df(
+        spark,
         [(int(b),) for b in sorted((applied or set()) | {int(batch_id)})],
         "batch_id long",
     )
@@ -651,12 +656,15 @@ def evolve_agg_state(
         ]
     else:
         prior = []
-    evolution = spark.createDataFrame(
+    from cinegraph_spark.session import local_df
+
+    evolution = local_df(
+        spark,
         prior + evo_rows,
         "column string, measure_class string, from_batch_id long",
     )
-    ledger = spark.createDataFrame(
-        [(int(b),) for b in sorted(applied)], "batch_id long"
+    ledger = local_df(
+        spark, [(int(b),) for b in sorted(applied)], "batch_id long"
     )
     publish = (
         atomic_swap_dir(spark, path)

@@ -889,7 +889,13 @@ def pq_codes_save(
         )
     key_ddl = e.schema["vec_id"].dataType.simpleString()
     codes_schema = f"vec_id {key_ddl}, code array<int>, part_id int"
-    books = spark.createDataFrame(
+    from cinegraph_spark.session import local_df
+
+    # single-slice local frame: the pre-r18 32-slice default made the
+    # coalesce(1) write below pay one sequential PythonRunner per slice
+    # (~6.5 s for 8 rows — guide §1 profiling, OPTIMIZATION_r18.md)
+    books = local_df(
+        spark,
         [
             (j, book, int(n_partitions), key_ddl, codes_schema)
             for j, book in enumerate(codebooks)

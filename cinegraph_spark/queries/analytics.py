@@ -2391,8 +2391,10 @@ def sketch_kmv_distinct_overlap(spark, sf_dir):
     for m in ("view", "purchase", "union"):
         vals.setdefault(m, 0.0)
     vals["intersection"] = vals["view"] + vals["purchase"] - vals["union"]
-    rows = spark.createDataFrame(
-        sorted(vals.items()), "measure string, est double"
+    from cinegraph_spark.session import local_df
+
+    rows = local_df(
+        spark, sorted(vals.items()), "measure string, est double"
     )
     return rows.select(
         "measure", F.round(F.col("est") + F.lit(0), 4).alias("est")

@@ -597,8 +597,10 @@ def layout_generation_cdc_diff(spark, sf_dir):
         keep_generations=2,
     )
     diff = layout_generation_diff(spark, root, 1, 2)
-    kinds = spark.createDataFrame(
-        [("delete",), ("insert",), ("update",)], "change string"
+    from cinegraph_spark.session import local_df
+
+    kinds = local_df(
+        spark, [("delete",), ("insert",), ("update",)], "change string"
     )
     counts = diff.groupBy("change").agg(F.count("*").alias("_n"))
     return kinds.join(counts, "change", "left").select(

@@ -219,7 +219,10 @@ def _adversarial_union_sql(docs) -> str:
 def _with_adversarial(spark, d, docs):
     from pyspark.sql import functions as F
 
-    extra = spark.createDataFrame(
+    from cinegraph_spark.session import local_df
+
+    extra = local_df(
+        spark,
         [
             (doc_id, text, lang, "synthetic", len(text))
             for doc_id, text, lang in docs

@@ -108,8 +108,11 @@ def sample_lang_quota(spark, sf_dir):
     join + one window shuffle on lang; quota tables are O(100) rows at any
     corpus size."""
     d = T(spark, sf_dir, "documents")
-    quota = d.sparkSession.createDataFrame(
-        [("en", 20), ("es", 8), ("zh", 8)], "lang string, q int"
+    from cinegraph_spark.session import local_df
+
+    quota = local_df(
+        d.sparkSession, [("en", 20), ("es", 8), ("zh", 8)],
+        "lang string, q int",
     )
     skey = _scramble(F.col("doc_id")) * 100003 + F.col("doc_id")
     return (

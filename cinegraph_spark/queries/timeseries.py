@@ -179,9 +179,11 @@ def sketch_histogram_quantiles(spark, sf_dir):
         .alias("cum"),
         F.sum("c").over(Window.partitionBy("event_type")).alias("total"),
     )
+    from cinegraph_spark.session import local_df
+
     qs = F.broadcast(
-        cum.sparkSession.createDataFrame(
-            [(q,) for q in _HIST_QUANTILES], "q double"
+        local_df(
+            cum.sparkSession, [(q,) for q in _HIST_QUANTILES], "q double"
         )
     )
     cand = cum.crossJoin(qs).filter(F.col("cum") >= F.col("q") * F.col("total"))
@@ -310,8 +312,10 @@ def agg_incremental_mv_hist_quantiles(spark, sf_dir):
         .alias("cum"),
         F.sum("c").over(Window.partitionBy("event_type")).alias("total"),
     )
+    from cinegraph_spark.session import local_df
+
     qs = F.broadcast(
-        spark.createDataFrame([(q,) for q in _HIST_QUANTILES], "q double")
+        local_df(spark, [(q,) for q in _HIST_QUANTILES], "q double")
     )
     cand = cum.crossJoin(qs).filter(
         F.col("cum") >= F.col("q") * F.col("total")

@@ -80,6 +80,25 @@ ENGINE_CONFS: dict[str, str] = {
 }
 
 
+def local_df(spark: SparkSession, rows, schema) -> "DataFrame":
+    """``createDataFrame`` for METADATA-SCALE local rows (ledgers, codebook
+    tables, quotas, manifests) as a SINGLE python partition.
+
+    Plain ``spark.createDataFrame(rows, schema)`` parallelizes into
+    ``defaultParallelism`` slices (32 on the bench box) — every action then
+    pays one PythonRunner setup per slice, and ``coalesce(1)`` over such a
+    frame is pathological: the single task runs the 32 parent partitions'
+    Python runners SEQUENTIALLY (~200 ms each ≈ 6–7 s measured for an
+    8-row write, r18 guide-§1 profiling). One slice makes the action one
+    runner (~0.2 s) and a parquet write one file — the right shape for
+    driver-side metadata at any scale. Data-sized frames must NOT use
+    this (single-task materialization); everything here is small-side by
+    contract."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1), schema
+    )
+
+
 def ensure_shipped(spark: SparkSession) -> None:
     """Ship the cinegraph_spark package to executor Python workers.
 

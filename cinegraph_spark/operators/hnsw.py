@@ -140,27 +140,57 @@ def _select_heuristic(cands, capn, Xn):
         # every candidate survives (diverse + backfill) — skip the
         # pairwise-distance work entirely
         return [c for _, c in cands]
-    # one BLAS call for ALL pairwise candidate distances (<= ef^2 x d
-    # flops) instead of a Python-level np.dot per (candidate, selected)
-    # pair — the build-side hot path (r17 bench). The matrix drops to
-    # nested Python lists before the selection loop: the loop reads
-    # single cells, and numpy SCALAR indexing is ~10x a list index at
-    # this size (r18 profile: 2/3 of build wall was spent here).
+    # One BLAS gemm for all pairwise candidate distances, then a
+    # VECTORIZED block-mask sweep (r18, guide §1 profile:
+    # _select_heuristic was 57% of build wall, most of it the full
+    # |cands|²-cell .tolist() + the per-(i,j) Python inner loop). A
+    # candidate is non-diverse iff it is closer to some already-selected
+    # neighbor than to the query; acceptances only ever ADD blockers, so
+    # when i is accepted one vectorized compare marks every candidate
+    # closer to i than to the query. ≤capn numpy ops replace the
+    # |cands|²-cell materialization; the distance values are the same
+    # gemm rows the r17 code compared, so the selection is unchanged.
     nodes = [c for _, c in cands]
     V = Xn[nodes]
-    D = (1.0 - V @ V.T).tolist()
     out_pos: list[int] = []
     skipped: list[int] = []
-    for i, (d, _c) in enumerate(cands):
-        if len(out_pos) >= capn:
-            break
-        row = D[i]
-        diverse = True
-        for j in out_pos:
-            if row[j] < d:
-                diverse = False
+    if len(cands) <= 4 * capn:
+        # small sets (the per-insert SHRINK calls, cap+1 candidates — the
+        # majority of calls): numpy per-op overhead beats any vectorized
+        # win at this size; the one small gemm + Python-list loop is
+        # fastest (measured r18)
+        D = (1.0 - V @ V.T).tolist()
+        for i, (d, _c) in enumerate(cands):
+            if len(out_pos) >= capn:
                 break
-        (out_pos if diverse else skipped).append(i)
+            row = D[i]
+            diverse = True
+            for j in out_pos:
+                if row[j] < d:
+                    diverse = False
+                    break
+            (out_pos if diverse else skipped).append(i)
+    else:
+        # large sets (the insert-side calls, up to ef_construction
+        # candidates): one gemm, then a vectorized block-mask sweep —
+        # when i is accepted, one compare marks every candidate closer
+        # to i than to the query. Replaces the |cands|²-cell .tolist()
+        # and the per-(i,j) Python inner loop with ≤capn numpy ops; the
+        # distances are the same gemm rows, so the selection is
+        # unchanged.
+        D = V @ V.T  # cosine similarity; dist(i, j) = 1 - D[i, j]
+        dvec = np.fromiter(
+            (d for d, _ in cands), np.float64, count=len(cands)
+        )
+        blocked = np.zeros(len(cands), dtype=bool)
+        for i in range(len(cands)):
+            if len(out_pos) >= capn:
+                break
+            if blocked[i]:
+                skipped.append(i)
+            else:
+                out_pos.append(i)
+                blocked |= (1.0 - D[i]) < dvec
     for i in skipped:
         if len(out_pos) >= capn:
             break
@@ -875,22 +905,26 @@ def hnsw_index_update(
     # masking it (the delta is small by contract, so the extra scan is a
     # metadata-scale job)
     cast_key = F.col("vec_id").try_cast(key_ddl)
-    bad = delta.filter(cast_key.isNull()).count()
-    if bad:
+    # ONE aggregation job covers the NULL/uncastable-key refusal AND the
+    # touched-partition set (r18: the pre-merge shape paid a filter-count
+    # job, then built + eagerly localCheckpoint-ed a distinct frame, then
+    # collected it — three scheduler round-trips per maintenance call for
+    # one small-delta scan). collect_set is bounded by n_partitions.
+    stats = delta.agg(
+        F.count_if(cast_key.isNull()).alias("bad"),
+        F.collect_set(
+            F.pmod(F.hash(cast_key), F.lit(n_partitions)).cast("int")
+        ).alias("parts"),
+    ).first()
+    if int(stats["bad"]):
         raise ValueError(
-            f"hnsw_index_update: {bad} delta vec_id row(s) are NULL or do "
-            f"not cast to the corpus key type {key_ddl}; "
+            f"hnsw_index_update: {int(stats['bad'])} delta vec_id row(s) "
+            f"are NULL or do not cast to the corpus key type {key_ddl}; "
             "a NULL key hashes to an arbitrary partition and the intended "
             "partition would silently keep a stale sub-index — fix the "
             "delta input"
         )
-    changed_df = (
-        delta.select(cast_key.alias("vec_id"))
-        .select(_part_expr(n_partitions).alias("part_id"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    changed = sorted(int(r["part_id"]) for r in changed_df.collect())
+    changed = sorted(int(p) for p in stats["parts"])
     if not changed:
         return {
             "n_partitions": n_partitions,
@@ -907,11 +941,13 @@ def hnsw_index_update(
         )
     else:
         # DataFrame mode: every corpus row must be read to compute its
-        # partition id before the semi-join discards the untouched ones
-        # (compute ∝ change, scan ∝ corpus — use the layout mode when the
-        # corpus lives in the lake)
-        src = e.withColumn("part_id", _part_expr(n_partitions)).join(
-            F.broadcast(changed_df), "part_id", "left_semi"
+        # partition id before the isin predicate discards the untouched
+        # ones (compute ∝ change, scan ∝ corpus — use the layout mode
+        # when the corpus lives in the lake). `changed` is ≤ n_partitions
+        # ints, so the literal isin replaces the former broadcast
+        # semi-join (one fewer broadcast exchange + build)
+        src = e.withColumn("part_id", _part_expr(n_partitions)).filter(
+            F.col("part_id").isin(changed)
         )
     rebuilt = (
         # n_partitions (not len(changed)) keeps task==part_id: a smaller

@@ -710,13 +710,24 @@ def hash_layout_upsert(
             "layout"
         )
 
-    def _checked_keys(
+    part = F.pmod(F.hash(F.col(key).try_cast(key_ddl)), F.lit(n)).cast(
+        "int"
+    )
+
+    def _checked_parts(
         df: DataFrame, what: str, refuse_dups: bool = False
-    ) -> DataFrame:
+    ) -> set[int]:
+        # ONE aggregation job per input frame covers key validation AND
+        # the touched-partition set (r18: the pre-merge shape paid a
+        # stats job per frame plus a distinct().collect() job over their
+        # union — one whole Spark job per maintenance call for data the
+        # first pass already saw). collect_set is bounded by
+        # n_partitions, so the driver result is metadata-scale.
         cast = F.col(key).try_cast(key_ddl)
         stats = df.agg(
             F.count_if(cast.isNull()).alias("bad"),
             (F.count(F.lit(1)) - F.count_distinct(cast)).alias("dups"),
+            F.collect_set(part).alias("parts"),
         ).first()
         if int(stats["bad"]):
             raise ValueError(
@@ -737,22 +748,14 @@ def hash_layout_upsert(
                 f"{what} {key} value(s) in one call — a single upsert "
                 "has no defined winner per key; dedup the input first"
             )
-        return df
+        return {int(p) for p in stats["parts"]}
 
-    part = F.pmod(F.hash(F.col(key).try_cast(key_ddl)), F.lit(n)).cast(
-        "int"
-    )
-    up = _checked_keys(upserts, "upsert", refuse_dups=True)
-    key_frames = [up.select(part.alias("part_id"))]
+    up = upserts
+    parts_touched = _checked_parts(up, "upsert", refuse_dups=True)
     if deletes is not None:
-        deletes = _checked_keys(deletes.select(key), "delete")
-        key_frames.append(deletes.select(part.alias("part_id")))
-    changed_df = key_frames[0]
-    for f in key_frames[1:]:
-        changed_df = changed_df.unionByName(f)
-    changed = sorted(
-        int(r["part_id"]) for r in changed_df.distinct().collect()
-    )
+        deletes = deletes.select(key)
+        parts_touched |= _checked_parts(deletes, "delete")
+    changed = sorted(parts_touched)
     if not changed:
         return {"touched_partitions": [], "dropped_partitions": []}
 
@@ -877,7 +880,11 @@ def column_layout_upsert(
 
     def _checked(
         df: DataFrame, what: str, need_key: bool, refuse_dups: bool = False
-    ) -> DataFrame:
+    ) -> set:
+        # one aggregation job per input frame covers cell/key validation
+        # AND the touched-cell set (r18 — same job merge as
+        # hash_layout_upsert: the union + distinct().collect() was a
+        # second full pass over data this agg already scanned)
         cast_key = F.col(key).try_cast(key_ddl)
         stats = df.agg(
             F.count_if(
@@ -885,6 +892,7 @@ def column_layout_upsert(
             ).alias("bad_cell"),
             F.count_if(cast_key.isNull()).alias("bad_key"),
             (F.count(F.lit(1)) - F.count_distinct(cast_key)).alias("dups"),
+            F.collect_set(F.col(pc).try_cast(part_ddl)).alias("cells"),
         ).first()
         if int(stats["bad_cell"]):
             raise ValueError(
@@ -905,19 +913,13 @@ def column_layout_upsert(
                 f"{what} {key} value(s) in one call — a single upsert "
                 "has no defined winner per key; dedup the input first"
             )
-        return df
+        return set(stats["cells"])
 
-    up = _checked(upserts, "upsert", need_key=True, refuse_dups=True)
-    cell_frames = [up.select(F.col(pc).try_cast(part_ddl).alias(pc))]
+    up = upserts
+    cells = _checked(up, "upsert", need_key=True, refuse_dups=True)
     if deletes is not None:
-        deletes = _checked(deletes, "delete", need_key=True)
-        cell_frames.append(
-            deletes.select(F.col(pc).try_cast(part_ddl).alias(pc))
-        )
-    cells_df = cell_frames[0]
-    for f in cell_frames[1:]:
-        cells_df = cells_df.unionByName(f)
-    changed = sorted(r[pc] for r in cells_df.distinct().collect())
+        cells |= _checked(deletes, "delete", need_key=True)
+    changed = sorted(cells)
     if not changed:
         return {"touched_cells": [], "dropped_cells": []}
 

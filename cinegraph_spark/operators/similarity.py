@@ -558,28 +558,31 @@ def ivf_centroids_update(
             "the corpus cell back or rebuild with ivf_centroids_save"
         )
     cast_cell = F.col(label).try_cast(cell_ddl)
-    bad = delta.filter(cast_cell.isNull()).count()
-    if bad:
+    # one aggregation job covers the NULL-cell refusal AND the touched-
+    # cell set (r18 — same job merge as hnsw_index_update: the pre-merge
+    # shape paid a filter-count job, an eager localCheckpoint, and a
+    # collect over the same small delta). collect_set is bounded by the
+    # corpus cell count.
+    stats = delta.agg(
+        F.count_if(cast_cell.isNull()).alias("bad"),
+        F.collect_set(cast_cell).alias("cells"),
+    ).first()
+    if int(stats["bad"]):
         raise ValueError(
-            f"ivf_centroids_update: {bad} delta {label} value(s) are NULL "
-            f"or do not cast to the corpus cell type "
+            f"ivf_centroids_update: {int(stats['bad'])} delta {label} "
+            f"value(s) are NULL or do not cast to the corpus cell type "
             f"{cell_ddl}; a NULL cell key would silently "
             "leave the intended cell's centroid stale — fix the delta input"
         )
-    changed_df = (
-        delta.select(cast_cell.alias(label)).distinct().localCheckpoint(
-            eager=True
-        )
-    )
-    changed = sorted(r[label] for r in changed_df.collect())
+    changed = sorted(stats["cells"])
     if not changed:
         return {"rebuilt_cells": [], "full_rebuild": False}
     if corpus_path is not None:
         src = layout_pruned_read(spark, corpus_path, changed)
     else:
-        src = e.join(F.broadcast(changed_df), label, "left_semi")
+        src = e.filter(cast_cell.isin(changed))
     rebuilt = ivf_cell_stats(src, label, v)
-    kept = old.join(F.broadcast(changed_df), label, "left_anti")
+    kept = old.filter(~F.col(label).isin(changed))
     atomic_swap_write(kept.unionByName(rebuilt), path)
     return {"rebuilt_cells": changed, "full_rebuild": False}
 
@@ -1053,21 +1056,24 @@ def pq_codes_update(
             "pq_codes_save"
         )
     cast_key = F.col("vec_id").try_cast(key_ddl)
-    bad = delta.filter(cast_key.isNull()).count()
-    if bad:
+    # one aggregation job covers the NULL-key refusal AND the touched-
+    # partition set (r18 — same job merge as hnsw_index_update; the
+    # pre-merge shape was a filter-count job + an eager localCheckpoint +
+    # a collect over the same small delta). collect_set ≤ n_partitions.
+    stats = delta.agg(
+        F.count_if(cast_key.isNull()).alias("bad"),
+        F.collect_set(
+            F.pmod(F.hash(cast_key), F.lit(n_partitions)).cast("int")
+        ).alias("parts"),
+    ).first()
+    if int(stats["bad"]):
         raise ValueError(
-            f"pq_codes_update: {bad} delta vec_id row(s) are NULL or do "
-            f"not cast to the corpus key type {key_ddl}; "
+            f"pq_codes_update: {int(stats['bad'])} delta vec_id row(s) "
+            f"are NULL or do not cast to the corpus key type {key_ddl}; "
             "a NULL key hashes to an arbitrary partition and the intended "
             "partition would keep stale codes — fix the delta input"
         )
-    changed_df = (
-        delta.select(cast_key.alias("vec_id"))
-        .select(_pq_part_expr(n_partitions).alias("part_id"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    changed = sorted(int(r["part_id"]) for r in changed_df.collect())
+    changed = sorted(int(p) for p in stats["parts"])
     if not changed:
         return {"rebuilt_partitions": [], "dropped_partitions": []}
 
@@ -1076,8 +1082,10 @@ def pq_codes_update(
             "vec_id", v, "part_id"
         )
     else:
-        src = e.withColumn("part_id", _pq_part_expr(n_partitions)).join(
-            F.broadcast(changed_df), "part_id", "left_semi"
+        # `changed` is ≤ n_partitions ints — a literal isin predicate
+        # replaces the former broadcast semi-join (one fewer exchange)
+        src = e.withColumn("part_id", _pq_part_expr(n_partitions)).filter(
+            F.col("part_id").isin(changed)
         )
     rebuilt = (
         src.select(

@@ -287,10 +287,13 @@ def _arr_len(e: DataFrame, v: str) -> int:
 
 
 def _lit_codebook(book: list[list[float]]):
-    """k × dsub nested array literal."""
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
-    )
+    """k × dsub nested array literal — ONE ``F.lit`` over the nested list
+    (Spark 4 builds the array literal in a single py4j call) instead of
+    the k×dsub ``F.lit``/``F.array`` tree: the per-element form cost
+    ~2,000 py4j round-trips (~1.3 s of driver time) every time a PQ
+    encode/ADC expression was constructed (r18 guide-§1 profiling). The
+    literal's values and type (array<array<double>>) are identical."""
+    return F.lit([[float(x) for x in c] for c in book])
 
 
 def pq_encode_col(v_col, codebooks: list[list[list[float]]]):

@@ -517,7 +517,10 @@ def sample_kcenter_coreset(spark, sf_dir):
     )
 
     def dist2_to(center: list) -> F.Column:
-        c = F.array(*[F.lit(float(x)) for x in center])
+        # one nested-list literal (single py4j call) — the per-element
+        # F.lit tree cost one py4j round-trip per dimension per k-center
+        # pass (r18)
+        c = F.lit([float(x) for x in center])
         dot_vc = F.aggregate(
             F.zip_with(F.col("v"), c, lambda x, y: x * y),
             F.lit(0.0),

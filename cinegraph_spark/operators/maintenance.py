@@ -1137,9 +1137,13 @@ def layout_dv_delete(
         )
     key, key_ddl, n = meta["key"], meta["key_ddl"], meta["n_partitions"]
     cast = F.col(key).try_cast(key_ddl)
+    part = F.pmod(F.hash(cast), F.lit(int(n))).cast("int")
+    # one aggregation job covers the count, the NULL-key refusal, AND the
+    # touched-partition set (r18 — same job merge as hash_layout_upsert)
     stats = deletes.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_if(cast.isNull()).alias("bad"),
+        F.collect_set(part).alias("parts"),
     ).first()
     if int(stats["bad"]):
         raise ValueError(
@@ -1150,15 +1154,12 @@ def layout_dv_delete(
         )
     if not int(stats["n"]):
         return {"touched_partitions": [], "dv_rows": 0}
-    part = F.pmod(F.hash(cast), F.lit(int(n))).cast("int")
     dd = (
         deletes.select(cast.alias(key))
         .distinct()
         .withColumn("part_id", part)
     )
-    changed = sorted(
-        int(r["part_id"]) for r in dd.select("part_id").distinct().collect()
-    )
+    changed = sorted(int(p) for p in stats["parts"])
     merged = dd
     if _dv_exists(spark, path):
         merged = (

@@ -384,36 +384,42 @@ def merge_agg_state(
     # the checkpoint is purely an economy: count() below and the write
     # would otherwise each run the merge plan
     merged = merged.localCheckpoint(eager=True)
-    if n_col is not None or hist_maps:
-        # the below-zero guard runs whenever EITHER retractable measure
-        # class is present: histogram bins are retractable on their own,
-        # so a hist_maps view without n_col must still refuse a delta
-        # whose merged bins go negative — map_filter only drops exact
-        # zeros, and a silently committed negative bin corrupts the
-        # persisted view (r14 ADVICE)
-        bad = F.col(n_col) < 0 if n_col is not None else F.lit(False)
-        for c in hist_maps or []:
-            # a retraction that subtracts a bin the view never absorbed
-            # is the same corruption class as a below-zero row count
-            bad = bad | F.exists(
-                F.map_values(F.col(c)), lambda v: v < 0
-            )
-        n_neg = merged.filter(bad).count()
-        if n_neg:
-            # raise BEFORE any write: the live state is untouched and the
-            # bad delta never commits (the ledger row would otherwise
-            # make the corruption permanent — replays no-op)
-            raise ValueError(
-                f"merge_agg_state: {n_neg} group(s) retracted below zero "
-                f"({n_col or 'n_col'} < 0, or a histogram bin went "
-                "negative) — the delta retracts facts the view never "
-                "absorbed (corrupt or double-shipped retraction); "
-                "nothing was committed"
-            )
+    # ONE aggregate over the checkpointed state covers the below-zero
+    # guard, the fully-retracted count, and n_groups (r18 — the pre-merge
+    # shape ran up to two separate count jobs per refresh, one per
+    # micro-batch in the streaming MV sinks). The guard condition runs
+    # whenever EITHER retractable measure class is present: histogram
+    # bins are retractable on their own, so a hist_maps view without
+    # n_col must still refuse a delta whose merged bins go negative —
+    # map_filter only drops exact zeros, and a silently committed
+    # negative bin corrupts the persisted view (r14 ADVICE).
+    bad = F.col(n_col) < 0 if n_col is not None else F.lit(False)
+    for c in hist_maps or []:
+        # a retraction that subtracts a bin the view never absorbed
+        # is the same corruption class as a below-zero row count
+        bad = bad | F.exists(F.map_values(F.col(c)), lambda v: v < 0)
+    counts = merged.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count_if(bad).alias("n_neg"),
+        F.count_if(F.col(n_col) == 0).alias("n_zero")
+        if n_col is not None
+        else F.lit(0).alias("n_zero"),
+    ).first()
+    if (n_col is not None or hist_maps) and int(counts["n_neg"]):
+        # raise BEFORE any write: the live state is untouched and the
+        # bad delta never commits (the ledger row would otherwise
+        # make the corruption permanent — replays no-op)
+        raise ValueError(
+            f"merge_agg_state: {int(counts['n_neg'])} group(s) retracted "
+            f"below zero ({n_col or 'n_col'} < 0, or a histogram bin "
+            "went negative) — the delta retracts facts the view never "
+            "absorbed (corrupt or double-shipped retraction); "
+            "nothing was committed"
+        )
     if n_col is not None:
         # fully-retracted groups leave the view, as a recompute would
         merged = merged.filter(F.col(n_col) != 0)
-    n_groups = merged.count()
+    n_groups = int(counts["n_all"]) - int(counts["n_zero"])
     from cinegraph_spark.session import local_df
 
     # single-slice local frame (r18): the 32-slice default cost one

@@ -1406,33 +1406,33 @@ def text_dsir_importance(spark, sf_dir):
             )
         ).alias("bigram"),
     )
+    # BOTH LMs in one aggregation over one explode pass (r18, guide §2.3):
+    # the target counts are a count_if over the same grouped bigrams, so
+    # the pre-r18 separate target aggregation (a second full corpus
+    # explode) and its extra broadcast join disappear. A bigram absent
+    # from the target LM gets c_t = 0, exactly what the former LEFT join's
+    # coalesce(c_t, 0) produced, so the add-1-smoothed llr is unchanged.
     corpus = (
         bg.groupBy("bigram")
-        .agg(F.count("*").alias("c_c"))
+        .agg(
+            F.count("*").alias("c_c"),
+            F.count_if(F.col("source") == "src0").alias("c_t"),
+        )
         .localCheckpoint(eager=False)  # feeds the join AND the constants
     )
-    target = bg.filter(F.col("source") == "src0").groupBy("bigram").agg(
-        F.count("*").alias("c_t")
-    )
-    consts = (
-        corpus.agg(
-            F.sum("c_c").alias("n_c"), F.count("*").alias("v")
-        )
-        .crossJoin(
-            F.broadcast(
-                target.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"))
-            )
-        )
+    consts = corpus.agg(
+        F.sum("c_c").alias("n_c"),
+        F.count("*").alias("v"),
+        F.sum("c_t").alias("n_t"),
     )
     llr = (
-        F.log(F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
+        F.log(F.col("c_t") + 1.0)
         - F.log(F.col("n_t") + F.col("v"))
         - F.log(F.col("c_c") + 1.0)
         + F.log(F.col("n_c") + F.col("v"))
     )
     return (
         bg.join(F.broadcast(corpus), "bigram")
-        .join(F.broadcast(target), "bigram", "left")
         .crossJoin(F.broadcast(consts))
         .groupBy("doc_id")
         .agg(

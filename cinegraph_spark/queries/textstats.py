@@ -726,7 +726,14 @@ def sample_token_budget_greedy(spark, sf_dir):
         "n_tok",
         F.round(F.col("quality") * 10000).cast("long").alias("qmilli"),
     )
-    q = q.withColumn("bucket", F.expr("qmilli div 100"))
+    # lazy localCheckpoint: this 4-small-column frame feeds THREE
+    # consumers (the intra-bucket window, and — via the bucket totals —
+    # the offsets and the budget); without it the regex-heavy quality
+    # chain re-runs per consumer (r18, same pattern as
+    # pipeline_training_data_prep's labeled frame)
+    q = q.withColumn("bucket", F.expr("qmilli div 100")).localCheckpoint(
+        eager=False
+    )
     w_intra = (
         Window.partitionBy("bucket")
         .orderBy(F.desc("qmilli"), F.asc("doc_id"))

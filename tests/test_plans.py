@@ -301,10 +301,13 @@ def test_countmin_cells_broadcast_and_no_python(q):
 
 
 def test_dsir_models_broadcast(q):
-    """Both LM count tables (corpus + target) are alphabet^2-bounded and
-    must broadcast — the corpus-sized exploded-bigram side never shuffles."""
+    """The merged LM count table (corpus + target counts in ONE
+    alphabet^2-bounded aggregation since r18 — the target counts ride the
+    corpus aggregation as a count_if, removing a full corpus explode and
+    a second broadcast join) must broadcast exactly once — the
+    corpus-sized exploded-bigram side never shuffles."""
     c = plan_counts(q("text_dsir_importance"))
-    assert c["broadcast_hash_join"] >= 2
+    assert c["broadcast_hash_join"] == 1
     assert c["sort_merge_join"] == 0
 
 

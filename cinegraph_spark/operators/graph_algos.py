@@ -391,7 +391,11 @@ def bfs_levels(
             ).localCheckpoint(eager=True)
             if nxt.isEmpty():
                 break
-            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            # no checkpoint on the union (r19): visited is a union of
+            # already-checkpointed per-round leaves, so its plan is O(1)
+            # per round and nothing below it can recompute — the former
+            # eager checkpoint here was one whole Spark job per level
+            visited = visited.unionByName(nxt)
             frontier = nxt
     return visited
 
@@ -445,25 +449,33 @@ def sssp_bounded(
                     (F.col("dist") + F.col(w)).cast("long").alias("dist"),
                 )
                 .groupBy("id")
-                .agg(F.min("dist").alias("dist"))
+                .agg(F.min("dist").alias("cand"))
             )
-            improved = (
+            # ONE full-outer join carries both round outputs (r19 — the
+            # former improved-then-union shape paid two eager checkpoints
+            # and three shuffles per superstep): new dist = min(old,
+            # cand) with either side absent, and ``imp`` marks the rows
+            # the old ``improved`` filter kept (first-seen or lowered),
+            # so frontier/early-out are projections of the one
+            # checkpointed state — values identical (exact integer min).
+            state = (
                 cand.join(
-                    dist.withColumnRenamed("dist", "old"), "id", "left"
+                    dist.withColumnRenamed("dist", "old"), "id", "full"
                 )
-                .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
-                .select("id", "dist")
+                .select(
+                    "id",
+                    F.least("cand", "old").alias("dist"),
+                    (
+                        F.col("old").isNull()
+                        | (F.col("cand") < F.col("old"))
+                    ).alias("imp"),
+                )
                 .localCheckpoint(eager=True)
             )
-            if improved.isEmpty():
+            frontier = state.filter("imp").select("id", "dist")
+            if frontier.isEmpty():
                 break
-            dist = (
-                dist.unionByName(improved)
-                .groupBy("id")
-                .agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=True)
-            )
-            frontier = improved
+            dist = state.select("id", "dist")
     return dist
 
 

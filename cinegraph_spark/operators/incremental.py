@@ -401,7 +401,12 @@ def merge_agg_state(
     counts = merged.agg(
         F.count(F.lit(1)).alias("n_all"),
         F.count_if(bad).alias("n_neg"),
-        F.count_if(F.col(n_col) == 0).alias("n_zero")
+        # count what the filter below DROPS (n != 0 also drops NULL n),
+        # so the reported n_groups always matches the persisted group
+        # count even if a delta ever carries a NULL n_col (r18 ADVICE)
+        F.count_if(F.col(n_col).isNull() | (F.col(n_col) == 0)).alias(
+            "n_zero"
+        )
         if n_col is not None
         else F.lit(0).alias("n_zero"),
     ).first()

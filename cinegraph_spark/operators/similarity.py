@@ -585,7 +585,13 @@ def ivf_centroids_update(
     else:
         src = e.filter(cast_cell.isin(changed))
     rebuilt = ivf_cell_stats(src, label, v)
-    kept = old.filter(~F.col(label).isin(changed))
+    # keep NULL-label rows explicitly: ivf_centroids_save refuses NULL
+    # labels today, but `~isin` alone would silently DELETE them from a
+    # hand-written or legacy centroid table, where the pre-r18
+    # left_anti join preserved them (r18 ADVICE)
+    kept = old.filter(
+        ~F.col(label).isin(changed) | F.col(label).isNull()
+    )
     atomic_swap_write(kept.unionByName(rebuilt), path)
     return {"rebuilt_cells": changed, "full_rebuild": False}
 

@@ -625,16 +625,22 @@ def agg_incremental_mv_hll_distinct(spark, sf_dir):
     )
     keys, sums = ["event_type", "day"], ["n_events"]
 
-    def pre_agg(df):
-        counts = df.groupBy(*keys).agg(
-            F.count(F.lit(1)).alias("n_events")
-        )
-        regs = hll_dense_registers(df, keys, "user_id")
-        return counts.join(regs, keys)
-
+    # ONE corpus scan feeds both parity halves (r19): grouping by
+    # (parity, keys) then filtering a parity out is row-for-row the
+    # same partial as filtering the corpus first and grouping by keys
+    # (count and register-max are per-group; parity only splits the
+    # groups), and the count rides the register aggregation itself
+    # (n_col) — the former shape paid four corpus scans (counts + regs
+    # per parity) and two joins for bit-identical partials.
+    parts = hll_dense_registers(
+        ev.withColumn("par", F.col("event_id") % 2),
+        ["par"] + keys,
+        "user_id",
+        n_col="n_events",
+    ).localCheckpoint(eager=False)
     state = scratch_dir("cg_mv_hll_") + "/state"
-    base = pre_agg(ev.filter(F.col("event_id") % 2 == 0))
-    delta = pre_agg(ev.filter(F.col("event_id") % 2 == 1))
+    base = parts.filter(F.col("par") == 0).drop("par")
+    delta = parts.filter(F.col("par") == 1).drop("par")
     merge_agg_state(
         spark, state, base, keys, sums, batch_id=0,
         hll_regs=["user_id_regs"],

@@ -102,7 +102,9 @@ HLL_RANK_BITS = 32 - HLL_P
 HLL_ALPHA = 0.709
 
 
-def hll_dense_registers(df: DataFrame, keys: list[str], col: str) -> DataFrame:
+def hll_dense_registers(
+    df: DataFrame, keys: list[str], col: str, n_col: str | None = None
+) -> DataFrame:
     """Per-``keys`` DENSE portable-HLL register vector over ``col``:
     one ``array<int>`` of length :data:`HLL_M` per group, entry i = max
     leading-zero rank among the group's values hashing into register i
@@ -113,7 +115,12 @@ def hll_dense_registers(df: DataFrame, keys: list[str], col: str) -> DataFrame:
     into a persisted distinct-count view without ever seeing raw keys —
     and because the hash is the portable md5 prefix, a DuckDB oracle
     reproduces every register bit-for-bit. One map-side-combinable agg;
-    state per group is 64 small ints regardless of corpus size."""
+    state per group is 64 small ints regardless of corpus size.
+
+    ``n_col`` (r19) additionally emits the group's row count under that
+    name in the SAME aggregation — the ranked projection is one row per
+    input row, so the count equals ``df.groupBy(keys).count()`` and the
+    caller saves a second corpus scan plus the counts↔regs join."""
     h = (
         F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
         .cast("long")
@@ -136,7 +143,7 @@ def hll_dense_registers(df: DataFrame, keys: list[str], col: str) -> DataFrame:
     rho = rho.otherwise(HLL_RANK_BITS + 1)
     # array-of-aggregates: 64 tiny max-aggregates collapse into one dense
     # vector per group in a single combinable pass
-    return ranked.select(*keys, "reg", rho.alias("rho")).groupBy(*keys).agg(
+    aggs = [
         F.array(
             *[
                 F.coalesce(
@@ -145,6 +152,13 @@ def hll_dense_registers(df: DataFrame, keys: list[str], col: str) -> DataFrame:
                 for i in range(HLL_M)
             ]
         ).alias(f"{col}_regs")
+    ]
+    if n_col is not None:
+        aggs.append(F.count(F.lit(1)).alias(n_col))
+    return (
+        ranked.select(*keys, "reg", rho.alias("rho"))
+        .groupBy(*keys)
+        .agg(*aggs)
     )
 
 

@@ -19,11 +19,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n = 3
-    for a in sys.argv[1:]:
-        if a.startswith("--n"):
-            n = int(a.split("=", 1)[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+    argv, args, n, skip = sys.argv[1:], [], 3, False
+    for i, a in enumerate(argv):
+        if skip:
+            skip = False
+        elif a.startswith("--n"):
+            if "=" in a:
+                n = int(a.split("=", 1)[1])
+            else:  # space-separated form: consume the value token too
+                n = int(argv[i + 1])
+                skip = True
+        else:
+            args.append(a)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from cinegraph_spark.queries import load_all

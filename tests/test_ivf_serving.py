@@ -206,6 +206,53 @@ def test_save_refuses_null_cell_labels(spark, sf_dir, tmp_path):
         ivf_centroids_save(nulled, str(tmp_path / "idx"))
 
 
+def test_update_preserves_null_label_rows_in_legacy_table(
+    spark, sf_dir, tmp_path
+):
+    """r18 ADVICE: save refuses NULL labels, so a NULL-label row can only
+    exist in a hand-written or legacy table — but if one does, the
+    update's kept-side predicate must PRESERVE it (as the pre-r18
+    left_anti join did), never silently delete it."""
+    from cinegraph_spark.operators.similarity import (
+        ivf_centroids_save,
+        ivf_centroids_update,
+    )
+
+    e = _corpus(spark, sf_dir)
+    path = str(tmp_path / "idx")
+    ivf_centroids_save(e, path)
+    legacy = spark.read.parquet(path)
+    null_row = legacy.limit(1).select(
+        F.lit(None).cast(legacy.schema["label"].dataType).alias("label"),
+        "n_vectors",
+        "centroid",
+    )
+    legacy.unionByName(null_row).write.mode("overwrite").parquet(
+        str(tmp_path / "legacy")
+    )
+    spark.read.parquet(str(tmp_path / "legacy")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    def rows(p):  # _rows would sort None against ints (TypeError)
+        return sorted(
+            (
+                (r["label"], r["n_vectors"], tuple(r["centroid"]))
+                for r in spark.read.parquet(p).collect()
+            ),
+            key=lambda t: (t[0] is None, t),
+        )
+
+    before = rows(path)
+    delta = e.limit(1).select("label")
+    stats = ivf_centroids_update(e, delta, path)
+    assert stats["full_rebuild"] is False
+    after = rows(path)
+    # the corpus did not change, so the update is a touched-cell no-op
+    # content-wise — including the NULL-label legacy row
+    assert after == before
+    assert any(r[0] is None for r in after)
+
+
 def test_update_layout_mode_bit_identical_and_pruned(
     spark, sf_dir, tmp_path
 ):

@@ -586,12 +586,25 @@ def _list_gen_dirs(
     commit marker into the sibling before any rename, so the recovered
     copy resolves as committed."""
     gens = jpath(root.rstrip("/") + "/" + _GENS_DIR)
-    if not fs.exists(gens):
-        return {}
+    try:
+        statuses = list(fs.listStatus(gens))
+    except Exception as exc:
+        # missing _gens: one listStatus doubles as the exists probe —
+        # resolve_generation runs on EVERY versioned read, so each
+        # avoided py4j/FS round trip here is paid per query on local fs
+        # and per object-store LIST at scale (r19). Only the
+        # FileNotFoundException means "not versioned"; anything else
+        # (permissions, transport) must stay loud.
+        jexc = getattr(exc, "java_exception", None)
+        if jexc is not None and "FileNotFoundException" in str(
+            jexc.getClass().getName()
+        ):
+            return {}
+        raise
     if spark is not None:
         crashed = set()
         present = set()
-        for st in fs.listStatus(gens):
+        for st in statuses:
             name = st.getPath().getName()
             if _GEN_RE.match(name):
                 present.add(name)
@@ -599,17 +612,34 @@ def _list_gen_dirs(
                 m = _GEN_SIBLING_RE.match(name)
                 if m:
                     crashed.add(m.group(1))
-        for name in sorted(crashed - present):
-            recover_swap(
-                spark, root.rstrip("/") + "/" + _GENS_DIR + "/" + name
-            )
+        if crashed - present:
+            for name in sorted(crashed - present):
+                recover_swap(
+                    spark, root.rstrip("/") + "/" + _GENS_DIR + "/" + name
+                )
+            statuses = list(fs.listStatus(gens))  # re-list after healing
+    # ONE globStatus answers "which generations carry a commit marker"
+    # instead of one fs.exists per generation (r19): k+2 round trips → 2
+    marker_glob = fs.globStatus(
+        jpath(
+            root.rstrip("/")
+            + "/"
+            + _GENS_DIR
+            + "/g[0-9]*/"
+            + _GEN_COMMITTED
+        )
+    )
+    committed_names = {
+        str(st.getPath().getParent().getName())
+        for st in (marker_glob if marker_glob is not None else [])
+    }
     out: dict[int, tuple[str, bool]] = {}
-    for st in fs.listStatus(gens):
-        m = _GEN_RE.match(st.getPath().getName())
+    for st in statuses:
+        name = st.getPath().getName()
+        m = _GEN_RE.match(name)
         if m and st.isDirectory():
             p = str(st.getPath().toString())
-            committed = fs.exists(jpath(p + "/" + _GEN_COMMITTED))
-            out[int(m.group(1))] = (p, committed)
+            out[int(m.group(1))] = (p, name in committed_names)
     return out
 
 

@@ -164,8 +164,13 @@ def pipeline_window_scores(spark, sf_dir):
 def pipeline_movie_features(spark, sf_dir):
     """A1-A3 — np.array_split act means + sample std, 24 features per doc,
     short docs (<3 windows) dropped (P2)."""
+    # movie_features consumes its window frame twice (eligibility agg +
+    # act assignment); the lazy checkpoint runs the regex/tokenize-heavy
+    # scoring chain once (r19 — the token-budget/training-prep pattern)
     return movie_features(
-        _spark_scored(spark, sf_dir), key_col="doc_id", round_to=4
+        _spark_scored(spark, sf_dir).localCheckpoint(eager=False),
+        key_col="doc_id",
+        round_to=4,
     )
 
 
@@ -189,7 +194,14 @@ def pipeline_scaled_features(spark, sf_dir):
     """A4 — StandardScaler semantics: global mean / population std
     (ddof=0; the per-movie std feature itself is ddof=1 — the reference's
     deliberate asymmetry, ``graph_creator.py:102-114``)."""
-    feats = movie_features(_spark_scored(spark, sf_dir), key_col="doc_id")
+    # two collapse points (r19): movie_features reads the scored frame
+    # twice, and standard_scale reads the feature frame twice (global
+    # stats agg + the scaled scan) — without the lazy checkpoints the
+    # scoring chain executed four times per run (540-line plan)
+    feats = movie_features(
+        _spark_scored(spark, sf_dir).localCheckpoint(eager=False),
+        key_col="doc_id",
+    ).localCheckpoint(eager=False)
     scaled = standard_scale(feats, "doc_id", FEATURE_COLS)
     return scaled.select(
         "doc_id", *[F.round(c, 4).alias(c) for c in FEATURE_COLS]
@@ -215,7 +227,11 @@ def pipeline_scaled_features(spark, sf_dir):
 def pipeline_corpus_centroid(spark, sf_dir):
     """A5 — the global centroid over unscaled features
     (``graph_creator.py:389``)."""
-    feats = movie_features(_spark_scored(spark, sf_dir), key_col="doc_id")
+    # same double-read collapse as pipeline_movie_features (r19)
+    feats = movie_features(
+        _spark_scored(spark, sf_dir).localCheckpoint(eager=False),
+        key_col="doc_id",
+    )
     return feats.agg(
         *[r4(F.avg(c)).alias(c) for c in FEATURE_COLS],
         F.count("*").alias("n_docs"),

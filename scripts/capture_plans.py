@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") output for headline queries into
-plans/r18/<query>_{before,after}.txt — the optimization round's
+plans/r19/<query>_{before,after}.txt — the optimization round's
 plan-evidence deliverable.
 
 Usage:
@@ -10,7 +10,7 @@ Usage:
 With no names, captures every query in bench.py's HEADLINE list. Streaming
 drain / maintenance queries whose cost is eager side-effects still have a
 final DataFrame plan — that is what is captured (the eager work is noted
-in OPTIMIZATION_r18.md instead).
+in OPTIMIZATION_r19.md instead).
 """
 
 from __future__ import annotations
@@ -35,7 +35,7 @@ def main() -> None:
 
     if not names:
         names = list(HEADLINE)
-    out_dir = os.path.join(REPO, "plans", "r18")
+    out_dir = os.path.join(REPO, "plans", "r19")
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark(app_name="cinegraph-plans")

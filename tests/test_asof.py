@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from cinegraph_spark.operators.asof import asof_nearest
@@ -139,6 +140,7 @@ def _dt(us: int) -> datetime:
     ),
     tol=st.sampled_from([50, 500, 5_000]),
 )
+@pytest.mark.slow  # r19 quick-tier gate (see conftest)
 def test_nearest_matches_pandas_merge_asof(spark, lefts, rights, tol):
     """pandas ``merge_asof(direction='nearest', tolerance)`` is the spec
     asof_nearest reimplements distributively. With the right side sorted
@@ -200,6 +202,7 @@ def test_nearest_matches_pandas_merge_asof(spark, lefts, rights, tol):
         unique=True,
     ),
 )
+@pytest.mark.slow  # r19 quick-tier gate (see conftest)
 def test_backward_matches_pandas_merge_asof(spark, lefts, rights):
     """asof_join (latest right at-or-before) vs
     pandas merge_asof(direction='backward') — same alignment as the

@@ -468,6 +468,7 @@ def test_index_update_delta_key_type_is_normalized(spark, sf_dir, tmp_path):
     assert got == want and len(got) == 1
 
 
+@pytest.mark.slow  # r19 quick-tier gate (see conftest)
 def test_index_update_equals_full_rebuild_random_deltas(
     spark, sf_dir, tmp_path
 ):
@@ -702,6 +703,7 @@ def test_stream_update_equals_full_save(spark, sf_dir, tmp_path):
     assert _blob_rows(spark, path) == _blob_rows(spark, full)
 
 
+@pytest.mark.slow  # r19 quick-tier gate (see conftest)
 def test_stream_sink_replay_is_idempotent(spark, sf_dir, tmp_path):
     """foreachBatch is at-least-once: replaying a batch — immediately or
     AFTER later batches landed (driver restart from an old checkpoint) —
@@ -742,6 +744,7 @@ def test_stream_sink_replay_is_idempotent(spark, sf_dir, tmp_path):
     )
 
 
+@pytest.mark.slow  # r19 quick-tier gate (see conftest)
 def test_stream_update_with_auto_reshard_holds_growth_slo(
     spark, sf_dir, tmp_path
 ):
@@ -790,6 +793,7 @@ def test_stream_update_with_auto_reshard_holds_growth_slo(
     assert _blob_rows(spark, path) == _blob_rows(spark, full)
 
 
+@pytest.mark.slow  # r19 quick-tier gate (see conftest)
 def test_stream_arrivals_are_upserts_latest_batch_wins(
     spark, sf_dir, tmp_path
 ):
@@ -852,6 +856,7 @@ def test_stream_arrivals_are_upserts_latest_batch_wins(
         sink(dup, 2)
 
 
+@pytest.mark.slow  # r19 quick-tier gate (see conftest)
 def test_stream_update_resumes_from_checkpoint_as_noop(
     spark, sf_dir, tmp_path
 ):
@@ -1072,6 +1077,7 @@ def test_corpus_layout_guards(spark, sf_dir, tmp_path):
         hnsw_corpus_layout(drifted, str(tmp_path / "c2"), path)
 
 
+@pytest.mark.slow  # r19 quick-tier gate (see conftest)
 def test_stream_long_run_per_batch_cost_is_bounded(spark, sf_dir, tmp_path):
     """r13 (closes the r12 advisory): the landing zone IS the compacted
     corpus layout, so an 8-batch drain (1) keeps the landing state at

@@ -414,6 +414,7 @@ def test_stream_update_equals_full_save(spark, sf_dir, tmp_path):
     assert landed == want
 
 
+@pytest.mark.slow  # r19 quick-tier gate (see conftest)
 def test_stream_sink_replay_is_idempotent(spark, sf_dir, tmp_path):
     """foreachBatch is at-least-once: replaying a batch — immediately, or
     (for the disjoint-key batches of a stream ingest) even after a later
@@ -451,6 +452,7 @@ def test_stream_sink_replay_is_idempotent(spark, sf_dir, tmp_path):
     )
 
 
+@pytest.mark.slow  # r19 quick-tier gate (see conftest)
 def test_stream_update_resumes_from_checkpoint_as_noop(
     spark, sf_dir, tmp_path
 ):

@@ -453,6 +453,7 @@ def test_stream_update_equals_full_save(spark, sf_dir, tmp_path):
     assert _codes_rows(spark, path) == _codes_rows(spark, full)
 
 
+@pytest.mark.slow  # r19 quick-tier gate (see conftest)
 def test_stream_sink_replay_is_idempotent(spark, sf_dir, tmp_path):
     """The full HNSW replay contract holds at the PQ tier (the partition
     function derives from the key): replaying a batch immediately — or

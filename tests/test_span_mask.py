@@ -6,6 +6,7 @@ its output must not depend on the input's physical layout).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cinegraph_spark.operators.dedup import repeated_ngram_span_mask
@@ -109,6 +110,7 @@ def _reference(docs: dict[int, list[str]], k: int, min_df: int):
     k=st.integers(2, 4),
     min_df=st.integers(2, 3),
 )
+@pytest.mark.slow  # r19 quick-tier gate (see conftest)
 def test_matches_python_reference(spark, docs, k, min_df):
     corpus = {i: ws for i, ws in enumerate(docs)}
     rows = [(i, " ".join(ws)) for i, ws in corpus.items()]

@@ -7,6 +7,7 @@ calls a theorem — and the directory-shaped documents reader branch).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cinegraph_spark.queries.analytics import (
@@ -53,6 +54,7 @@ def _index(spark, snap):
     return bands, b_sig
 
 
+@pytest.mark.slow  # r19 quick-tier gate (see conftest)
 def test_gate_verdict_invariant_under_micro_batch_split(spark, tmp_path):
     snap, inc = _corpus(spark)
     bands, b_sig = _index(spark, snap)

@@ -1041,17 +1041,23 @@ def _publish_parts(
     restores it. Returns ``(checkpointed_new, present_parts,
     dropped_parts)``."""
     new = new.localCheckpoint(eager=True)
-    present = {
-        int(r["part_id"])
-        for r in new.select("part_id").distinct().collect()
-    }
-    if present:
-        (
-            new.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("part_id")
-            .parquet(path)
-        )
+    # the present-partition set rides the publish write itself as an
+    # Observation (r19 — one Spark job instead of two per publish; this
+    # runs once or twice per micro-batch in every streaming maintenance
+    # sink). An empty `new` writes nothing under dynamic overwrite (no
+    # directory is replaced), which is exactly the former skip.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    (
+        new.observe(obs, F.collect_set("part_id").alias("parts"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_id")
+        .parquet(path)
+    )
+    present = {int(p) for p in obs.get["parts"]}
     fs, _ = _hadoop_fs(spark, path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     dropped = [int(p) for p in parts if int(p) not in present]

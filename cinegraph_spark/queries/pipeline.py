@@ -201,7 +201,7 @@ def pipeline_scaled_features(spark, sf_dir):
     feats = movie_features(
         _spark_scored(spark, sf_dir).localCheckpoint(eager=False),
         key_col="doc_id",
-    ).localCheckpoint(eager=False)
+    )
     scaled = standard_scale(feats, "doc_id", FEATURE_COLS)
     return scaled.select(
         "doc_id", *[F.round(c, 4).alias(c) for c in FEATURE_COLS]

@@ -511,6 +511,16 @@ def label_propagation(
             .withColumn("label", F.col("id"))
             .localCheckpoint(eager=True)
         )
+        # integral vertex ids (every registered graph) take the top-1 as
+        # a hash aggregate instead of a sort window (r19): max over
+        # struct(cnt, -label) picks the highest count and, on ties, the
+        # SMALLEST label — the same row the former row_number window
+        # (desc cnt, asc label) ranked first, without the per-partition
+        # sort. Exact integers ⇒ bit-identical labels. Non-numeric ids
+        # keep the generic window (negation is integer-only).
+        integral = dict(labels.dtypes)["label"] in (
+            "tinyint", "smallint", "int", "bigint",
+        )
         w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
         for _ in range(iterations):
             freq = (
@@ -519,11 +529,22 @@ def label_propagation(
                 .groupBy("id", "label")
                 .agg(F.count("*").alias("cnt"))
             )
-            top = (
-                freq.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("id", F.col("label").alias("new_label"))
-            )
+            if integral:
+                top = (
+                    freq.groupBy("id")
+                    .agg(
+                        F.max(
+                            F.struct("cnt", (-F.col("label")).alias("nl"))
+                        ).alias("m")
+                    )
+                    .select("id", (-F.col("m.nl")).alias("new_label"))
+                )
+            else:
+                top = (
+                    freq.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1)
+                    .select("id", F.col("label").alias("new_label"))
+                )
             labels = (
                 labels.join(top, "id", "left")
                 .select("id", F.coalesce("new_label", "label").alias("label"))

@@ -407,7 +407,16 @@ def text_bigram_surprisal(spark, sf_dir):
     at sf0.1 — because it trades a cheap broadcast-hash probe for a full
     shuffle of the near-occurrence-sized distinct set; the same holds at
     scale, so the map-only probe stays.)"""
-    d = T(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    from cinegraph_spark.queries.util import spread
+
+    # spread the single-split scan before the explode (r19, guide §2.5 —
+    # same shape and fold-order argument as text_dsir_importance)
+    d = spread(
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= 2),
+        "doc_id",
+    )
     bg = d.select(
         "doc_id",
         F.explode(
@@ -1395,7 +1404,18 @@ def text_dsir_importance(spark, sf_dir):
     (whose round-6 measurement also applies here: pre-aggregating the
     probe side trades the cheap broadcast probe for a full shuffle and
     loses)."""
-    d = T(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    from cinegraph_spark.queries.util import spread
+
+    # spread the single-split scan before the bigram explode (r19, guide
+    # §2.5) — the explode + both partial aggregations otherwise run on
+    # one task at any core count; hash-by-doc_id keeps each doc's
+    # bigrams whole, so the per-doc avg's fold order is unchanged
+    d = spread(
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.length("text") >= 2),
+        "doc_id",
+    )
     bg = d.select(
         "doc_id",
         "source",

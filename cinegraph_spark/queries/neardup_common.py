@@ -75,10 +75,18 @@ def shingle_over_sql(src: str, toks: str = "toks_u", sh: str = "sh_u") -> str:
 
 
 def toks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → (doc_id, tokens) with the engine's whitespace tokenizer."""
-    return T(spark, sf_dir, "documents").select(
-        "doc_id", tokenize_whitespace(F.col("text")).alias("tokens")
-    )
+    """documents → (doc_id, tokens) with the engine's whitespace tokenizer.
+
+    The scan is spread across cores first (r19, guide §2.5): the corpus
+    file is a single split locally, so the tokenize + shingle + minhash
+    chains every consumer builds on this frame otherwise run on ONE
+    task; hash-by-doc_id keeps per-doc work (and fold order)
+    bit-identical."""
+    from cinegraph_spark.queries.util import spread
+
+    return spread(
+        T(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select("doc_id", tokenize_whitespace(F.col("text")).alias("tokens"))
 
 
 def ngram_jaccard_pairs_df(

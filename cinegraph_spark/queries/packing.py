@@ -304,9 +304,14 @@ def pipeline_training_data_prep(spark, sf_dir):
     same integer, so the five-stage composite keeps its bit-exact oracle
     while no stage funnels the corpus through 3 partitions."""
     from cinegraph_spark.functions.text_clean import clean_subtitles
-    from cinegraph_spark.queries.util import scramble
+    from cinegraph_spark.queries.util import scramble, spread
 
-    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread the single-split scan before the clean/tokenize chain (r19,
+    # guide §2.5): the regex-heavy per-doc stage otherwise runs on one
+    # task; hash-by-doc_id, all downstream measures integer or keyed
+    d = spread(
+        T(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     cleaned = clean_subtitles(F.col("text"))
     toks = tokenize_whitespace(cleaned)
     stats = d.select(

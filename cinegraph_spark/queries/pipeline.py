@@ -34,9 +34,15 @@ FEATURE_COLS = [
 
 
 def _spark_windows(spark, sf_dir):
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", tokenize_whitespace(F.col("text")).alias("tokens")
-    )
+    from cinegraph_spark.queries.util import spread
+
+    # spread the single-split corpus scan before the tokenize + windowize
+    # + scoring chain (r19, guide §2.5): the whole per-doc compute of
+    # every pipeline_* query otherwise runs on one task at any core
+    # count; hash-by-doc_id keeps per-doc work and fold order identical
+    d = spread(
+        T(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select("doc_id", tokenize_whitespace(F.col("text")).alias("tokens"))
     return windowize(d, "doc_id", window_size=W, stride=S)
 
 

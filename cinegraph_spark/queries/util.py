@@ -68,6 +68,30 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition a JUST-SCANNED input across the session's default
+    parallelism when the scan yielded fewer splits than cores (guide
+    §2.5 input skew): the fixture tables are single parquet files under
+    ``maxPartitionBytes``, so every regex / shingle / bigram-explode
+    chain otherwise runs its entire per-row compute on ONE task at any
+    core count. Shuffling the (tiny) scan output buys a fully parallel
+    compute stage.
+
+    Determinism: ``keys`` are REQUIRED and the repartition is
+    hash-by-key, so each key's rows stay whole in one task in input
+    order — per-key aggregation fold order (and therefore every float
+    rounding) is bit-identical to the unspread plan, and there is no
+    round-robin retry hazard (SPARK-38388) and no sort-before-
+    repartition cost. At 100 TB a scan already has ≥ parallelism splits
+    and this is a no-op."""
+    assert keys, "spread() requires explicit partition keys"
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *[F.col(k) for k in keys])
+
+
 def ntz(col: Column) -> Column:
     """Instant (TIMESTAMP) → its UTC wall clock as TIMESTAMP_NTZ,
     independent of the session time zone: the implicit LTZ→NTZ cast (in the

@@ -285,6 +285,24 @@ def events_asof_nearest_click(spark, sf_dir):
 
 _DV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
+#: Character-bigram array of ``text``, O(len) per row (r19, guide §1.2
+#: per-task work): the former ``transform(sequence(1, len-1),
+#: i -> substring(text, i, 2))`` was O(len^2) per document — each
+#: ``substring`` call linearly re-scans the UTF8 string to find the
+#: code-point offset, which at sf1 (~800 chars/doc) made one explode
+#: pass cost ~49 s on 32 cores. Splitting to a char array once and
+#: zipping adjacent chars produces the identical array (verified
+#: element-for-element over the whole sf1 corpus) in ~2.6 s.
+#: ``zip_with`` pads the shorter side with NULL, so the trailing
+#: ``concat(last_char, NULL)`` = NULL entry is trimmed by the outer
+#: ``slice``; ``greatest(..., 0)`` keeps the expression total on
+#: empty/1-char rows that a pushed-down filter may still evaluate.
+_CHAR_BIGRAMS = (
+    "slice(zip_with(split(text, ''),"
+    " slice(split(text, ''), 2, greatest(length(text) - 1, 0)),"
+    " (x, y) -> concat(x, y)), 1, greatest(length(text) - 1, 0))"
+)
+
 
 @register(
     "vec_mips_topk",
@@ -419,12 +437,7 @@ def text_bigram_surprisal(spark, sf_dir):
     )
     bg = d.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(text) - 1),"
-                " i -> substring(text, i, 2))"
-            )
-        ).alias("bigram"),
+        F.explode(F.expr(_CHAR_BIGRAMS)).alias("bigram"),
     )
     # lazy localCheckpoint: the bigram model (alphabet^2-bounded, tiny) is
     # materialized once and feeds BOTH consumers (broadcast join + corpus
@@ -1419,12 +1432,7 @@ def text_dsir_importance(spark, sf_dir):
     bg = d.select(
         "doc_id",
         "source",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(text) - 1),"
-                " i -> substring(text, i, 2))"
-            )
-        ).alias("bigram"),
+        F.explode(F.expr(_CHAR_BIGRAMS)).alias("bigram"),
     )
     # BOTH LMs in one aggregation over one explode pass (r18, guide §2.3):
     # the target counts are a count_if over the same grouped bigrams, so

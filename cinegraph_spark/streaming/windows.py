@@ -248,7 +248,7 @@ def run_availablenow_to_parquet(
     output_mode: str = "update",
     timeout_s: int | None = None,
     transform=None,
-    shuffle_partitions: int = 8,
+    shuffle_partitions: int | None = None,
     final_no_data_batch: bool = True,
 ) -> DataFrame:
     """Production drain: process all available input and write every
@@ -294,6 +294,15 @@ def run_availablenow_to_parquet(
     number and each partition pays checkpoint-commit overhead per
     micro-batch. On a real cluster size it to the stream's key
     cardinality instead; it is a drain-shape knob, not a semantics knob.
+    Defaults to ``$CINEGRAPH_DRAIN_SHUFFLE`` (else 8) so a deployment can
+    size state parallelism without touching query code (r19: the cap is a
+    local-test constant — ``bounded_shuffle`` would otherwise clamp a
+    cluster session's partitioning down to 8). Note per-KEY skew is not
+    fixed by more partitions: a streaming symmetric-hash join scans every
+    buffered match-side row of a key per input row of that key, serially
+    within the key's one partition (measured sf1: one Zipf-hot user =
+    1.1B of 1.4B pair-scans → the drain is that key's single-thread time
+    regardless of this knob).
 
     ``final_no_data_batch=False`` skips the trailing no-data micro-batch
     Spark otherwise runs to advance the watermark and flush
@@ -309,6 +318,10 @@ def run_availablenow_to_parquet(
 
     from cinegraph_spark.session import bounded_shuffle, scoped_confs
 
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("CINEGRAPH_DRAIN_SHUFFLE", "8")
+        )
     if transform is None:
         schema = stream_df.schema
     else:

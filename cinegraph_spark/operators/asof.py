@@ -102,12 +102,20 @@ def asof_nearest(
     backward match; equal-timestamp rights count as backward with distance 0.
 
     Same scalable shape as :func:`asof_join` — tag, union, ONE shuffle on
-    the key, then two per-key running windows over the same sort:
-    ``last`` ignoring nulls looking back (latest right at-or-before; ties on
-    ts take the largest right id) and ``first`` ignoring nulls looking
-    forward (earliest right strictly after; ties take the smallest id). No
-    range join, no per-left scan of the right side; the candidate choice is
-    a map-side comparison.
+    the key, then two per-key RUNNING windows: ``last`` ignoring nulls
+    looking back (latest right at-or-before; ties on ts take the largest
+    right id), and the forward pick (earliest right at-or-after; ties take
+    the smallest id) as ``last`` ignoring nulls over the REVERSED total
+    order — the same running (incremental, O(rows)) frame, costing one
+    extra in-partition sort. The naive spelling, ``first`` over
+    ``rowsBetween(currentRow, unboundedFollowing)``, makes Spark's
+    ``UnboundedFollowingWindowFunctionFrame`` rescan from the current row
+    to the partition end for EVERY row — O(rows²) per key, invisible on
+    flat keys but ~2.5B frame scans for one Zipf-hot user at sf1 (139 s →
+    seconds; r19). Row selection is identical: the reversed order is the
+    exact mirror (asc NULLS FIRST ↔ desc NULLS LAST), so last-over-reversed
+    = first-over-forward. No range join, no per-left scan of the right
+    side; the candidate choice is a map-side comparison.
 
     Returns left (key, ts, left_id) plus ``nearest_<right_id>``,
     ``diff_us`` (absolute, microseconds), and ``direction``
@@ -135,18 +143,23 @@ def asof_nearest(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the forward frame [currentRow, unboundedFollowing] is evaluated by a
+    # full rescan-to-partition-end PER ROW (O(rows²) per key) — mirror it
+    # as a running frame over the reversed total order instead; asc NULLS
+    # FIRST reverses to desc NULLS LAST, so the frames hold the same row
+    # sets and last-ignoring-nulls picks the same (order-minimal) right row
     fwd = (
         Window.partitionBy("_k")
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(*[c.desc() for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     rts = F.when(F.col("_side") == 0, F.col("_ts"))
     enriched = unioned.select(
         "*",
         F.last("_rid", ignorenulls=True).over(back).alias("_bid"),
         F.last(rts, ignorenulls=True).over(back).alias("_bts"),
-        F.first("_rid", ignorenulls=True).over(fwd).alias("_fid"),
-        F.first(rts, ignorenulls=True).over(fwd).alias("_fts"),
+        F.last("_rid", ignorenulls=True).over(fwd).alias("_fid"),
+        F.last(rts, ignorenulls=True).over(fwd).alias("_fts"),
     )
     bdiff = F.expr("timestampdiff(MICROSECOND, _bts, _ts)")
     fdiff = F.expr("timestampdiff(MICROSECOND, _ts, _fts)")

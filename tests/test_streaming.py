@@ -948,3 +948,49 @@ def test_no_data_batch_required_for_append_windows(spark, tmp_path):
     without = drain(False, "without")
     assert with_final > 0
     assert without < with_final
+
+
+def test_bucketed_attribution_matches_bare_key(spark, sf_dir, tmp_path):
+    """The (user, time-bucket) join-key layout (the r19 per-key-skew
+    mitigation, forced via bucketed=True — the env default is off) must be
+    output-IDENTICAL to the bare-user join: the bucket width equals the
+    attribution window, so each matching pair agrees on exactly one of
+    the duplicated side's two bucket values. Inner is pinned as a
+    MULTISET against the bare-key batch twin (a set compare would hide a
+    double-matched replica); left-outer against the eviction pin's exact
+    verdicts."""
+    from collections import Counter
+
+    from cinegraph_spark.session import scratch_dir
+    from cinegraph_spark.streaming.joins import purchases_with_recent_clicks
+    from cinegraph_spark.streaming.windows import run_availablenow_to_parquet
+
+    stream = read_events_stream(spark, sf_dir)
+    got = run_availablenow_to_memory(
+        spark,
+        purchases_with_recent_clicks(stream, bucketed=True),
+        "t_ss_join_bucketed",
+        output_mode="append",
+    )
+    bare = purchases_with_recent_clicks(_batch_events(spark, sf_dir))
+    g = Counter((r.purchase_id, r.click_id) for r in got.collect())
+    b = Counter((r.purchase_id, r.click_id) for r in bare.collect())
+    assert g == b and len(g) > 0
+
+    real, sent = _lojoin_frames(spark)
+    out = run_availablenow_to_parquet(
+        spark,
+        purchases_with_recent_clicks(
+            _lojoin_stage(spark, tmp_path / "bk", [real, sent, sent]),
+            watermark="1 hour",
+            how="left_outer",
+            bucketed=True,
+        ),
+        scratch_dir("t_lojoin_bk_"),
+        output_mode="append",
+    )
+    got2 = sorted(
+        (r["user_id"], r["purchase_id"], r["click_id"])
+        for r in out.filter(F.col("user_id") >= 0).collect()
+    )
+    assert got2 == [(1, 2, 1), (2, 4, None), (3, 5, None)]
